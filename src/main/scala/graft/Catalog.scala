@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tax.{Compliance, Dims, Refunds, SyntheticTxns, TaxCalc}
+
+/** The operator inventory (SURVEY.md §2) as Spark query functions, keyed
+  * identically to [[OracleSql.all]]. Every function takes (spark, sfDir) and
+  * returns a DataFrame whose values hash-match the DuckDB oracle.
+  *
+  * Conventions (see OracleSql scaladoc): doubles cast to DECIMAL at scan;
+  * no decimal division; every computed column aliased identically on both
+  * sides; per-query output kept to oracle-safe types (string/int/long/
+  * boolean/date/decimal, plus IEEE-division doubles).
+  */
+object Catalog {
+  private val M2 = DecimalType(18, 2)
+  private val A2 = DecimalType(28, 2)
+  private val A4 = DecimalType(28, 4)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pinned as-of for the refund pipeline — shipdates span 1995-2001, so a
+    * 2004 reference date exercises both SOL outcomes. */
+  val RefundAsOf: java.time.LocalDate = java.time.LocalDate.of(2004, 6, 15)
+  /** Pinned as-of for filing-deadline queries. */
+  val FilingAsOf: java.time.LocalDate = java.time.LocalDate.of(2024, 12, 1)
+
+  private def taxed(s: SparkSession, dir: String): DataFrame =
+    TaxCalc.withTax(TaxCalc.normalize(SyntheticTxns.txns(s, dir)))
+
+  private def refunds(s: SparkSession, dir: String): DataFrame =
+    Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
+      .withColumn("reason_key", split(col("reason"), ":").getItem(0))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- generic relational ops ----
+    "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(M2)).cast(A2).as("sum_qty"),
+        sum(col("l_extendedprice").cast(M2)).cast(A2).as("sum_base"),
+        sum(col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4)
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"))),
+
+    "op_filter_project" -> ((s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount").cast(DecimalType(4, 2)) >= lit(new java.math.BigDecimal("0.05")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4).as("revenue"),
+        col("l_shipdate").cast(DateType).as("ship_date"))),
+
+    "op_topk_desc" -> ((s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice").cast(M2).as("price"))
+      .orderBy(col("price").desc, col("p_partkey"))
+      .limit(10)),
+
+    "op_topk_asc_filtered" -> ((s, dir) => t(s, dir, "part")
+      .filter(col("p_size") > 25)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice").cast(M2).as("price"))
+      .orderBy(col("price").asc, col("p_partkey"))
+      .limit(10)),
+
+    "op_rate_join" -> ((s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(
+        sum(col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4).as("revenue"),
+        count(lit(1)).as("n_items"))),
+
+    "op_smj_join" -> ((s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("l_extendedprice").cast(M2)).cast(A2).as("total_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    "op_anti_join" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "op_semi_join" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))),
+
+    "op_key_union" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("cn_key"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sn_key"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("cn_key") === col("sn_key"), "full_outer")
+        .select(coalesce(col("cn_key"), col("sn_key")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    "op_window_rank" -> ((s, dir) => t(s, dir, "orders")
+      .withColumn("total", col("o_totalprice").cast(M2))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("total").desc, col("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "total")),
+
+    "op_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))),
+
+    "op_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+
+    "op_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "op_case_bucket" -> ((s, dir) => t(s, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("big"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(M2)).cast(A2).as("total"))),
+
+    "op_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+    }),
+
+    "op_period_gen" -> ((s, dir) => {
+      val months = t(s, dir, "nation").select("n_nationkey")
+        .withColumn("period_start", explode(sequence(
+          make_date(lit(2024), lit(1), lit(1)), make_date(lit(2024), lit(12), lit(1)),
+          expr("interval 1 month"))))
+      val nm = add_months(col("period_start"), 1)
+      months
+        .withColumn("period_end", last_day(col("period_start")))
+        .withColumn("due_date", make_date(year(nm), month(nm), lit(20)))
+    }),
+
+    // ---- tax-domain pipelines ----
+    "op_txn_gen" -> ((s, dir) => SyntheticTxns.txns(s, dir)
+      .select("transaction_id", "transaction_date", "amount", "state", "city",
+        "item_category", "exemption_certificate", "customer_type", "tax_paid")),
+
+    "op_tax_calc" -> ((s, dir) => taxed(s, dir)
+      .select("transaction_id", "state", "city", "taxable_amount", "state_tax",
+        "local_tax", "tax_amount", "is_exempt", "exemption_reason")),
+
+    "op_tax_summary" -> ((s, dir) => taxed(s, dir)
+      .groupBy("state").agg(
+        count(lit(1)).as("transaction_count"),
+        sum("taxable_amount").cast(A2).as("taxable_amount"),
+        sum("tax_amount").cast(A2).as("tax_amount"),
+        coalesce(sum(when(col("is_exempt"), col("taxable_amount"))), lit(BigDecimal(0)))
+          .cast(A2).as("exempt_amount"),
+        count(when(col("is_exempt"), 1)).as("exempt_count"))),
+
+    "op_batch_agg" -> ((s, dir) => taxed(s, dir).agg(
+      sum("taxable_amount").cast(A2).as("total_taxable"),
+      sum("tax_amount").cast(A2).as("total_tax"),
+      coalesce(sum(when(col("is_exempt"), col("taxable_amount"))), lit(BigDecimal(0)))
+        .cast(A2).as("total_exempt"),
+      count(lit(1)).as("transaction_count"),
+      count(when(col("is_exempt"), 1)).as("exempt_count"))),
+
+    "op_state_breakdown" -> ((s, dir) => taxed(s, dir)
+      .groupBy("state")
+      .agg(sum("tax_amount").cast(A2).as("state_total_tax"))),
+
+    "op_refund_scan" -> ((s, dir) => refunds(s, dir)
+      .select("transaction_id", "transaction_date", "state", "city",
+        "sale_amount", "tax_paid", "tax_owed", "overpayment", "reason_key",
+        "refund_eligible", "statute_of_limitations_date")),
+
+    "op_refund_summary" -> ((s, dir) => refunds(s, dir).agg(
+      coalesce(sum("overpayment"), lit(BigDecimal(0))).cast(A2).as("total_overpayment"),
+      count(lit(1)).as("overpayment_count"),
+      min(when(col("refund_eligible"), col("transaction_date"))).as("oldest_eligible"),
+      max(when(col("refund_eligible"), col("transaction_date"))).as("newest_eligible"),
+      round(coalesce(sum(when(col("refund_eligible"), col("overpayment"))),
+        lit(BigDecimal(0))) * lit(new java.math.BigDecimal("0.85")), 2)
+        .cast(A2).as("estimated_recovery"))),
+
+    "op_refund_by_state" -> ((s, dir) => refunds(s, dir)
+      .groupBy("state").agg(sum("overpayment").cast(A2).as("overpayment"))),
+
+    "op_refund_by_reason" -> ((s, dir) => refunds(s, dir)
+      .groupBy("reason_key").agg(sum("overpayment").cast(A2).as("overpayment"))),
+
+    "op_refund_claims" -> ((s, dir) => refunds(s, dir)
+      .filter(col("refund_eligible"))
+      .groupBy(col("state").as("state_code"))
+      .agg(
+        min("transaction_date").as("claim_period_start"),
+        max("transaction_date").as("claim_period_end"),
+        sum("overpayment").cast(A2).as("total_refund_requested"),
+        count(lit(1)).as("transaction_count"),
+        concat_ws(",", array_sort(collect_set(col("reason_key"))))
+          .as("supporting_reasons"))),
+
+    "op_nexus_check" -> ((s, dir) =>
+      Compliance.checkNexus(
+        Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))))
+        .select("state", "revenue", "transaction_count", "has_nexus",
+          "revenue_threshold", "transaction_threshold", "revenue_pct_of_threshold")),
+
+    "op_filing_deadlines" -> ((s, dir) => {
+      import s.implicits._
+      val reg = Seq(("CA", "60000.00"), ("NY", "2400.00"), ("TX", "600.00"),
+        ("WA", "12000.00"), ("OH", "1600.00"))
+        .toDF("state_code", "liability_s")
+        .withColumn("estimated_annual_liability", col("liability_s").cast(M2))
+        .drop("liability_s")
+      Compliance.filingDeadlines(reg, 2024, FilingAsOf)
+        .select("state_code", "frequency", "period_start", "period_end",
+          "due_date", "is_overdue", "days_until_due", "status")
+    }),
+
+    // ---- text / dedup ops ----
+    "op_dedup_exact" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy(md5(col("text").cast(BinaryType)).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    "op_token_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        length(col("text")).as("n_chars"))),
+
+    "op_text_quality" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+        length(regexp_replace(col("text"), "[^ ]", "")).as("n_spaces"))),
+
+    "op_doc_fingerprint" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))
+          .cast(BinaryType)), 1, 16).as("fingerprint"))),
+  )
+}

@@ -1,0 +1,453 @@
+package graft
+
+/** DuckDB-oracle SQL mirrors for [[SparkEntry.queries]].
+  *
+  * Parity rules (both engines must produce bit-identical values):
+  *  - doubles are cast to DECIMAL at the scan (verified divergence-free on
+  *    this testdata; see tools/check_oracle.py), and all money math stays in
+  *    decimal multiplication/addition — decimal DIVISION is avoided entirely
+  *    because DuckDB computes it in DOUBLE.
+  *  - double division (pct-of-threshold) is IEEE-identical in both engines,
+  *    so plain `/` on doubles is safe; double→string formatting is NOT, so
+  *    formatted message strings stay out of oracle projections.
+  *  - every aggregate / computed column is aliased identically on both
+  *    sides (the driver sorts columns by name before hashing).
+  */
+object OracleSql {
+  /** Fixture parquet written by tools/extract_dims.py — same dim data as
+    * [[graft.tax.TaxDims]] literals. */
+  val Fix = "/root/repo/src/test/resources/taxdata"
+
+  /** Synthetic transactions CTE — mirrors [[graft.tax.SyntheticTxns.txns]]
+    * exactly (integer + decimal arithmetic only). */
+  val txnsCte: String = s"""
+    states AS (
+      SELECT state_idx, state_code, state_name, base_rate, has_local_taxes,
+             avg_combined_rate
+      FROM read_parquet('$Fix/state_rates.parquet')
+    ),
+    txns0 AS (
+      SELECT
+        CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS transaction_id,
+        CAST(l_shipdate AS DATE) AS transaction_date,
+        CAST(CAST((l_orderkey * 97 + l_partkey * 31 + l_linenumber * 13) % 500000 AS DECIMAL(18,0))
+             * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS amount,
+        s.state_code AS state, s.state_name, s.base_rate, s.has_local_taxes,
+        s.avg_combined_rate,
+        CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE
+          CASE (l_partkey + l_linenumber) % 7
+            WHEN 0 THEN 'Houston' WHEN 1 THEN 'Los Angeles'
+            WHEN 2 THEN 'New York City' WHEN 3 THEN 'Springfield'
+            WHEN 4 THEN 'CHICAGO' WHEN 5 THEN 'denver' END
+        END AS city,
+        CASE l_partkey % 8
+          WHEN 0 THEN 'electronics' WHEN 1 THEN 'grocery'
+          WHEN 2 THEN ' Groceries ' WHEN 3 THEN 'clothing'
+          WHEN 4 THEN 'prescription' WHEN 5 THEN 'software'
+          WHEN 6 THEN 'medical' END AS item_category,
+        CASE WHEN l_orderkey % 23 = 5
+          THEN 'CERT-' || CAST(l_orderkey AS VARCHAR) END AS exemption_certificate,
+        CASE l_orderkey % 17 WHEN 0 THEN 'wholesale' WHEN 1 THEN 'exempt'
+          ELSE 'retail' END AS customer_type,
+        (l_suppkey + l_linenumber) % 5 AS paid_bp
+      FROM lineitem
+      JOIN states s ON s.state_idx = (l_suppkey + l_partkey) % 51
+    ),
+    txns AS (
+      SELECT *,
+        CAST(round(amount * CASE paid_bp
+          WHEN 0 THEN CAST(0.0850 AS DECIMAL(6,4))
+          WHEN 1 THEN CAST(0.0000 AS DECIMAL(6,4))
+          WHEN 2 THEN CAST(0.0600 AS DECIMAL(6,4))
+          WHEN 3 THEN CAST(0.0825 AS DECIMAL(6,4))
+          ELSE CAST(0.1000 AS DECIMAL(6,4)) END, 2) AS DECIMAL(18,2)) AS tax_paid
+      FROM txns0
+    )"""
+
+  /** Per-transaction tax computation CTE (`taxcalc`) — mirrors
+    * [[graft.tax.TaxCalc.withTax]]: CASE precedence no-tax → customer-type
+    * → cert → category, average-local fallback, per-component HALF_UP
+    * rounding (synthetic states always resolve, so no unknown-state rows).
+    * All-exclusive pricing (back-out needs decimal division — covered by
+    * ScalaTest goldens instead). */
+  val taxCte: String = s"""
+    $txnsCte,
+    locals AS (
+      SELECT state_code, city_lc, rate
+      FROM read_parquet('$Fix/local_rates.parquet')
+    ),
+    exsyncat AS (
+      SELECT e.state_code, c.synonym, e.category
+      FROM read_parquet('$Fix/state_exemptions.parquet') e
+      JOIN read_parquet('$Fix/category_synonyms.parquet') c USING (category)
+    ),
+    joined AS (
+      SELECT t.*, lr.rate AS lr_rate, ex.category AS ex_category
+      FROM txns t
+      LEFT JOIN locals lr
+        ON lr.state_code = t.state AND lower(t.city) = lr.city_lc
+      LEFT JOIN exsyncat ex
+        ON ex.state_code = t.state
+       AND lower(trim(t.item_category)) = ex.synonym
+    ),
+    flags AS (
+      SELECT *,
+        (base_rate = CAST(0 AS DECIMAL(10,6)) AND NOT has_local_taxes) AS no_tax,
+        (customer_type IN ('wholesale','exempt')) AS cust_ex,
+        (exemption_certificate IS NOT NULL) AS cert_ex,
+        (ex_category IS NOT NULL) AS cat_ex,
+        CASE WHEN lr.lr_rate IS NOT NULL THEN CAST(lr.lr_rate AS DECIMAL(11,6))
+             -- NOT greatest(): DuckDB's greatest() degrades DECIMAL to DOUBLE,
+             -- which loses exact .xx5 half-up rounding downstream
+             WHEN has_local_taxes THEN
+               (CASE WHEN avg_combined_rate - base_rate > CAST(0 AS DECIMAL(11,6))
+                     THEN avg_combined_rate - base_rate
+                     ELSE CAST(0 AS DECIMAL(11,6)) END)
+             ELSE CAST(0 AS DECIMAL(11,6)) END AS local_rate
+      FROM joined lr
+    ),
+    taxcalc AS (
+      SELECT transaction_id, transaction_date, state, city, amount, tax_paid,
+        (no_tax OR cust_ex OR cert_ex OR cat_ex) AS is_exempt,
+        CASE WHEN no_tax THEN state_name || ' has no sales tax'
+             WHEN cust_ex THEN 'Customer type: ' || customer_type
+             WHEN cert_ex THEN 'Exemption cert: ' || exemption_certificate
+             WHEN cat_ex THEN state || ' exempts ' || ex_category
+             ELSE '' END AS exemption_reason,
+        amount AS taxable_amount,
+        CAST(CASE WHEN (no_tax OR cust_ex OR cert_ex OR cat_ex) THEN 0
+             ELSE round(amount * base_rate, 2) END AS DECIMAL(18,2)) AS state_tax,
+        CAST(CASE WHEN (no_tax OR cust_ex OR cert_ex OR cat_ex) THEN 0
+             ELSE round(amount * local_rate, 2) END AS DECIMAL(18,2)) AS local_tax,
+        CAST(CASE WHEN (no_tax OR cust_ex OR cert_ex OR cat_ex) THEN 0
+             ELSE round(amount * base_rate, 2) + round(amount * local_rate, 2)
+             END AS DECIMAL(18,2)) AS tax_amount
+      FROM flags
+    )"""
+
+  /** Overpayment-records CTE (`refunds`) — mirrors
+    * [[graft.tax.Refunds.overpayments]] with as_of pinned to 2004-06-15
+    * (shipdates span 1995-2001, so both SOL outcomes occur). Reason emitted
+    * as its prefix only (the full string embeds %.4f-formatted doubles whose
+    * rendering is engine-specific). */
+  val refundsCte: String = s"""
+    $taxCte,
+    sol AS (
+      SELECT state_code, years FROM read_parquet('$Fix/sol_years.parquet')
+    ),
+    refunds AS (
+      SELECT t.transaction_id, t.transaction_date, t.state, t.city,
+        t.amount AS sale_amount, t.tax_paid, t.tax_amount AS tax_owed,
+        CAST(round(t.tax_paid - t.tax_amount, 2) AS DECIMAL(18,2)) AS overpayment,
+        CASE WHEN t.is_exempt THEN 'Exempt transaction taxed'
+             WHEN t.tax_amount > 0 THEN 'Rate mismatch'
+             ELSE 'Tax collected in no-tax jurisdiction' END AS reason_key,
+        (t.transaction_date >=
+          make_date(2004 - coalesce(s.years, 3), 6, 15)) AS refund_eligible,
+        make_date(CAST(year(t.transaction_date) AS INT) + coalesce(s.years, 3),
+          CAST(month(t.transaction_date) AS INT),
+          CASE WHEN month(t.transaction_date) = 2 AND day(t.transaction_date) = 29
+                AND NOT (((CAST(year(t.transaction_date) AS INT) + coalesce(s.years, 3)) % 4 = 0
+                          AND (CAST(year(t.transaction_date) AS INT) + coalesce(s.years, 3)) % 100 <> 0)
+                         OR (CAST(year(t.transaction_date) AS INT) + coalesce(s.years, 3)) % 400 = 0)
+               THEN 28 ELSE CAST(day(t.transaction_date) AS INT)
+          END) AS statute_of_limitations_date
+      FROM taxcalc t
+      LEFT JOIN sol s ON s.state_code = t.state
+      WHERE round(t.tax_paid - t.tax_amount, 2) > 0
+    )"""
+
+  /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
+  val all: Map[String, String] = Map(
+    // ---- generic relational ops over the TPC-H-ish testdata ----
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "op_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS revenue,
+        CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND CAST(l_discount AS DECIMAL(4,2)) >= CAST(0.05 AS DECIMAL(4,2))""",
+
+    "op_topk_desc" -> """
+      SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part ORDER BY price DESC, p_partkey LIMIT 10""",
+
+    "op_topk_asc_filtered" -> """
+      SELECT p_partkey, p_name, p_size,
+        CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part WHERE p_size > 25 ORDER BY price ASC, p_partkey LIMIT 10""",
+
+    "op_rate_join" -> """
+      SELECT n.n_name, r.r_name,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue,
+        count(*) AS n_items
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name""",
+
+    "op_smj_join" -> """
+      SELECT o.o_orderpriority,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price,
+        count(DISTINCT l.l_orderkey) AS n_orders
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority""",
+
+    "op_anti_join" -> """
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "op_semi_join" -> """
+      SELECT c.c_mktsegment, count(*) AS n_customers
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c.c_mktsegment""",
+
+    "op_key_union" -> """
+      WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey),
+           sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey)
+      SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+        coalesce(cn.n_cust, 0) AS n_cust, coalesce(sn.n_supp, 0) AS n_supp
+      FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey""",
+
+    "op_window_rank" -> """
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn = 1""",
+
+    "op_union" -> """
+      SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier) u
+      GROUP BY nationkey""",
+
+    "op_except" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "op_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+
+    "op_case_bucket" -> """
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                  WHEN o_totalprice < 300000 THEN 'mid'
+                  ELSE 'big' END AS bucket,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+      FROM orders GROUP BY 1""",
+
+    "op_events_window" -> """
+      SELECT event_id, user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events""",
+
+    "op_period_gen" -> """
+      SELECT n.n_nationkey,
+        CAST(ms AS DATE) AS period_start,
+        last_day(CAST(ms AS DATE)) AS period_end,
+        make_date(CAST(year(CAST(ms AS DATE) + INTERVAL 1 MONTH) AS INT),
+                  CAST(month(CAST(ms AS DATE) + INTERVAL 1 MONTH) AS INT),
+                  20) AS due_date
+      FROM nation n
+      CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-12-01',
+                                 INTERVAL 1 MONTH) AS t(ms)""",
+
+    // ---- tax-domain pipelines over synthetic transactions ----
+    "op_txn_gen" -> s"""
+      WITH $txnsCte
+      SELECT transaction_id, transaction_date, amount, state, city,
+        item_category, exemption_certificate, customer_type, tax_paid
+      FROM txns""",
+
+    "op_tax_calc" -> s"""
+      WITH $taxCte
+      SELECT transaction_id, state, city, taxable_amount, state_tax,
+        local_tax, tax_amount, is_exempt, exemption_reason
+      FROM taxcalc""",
+
+    "op_tax_summary" -> s"""
+      WITH $taxCte
+      SELECT state, count(*) AS transaction_count,
+        CAST(sum(taxable_amount) AS DECIMAL(28,2)) AS taxable_amount,
+        CAST(sum(tax_amount) AS DECIMAL(28,2)) AS tax_amount,
+        CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
+             AS DECIMAL(28,2)) AS exempt_amount,
+        count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
+      FROM taxcalc GROUP BY state""",
+
+    "op_batch_agg" -> s"""
+      WITH $taxCte
+      SELECT CAST(sum(taxable_amount) AS DECIMAL(28,2)) AS total_taxable,
+        CAST(sum(tax_amount) AS DECIMAL(28,2)) AS total_tax,
+        CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
+             AS DECIMAL(28,2)) AS total_exempt,
+        count(*) AS transaction_count,
+        count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
+      FROM taxcalc""",
+
+    "op_state_breakdown" -> s"""
+      WITH $taxCte
+      SELECT state, CAST(sum(tax_amount) AS DECIMAL(28,2)) AS state_total_tax
+      FROM taxcalc GROUP BY state""",
+
+    "op_refund_scan" -> s"""
+      WITH $refundsCte
+      SELECT transaction_id, transaction_date, state, city, sale_amount,
+        tax_paid, tax_owed, overpayment, reason_key, refund_eligible,
+        statute_of_limitations_date
+      FROM refunds""",
+
+    "op_refund_summary" -> s"""
+      WITH $refundsCte
+      SELECT CAST(coalesce(sum(overpayment), 0) AS DECIMAL(28,2)) AS total_overpayment,
+        count(*) AS overpayment_count,
+        min(CASE WHEN refund_eligible THEN transaction_date END) AS oldest_eligible,
+        max(CASE WHEN refund_eligible THEN transaction_date END) AS newest_eligible,
+        CAST(round(coalesce(sum(CASE WHEN refund_eligible THEN overpayment END), 0)
+                   * CAST(0.85 AS DECIMAL(3,2)), 2) AS DECIMAL(28,2)) AS estimated_recovery
+      FROM refunds""",
+
+    "op_refund_by_state" -> s"""
+      WITH $refundsCte
+      SELECT state, CAST(sum(overpayment) AS DECIMAL(28,2)) AS overpayment
+      FROM refunds GROUP BY state""",
+
+    "op_refund_by_reason" -> s"""
+      WITH $refundsCte
+      SELECT reason_key, CAST(sum(overpayment) AS DECIMAL(28,2)) AS overpayment
+      FROM refunds GROUP BY reason_key""",
+
+    "op_refund_claims" -> s"""
+      WITH $refundsCte
+      SELECT state AS state_code,
+        min(transaction_date) AS claim_period_start,
+        max(transaction_date) AS claim_period_end,
+        CAST(sum(overpayment) AS DECIMAL(28,2)) AS total_refund_requested,
+        count(*) AS transaction_count,
+        string_agg(DISTINCT reason_key, ',' ORDER BY reason_key) AS supporting_reasons
+      FROM refunds WHERE refund_eligible GROUP BY state""",
+
+    "op_nexus_check" -> s"""
+      WITH $txnsCte,
+      activity AS (
+        SELECT state, CAST(sum(amount) AS DECIMAL(18,2)) AS revenue,
+          count(*) AS transaction_count
+        FROM txns GROUP BY state),
+      nx AS (SELECT state_code, revenue_threshold, transaction_threshold
+             FROM read_parquet('$Fix/nexus_thresholds.parquet')),
+      nn AS (SELECT state_code FROM read_parquet('$Fix/no_nexus_states.parquet'))
+      SELECT a.state, a.revenue, a.transaction_count,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN FALSE
+             WHEN t.state_code IS NULL THEN FALSE
+             ELSE (a.revenue >= t.revenue_threshold
+                   OR (t.transaction_threshold IS NOT NULL
+                       AND a.transaction_count >= t.transaction_threshold))
+        END AS has_nexus,
+        CAST(CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0
+             WHEN t.state_code IS NULL THEN 0
+             ELSE t.revenue_threshold END AS DECIMAL(18,2)) AS revenue_threshold,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN NULL
+             WHEN t.state_code IS NULL THEN NULL
+             ELSE t.transaction_threshold END AS transaction_threshold,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0.0
+             WHEN t.state_code IS NULL THEN 0.0
+             WHEN t.revenue_threshold > 0 THEN
+               CAST(a.revenue AS DOUBLE) / CAST(t.revenue_threshold AS DOUBLE) * 100
+             ELSE 0.0 END AS revenue_pct_of_threshold
+      FROM activity a LEFT JOIN nx t ON t.state_code = a.state""",
+
+    "op_filing_deadlines" -> s"""
+      WITH reg AS (
+        SELECT * FROM (VALUES
+          ('CA', CAST(60000.00 AS DECIMAL(18,2))),
+          ('NY', CAST(2400.00 AS DECIMAL(18,2))),
+          ('TX', CAST(600.00 AS DECIMAL(18,2))),
+          ('WA', CAST(12000.00 AS DECIMAL(18,2))),
+          ('OH', CAST(1600.00 AS DECIMAL(18,2)))
+        ) AS t(state_code, liability)),
+      freq AS (
+        SELECT *, CASE WHEN liability >= 4800 THEN 'monthly'
+                       WHEN liability >= 1200 THEN 'quarterly'
+                       ELSE 'annual' END AS frequency FROM reg),
+      periods AS (
+        SELECT f.state_code, f.frequency, f.liability, CAST(ms AS DATE) AS period_start
+        FROM freq f CROSS JOIN generate_series(DATE '2024-01-01',
+          DATE '2024-12-01', INTERVAL 1 MONTH) AS t(ms)
+        WHERE (f.frequency = 'monthly')
+           OR (f.frequency = 'quarterly'
+               AND month(CAST(ms AS DATE)) IN (1, 4, 7, 10))
+           OR (f.frequency = 'annual' AND month(CAST(ms AS DATE)) = 1)),
+      pend AS (
+        SELECT *, CASE WHEN frequency = 'monthly' THEN last_day(period_start)
+                       WHEN frequency = 'quarterly'
+                         THEN last_day(period_start + INTERVAL 2 MONTH)
+                       ELSE DATE '2024-12-31' END AS period_end
+        FROM periods),
+      dd AS (SELECT state_code, due_day
+             FROM read_parquet('$Fix/filing_due_days.parquet'))
+      SELECT p.state_code, p.frequency, p.period_start, p.period_end,
+        make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                  CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                  coalesce(d.due_day, 20)) AS due_date,
+        (make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                   CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                   coalesce(d.due_day, 20)) < DATE '2024-12-01') AS is_overdue,
+        datediff('day', DATE '2024-12-01',
+          make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    coalesce(d.due_day, 20))) AS days_until_due,
+        CASE WHEN make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                            CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                            coalesce(d.due_day, 20)) < DATE '2024-12-01'
+             THEN 'overdue' ELSE 'pending' END AS status
+      FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code""",
+
+    // ---- text / dedup ops over documents ----
+    "op_dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY md5(text)""",
+
+    "op_token_count" -> """
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        length(text) AS n_chars
+      FROM documents""",
+
+    "op_text_quality" -> """
+      SELECT doc_id, length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+      FROM documents""",
+
+    "op_doc_fingerprint" -> """
+      SELECT doc_id,
+        substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16)
+          AS fingerprint
+      FROM documents""",
+  )
+}

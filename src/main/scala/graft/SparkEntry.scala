@@ -2,12 +2,13 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query — the full multi-jurisdiction tax-calc pipeline (EP1 of
+    * SURVEY.md §3) over synthetic transactions at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Catalog.queries("op_tax_calc")(spark, "/root/testdata/sf0.001")
+  /** One entry per implemented operator from SURVEY.md §2 — see [[Catalog]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Catalog.queries
+  /** DuckDB-oracle SQL per query — see [[OracleSql]]. Keys absent here get a
+    * weaker rows-only check. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }
