@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.tax.{Compliance, Dims, Refunds, SyntheticTxns, TaxCalc}
+import graft.text.{Dedup, Similarity, TextOps}
+import graft.multimodal.Multimodal
 
 /** The operator inventory (SURVEY.md §2) as Spark query functions, keyed
   * identically to [[OracleSql.all]]. Every function takes (spark, sfDir) and
@@ -31,6 +33,17 @@ object Catalog {
 
   private def taxed(s: SparkSession, dir: String): DataFrame =
     TaxCalc.withTax(TaxCalc.normalize(SyntheticTxns.txns(s, dir)))
+
+  /** Documents plus deterministically perturbed copies of every 10th doc —
+    * seeds true near-duplicates so dedup ops have non-trivial output at
+    * every scale factor (mirrored in OracleSql.corpusCte). */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000000L).as("doc_id"),
+      concat(col("text"), lit(" near duplicate copy suffix")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+  }
 
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
@@ -254,5 +267,44 @@ object Catalog {
       .select(col("doc_id"),
         substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))
           .cast(BinaryType)), 1, 16).as("fingerprint"))),
+
+    // ---- training-data ops: dedup / similarity / text analysis ----
+    "op_lang_id" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    "op_subword_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))),
+
+    "op_quality_score" -> ((s, dir) =>
+      TextOps.qualityBucket(
+        TextOps.qualitySignals(t(s, dir, "documents"), "text"))
+        .select("doc_id", "n_chars", "n_tokens", "n_upper", "n_digit",
+          "n_punct", "n_stopword", "quality_bucket")),
+
+    "op_token_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(dedupCorpus(s, dir))),
+
+    "op_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
+    }),
+
+    // Spark-hash-specific ops: declared without oracle (rows-only check);
+    // correctness pinned by unit specs instead.
+    "op_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(dedupCorpus(s, dir), minAgree = 20)),
+
+    "op_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(dedupCorpus(s, dir)).select("doc_id", "simhash")),
+
+    "op_lsh_ann" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), k = 5, nPlanes = 8)),
+
+    "op_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), minCos = 0.2, nPlanes = 4)),
+
+    "op_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
+        .toDF.select("media_id", "kind", "n_bytes", "byte_mean", "frames_sampled")),
   )
 }

@@ -157,6 +157,33 @@ object OracleSql {
       WHERE round(t.tax_paid - t.tax_amount, 2) > 0
     )"""
 
+  /** documents ∪ perturbed copies of every 10th doc — mirrors
+    * [[Catalog.dedupCorpus]]. */
+  val corpusCte: String = """
+    corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000, text || ' near duplicate copy suffix',
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    )"""
+
+  private def splitCount(words: Seq[String]): String =
+    words.map(w => s"(len(string_split_regex(pad, '\\s$w\\s')) - 1)")
+      .mkString(" + ")
+
+  /** Per-language stopword-hit scores — mirrors TextOps.langId. */
+  val langScoreSql: String = Seq(
+    "s_en" -> Seq("the", "and", "of", "is", "with"),
+    "s_es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "s_fr" -> Seq("le", "les", "des", "est", "et", "une"),
+    "s_de" -> Seq("der", "die", "das", "und", "ist", "mit"))
+    .map { case (n, ws) => s"${splitCount(ws)} AS $n" }.mkString(",\n          ")
+
+  /** English stopword total — mirrors TextOps.qualitySignals. */
+  val stopwordSumSql: String =
+    splitCount(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+
   /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
   val all: Map[String, String] = Map(
     // ---- generic relational ops over the TPC-H-ish testdata ----
@@ -449,5 +476,99 @@ object OracleSql {
         substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16)
           AS fingerprint
       FROM documents""",
+
+    // ---- training-data ops ----
+    "op_lang_id" -> s"""
+      WITH padded AS (
+        SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pad
+        FROM documents),
+      scores AS (
+        SELECT doc_id, lang, text,
+          $langScoreSql
+        FROM padded)
+      SELECT doc_id, lang,
+        CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+               THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM scores""",
+
+    "op_subword_count" -> """
+      SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+            t -> length(t) > 0)) AS n_subwords
+      FROM documents""",
+
+    "op_quality_score" -> s"""
+      WITH padded AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),
+      sig AS (
+        SELECT doc_id, length(text) AS n_chars,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+          length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+          $stopwordSumSql AS n_stopword
+        FROM padded)
+      SELECT doc_id, n_chars, n_tokens, n_upper, n_digit, n_punct, n_stopword,
+        CASE WHEN n_chars < 30 THEN 'too_short'
+             WHEN n_digit * 3 > n_chars THEN 'digit_heavy'
+             WHEN n_punct * 5 > n_tokens * 2 THEN 'punct_heavy'
+             WHEN n_stopword * 20 < n_tokens THEN 'low_stopword'
+             ELSE 'ok' END AS quality_bucket
+      FROM sig""",
+
+    "op_token_jaccard" -> s"""
+      WITH $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT i.a, i.b, i.inter, ca.n_sh + cb.n_sh - i.inter AS union_n
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.a
+      JOIN counts cb ON cb.doc_id = i.b
+      WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter""",
+
+    "op_ann_topk" -> """
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / sqrt(
+              list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * list_sum(list_transform(q.q_emb,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
   )
 }

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs) — at 100 TB
+  * these run as a single narrow map stage over the corpus scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lower-cased trimmed text. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  /** Token count: whitespace segmentation (empty text → 0). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: word pieces after splitting on
+    * non-alphanumeric runs — a cheap deterministic stand-in for a real
+    * tokenizer's piece count (RE2-safe: no lookaround). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+
+  /** Language ID via stopword/charset scoring — n-gram-free heuristic that
+    * stays SQL-expressible. Scores: CJK chars → zh; else the Latin language
+    * whose marker stopwords appear most. */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => size(split(t, s"\\s${w}\\s")) - 1)
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is", "with"))
+    val es = hits(Seq("el", "la", "los", "las", "es", "y"))
+    val fr = hits(Seq("le", "les", "des", "est", "et", "une"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "mit"))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(cjk > 0, "zh")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality signals as integer counts (division-free for oracle parity);
+    * ratios belong to the caller. */
+  def qualitySignals(df: DataFrame, text: String): DataFrame = df
+    .withColumn("n_chars", length(col(text)))
+    .withColumn("n_tokens", tokenCount(col(text)))
+    .withColumn("n_upper", length(regexp_replace(col(text), "[^A-Z]", "")))
+    .withColumn("n_digit", length(regexp_replace(col(text), "[^0-9]", "")))
+    .withColumn("n_punct", length(regexp_replace(col(text), "[^.!?,;:]", "")))
+    .withColumn("n_stopword", {
+      val t = concat(lit(" "), lower(col(text)), lit(" "))
+      Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+        .map(w => size(split(t, s"\\s${w}\\s")) - 1).reduce(_ + _)
+    })
+
+  /** Coarse quality bucket — multiplicative threshold checks only. */
+  def qualityBucket(df: DataFrame): DataFrame = df.withColumn("quality_bucket",
+    when(col("n_chars") < 30, "too_short")
+      .when(col("n_digit") * 3 > col("n_chars"), "digit_heavy")
+      .when(col("n_punct") * 5 > col("n_tokens") * 2, "punct_heavy")
+      .when(col("n_stopword") * 20 < col("n_tokens"), "low_stopword")
+      .otherwise("ok"))
+
+  /** Deterministic document fingerprint: md5 prefix of the
+    * whitespace-normalized lower-cased text. */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(text, "\\s+", " ")).cast(BinaryType)), 1, 16)
+}
