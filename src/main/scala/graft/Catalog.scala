@@ -43,11 +43,13 @@ object Catalog {
       (col("doc_id") + 1000000000L).as("doc_id"),
       concat(col("text"), lit(" near duplicate copy suffix")).as("text"),
       col("lang"), col("source"), col("n_chars")))
+      // documents.parquet is a single small file -> one input partition;
+      // spread the CPU-heavy signature work across all cores
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
-      .withColumn("reason_key", split(col("reason"), ":").getItem(0))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- generic relational ops ----
@@ -286,6 +288,7 @@ object Catalog {
 
     "op_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
     }),
 
@@ -298,10 +301,14 @@ object Catalog {
       Dedup.withSimhash(dedupCorpus(s, dir)).select("doc_id", "simhash")),
 
     "op_lsh_ann" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), k = 5, nPlanes = 8)),
+      Similarity.lshTopK(
+        t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
+        k = 5, nPlanes = 8)),
 
     "op_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), minCos = 0.2, nPlanes = 4)),
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
+        minCos = 0.2, nPlanes = 4)),
 
     "op_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.tax.{Compliance, Dims}
+
+/** Streaming nexus monitoring — the natural streaming extension of the
+  * reference's batch compliance pipeline (SURVEY.md §2.10): cumulative
+  * per-state revenue/transaction totals evaluated against economic-nexus
+  * thresholds as transactions arrive.
+  *
+  * Three layers:
+  *  - [[nexusStatusStream]]: running `groupBy(state)` aggregate joined to
+  *    the broadcast threshold dim — emit in update/complete mode.
+  *  - [[windowedRevenue]]: watermarked event-time daily revenue windows
+  *    (late data dropped after the watermark).
+  *  - [[crossingAlerts]]: `flatMapGroupsWithState` dedup — each state emits
+  *    exactly one alert when it first crosses its threshold, however many
+  *    micro-batches arrive afterwards.
+  *
+  * Scale: state cardinality is 51, so the running aggregate's state store
+  * is tiny regardless of input volume; the threshold join is broadcast;
+  * only the pre-aggregation shuffle scales with traffic.
+  */
+object NexusMonitor {
+
+  case class Txn(state: String, amount: Double, ts: java.sql.Timestamp)
+  case class StateTotals(state: String, revenue: Double, txns: Long)
+  case class NexusAlert(state: String, revenue: Double, txns: Long,
+      message: String)
+
+  /** Running per-state totals + nexus evaluation (update/complete mode). */
+  def nexusStatusStream(txns: DataFrame): DataFrame = {
+    val activity = txns.groupBy("state").agg(
+      sum(col("amount")).cast(Dims.Money).as("revenue"),
+      count(lit(1)).as("transaction_count"))
+    Compliance.checkNexusUnsorted(activity)
+      .select("state", "revenue", "transaction_count", "has_nexus",
+        "approaching_threshold", "revenue_pct_of_threshold")
+  }
+
+  /** Watermarked daily revenue per state over event time; accepts data up
+    * to `lateness` behind the max seen event time, drops later. */
+  def windowedRevenue(txns: DataFrame, lateness: String = "1 hour"): DataFrame =
+    txns
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"), col("state"))
+      .agg(sum(col("amount")).cast(Dims.Money).as("revenue"),
+        count(lit(1)).as("transaction_count"))
+      .select(col("window.start").as("day"), col("state"), col("revenue"),
+        col("transaction_count"))
+
+  /** Threshold-crossing alert dedup via explicit per-state state: remembers
+    * (revenue, txns, alerted) and emits one alert on first crossing.
+    * thresholdOf: state -> revenue threshold (broadcast-sized closure). */
+  def crossingAlerts(txns: Dataset[Txn],
+      thresholdOf: Map[String, Double]): Dataset[NexusAlert] = {
+    import txns.sparkSession.implicits._
+    txns.groupByKey(_.state)
+      .flatMapGroupsWithState[StateTotals, NexusAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (state: String, rows: Iterator[Txn], gs: GroupState[StateTotals]) =>
+          val prev = gs.getOption.getOrElse(StateTotals(state, 0.0, 0L))
+          var rev = prev.revenue
+          var n = prev.txns
+          rows.foreach { t => rev += t.amount; n += 1 }
+          val thr = thresholdOf.get(state)
+          val wasOver = thr.exists(prev.revenue >= _)
+          val isOver = thr.exists(rev >= _)
+          gs.update(StateTotals(state, rev, n))
+          if (!wasOver && isOver)
+            Iterator(NexusAlert(state, rev, n,
+              s"Economic nexus threshold crossed in $state"))
+          else Iterator.empty
+      }
+  }
+
+  /** Convenience: the 47-state revenue thresholds as a plain map for
+    * [[crossingAlerts]]. */
+  def thresholdMap: Map[String, Double] =
+    graft.tax.TaxDims.nexusThresholds
+      .map { case (st, rev, _, _) => st -> rev.toDouble }.toMap
+}

@@ -32,7 +32,13 @@ object Compliance {
     * `NexusStatus` (compliance.py:51-65); pcts emitted as doubles to mirror
     * the reference's float typing.
     */
-  def checkNexus(activity: DataFrame): DataFrame = {
+  def checkNexus(activity: DataFrame): DataFrame =
+    checkNexusUnsorted(activity)
+      .orderBy(col("revenue_pct_of_threshold").desc, col("state"))
+
+  /** [[checkNexus]] without the final sort — usable under Structured
+    * Streaming (sorting is the caller's concern there). */
+  def checkNexusUnsorted(activity: DataFrame): DataFrame = {
     val spark = activity.sparkSession
     val thresholds = Dims.nexusThresholds(spark)
       .select(col("state_code").as("nx_state"), col("revenue_threshold"),
@@ -101,7 +107,6 @@ object Compliance {
                 col("transaction_pct_of_threshold"))),
             concat(lit("Period: "), col("measurement_period")))))
       .drop("nx_state", "measurement_period")
-      .orderBy(col("revenue_pct_of_threshold").desc, col("state"))
   }
 
   /** Monthly/quarterly/annual filing periods for a year, generated with

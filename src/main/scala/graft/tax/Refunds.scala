@@ -77,11 +77,20 @@ object Refunds {
             actualRate * 100, col("effective_rate") * 100))
         .otherwise(lit("Tax collected in no-tax jurisdiction"))
 
+    // reason_key = reason up to the first ':' (refund_analyzer.py:219) —
+    // derived independently so grouped consumers don't force the per-row
+    // %.4f formatting (Catalyst prunes the unused `reason` column).
+    val reasonKey =
+      when(col("is_exempt"), "Exempt transaction taxed")
+        .when(col("tax_owed") > 0, "Rate mismatch")
+        .otherwise("Tax collected in no-tax jurisdiction")
+
     withSol
       .withColumn("reason", reason)
+      .withColumn("reason_key", reasonKey)
       .select("transaction_id", "transaction_date", "state", "city",
         "amount", "tax_paid", "tax_owed", "overpayment", "reason",
-        "refund_eligible", "statute_of_limitations_date")
+        "reason_key", "refund_eligible", "statute_of_limitations_date")
       .withColumnRenamed("amount", "sale_amount")
   }
 
@@ -112,8 +121,7 @@ object Refunds {
   /** Per-reason-prefix breakdown — key = reason up to the first ':'
     * (refund_analyzer.py:219-223). */
   def byReason(over: DataFrame): DataFrame =
-    over.withColumn("reason_key", split(col("reason"), ":").getItem(0))
-      .groupBy("reason_key")
+    over.groupBy("reason_key")
       .agg(sum("overpayment").cast(Money).as("overpayment"))
 
   /** Past-SOL warnings (refund_analyzer.py:225-230). */
@@ -143,8 +151,7 @@ object Refunds {
           col("transaction_id"), col("transaction_date"), col("sale_amount"),
           col("tax_paid"), col("tax_owed"), col("overpayment"), col("reason"))))
           .as("records"),
-        array_sort(collect_set(split(col("reason"), ":").getItem(0)))
-          .as("supporting_reasons"))
+        array_sort(collect_set(col("reason_key"))).as("supporting_reasons"))
       .join(broadcast(solYears), col("state_code") === col("sol_state"), "left")
       .withColumn("sol_years_eff",
         coalesce(col("sol_years"), lit(Dims.DefaultSolYears)))

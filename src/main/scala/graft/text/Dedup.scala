@@ -33,43 +33,60 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Word 3-gram shingles (distinct); short docs fall back to the whole
-    * token array joined. */
+    * token array joined.
+    *
+    * PERF: built from slice+zip_with so the token array appears only in HOF
+    * *argument* position (evaluated once per row). Indexing tokens via
+    * `element_at(toks, i)` inside a lambda re-evaluates the whole
+    * split-expression per element under interpreted HOF eval — O(tokens²)
+    * regex work per row (measured: 900 s/core for 5 500 docs). */
   def shingles(text: Column): Column = {
     val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array(concat_ws(" ", toks))))
+    val n = size(toks)
+    val tri = zip_with(
+      zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(when(n >= 3, tri).otherwise(array(concat_ws(" ", toks))))
   }
 
   /** 64-bit base hashes of the shingles, folded into [0, 2^31). */
   private def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(P)))
 
-  /** MinHash signature: 64 affine permutations over the base hashes. */
+  /** MinHash signature: 64 affine permutations over the base hashes.
+    *
+    * PERF: one `aggregate` pass over the hashes with a 64-wide running-min
+    * accumulator — the hash array sits in argument position (one eval);
+    * lambdas touch only bound vars and literals. The transpose
+    * (per-function transform over captured hashes) re-evaluates the
+    * shingle pipeline 64× per row. */
   def minhashSignature(text: Column): Column = {
     val base = baseHashes(shingles(text))
     val aLit = typedLit(coefA.toSeq)
     val bLit = typedLit(coefB.toSeq)
-    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(base, x =>
-        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(P)))))
+    val idx = typedLit((0 until NumHashes).toList)
+    aggregate(base, array_repeat(lit(P), NumHashes),
+      (acc, x) => zip_with(acc, idx, (m, i) =>
+        least(m, pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1),
+          lit(P)))))
   }
 
   /** docs → (id, sig) with the signature computed in one codegen stage. */
   def withSignature(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("sig", minhashSignature(col(textCol)))
 
-  /** LSH candidate pairs: band the signature (16 bands × 4 rows), bucket-join
-    * on (band, hash-of-band), emit each unordered pair once. */
-  def lshCandidates(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sigs = withSignature(docs, textCol).select(col(idCol).as("id"), col("sig"))
-    val banded = sigs.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(Bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+  /** LSH candidate pairs from a precomputed `(id, sig)` frame: band the
+    * signature (16 bands × 4 rows), bucket-join on (band, hash-of-band),
+    * emit each unordered pair once. */
+  def lshCandidatesFromSigs(sigs: DataFrame): DataFrame = {
+    // bands as an explicit 16-element array: `sig` appears 16× in argument
+    // position, so CollapseProject keeps it materialized (a single lambda-
+    // captured reference would re-run the signature aggregate per band)
+    val bandArr = array((0 until Bands).map(b =>
+      xxhash64(slice(col("sig"), lit(b * RowsPerBand + 1), lit(RowsPerBand)))): _*)
+    val banded = sigs.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"), col("id").as("a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("b"))
@@ -77,13 +94,24 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** LSH candidate pairs computed from raw docs. */
+  def lshCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    lshCandidatesFromSigs(
+      withSignature(docs, textCol).select(col(idCol).as("id"), col("sig")))
+
   /** Candidate pairs + estimated Jaccard from signature agreement; keep
     * pairs with est ≥ threshold (num agreeing hashes ≥ thresh64/64). */
   def minhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minAgree: Int = 32): DataFrame = {
+    // Persist the (id, sig) table: it feeds the band join twice and the
+    // verify join twice — without it the signature aggregate (the expensive
+    // narrow stage) runs 3-4×. Size is id + 64 longs per doc — tiny
+    // relative to the corpus, safe to persist at any scale.
     val sigs = withSignature(docs, textCol)
       .select(col(idCol).as("sid"), col("sig"))
-    lshCandidates(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshCandidatesFromSigs(sigs.select(col("sid").as("id"), col("sig")))
       .join(sigs.select(col("sid").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("sid").as("b"), col("sig").as("sig_b")), "b")
       .withColumn("n_agree",
@@ -99,12 +127,17 @@ object Dedup {
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("sh_h64", transform(shingles(col(textCol)), s => xxhash64(s)))
+      // single pass: 64-wide ±1 vote accumulator, then pack sign bits —
+      // sh_h64 only ever in argument position (see shingles() PERF note)
+      .withColumn("sh_votes", expr(
+        """aggregate(sh_h64, array_repeat(0L, 64),
+             (acc, h) -> zip_with(acc, sequence(0, 63),
+               (v, j) -> v + if(((h >> j) & 1) = 1, 1L, -1L)))"""))
       .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) -> acc +
-             if(aggregate(sh_h64, 0L,
-                  (a, h) -> a + if(((h >> j) & 1) = 1, 1L, -1L)) > 0,
-                shiftleft(1L, j), 0L))"""))
-      .drop("sh_h64")
+        """aggregate(zip_with(sh_votes, sequence(0, 63),
+             (v, j) -> if(v > 0, shiftleft(1L, j), 0L)),
+           0L, (acc, b) -> acc + b)"""))
+      .drop("sh_h64", "sh_votes")
 
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
