@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.tax.{Compliance, Dims, Refunds, SyntheticTxns, TaxCalc}
+import graft.tax.{Compliance, Dims, Refunds, Reports, SyntheticTxns, TaxCalc}
 import graft.text.{Dedup, Similarity, TextOps}
 import graft.multimodal.Multimodal
 
@@ -313,5 +313,39 @@ object Catalog {
     "op_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
         .toDF.select("media_id", "kind", "n_bytes", "byte_mean", "frames_sampled")),
+
+    // ---- remaining reference surfaces (rows-only: formatted strings /
+    // nested documents / decimal division, each pinned by unit goldens) ----
+    "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
+      SyntheticTxns.txns(s, dir)
+        .select(col("amount"), col("state"), col("city"),
+          col("tax_paid").as("tax_already_paid")))
+      .select("state", "city", "tax_amount", "credit", "use_tax")),
+
+    "op_incl_backout" -> ((s, dir) =>
+      TaxCalc.withTax(TaxCalc.normalize(
+        SyntheticTxns.txns(s, dir).withColumn("pricing_model", lit("inclusive"))))
+      .select("transaction_id", "state", "taxable_amount", "tax_amount",
+        "is_exempt", "exemption_reason", "city", "state_tax", "local_tax")),
+
+    "op_alerts" -> ((s, dir) => {
+      import s.implicits._
+      Compliance.alerts(
+        Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))),
+        Seq("CA", "NY", "TX").toDF("state_code"), FilingAsOf)
+    }),
+
+    "op_claims_nested" -> ((s, dir) => Refunds.claims(refunds(s, dir))),
+
+    "op_tax_report" -> ((s, dir) =>
+      Reports.taxSummaryReport(taxed(s, dir), "synthetic", "2026-01-01")),
+
+    "op_refund_report" -> ((s, dir) => {
+      val r = refunds(s, dir)
+      Reports.refundReport(r, totalReviewed = 0, generatedDate = "2026-01-01")
+    }),
+
+    "op_txn_details" -> ((s, dir) =>
+      Reports.transactionDetails(taxed(s, dir))),
   )
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tax._
+
+/** Thin CLI mirroring the reference's subcommands (cli.py:466-529):
+  *
+  *   runMain graft.Cli calculate --file txns.csv
+  *   runMain graft.Cli calculate --amount 500 --state TX --city Houston
+  *   runMain graft.Cli rates [--state TX]
+  *   runMain graft.Cli compliance --file txns.csv --registered TX,CA
+  *   runMain graft.Cli refund --file txns.csv [--as-of 2026-01-01]
+  *
+  * Rendering collects only aggregate/summary rows to the driver — all
+  * computation stays in Spark.
+  */
+object Cli {
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-tax-cli")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    import spark.implicits._
+    args.headOption match {
+      case Some("calculate") => arg(args, "file") match {
+        case Some(f) =>
+          val taxed = TaxCalc.withTax(TaxCalc.normalize(TaxCalc.readCsv(spark, f)))
+          val b = TaxCalc.batchAgg(taxed).head()
+          println(f"Transactions: ${b.getAs[Long]("transaction_count")}")
+          println(f"Total taxable: $$${b.getAs[java.math.BigDecimal]("total_taxable")}")
+          println(f"Total tax:     $$${b.getAs[java.math.BigDecimal]("total_tax")}")
+          println(f"Exempt:        ${b.getAs[Long]("exempt_count")} ($$${b.getAs[java.math.BigDecimal]("total_exempt")})")
+          println("\nPer-state breakdown:")
+          TaxCalc.summaryByState(taxed).orderBy("state").collect().foreach { r =>
+            println(f"  ${r.getAs[String]("state")}  n=${r.getAs[Long]("transaction_count")}%-6d tax=$$${r.getAs[java.math.BigDecimal]("tax_amount")}")
+          }
+        case None =>
+          val amount = arg(args, "amount").getOrElse(sys.error("--amount or --file required"))
+          val txn = Seq((
+            "cli", java.sql.Date.valueOf(java.time.LocalDate.now()),
+            new java.math.BigDecimal(amount),
+            arg(args, "state").getOrElse(sys.error("--state required")),
+            arg(args, "city").orNull, arg(args, "category").orNull))
+            .toDF("transaction_id", "transaction_date", "amount", "state",
+              "city", "item_category")
+          val r = TaxCalc.withTax(TaxCalc.normalize(txn)).head()
+          println(f"Taxable:  $$${r.getAs[java.math.BigDecimal]("taxable_amount")}")
+          println(f"State tax: $$${r.getAs[java.math.BigDecimal]("state_tax")}")
+          println(f"Local tax: $$${r.getAs[java.math.BigDecimal]("local_tax")}")
+          println(f"Total tax: $$${r.getAs[java.math.BigDecimal]("tax_amount")}")
+          println(f"Rate: ${r.getAs[Double]("effective_rate") * 100}%.2f%%")
+          if (r.getAs[Boolean]("is_exempt"))
+            println(s"EXEMPT: ${r.getAs[String]("exemption_reason")}")
+      }
+
+      case Some("rates") =>
+        val st = Dims.stateRates(spark)
+        arg(args, "state") match {
+          case Some(s) =>
+            val r = st.filter(upper(col("state_code")) === s.toUpperCase).head()
+            println(s"${r.getAs[String]("state_name")} (${r.getAs[String]("state_code")})")
+            println(s"  base rate:     ${r.getAs[java.math.BigDecimal]("base_rate")}")
+            println(s"  avg combined:  ${r.getAs[java.math.BigDecimal]("avg_combined_rate")}")
+            println(s"  local taxes:   ${r.getAs[Boolean]("has_local_taxes")}")
+            Dims.localRates(spark).filter(col("state_code") === s.toUpperCase)
+              .orderBy("jurisdiction").collect().foreach { lr =>
+                println(s"    ${lr.getAs[String]("jurisdiction")} (${lr.getAs[String]("county")}): ${lr.getAs[java.math.BigDecimal]("rate")}")
+              }
+          case None =>
+            st.orderBy(col("avg_combined_rate").desc).limit(10).collect().foreach { r =>
+              println(f"${r.getAs[String]("state_code")}  avg=${r.getAs[java.math.BigDecimal]("avg_combined_rate")}")
+            }
+        }
+
+      case Some("compliance") =>
+        val f = arg(args, "file").getOrElse(sys.error("--file required"))
+        val registered = arg(args, "registered")
+          .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          .toDF("state_code")
+        val txns = TaxCalc.normalize(TaxCalc.readCsv(spark, f))
+        val nexus = Compliance.checkNexus(Compliance.stateActivity(txns))
+        println("Nexus status (top by revenue pct):")
+        nexus.limit(15).collect().foreach { r =>
+          val flag = if (r.getAs[Boolean]("has_nexus")) "NEXUS"
+            else if (r.getAs[Boolean]("approaching_threshold")) "approaching" else ""
+          println(f"  ${r.getAs[String]("state")}  rev=$$${r.getAs[java.math.BigDecimal]("revenue")}  $flag")
+        }
+        val asOf = arg(args, "as-of").map(java.time.LocalDate.parse)
+          .getOrElse(java.time.LocalDate.now())
+        println("\nAlerts:")
+        Compliance.alerts(Compliance.stateActivity(txns), registered, asOf)
+          .collect().foreach { a =>
+            println(s"  [${a.getAs[String]("severity")}] ${a.getAs[String]("message")}")
+          }
+
+      case Some("refund") =>
+        val f = arg(args, "file").getOrElse(sys.error("--file required"))
+        val asOf = arg(args, "as-of").map(java.time.LocalDate.parse)
+          .getOrElse(java.time.LocalDate.now())
+        val txns = TaxCalc.normalize(TaxCalc.readCsv(spark, f))
+        val over = Refunds.overpayments(txns, asOf)
+        val s = Refunds.summary(over, txns.count()).head()
+        println(s"Reviewed:      ${s.getAs[Long]("total_transactions_reviewed")}")
+        println(s"Overpayments:  ${s.getAs[Long]("overpayment_count")}")
+        println(s"Total:         $$${s.getAs[java.math.BigDecimal]("total_overpayment")}")
+        println(s"Est. recovery: $$${s.getAs[java.math.BigDecimal]("estimated_recovery")} (85%)")
+        println("\nClaims by state:")
+        Refunds.claims(over).collect().foreach { c =>
+          println(f"  ${c.getAs[String]("state_code")}  $$${c.getAs[java.math.BigDecimal]("total_refund_requested")}  (${c.getAs[Long]("transaction_count")} txns)")
+        }
+
+      case other =>
+        System.err.println(s"unknown command: ${other.getOrElse("<none>")}")
+        System.err.println("usage: calculate|rates|compliance|refund [options]")
+    }
+  }
+}

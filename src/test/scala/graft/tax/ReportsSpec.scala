@@ -1,0 +1,75 @@
+package graft.tax
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** Report-document and typed-API specs. */
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bd(s: String) = new java.math.BigDecimal(s)
+
+  private lazy val taxed = TaxCalc.withTax(TaxCalc.normalize(Seq(
+    ("R1", Date.valueOf("2024-01-01"), bd("500.00"), "TX", Some("Houston"), None: Option[String]),
+    ("R2", Date.valueOf("2024-01-02"), bd("100.00"), "TX", Some("Houston"), Some("grocery")),
+    ("R3", Date.valueOf("2024-01-03"), bd("200.00"), "CA", Some("Los Angeles"), None))
+    .toDF("transaction_id", "transaction_date", "amount", "state", "city", "item_category")))
+
+  test("tax summary report: nested summary + sorted state breakdown") {
+    val r = Reports.taxSummaryReport(taxed, "2024-01", "2026-01-01").head()
+    assert(r.getAs[String]("report_type") == "tax_liability_summary")
+    val s = r.getStruct(r.fieldIndex("summary"))
+    assert(s.getAs[Long]("total_transactions") == 3)
+    assert(math.abs(s.getAs[Double]("total_tax") - 60.75) < 1e-9) // 41.25 + 19.50
+    val breakdown = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("state_breakdown"))
+    assert(breakdown.map(_.getAs[String]("state")) == Seq("CA", "TX"))
+  }
+
+  test("transaction details: 10-col layout with %-formatted rate") {
+    val d = Reports.transactionDetails(taxed)
+      .filter($"transaction_id" === "R1").head()
+    assert(d.getAs[String]("effective_rate") == "8.2500%")
+    assert(d.getAs[Double]("total_tax") == 41.25)
+    assert(d.length == 10)
+  }
+
+  test("json sink produces parseable document") {
+    val js = Reports.toJsonString(Reports.taxSummaryReport(taxed, "", "2026-01-01"))
+    assert(js.contains("\"report_type\":\"tax_liability_summary\""))
+    assert(js.contains("\"total_transactions\":3"))
+  }
+
+  test("nexus report buckets and counts") {
+    val nexus = Compliance.checkNexus(Seq(
+      ("TX", bd("600000"), 10L), ("CA", bd("450000"), 10L), ("GA", bd("1000"), 1L))
+      .toDF("state", "revenue", "transaction_count")
+      .withColumn("revenue", col("revenue").cast(Dims.Money)))
+    val r = Reports.nexusReport(nexus, "2026-01-01").head()
+    val s = r.getStruct(r.fieldIndex("summary"))
+    assert(s.getAs[Long]("states_with_nexus") == 1)
+    assert(s.getAs[Long]("states_approaching") == 1) // CA at 90% of 500k
+    assert(s.getAs[Long]("states_below_threshold") == 1)
+  }
+
+  test("typed API: Dataset[Transaction] -> Dataset[TaxResult] flagship") {
+    import Schemas._
+    val ds = Seq(Transaction("T1", Date.valueOf("2024-01-01"), BigDecimal("500.00"),
+      "TX", Some("Houston"))).toDS()
+    val r = Schemas.calculate(ds).head()
+    assert(r.tax_amount == BigDecimal("41.25"))
+    assert(r.state_tax == BigDecimal("31.25"))
+    assert(r.total_with_tax == BigDecimal("541.25"))
+    assert(!r.is_exempt)
+  }
+
+  test("typed API: refund analysis") {
+    import Schemas._
+    val ds = Seq(Transaction("T1", Date.valueOf("2024-01-01"), BigDecimal("1000.00"),
+      "TX", Some("Houston"), tax_paid = Some(BigDecimal("100.00")))).toDS()
+    val recs = Schemas.analyzeRefunds(ds, java.time.LocalDate.of(2024, 7, 1)).collect()
+    assert(recs.length == 1)
+    assert(recs.head.overpayment == BigDecimal("17.50"))
+    assert(recs.head.statute_of_limitations_date.contains(Date.valueOf("2028-01-01")))
+  }
+}
