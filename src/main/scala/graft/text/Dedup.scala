@@ -55,14 +55,21 @@ object Dedup {
   private def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(P)))
 
-  /** MinHash signature: 64 affine permutations over the base hashes.
+  /** MinHash signature via the native codegen expression
+    * [[graft.functions.MinHashSig]] — one fused pass over the shingles. */
+  def minhashSignature(text: Column): Column =
+    graft.functions.MinHashSig(shingles(text), NumHashes)
+
+  /** Pure-HOF construction of the same signature (bit-identical output) —
+    * kept for cross-validation of the native expression.
     *
-    * PERF: one `aggregate` pass over the hashes with a 64-wide running-min
-    * accumulator — the hash array sits in argument position (one eval);
-    * lambdas touch only bound vars and literals. The transpose
-    * (per-function transform over captured hashes) re-evaluates the
-    * shingle pipeline 64× per row. */
-  def minhashSignature(text: Column): Column = {
+    * PERF note: one `aggregate` pass over the hashes with a 64-wide
+    * running-min accumulator — the hash array sits in argument position
+    * (one eval); lambdas touch only bound vars and literals. A transpose
+    * (per-function transform over captured hashes) re-evaluates the shingle
+    * pipeline 64× per row. HOFs never codegen, so even this allocates a
+    * 64-long array per shingle — hence the native expression. */
+  def minhashSignatureHof(text: Column): Column = {
     val base = baseHashes(shingles(text))
     val aLit = typedLit(coefA.toSeq)
     val bLit = typedLit(coefB.toSeq)

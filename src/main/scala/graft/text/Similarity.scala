@@ -32,7 +32,14 @@ object Similarity {
     aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Cosine via the native codegen expression [[graft.functions.CosineSim]]
+    * — one fused loop; accumulation order identical to [[cosineHof]]. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
+
+  /** Pure-HOF cosine (three interpreted array passes) — kept for
+    * cross-validation of the native expression. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
   /** Exact cosine top-k: for each query vector (subset of the corpus or a

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.text.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the native codegen expressions against their pure-HOF
+  * constructions: outputs must be bit-identical (the ANN oracle depends on
+  * it), and both eval paths (codegen + interpreted fallback) must agree. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHashSig matches the HOF signature bit-for-bit on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val both = docs.select(
+      Dedup.minhashSignature(col("text")).as("native"),
+      Dedup.minhashSignatureHof(col("text")).as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+    val first = both.head()
+    assert(first.getSeq[Long](0).length == 64)
+  }
+
+  test("CosineSim matches the HOF cosine bit-for-bit on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ai"), col("embedding").as("ea")).limit(50)
+    val b = emb.select(col("vec_id").as("bi"), col("embedding").as("eb")).limit(50)
+    val both = a.crossJoin(b).select(
+      Similarity.cosine(col("ea"), col("eb")).as("native"),
+      Similarity.cosineHof(col("ea"), col("eb")).as("hof"))
+    // bit-identical doubles (not approx): accumulation order must match
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("CosineSim null/edge handling") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f))) // zero vector -> NULL
+      .toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b").as("c")).collect()
+    assert(r(0).getDouble(0) == 1.0)
+    assert(r(1).isNullAt(0))
+  }
+
+  test("interpreted eval path agrees with codegen (expression in filter)") {
+    // Force the interpreted path via an eval outside codegen: use the
+    // expression inside a python-free context by collecting with
+    // spark.sql.codegen disabled on a temp session clone.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val interp = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val codegen = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20).select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(interp == codegen)
+  }
+}
