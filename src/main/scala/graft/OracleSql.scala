@@ -451,6 +451,45 @@ object OracleSql {
              THEN 'overdue' ELSE 'pending' END AS status
       FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code""",
 
+    // Use tax (calculator.py:305-345): destination tax minus credit for tax
+    // already paid, floored at zero. Division-free; CASE instead of least()
+    // (DuckDB's least/greatest degrade DECIMAL to DOUBLE). The purchase has
+    // no category/cert/customer-type, so only the no-tax branch can exempt.
+    "op_use_tax" -> s"""
+      WITH $txnsCte,
+      locals AS (
+        SELECT state_code, city_lc, rate
+        FROM read_parquet('$Fix/local_rates.parquet')
+      ),
+      flags AS (
+        SELECT t.state, t.city, t.amount, t.tax_paid,
+          (t.base_rate = CAST(0 AS DECIMAL(10,6)) AND NOT t.has_local_taxes) AS no_tax,
+          CASE WHEN lr.rate IS NOT NULL THEN CAST(lr.rate AS DECIMAL(11,6))
+               WHEN t.has_local_taxes THEN
+                 (CASE WHEN t.avg_combined_rate - t.base_rate > CAST(0 AS DECIMAL(11,6))
+                       THEN t.avg_combined_rate - t.base_rate
+                       ELSE CAST(0 AS DECIMAL(11,6)) END)
+               ELSE CAST(0 AS DECIMAL(11,6)) END AS local_rate,
+          t.base_rate
+        FROM txns t
+        LEFT JOIN locals lr
+          ON lr.state_code = t.state AND lower(t.city) = lr.city_lc
+      ),
+      taxed AS (
+        SELECT state, city, tax_paid,
+          CAST(CASE WHEN no_tax THEN 0
+               ELSE round(amount * base_rate, 2) + round(amount * local_rate, 2)
+               END AS DECIMAL(18,2)) AS tax_amount
+        FROM flags
+      )
+      SELECT state, city, tax_amount,
+        CAST(CASE WHEN tax_paid < tax_amount THEN tax_paid ELSE tax_amount END
+             AS DECIMAL(18,2)) AS credit,
+        CAST(round(tax_amount -
+          (CASE WHEN tax_paid < tax_amount THEN tax_paid ELSE tax_amount END), 2)
+          AS DECIMAL(18,2)) AS use_tax
+      FROM taxed""",
+
     // ---- text / dedup ops over documents ----
     "op_dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

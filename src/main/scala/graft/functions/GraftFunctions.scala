@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the native expressions: `minhash_sig(shingles[, k])`
+  * and `cosine_sim(a, b)`.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (cluster-wide, applied at session build);
+  *  - [[GraftFunctions.register]] for imperative per-session registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private[functions] val descriptors: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSig(c, 64)
+        case Seq(c, k) => MinHashSig(c,
+          k.eval(null).toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingles[, numHashes])")
+      }),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+      }))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities for the 100 TB path.
+  *
+  * A shuffle join on a skewed key sends the hot key's entire volume to one
+  * reducer. AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.*`, on
+  * by default) handles sort-merge joins at runtime; explicit salting is the
+  * deterministic fallback when the small side can be replicated — e.g.
+  * aggregations keyed by a hot tenant, or map-side-unsplittable patterns.
+  */
+object Salting {
+
+  /** Salted equi-join of a skewed `fact` against a replicable `dim`:
+    * the fact side gets a per-row salt in [0, buckets); the dim side is
+    * exploded `buckets`× so every (key, salt) pair finds its partner. The
+    * shuffle key becomes (key, salt) — the hot key now spreads over
+    * `buckets` reducers at the cost of a `buckets`× dim replication. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets))
+        .cast("int"))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
+    * then final aggregate on key. `partials` maps each source column to a
+    * re-aggregatable (partialAgg, finalAgg) pair — e.g. sum/sum,
+    * count/sum. Catalyst already does map-side partials for hash
+    * aggregates; this adds an extra reduce level for keys so hot that even
+    * a single reducer's final merge is the bottleneck. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+/** Physical-plan regression tests — pin the scale properties the operators
+  * were designed around (broadcast dims, parquet pushdown/pruning, shuffle
+  * counts). A refactor that silently turns a broadcast join into a
+  * sort-merge join or drops a pushed filter fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    // count shuffle Exchange nodes in the plan text (AQE hides the subtree
+    // from SparkPlan.foreach until execution); BroadcastExchange excluded
+    "(?<!Broadcast)Exchange ".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("op_tax_calc: all dim joins broadcast, zero shuffles") {
+    val p = plan("op_tax_calc")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must never sort-merge")
+    assert(shuffleCount(SparkEntry.queries("op_tax_calc")(spark, sf)) == 0,
+      "the tax expression block must be shuffle-free")
+  }
+
+  test("op_filter_project: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("op_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    assert(p.contains("FileScan parquet [l_orderkey#") &&
+      p.contains(",l_linenumber#") && p.contains(",l_shipdate#") &&
+      !p.contains(",l_tax#") && !p.contains(",l_comment#"),
+      "scan must read only the 5 referenced columns")
+  }
+
+  test("op_rate_join: dimension chain is broadcast, fact scanned once") {
+    val p = plan("op_rate_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("op_smj_join: shuffles for the distinct aggregate; join adapts to data size") {
+    // At tiny sf the orders side broadcasts (correct adaptive behavior);
+    // the two-phase count-distinct still exchanges twice.
+    val df = SparkEntry.queries("op_smj_join")(spark, sf)
+    assert(shuffleCount(df) >= 1, "count-distinct aggregation must exchange")
+  }
+
+  test("op_topk_desc plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("op_topk_desc")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
+    assert(shuffleCount(SparkEntry.queries("q1_agg")(spark, sf)) == 1,
+      "one shuffle for the group-by, no more")
+  }
+
+  test("op_minhash_pairs: native MinHashSig expression present, not HOFs") {
+    val p = plan("op_minhash_pairs")
+    assert(p.contains("minhashsig") || p.contains("MinHashSig"), p.take(2000))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join preserves plain-join semantics under skew") {
+    // 90% of fact rows hit one key
+    val fact = (1 to 1000).map(i => (if (i <= 900) "HOT" else s"k${i % 7}", i.toLong))
+      .toDF("key", "v")
+    val dim = Seq(("HOT", "hot-dim"), ("k1", "d1"), ("k3", "d3"))
+      .toDF("key", "label")
+    val plain = fact.join(dim, Seq("key")).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Salting.saltedJoin(fact, dim, "key", buckets = 8)
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plain == salted)
+  }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    val fact = Seq(("A", 1L), ("B", 2L), ("B", 3L)).toDF("key", "v")
+    val dim = Seq(("A", "x")).toDF("key", "label")
+    val rows = Salting.saltedJoin(fact, dim, "key", buckets = 4, joinType = "left")
+      .orderBy("v").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("label") == "x")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("label")))
+  }
+
+  test("salted two-phase sum equals plain sum") {
+    val df = (1 to 500).map(i => (if (i % 2 == 0) "HOT" else "COLD", i.toLong))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedSum(df, "key", "v", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("SQL registration: minhash_sig and cosine_sim callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d')) AS s").head().getSeq[Long](0)
+    assert(sig.length == 64)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(cos == 1.0)
+  }
+}
