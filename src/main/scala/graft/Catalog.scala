@@ -157,6 +157,21 @@ object Catalog {
           lag(col("event_type"), 1).over(w).as("prev_type"))
     }),
 
+    "op_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: a new session starts after > 30 min of
+      // inactivity per user. ts arrives as long nanos (nanosAsLong); the
+      // oracle compares the same ns arithmetic on TIMESTAMP_NS.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "session_id")
+    }),
+
     "op_period_gen" -> ((s, dir) => {
       val months = t(s, dir, "nation").select("n_nationkey")
         .withColumn("period_start", explode(sequence(

@@ -290,6 +290,19 @@ object OracleSql {
         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events""",
 
+    "op_sessionize" -> """
+      WITH flagged AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+      SELECT event_id, user_id,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged""",
+
     "op_period_gen" -> """
       SELECT n.n_nationkey,
         CAST(ms AS DATE) AS period_start,

@@ -55,6 +55,29 @@ class NexusMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the batch tax expression block runs unchanged on a stream") {
+    // stream-static broadcast joins: TaxCalc.withTax over a streaming source
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Date, String, String, String)]
+    val txns = graft.tax.TaxCalc.normalize(
+      in.toDF().toDF("transaction_id", "transaction_date", "amount_s", "state", "city")
+        .withColumn("amount", col("amount_s").cast(graft.tax.Dims.Money))
+        .drop("amount_s"))
+    val q = graft.tax.TaxCalc.withTax(txns)
+      .select("transaction_id", "state_tax", "local_tax", "tax_amount")
+      .writeStream.format("memory").queryName("stream_tax")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("S1", java.sql.Date.valueOf("2024-01-01"), "500.00", "TX", "Houston"))
+      q.processAllAvailable()
+      val r = spark.table("stream_tax").head()
+      assert(r.getAs[java.math.BigDecimal]("state_tax")
+        .compareTo(new java.math.BigDecimal("31.25")) == 0)
+      assert(r.getAs[java.math.BigDecimal]("tax_amount")
+        .compareTo(new java.math.BigDecimal("41.25")) == 0)
+    } finally q.stop()
+  }
+
   test("crossing alerts fire exactly once per state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Txn]
