@@ -157,6 +157,17 @@ object Catalog {
           lag(col("event_type"), 1).over(w).as("prev_type"))
     }),
 
+    "op_topk_per_key" -> ((s, dir) => {
+      // custom bounded-heap operator (graft.plans.TopKPerKey); the per-key
+      // top-3 VALUE multiset is deterministic even under ties, so the
+      // window-based DuckDB oracle hash-matches
+      val li = t(s, dir, "lineitem")
+        .withColumn("price", col("l_extendedprice").cast(M2))
+      graft.ops.TopK.perKey(li, Seq("l_suppkey"), col("price"), 3)
+        .groupBy("l_suppkey")
+        .agg(sort_array(collect_list(col("price")), asc = false).as("top_prices"))
+    }),
+
     "op_sessionize" -> ((s, dir) => {
       // gap-based sessionization: a new session starts after > 30 min of
       // inactivity per user. ts arrives as long nanos (nanosAsLong); the

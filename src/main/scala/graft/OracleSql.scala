@@ -290,6 +290,15 @@ object OracleSql {
         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events""",
 
+    "op_topk_per_key" -> """
+      WITH ranked AS (
+        SELECT l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+          row_number() OVER (PARTITION BY l_suppkey
+            ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC) AS rn
+        FROM lineitem)
+      SELECT l_suppkey, list(price ORDER BY price DESC) AS top_prices
+      FROM ranked WHERE rn <= 3 GROUP BY l_suppkey""",
+
     "op_sessionize" -> """
       WITH flagged AS (
         SELECT event_id, user_id, ts,
