@@ -331,6 +331,14 @@ object Catalog {
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
         k = 5, nPlanes = 8)),
 
+    "op_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val model = graft.text.Ivf.train(emb, c = 16, iters = 5)
+      graft.text.Ivf.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        model, k = 5, nprobe = 4)
+    }),
+
     "op_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),

@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("training is deterministic and produces unit-norm centroids") {
+    val m1 = Ivf.train(emb, c = 8, iters = 5)
+    val m2 = Ivf.train(emb, c = 8, iters = 5)
+    assert(m1.centroids.map(_.toSeq) sameElements m2.centroids.map(_.toSeq))
+    m1.centroids.foreach { cv =>
+      val n = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
+  }
+
+  test("every vector lands in a valid cell; cells are populated") {
+    val model = Ivf.train(emb, c = 8, iters = 5)
+    val cells = Ivf.assign(emb, model)
+      .groupBy("ivf_cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.keySet.forall(c => c >= 0 && c < 8))
+    assert(cells.values.sum == emb.count())
+    assert(cells.size >= 4, s"degenerate clustering: $cells")
+  }
+
+  test("recall@5 vs brute force is high at nprobe=3/8 and exact at nprobe=8") {
+    val model = Ivf.train(emb, c = 8, iters = 5)
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf3 = Ivf.searchTopK(emb, queries, model, k = 5, nprobe = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf3.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall@5 with nprobe=3: $recall")
+    // probing every cell must reproduce brute force exactly
+    val ivfAll = Ivf.searchTopK(emb, queries, model, k = 5, nprobe = 8)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == brute)
+  }
+}
