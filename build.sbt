@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession and some mutate session conf
+// (e.g. autoBroadcastJoinThreshold) — run them sequentially.
+Test / parallelExecution := false

@@ -473,6 +473,45 @@ object OracleSql {
              THEN 'overdue' ELSE 'pending' END AS status
       FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code""",
 
+    // Tax-inclusive back-out with EXACT integer division: taxable =
+    // HALF_UP_2(amount / (1 + rate)). For cents n and rate-micro d:
+    // taxable_cents = floor((2·n·1e6 + (1e6+d)) / (2·(1e6+d))) — exact
+    // HALF_UP of the true rational quotient (incl. exact halves). Spark's
+    // decimal division rounds at scale ≥ 14 first, which cannot flip any
+    // value whose distance from a half-cent is ≥ 1/(2·2.2e6) — i.e. every
+    // non-half case; halves agree by construction. Exempt rows skip the
+    // back-out (taxable = amount), mirroring calculator.py:196-209 vs 229.
+    "op_incl_backout" -> s"""
+      WITH $taxCte,
+      backout AS (
+        SELECT f.transaction_id, f.state, f.city,
+          (f.no_tax OR f.cust_ex OR f.cert_ex OR f.cat_ex) AS is_exempt,
+          CASE WHEN f.no_tax THEN f.state_name || ' has no sales tax'
+               WHEN f.cust_ex THEN 'Customer type: ' || f.customer_type
+               WHEN f.cert_ex THEN 'Exemption cert: ' || f.exemption_certificate
+               WHEN f.cat_ex THEN f.state || ' exempts ' || f.ex_category
+               ELSE '' END AS exemption_reason,
+          f.base_rate, f.local_rate,
+          CASE WHEN (f.no_tax OR f.cust_ex OR f.cert_ex OR f.cat_ex)
+               THEN f.amount
+               ELSE CAST(
+                 (2 * CAST(f.amount * 100 AS BIGINT) * 1000000
+                    + (1000000 + CAST((f.base_rate + f.local_rate) * 1000000 AS BIGINT)))
+                 // (2 * (1000000 + CAST((f.base_rate + f.local_rate) * 1000000 AS BIGINT)))
+                 AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))
+               END AS taxable
+        FROM flags f)
+      SELECT transaction_id, state, CAST(taxable AS DECIMAL(18,2)) AS taxable_amount,
+        CAST(CASE WHEN is_exempt THEN 0
+             ELSE round(taxable * base_rate, 2) + round(taxable * local_rate, 2)
+             END AS DECIMAL(18,2)) AS tax_amount,
+        is_exempt, exemption_reason, city,
+        CAST(CASE WHEN is_exempt THEN 0
+             ELSE round(taxable * base_rate, 2) END AS DECIMAL(18,2)) AS state_tax,
+        CAST(CASE WHEN is_exempt THEN 0
+             ELSE round(taxable * local_rate, 2) END AS DECIMAL(18,2)) AS local_tax
+      FROM backout""",
+
     // Use tax (calculator.py:305-345): destination tax minus credit for tax
     // already paid, floored at zero. Division-free; CASE instead of least()
     // (DuckDB's least/greatest degrade DECIMAL to DOUBLE). The purchase has

@@ -62,7 +62,9 @@ object Dims {
     * used by the exemption CASE branch (c). */
   def exemptSynonyms(spark: SparkSession): DataFrame =
     stateExemptions(spark)
-      .join(categorySynonyms(spark), "category")
+      // explicit hint: without it this dim-dim join silently degrades to a
+      // sort-merge join (with exchanges) when auto-broadcast is disabled
+      .join(broadcast(categorySynonyms(spark)), "category")
       .select(col("state_code").as("ex_state"), col("synonym").as("ex_synonym"),
         col("category").as("ex_category"))
 

@@ -34,18 +34,32 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("identically bucketed tables join without an exchange") {
-    // default warehouse dir (./spark-warehouse, gitignored); force the join
-    // to sort-merge so the test proves bucketing, not broadcasting
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .select("l_orderkey", "l_extendedprice")
-    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-      .select("o_orderkey", "o_totalprice")
-    Layout.writeBucketed(li, "li_b", "l_orderkey", 8)
-    Layout.writeBucketed(o, "o_b", "o_orderkey", 8)
-    val joined = spark.table("li_b")
-      .join(spark.table("o_b"), $"l_orderkey" === $"o_orderkey")
+    // default warehouse dir (./spark-warehouse, gitignored); clean any
+    // leftover managed locations from previous JVMs (the fresh derby
+    // metastore doesn't know about them and refuses the create)
+    for (t <- Seq("li_b", "o_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     try {
+      // force the join to sort-merge so the test proves bucketing, not
+      // broadcasting
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      Layout.writeBucketed(li, "li_b", "l_orderkey", 8)
+      Layout.writeBucketed(o, "o_b", "o_orderkey", 8)
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), $"l_orderkey" === $"o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(1500))
       val shuffles = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
