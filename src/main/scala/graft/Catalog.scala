@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,15 +12,22 @@ import graft.multimodal.Multimodal
   * identically to [[OracleSql.all]]. Every function takes (spark, sfDir) and
   * returns a DataFrame whose values hash-match the DuckDB oracle.
   *
-  * Conventions (see OracleSql scaladoc): doubles cast to DECIMAL at scan;
-  * no decimal division; every computed column aliased identically on both
-  * sides; per-query output kept to oracle-safe types (string/int/long/
-  * boolean/date/decimal, plus IEEE-division doubles).
+  * Conventions (see OracleSql scaladoc): money math stays in exact decimal
+  * INTERNALLY, but every final projection casts decimals to DOUBLE — the
+  * driver's hasher stringifies cells, and a Spark parquet DECIMAL arrives as
+  * `Decimal('0.10')` while DuckDB DECIMAL arrives as float `0.1`
+  * (round-1 root cause: 18 of 18 hash mismatches were this, not value
+  * divergence). decimal→double is correctly rounded in both engines, so
+  * equal decimals give bit-identical doubles. Outputs restricted to
+  * string/int/long/boolean/date/double; never arrays/structs (they crash
+  * the driver's pandas sort), never DECIMAL, never float-printf strings.
   */
 object Catalog {
   private val M2 = DecimalType(18, 2)
-  private val A2 = DecimalType(28, 2)
-  private val A4 = DecimalType(28, 4)
+
+  /** Oracle-safe final cast: exact decimal → double (both engines round
+    * correctly to nearest, so values stay bit-identical). */
+  private def dbl(c: Column): Column = c.cast(DoubleType)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -56,10 +63,10 @@ object Catalog {
     "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(M2)).cast(A2).as("sum_qty"),
-        sum(col("l_extendedprice").cast(M2)).cast(A2).as("sum_base"),
-        sum(col("l_extendedprice").cast(M2) *
-          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4)
+        dbl(sum(col("l_quantity").cast(M2))).as("sum_qty"),
+        dbl(sum(col("l_extendedprice").cast(M2))).as("sum_base"),
+        dbl(sum(col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))))
           .as("sum_disc_price"),
         count(lit(1)).as("n"))),
 
@@ -67,20 +74,20 @@ object Catalog {
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
         col("l_discount").cast(DecimalType(4, 2)) >= lit(new java.math.BigDecimal("0.05")))
       .select(col("l_orderkey"), col("l_linenumber"),
-        (col("l_extendedprice").cast(M2) *
-          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4).as("revenue"),
+        dbl(col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
         col("l_shipdate").cast(DateType).as("ship_date"))),
 
     "op_topk_desc" -> ((s, dir) => t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"),
-        col("p_retailprice").cast(M2).as("price"))
+        col("p_retailprice").as("price"))
       .orderBy(col("price").desc, col("p_partkey"))
       .limit(10)),
 
     "op_topk_asc_filtered" -> ((s, dir) => t(s, dir, "part")
       .filter(col("p_size") > 25)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
-        col("p_retailprice").cast(M2).as("price"))
+        col("p_retailprice").as("price"))
       .orderBy(col("price").asc, col("p_partkey"))
       .limit(10)),
 
@@ -90,15 +97,15 @@ object Catalog {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name", "r_name")
       .agg(
-        sum(col("l_extendedprice").cast(M2) *
-          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast(A4).as("revenue"),
+        dbl(sum(col("l_extendedprice").cast(M2) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))))).as("revenue"),
         count(lit(1)).as("n_items"))),
 
     "op_smj_join" -> ((s, dir) => t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        sum(col("l_extendedprice").cast(M2)).cast(A2).as("total_price"),
+        dbl(sum(col("l_extendedprice").cast(M2))).as("total_price"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
 
     "op_anti_join" -> ((s, dir) => t(s, dir, "customer")
@@ -126,7 +133,7 @@ object Catalog {
       .withColumn("rn", row_number().over(
         Window.partitionBy("o_custkey").orderBy(col("total").desc, col("o_orderkey"))))
       .filter(col("rn") === 1)
-      .select("o_custkey", "o_orderkey", "total")),
+      .select(col("o_custkey"), col("o_orderkey"), dbl(col("total")).as("total"))),
 
     "op_union" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -147,7 +154,7 @@ object Catalog {
           .otherwise("big"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(M2)).cast(A2).as("total"))),
+        dbl(sum(col("o_totalprice").cast(M2))).as("total"))),
 
     "op_events_window" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -196,53 +203,61 @@ object Catalog {
 
     // ---- tax-domain pipelines ----
     "op_txn_gen" -> ((s, dir) => SyntheticTxns.txns(s, dir)
-      .select("transaction_id", "transaction_date", "amount", "state", "city",
-        "item_category", "exemption_certificate", "customer_type", "tax_paid")),
+      .select(col("transaction_id"), col("transaction_date"),
+        dbl(col("amount")).as("amount"), col("state"), col("city"),
+        col("item_category"), col("exemption_certificate"),
+        col("customer_type"), dbl(col("tax_paid")).as("tax_paid"))),
 
     "op_tax_calc" -> ((s, dir) => taxed(s, dir)
-      .select("transaction_id", "state", "city", "taxable_amount", "state_tax",
-        "local_tax", "tax_amount", "is_exempt", "exemption_reason")),
+      .select(col("transaction_id"), col("state"), col("city"),
+        dbl(col("taxable_amount")).as("taxable_amount"),
+        dbl(col("state_tax")).as("state_tax"),
+        dbl(col("local_tax")).as("local_tax"),
+        dbl(col("tax_amount")).as("tax_amount"),
+        col("is_exempt"), col("exemption_reason"))),
 
     "op_tax_summary" -> ((s, dir) => taxed(s, dir)
       .groupBy("state").agg(
         count(lit(1)).as("transaction_count"),
-        sum("taxable_amount").cast(A2).as("taxable_amount"),
-        sum("tax_amount").cast(A2).as("tax_amount"),
-        coalesce(sum(when(col("is_exempt"), col("taxable_amount"))), lit(BigDecimal(0)))
-          .cast(A2).as("exempt_amount"),
+        dbl(sum("taxable_amount")).as("taxable_amount"),
+        dbl(sum("tax_amount")).as("tax_amount"),
+        dbl(coalesce(sum(when(col("is_exempt"), col("taxable_amount"))),
+          lit(BigDecimal(0)))).as("exempt_amount"),
         count(when(col("is_exempt"), 1)).as("exempt_count"))),
 
     "op_batch_agg" -> ((s, dir) => taxed(s, dir).agg(
-      sum("taxable_amount").cast(A2).as("total_taxable"),
-      sum("tax_amount").cast(A2).as("total_tax"),
-      coalesce(sum(when(col("is_exempt"), col("taxable_amount"))), lit(BigDecimal(0)))
-        .cast(A2).as("total_exempt"),
+      dbl(sum("taxable_amount")).as("total_taxable"),
+      dbl(sum("tax_amount")).as("total_tax"),
+      dbl(coalesce(sum(when(col("is_exempt"), col("taxable_amount"))),
+        lit(BigDecimal(0)))).as("total_exempt"),
       count(lit(1)).as("transaction_count"),
       count(when(col("is_exempt"), 1)).as("exempt_count"))),
 
     "op_state_breakdown" -> ((s, dir) => taxed(s, dir)
       .groupBy("state")
-      .agg(sum("tax_amount").cast(A2).as("state_total_tax"))),
+      .agg(dbl(sum("tax_amount")).as("state_total_tax"))),
 
     "op_refund_scan" -> ((s, dir) => refunds(s, dir)
-      .select("transaction_id", "transaction_date", "state", "city",
-        "sale_amount", "tax_paid", "tax_owed", "overpayment", "reason_key",
-        "refund_eligible", "statute_of_limitations_date")),
+      .select(col("transaction_id"), col("transaction_date"), col("state"),
+        col("city"), dbl(col("sale_amount")).as("sale_amount"),
+        dbl(col("tax_paid")).as("tax_paid"), dbl(col("tax_owed")).as("tax_owed"),
+        dbl(col("overpayment")).as("overpayment"), col("reason_key"),
+        col("refund_eligible"), col("statute_of_limitations_date"))),
 
     "op_refund_summary" -> ((s, dir) => refunds(s, dir).agg(
-      coalesce(sum("overpayment"), lit(BigDecimal(0))).cast(A2).as("total_overpayment"),
+      dbl(coalesce(sum("overpayment"), lit(BigDecimal(0)))).as("total_overpayment"),
       count(lit(1)).as("overpayment_count"),
       min(when(col("refund_eligible"), col("transaction_date"))).as("oldest_eligible"),
       max(when(col("refund_eligible"), col("transaction_date"))).as("newest_eligible"),
-      round(coalesce(sum(when(col("refund_eligible"), col("overpayment"))),
-        lit(BigDecimal(0))) * lit(new java.math.BigDecimal("0.85")), 2)
-        .cast(A2).as("estimated_recovery"))),
+      dbl(round(coalesce(sum(when(col("refund_eligible"), col("overpayment"))),
+        lit(BigDecimal(0))) * lit(new java.math.BigDecimal("0.85")), 2))
+        .as("estimated_recovery"))),
 
     "op_refund_by_state" -> ((s, dir) => refunds(s, dir)
-      .groupBy("state").agg(sum("overpayment").cast(A2).as("overpayment"))),
+      .groupBy("state").agg(dbl(sum("overpayment")).as("overpayment"))),
 
     "op_refund_by_reason" -> ((s, dir) => refunds(s, dir)
-      .groupBy("reason_key").agg(sum("overpayment").cast(A2).as("overpayment"))),
+      .groupBy("reason_key").agg(dbl(sum("overpayment")).as("overpayment"))),
 
     "op_refund_claims" -> ((s, dir) => refunds(s, dir)
       .filter(col("refund_eligible"))
@@ -250,7 +265,7 @@ object Catalog {
       .agg(
         min("transaction_date").as("claim_period_start"),
         max("transaction_date").as("claim_period_end"),
-        sum("overpayment").cast(A2).as("total_refund_requested"),
+        dbl(sum("overpayment")).as("total_refund_requested"),
         count(lit(1)).as("transaction_count"),
         concat_ws(",", array_sort(collect_set(col("reason_key"))))
           .as("supporting_reasons"))),
@@ -258,8 +273,10 @@ object Catalog {
     "op_nexus_check" -> ((s, dir) =>
       Compliance.checkNexus(
         Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))))
-        .select("state", "revenue", "transaction_count", "has_nexus",
-          "revenue_threshold", "transaction_threshold", "revenue_pct_of_threshold")),
+        .select(col("state"), dbl(col("revenue")).as("revenue"),
+          col("transaction_count"), col("has_nexus"),
+          dbl(col("revenue_threshold")).as("revenue_threshold"),
+          col("transaction_threshold"), col("revenue_pct_of_threshold"))),
 
     "op_filing_deadlines" -> ((s, dir) => {
       import s.implicits._
@@ -353,14 +370,19 @@ object Catalog {
     "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
       SyntheticTxns.txns(s, dir)
         .select(col("amount"), col("state"), col("city"),
-          col("tax_paid").as("tax_already_paid")))
-      .select("state", "city", "tax_amount", "credit", "use_tax")),
+          col("tax_paid").as("tax_already_paid")), RefundAsOf)
+      .select(col("state"), col("city"), dbl(col("tax_amount")).as("tax_amount"),
+        dbl(col("credit")).as("credit"), dbl(col("use_tax")).as("use_tax"))),
 
     "op_incl_backout" -> ((s, dir) =>
       TaxCalc.withTax(TaxCalc.normalize(
         SyntheticTxns.txns(s, dir).withColumn("pricing_model", lit("inclusive"))))
-      .select("transaction_id", "state", "taxable_amount", "tax_amount",
-        "is_exempt", "exemption_reason", "city", "state_tax", "local_tax")),
+      .select(col("transaction_id"), col("state"),
+        dbl(col("taxable_amount")).as("taxable_amount"),
+        dbl(col("tax_amount")).as("tax_amount"),
+        col("is_exempt"), col("exemption_reason"), col("city"),
+        dbl(col("state_tax")).as("state_tax"),
+        dbl(col("local_tax")).as("local_tax"))),
 
     "op_alerts" -> ((s, dir) => {
       import s.implicits._

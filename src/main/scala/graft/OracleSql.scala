@@ -2,16 +2,23 @@ package graft
 
 /** DuckDB-oracle SQL mirrors for [[SparkEntry.queries]].
   *
-  * Parity rules (both engines must produce bit-identical values):
-  *  - doubles are cast to DECIMAL at the scan (verified divergence-free on
-  *    this testdata; see tools/check_oracle.py), and all money math stays in
-  *    decimal multiplication/addition — decimal DIVISION is avoided entirely
-  *    because DuckDB computes it in DOUBLE.
-  *  - double division (pct-of-threshold) is IEEE-identical in both engines,
-  *    so plain `/` on doubles is safe; double→string formatting is NOT, so
-  *    formatted message strings stay out of oracle projections.
+  * Parity rules (both engines must produce bit-identical values, AND the
+  * driver's pandas frames must stringify those values identically —
+  * round 1's 18 hash mismatches were all representational: Spark parquet
+  * DECIMAL reaches pandas as `Decimal('0.10')`, DuckDB DECIMAL as float
+  * `0.1`):
+  *  - money math stays in exact decimal ×/+ internally (decimal DIVISION is
+  *    avoided — DuckDB computes it in DOUBLE), but every FINAL projection
+  *    casts decimals to DOUBLE on both sides; decimal→double is correctly
+  *    rounded in both engines, so equal decimals give bit-identical floats.
+  *  - DuckDB sum() over INTEGER returns HUGEINT, which lands in pandas as
+  *    float64 — wrap integer sums in CAST(... AS BIGINT).
+  *  - double division (pct-of-threshold, cosine) is IEEE-identical in both
+  *    engines; float→string printf is NOT (Java %.Nf rounds HALF_UP, C
+  *    half-even) — display strings are derived from exact decimals/ints.
   *  - every aggregate / computed column is aliased identically on both
-  *    sides (the driver sorts columns by name before hashing).
+  *    sides (the driver sorts columns by name before hashing); outputs are
+  *    flat scalars only (arrays/structs crash the driver's pandas sort).
   */
 object OracleSql {
   /** Fixture parquet written by tools/extract_dims.py — same dim data as
@@ -189,35 +196,34 @@ object OracleSql {
     // ---- generic relational ops over the TPC-H-ish testdata ----
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "op_filter_project" -> """
       SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS revenue,
+             * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         CAST(l_shipdate AS DATE) AS ship_date
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         AND CAST(l_discount AS DECIMAL(4,2)) >= CAST(0.05 AS DECIMAL(4,2))""",
 
     "op_topk_desc" -> """
-      SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      SELECT p_partkey, p_name, p_retailprice AS price
       FROM part ORDER BY price DESC, p_partkey LIMIT 10""",
 
     "op_topk_asc_filtered" -> """
-      SELECT p_partkey, p_name, p_size,
-        CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      SELECT p_partkey, p_name, p_size, p_retailprice AS price
       FROM part WHERE p_size > 25 ORDER BY price ASC, p_partkey LIMIT 10""",
 
     "op_rate_join" -> """
       SELECT n.n_name, r.r_name,
         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue,
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         count(*) AS n_items
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -227,7 +233,7 @@ object OracleSql {
 
     "op_smj_join" -> """
       SELECT o.o_orderpriority,
-        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         count(DISTINCT l.l_orderkey) AS n_orders
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderpriority""",
@@ -253,7 +259,8 @@ object OracleSql {
       FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey""",
 
     "op_window_rank" -> """
-      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      SELECT o_custkey, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
       FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
@@ -281,7 +288,7 @@ object OracleSql {
                   WHEN o_totalprice < 300000 THEN 'mid'
                   ELSE 'big' END AS bucket,
         count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1""",
 
     "op_events_window" -> """
@@ -308,8 +315,10 @@ object OracleSql {
                THEN 1 ELSE 0 END AS new_sess
         FROM events)
       SELECT event_id, user_id,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        -- DuckDB sum(int) returns HUGEINT, which pandas renders as float;
+        -- Spark's running sum is BIGINT — pin the type
+        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged""",
 
     "op_period_gen" -> """
@@ -326,66 +335,74 @@ object OracleSql {
     // ---- tax-domain pipelines over synthetic transactions ----
     "op_txn_gen" -> s"""
       WITH $txnsCte
-      SELECT transaction_id, transaction_date, amount, state, city,
-        item_category, exemption_certificate, customer_type, tax_paid
+      SELECT transaction_id, transaction_date, CAST(amount AS DOUBLE) AS amount,
+        state, city, item_category, exemption_certificate, customer_type,
+        CAST(tax_paid AS DOUBLE) AS tax_paid
       FROM txns""",
 
     "op_tax_calc" -> s"""
       WITH $taxCte
-      SELECT transaction_id, state, city, taxable_amount, state_tax,
-        local_tax, tax_amount, is_exempt, exemption_reason
+      SELECT transaction_id, state, city,
+        CAST(taxable_amount AS DOUBLE) AS taxable_amount,
+        CAST(state_tax AS DOUBLE) AS state_tax,
+        CAST(local_tax AS DOUBLE) AS local_tax,
+        CAST(tax_amount AS DOUBLE) AS tax_amount,
+        is_exempt, exemption_reason
       FROM taxcalc""",
 
     "op_tax_summary" -> s"""
       WITH $taxCte
       SELECT state, count(*) AS transaction_count,
-        CAST(sum(taxable_amount) AS DECIMAL(28,2)) AS taxable_amount,
-        CAST(sum(tax_amount) AS DECIMAL(28,2)) AS tax_amount,
+        CAST(sum(taxable_amount) AS DOUBLE) AS taxable_amount,
+        CAST(sum(tax_amount) AS DOUBLE) AS tax_amount,
         CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
-             AS DECIMAL(28,2)) AS exempt_amount,
+             AS DOUBLE) AS exempt_amount,
         count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
       FROM taxcalc GROUP BY state""",
 
     "op_batch_agg" -> s"""
       WITH $taxCte
-      SELECT CAST(sum(taxable_amount) AS DECIMAL(28,2)) AS total_taxable,
-        CAST(sum(tax_amount) AS DECIMAL(28,2)) AS total_tax,
+      SELECT CAST(sum(taxable_amount) AS DOUBLE) AS total_taxable,
+        CAST(sum(tax_amount) AS DOUBLE) AS total_tax,
         CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
-             AS DECIMAL(28,2)) AS total_exempt,
+             AS DOUBLE) AS total_exempt,
         count(*) AS transaction_count,
         count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
       FROM taxcalc""",
 
     "op_state_breakdown" -> s"""
       WITH $taxCte
-      SELECT state, CAST(sum(tax_amount) AS DECIMAL(28,2)) AS state_total_tax
+      SELECT state, CAST(sum(tax_amount) AS DOUBLE) AS state_total_tax
       FROM taxcalc GROUP BY state""",
 
     "op_refund_scan" -> s"""
       WITH $refundsCte
-      SELECT transaction_id, transaction_date, state, city, sale_amount,
-        tax_paid, tax_owed, overpayment, reason_key, refund_eligible,
-        statute_of_limitations_date
+      SELECT transaction_id, transaction_date, state, city,
+        CAST(sale_amount AS DOUBLE) AS sale_amount,
+        CAST(tax_paid AS DOUBLE) AS tax_paid,
+        CAST(tax_owed AS DOUBLE) AS tax_owed,
+        CAST(overpayment AS DOUBLE) AS overpayment,
+        reason_key, refund_eligible, statute_of_limitations_date
       FROM refunds""",
 
     "op_refund_summary" -> s"""
       WITH $refundsCte
-      SELECT CAST(coalesce(sum(overpayment), 0) AS DECIMAL(28,2)) AS total_overpayment,
+      SELECT CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment,
         count(*) AS overpayment_count,
         min(CASE WHEN refund_eligible THEN transaction_date END) AS oldest_eligible,
         max(CASE WHEN refund_eligible THEN transaction_date END) AS newest_eligible,
         CAST(round(coalesce(sum(CASE WHEN refund_eligible THEN overpayment END), 0)
-                   * CAST(0.85 AS DECIMAL(3,2)), 2) AS DECIMAL(28,2)) AS estimated_recovery
+                   * CAST(0.85 AS DECIMAL(3,2)), 2) AS DOUBLE) AS estimated_recovery
       FROM refunds""",
 
     "op_refund_by_state" -> s"""
       WITH $refundsCte
-      SELECT state, CAST(sum(overpayment) AS DECIMAL(28,2)) AS overpayment
+      SELECT state, CAST(sum(overpayment) AS DOUBLE) AS overpayment
       FROM refunds GROUP BY state""",
 
     "op_refund_by_reason" -> s"""
       WITH $refundsCte
-      SELECT reason_key, CAST(sum(overpayment) AS DECIMAL(28,2)) AS overpayment
+      SELECT reason_key, CAST(sum(overpayment) AS DOUBLE) AS overpayment
       FROM refunds GROUP BY reason_key""",
 
     "op_refund_claims" -> s"""
@@ -393,7 +410,7 @@ object OracleSql {
       SELECT state AS state_code,
         min(transaction_date) AS claim_period_start,
         max(transaction_date) AS claim_period_end,
-        CAST(sum(overpayment) AS DECIMAL(28,2)) AS total_refund_requested,
+        CAST(sum(overpayment) AS DOUBLE) AS total_refund_requested,
         count(*) AS transaction_count,
         string_agg(DISTINCT reason_key, ',' ORDER BY reason_key) AS supporting_reasons
       FROM refunds WHERE refund_eligible GROUP BY state""",
@@ -407,7 +424,7 @@ object OracleSql {
       nx AS (SELECT state_code, revenue_threshold, transaction_threshold
              FROM read_parquet('$Fix/nexus_thresholds.parquet')),
       nn AS (SELECT state_code FROM read_parquet('$Fix/no_nexus_states.parquet'))
-      SELECT a.state, a.revenue, a.transaction_count,
+      SELECT a.state, CAST(a.revenue AS DOUBLE) AS revenue, a.transaction_count,
         CASE WHEN a.state IN (SELECT state_code FROM nn) THEN FALSE
              WHEN t.state_code IS NULL THEN FALSE
              ELSE (a.revenue >= t.revenue_threshold
@@ -416,7 +433,7 @@ object OracleSql {
         END AS has_nexus,
         CAST(CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0
              WHEN t.state_code IS NULL THEN 0
-             ELSE t.revenue_threshold END AS DECIMAL(18,2)) AS revenue_threshold,
+             ELSE t.revenue_threshold END AS DOUBLE) AS revenue_threshold,
         CASE WHEN a.state IN (SELECT state_code FROM nn) THEN NULL
              WHEN t.state_code IS NULL THEN NULL
              ELSE t.transaction_threshold END AS transaction_threshold,
@@ -501,15 +518,15 @@ object OracleSql {
                  AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))
                END AS taxable
         FROM flags f)
-      SELECT transaction_id, state, CAST(taxable AS DECIMAL(18,2)) AS taxable_amount,
+      SELECT transaction_id, state, CAST(taxable AS DOUBLE) AS taxable_amount,
         CAST(CASE WHEN is_exempt THEN 0
              ELSE round(taxable * base_rate, 2) + round(taxable * local_rate, 2)
-             END AS DECIMAL(18,2)) AS tax_amount,
+             END AS DOUBLE) AS tax_amount,
         is_exempt, exemption_reason, city,
         CAST(CASE WHEN is_exempt THEN 0
-             ELSE round(taxable * base_rate, 2) END AS DECIMAL(18,2)) AS state_tax,
+             ELSE round(taxable * base_rate, 2) END AS DOUBLE) AS state_tax,
         CAST(CASE WHEN is_exempt THEN 0
-             ELSE round(taxable * local_rate, 2) END AS DECIMAL(18,2)) AS local_tax
+             ELSE round(taxable * local_rate, 2) END AS DOUBLE) AS local_tax
       FROM backout""",
 
     // Use tax (calculator.py:305-345): destination tax minus credit for tax
@@ -543,12 +560,12 @@ object OracleSql {
                END AS DECIMAL(18,2)) AS tax_amount
         FROM flags
       )
-      SELECT state, city, tax_amount,
+      SELECT state, city, CAST(tax_amount AS DOUBLE) AS tax_amount,
         CAST(CASE WHEN tax_paid < tax_amount THEN tax_paid ELSE tax_amount END
-             AS DECIMAL(18,2)) AS credit,
+             AS DOUBLE) AS credit,
         CAST(round(tax_amount -
           (CASE WHEN tax_paid < tax_amount THEN tax_paid ELSE tax_amount END), 2)
-          AS DECIMAL(18,2)) AS use_tax
+          AS DOUBLE) AS use_tax
       FROM taxed""",
 
     // ---- text / dedup ops over documents ----

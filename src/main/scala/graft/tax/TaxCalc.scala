@@ -205,11 +205,14 @@ object TaxCalc {
 
   /** Use tax on out-of-state purchases (calculator.py:305-345): destination
     * tax minus credit for tax already paid, floored at zero, re-rounded.
-    * Input: purchases(amount, state, city, tax_already_paid). */
-  def useTax(purchases: DataFrame): DataFrame = {
+    * Input: purchases(amount, state, city, tax_already_paid). `asOf` stamps
+    * the synthetic transaction date — an explicit parameter (never
+    * current_date()) per the repo's pinned-as-of determinism rule. */
+  def useTax(purchases: DataFrame,
+      asOf: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 1)): DataFrame = {
     val base = withTax(normalize(
       purchases.withColumn("transaction_id", lit("use-tax-calc"))
-        .withColumn("transaction_date", current_date())
+        .withColumn("transaction_date", lit(java.sql.Date.valueOf(asOf)))
         .withColumn("item_category", lit(null).cast(StringType))))
     val credit = least(col("tax_already_paid").cast(Money), col("tax_amount"))
     base
