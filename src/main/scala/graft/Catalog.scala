@@ -167,12 +167,15 @@ object Catalog {
     "op_topk_per_key" -> ((s, dir) => {
       // custom bounded-heap operator (graft.plans.TopKPerKey); the per-key
       // top-3 VALUE multiset is deterministic even under ties, so the
-      // window-based DuckDB oracle hash-matches
+      // window-based DuckDB oracle hash-matches. Rank is assigned AFTER the
+      // operator, over ≤ 3 rows per key — flat (key, rank, price) output
+      // (nested arrays crash the driver's hasher).
       val li = t(s, dir, "lineitem")
         .withColumn("price", col("l_extendedprice").cast(M2))
       graft.ops.TopK.perKey(li, Seq("l_suppkey"), col("price"), 3)
-        .groupBy("l_suppkey")
-        .agg(sort_array(collect_list(col("price")), asc = false).as("top_prices"))
+        .withColumn("price_rank", row_number().over(
+          Window.partitionBy("l_suppkey").orderBy(col("price").desc)))
+        .select(col("l_suppkey"), col("price_rank"), dbl(col("price")).as("price"))
     }),
 
     "op_sessionize" -> ((s, dir) => {
@@ -391,15 +394,27 @@ object Catalog {
         Seq("CA", "NY", "TX").toDF("state_code"), FilingAsOf)
     }),
 
-    "op_claims_nested" -> ((s, dir) => Refunds.claims(refunds(s, dir))),
+    // flat (state, rank, record-fields) projection of the capped nested
+    // claims — Refunds.claims keeps the nested document as API
+    "op_claims_nested" -> ((s, dir) =>
+      Refunds.cappedRecords(refunds(s, dir), 10)
+        .withColumn("rec_rank", row_number().over(
+          Window.partitionBy("state").orderBy(
+            struct(col("overpayment"), col("transaction_id"),
+              col("transaction_date"), col("sale_amount"), col("tax_paid"),
+              col("reason_key")).desc)))
+        .select(col("state").as("state_code"), col("rec_rank"),
+          col("transaction_id"), col("transaction_date"),
+          dbl(col("sale_amount")).as("sale_amount"),
+          dbl(col("tax_paid")).as("tax_paid"),
+          dbl(col("tax_owed")).as("tax_owed"),
+          dbl(col("overpayment")).as("overpayment"), col("reason_key"))),
 
     "op_tax_report" -> ((s, dir) =>
-      Reports.taxSummaryReport(taxed(s, dir), "synthetic", "2026-01-01")),
+      Reports.taxSummaryFlat(taxed(s, dir))),
 
-    "op_refund_report" -> ((s, dir) => {
-      val r = refunds(s, dir)
-      Reports.refundReport(r, totalReviewed = 0, generatedDate = "2026-01-01")
-    }),
+    "op_refund_report" -> ((s, dir) =>
+      Reports.refundFlat(refunds(s, dir), totalReviewed = 0)),
 
     "op_txn_details" -> ((s, dir) =>
       Reports.transactionDetails(taxed(s, dir))),

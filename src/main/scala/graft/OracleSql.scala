@@ -303,8 +303,8 @@ object OracleSql {
           row_number() OVER (PARTITION BY l_suppkey
             ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC) AS rn
         FROM lineitem)
-      SELECT l_suppkey, list(price ORDER BY price DESC) AS top_prices
-      FROM ranked WHERE rn <= 3 GROUP BY l_suppkey""",
+      SELECT l_suppkey, rn AS price_rank, CAST(price AS DOUBLE) AS price
+      FROM ranked WHERE rn <= 3""",
 
     "op_sessionize" -> """
       WITH flagged AS (
@@ -414,6 +414,76 @@ object OracleSql {
         count(*) AS transaction_count,
         string_agg(DISTINCT reason_key, ',' ORDER BY reason_key) AS supporting_reasons
       FROM refunds WHERE refund_eligible GROUP BY state""",
+
+    // flat capped claims records: top-10 per state by the same struct order
+    // the Spark side uses (all projected columns participate in the order,
+    // so the SELECTED rows are deterministic even under full ties)
+    "op_claims_nested" -> s"""
+      WITH $refundsCte,
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY state
+          ORDER BY overpayment DESC, transaction_id DESC,
+                   transaction_date DESC, sale_amount DESC, tax_paid DESC,
+                   reason_key DESC) AS rn
+        FROM refunds WHERE refund_eligible)
+      SELECT state AS state_code, rn AS rec_rank, transaction_id,
+        transaction_date,
+        CAST(sale_amount AS DOUBLE) AS sale_amount,
+        CAST(tax_paid AS DOUBLE) AS tax_paid,
+        CAST(tax_owed AS DOUBLE) AS tax_owed,
+        CAST(overpayment AS DOUBLE) AS overpayment,
+        reason_key
+      FROM ranked WHERE rn <= 10""",
+
+    "op_tax_report" -> s"""
+      WITH $taxCte,
+      st AS (
+        SELECT 'state' AS section, state, count(*) AS transaction_count,
+          CAST(sum(taxable_amount) AS DOUBLE) AS taxable_amount,
+          CAST(sum(tax_amount) AS DOUBLE) AS tax_amount,
+          CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
+               AS DOUBLE) AS exempt_amount,
+          count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
+        FROM taxcalc GROUP BY state),
+      sm AS (
+        SELECT 'summary' AS section, CAST(NULL AS VARCHAR) AS state,
+          count(*) AS transaction_count,
+          CAST(sum(taxable_amount) AS DOUBLE) AS taxable_amount,
+          CAST(sum(tax_amount) AS DOUBLE) AS tax_amount,
+          CAST(coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
+               AS DOUBLE) AS exempt_amount,
+          count(CASE WHEN is_exempt THEN 1 END) AS exempt_count
+        FROM taxcalc)
+      SELECT *, CASE WHEN taxable_amount > 0
+                     THEN tax_amount / taxable_amount ELSE 0.0
+                END AS effective_rate
+      FROM (SELECT * FROM st UNION ALL SELECT * FROM sm)""",
+
+    "op_refund_report" -> s"""
+      WITH $refundsCte,
+      s AS (
+        SELECT CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment,
+          count(*) AS overpayment_count,
+          min(CASE WHEN refund_eligible THEN transaction_date END) AS oldest,
+          max(CASE WHEN refund_eligible THEN transaction_date END) AS newest,
+          CAST(round(coalesce(sum(CASE WHEN refund_eligible THEN overpayment END), 0)
+                     * CAST(0.85 AS DECIMAL(3,2)), 2) AS DOUBLE) AS recovery
+        FROM refunds)
+      SELECT 'summary' AS section, CAST(NULL AS VARCHAR) AS key,
+        total_overpayment AS amount, overpayment_count AS n,
+        CAST(NULL AS DATE) AS d FROM s
+      UNION ALL
+      SELECT 'recovery', NULL, recovery, 0, NULL FROM s
+      UNION ALL
+      SELECT 'oldest_eligible', NULL, NULL, NULL, oldest FROM s
+      UNION ALL
+      SELECT 'newest_eligible', NULL, NULL, NULL, newest FROM s
+      UNION ALL
+      SELECT 'state', state, CAST(sum(overpayment) AS DOUBLE), NULL, NULL
+      FROM refunds GROUP BY state
+      UNION ALL
+      SELECT 'reason', reason_key, CAST(sum(overpayment) AS DOUBLE), NULL, NULL
+      FROM refunds GROUP BY reason_key""",
 
     "op_nexus_check" -> s"""
       WITH $txnsCte,

@@ -21,6 +21,11 @@ object Salting {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // right/full joins would emit each unmatched dim row `buckets` times
+    // (once per exploded salt) — only fact-preserving join types are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase),
+      s"saltedJoin preserves only fact-side join types, got: $joinType")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets))
         .cast("int"))

@@ -9,7 +9,14 @@ import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
   * use (idempotent). */
 object TopK {
   /** The k highest (or lowest) rows per key group, by `order`. Output order
-    * within groups is unspecified (sort after if needed). */
+    * within groups is unspecified (sort after if needed).
+    *
+    * Semantics notes:
+    *  - rows whose `order` evaluates to NULL are dropped (unlike the
+    *    row_number() formulation, where nulls sort last and can fill out k);
+    *  - ties at the k boundary keep an arbitrary row among the tied ones —
+    *    pass a struct order (e.g. `struct(score, id)`) when the selected
+    *    ROWS (not just the order-value multiset) must be deterministic. */
   def perKey(df: DataFrame, keyCols: Seq[String], order: Column, k: Int,
       descending: Boolean = true): DataFrame = {
     val spark = df.sparkSession

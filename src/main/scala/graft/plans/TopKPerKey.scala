@@ -68,11 +68,20 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Expression,
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordEval = ordExpr // bound below per row
       val boundOrd = org.apache.spark.sql.catalyst.expressions
         .BindReferences.bindReference(ordExpr, childOutput)
       val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(ordExpr.dataType)
+      // Evaluated order values for buffer-backed types (strings, structs,
+      // arrays) alias the reused UnsafeRow buffer and would be silently
+      // mutated as the iterator advances — copy before storing in the heap.
+      val copyOrd: Any => Any = {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case v => v
+      }
       // heap keeps the WORST element on top so it can be evicted
       implicit val heapOrd: Ordering[(Any, UnsafeRow)] = new Ordering[(Any, UnsafeRow)] {
         override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int = {
@@ -92,13 +101,13 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Expression,
         }
         val ordVal = boundOrd.eval(row)
         if (ordVal != null) {
-          if (heap.size < limit) heap.enqueue((ordVal, rowProj(row).copy()))
+          if (heap.size < limit) heap.enqueue((copyOrd(ordVal), rowProj(row).copy()))
           else {
             val worst = heap.head
             val c = ordering.compare(ordVal, worst._1)
             if ((desc && c > 0) || (!desc && c < 0)) {
               heap.dequeue()
-              heap.enqueue((ordVal, rowProj(row).copy()))
+              heap.enqueue((copyOrd(ordVal), rowProj(row).copy()))
             }
           }
         }

@@ -132,26 +132,49 @@ object Refunds {
         col("transaction_id"), col("state"),
         col("overpayment").cast(DoubleType)).as("warning"))
 
+  /** Deterministic per-state top-`maxRecords` eligible records by
+    * (overpayment, id, date, amounts) descending — the full struct order
+    * makes the SELECTED rows (not just their order values) deterministic
+    * even when transaction ids collide. Uses the bounded-heap
+    * [[graft.ops.TopK]] operator: the shuffle carries ≤ maxRecords rows per
+    * (state, partition) instead of every eligible record. */
+  def cappedRecords(over: DataFrame, maxRecords: Int): DataFrame =
+    graft.ops.TopK.perKey(over.filter(col("refund_eligible")), Seq("state"),
+      struct(col("overpayment"), col("transaction_id"),
+        col("transaction_date"), col("sale_amount"), col("tax_paid"),
+        col("reason_key")),
+      maxRecords)
+
   /** State-by-state refund claims (refund_analyzer.py:254-297): eligible
     * records grouped per state with period bounds, nested record list
     * (sorted by transaction_id for determinism — Python dict order is
     * insertion order; Spark collect_list is unordered), distinct reason
-    * prefixes, and filing notes. Sorted by refund desc. */
-  def claims(over: DataFrame): DataFrame = {
+    * prefixes, and filing notes. Sorted by refund desc.
+    *
+    * The embedded record array is CAPPED at the `maxRecords` largest
+    * overpayments per state (deterministic tie-break) — an unbounded
+    * collect_list would buffer one state's entire record set in a single
+    * aggregation buffer, which does not survive 100 TB. Full detail belongs
+    * in a flat sink (see [[overpayments]] / Reports.transactionDetails). */
+  def claims(over: DataFrame, maxRecords: Int = 100): DataFrame = {
     val solYears = Dims.solYears(over.sparkSession)
       .select(col("state_code").as("sol_state"), col("sol_years"))
-    over.filter(col("refund_eligible"))
+    val headers = over.filter(col("refund_eligible"))
       .groupBy(col("state").as("state_code"))
       .agg(
         min("transaction_date").as("claim_period_start"),
         max("transaction_date").as("claim_period_end"),
         sum("overpayment").cast(Money).as("total_refund_requested"),
         count(lit(1)).as("transaction_count"),
-        array_sort(collect_list(struct(
-          col("transaction_id"), col("transaction_date"), col("sale_amount"),
-          col("tax_paid"), col("tax_owed"), col("overpayment"), col("reason"))))
-          .as("records"),
         array_sort(collect_set(col("reason_key"))).as("supporting_reasons"))
+    val recs = cappedRecords(over, maxRecords)
+      .groupBy(col("state").as("rec_state"))
+      .agg(array_sort(collect_list(struct(
+        col("transaction_id"), col("transaction_date"), col("sale_amount"),
+        col("tax_paid"), col("tax_owed"), col("overpayment"), col("reason"))))
+        .as("records"))
+    headers
+      .join(recs, col("state_code") === col("rec_state"), "left")
       .join(broadcast(solYears), col("state_code") === col("sol_state"), "left")
       .withColumn("sol_years_eff",
         coalesce(col("sol_years"), lit(Dims.DefaultSolYears)))
@@ -159,7 +182,7 @@ object Refunds {
         "Refund claim for %d transactions. SOL: %d years from transaction date. Total requested: $%,.2f",
         col("transaction_count"), col("sol_years_eff"),
         col("total_refund_requested").cast(DoubleType)))
-      .drop("sol_state", "sol_years", "sol_years_eff")
+      .drop("rec_state", "sol_state", "sol_years", "sol_years_eff")
       .orderBy(col("total_refund_requested").desc, col("state_code"))
   }
 

@@ -47,8 +47,65 @@ object Reports {
       col("summary"), col("state_breakdown"))
   }
 
+  /** Oracle-flat projection of [[taxSummaryReport]]: per-state breakdown
+    * rows (section='state') plus the global summary row (section='summary').
+    * The driver's hasher cannot sort nested arrays, so the DECLARED query
+    * flattens the document; the nested single-row variant stays API-only. */
+  def taxSummaryFlat(taxed: DataFrame): DataFrame = {
+    val st = TaxCalc.summaryByState(taxed).select(
+      lit("state").as("section"), col("state"),
+      col("transaction_count"),
+      col("taxable_amount").cast(DoubleType).as("taxable_amount"),
+      col("tax_amount").cast(DoubleType).as("tax_amount"),
+      col("exempt_amount").cast(DoubleType).as("exempt_amount"),
+      col("exempt_count"), col("effective_rate"))
+    val sm = TaxCalc.batchAgg(taxed).select(
+      lit("summary").as("section"), lit(null).cast(StringType).as("state"),
+      col("transaction_count"),
+      col("total_taxable").cast(DoubleType).as("taxable_amount"),
+      col("total_tax").cast(DoubleType).as("tax_amount"),
+      col("total_exempt").cast(DoubleType).as("exempt_amount"),
+      col("exempt_count"),
+      when(col("total_taxable") > 0, col("total_tax").cast(DoubleType) /
+        col("total_taxable").cast(DoubleType)).otherwise(0.0)
+        .as("effective_rate"))
+    st.unionByName(sm)
+  }
+
+  /** Oracle-flat projection of [[refundReport]]: one row per report fact —
+    * sections summary / recovery / oldest_eligible / newest_eligible /
+    * state / reason over shared (section, key, amount, n, d) columns. */
+  def refundFlat(over: DataFrame, totalReviewed: Long): DataFrame = {
+    val nullKey = lit(null).cast(StringType)
+    val nullAmt = lit(null).cast(DoubleType)
+    val nullN = lit(null).cast(LongType)
+    val nullD = lit(null).cast(DateType)
+    val s = Refunds.summary(over, totalReviewed)
+    val sm = s.select(lit("summary").as("section"), nullKey.as("key"),
+      col("total_overpayment").cast(DoubleType).as("amount"),
+      col("overpayment_count").as("n"), nullD.as("d"))
+    val rec = s.select(lit("recovery").as("section"), nullKey.as("key"),
+      col("estimated_recovery").cast(DoubleType).as("amount"),
+      col("total_transactions_reviewed").as("n"), nullD.as("d"))
+    val oldest = s.select(lit("oldest_eligible").as("section"),
+      nullKey.as("key"), nullAmt.as("amount"), nullN.as("n"),
+      col("oldest_eligible").as("d"))
+    val newest = s.select(lit("newest_eligible").as("section"),
+      nullKey.as("key"), nullAmt.as("amount"), nullN.as("n"),
+      col("newest_eligible").as("d"))
+    val byState = Refunds.byState(over).select(lit("state").as("section"),
+      col("state").as("key"), col("overpayment").cast(DoubleType).as("amount"),
+      nullN.as("n"), nullD.as("d"))
+    val byReason = Refunds.byReason(over).select(lit("reason").as("section"),
+      col("reason_key").as("key"),
+      col("overpayment").cast(DoubleType).as("amount"),
+      nullN.as("n"), nullD.as("d"))
+    sm.unionByName(rec).unionByName(oldest).unionByName(newest)
+      .unionByName(byState).unionByName(byReason)
+  }
+
   /** Nexus analysis report (report_generator.py:136-185): bucket counts +
-    * the three per-bucket arrays. */
+    * the three per-bucket arrays (bounded: keyed by state, ≤ 51 entries). */
   def nexusReport(nexus: DataFrame, generatedDate: String = ""): DataFrame = {
     val bucketed = nexus.withColumn("bucket",
       when(col("has_nexus"), "nexus_established")
@@ -101,9 +158,14 @@ object Reports {
         .as("upcoming_filings"))
   }
 
-  /** Refund opportunity report (report_generator.py:245-310). */
+  /** Refund opportunity report (report_generator.py:245-310).
+    *
+    * `overpayment_details` embeds only the `maxDetails` LARGEST overpayments
+    * (the reference embeds every record — fine at 57 rows, not at 100 TB
+    * where one array would hold the whole overpayment table). Full detail
+    * belongs in a flat partitioned sink ([[transactionDetails]]). */
   def refundReport(over: DataFrame, totalReviewed: Long,
-      generatedDate: String = ""): DataFrame = {
+      generatedDate: String = "", maxDetails: Int = 100): DataFrame = {
     val summary = Refunds.summary(over, totalReviewed)
       .select(struct(
         col("total_transactions_reviewed").as("transactions_reviewed"),
@@ -120,6 +182,8 @@ object Reports {
         col("reason_key").as("reason")).as("r"))
       .agg(reverse(array_sort(collect_list(col("r")))).as("reason_breakdown"))
     val details = over
+      .orderBy(col("overpayment").desc, col("transaction_id"))
+      .limit(maxDetails)
       .select(struct(
         col("transaction_id"), date_format(col("transaction_date"), "yyyy-MM-dd").as("date"),
         col("state"), col("sale_amount").cast(DoubleType).as("sale_amount"),
