@@ -338,23 +338,28 @@ object Catalog {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
     }),
 
-    // Spark-hash-specific ops: declared without oracle (rows-only check);
-    // correctness pinned by unit specs instead.
+    // Dedup/similarity families hash with the engine-portable md5-prefix
+    // base hash in their DECLARED queries (xxhash64 is Spark-only; the
+    // banding/voting/affine math is identical either way and the xxh64
+    // fast path is cross-validated in DedupSpec).
     "op_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(dedupCorpus(s, dir), minAgree = 20)),
+      Dedup.minhashPairs(dedupCorpus(s, dir), minAgree = 20, portable = true)),
 
     "op_simhash" -> ((s, dir) =>
-      Dedup.withSimhash(dedupCorpus(s, dir)).select("doc_id", "simhash")),
+      Dedup.withSimhash(dedupCorpus(s, dir), portable = true)
+        .select("doc_id", "simhash")),
 
     "op_lsh_ann" -> ((s, dir) =>
       Similarity.lshTopK(
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
-        k = 5, nPlanes = 8)),
+        k = 5)),
 
     "op_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-      val model = graft.text.Ivf.train(emb, c = 16, iters = 5)
+      // fixed-formula centroids (oracle-checkable); Ivf.train is the
+      // data-adaptive alternative, pinned by IvfSpec's recall test
+      val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
       graft.text.Ivf.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         model, k = 5, nprobe = 4)
     }),
@@ -362,14 +367,14 @@ object Catalog {
     "op_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
-        minCos = 0.2, nPlanes = 4)),
+        minCos = 0.2)),
 
+    // byte-level features (byte_mean/entropy/histogram) stay API-only —
+    // the oracle checks the ids/kinds/sizes/frame-sampling plumbing
     "op_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
-        .toDF.select("media_id", "kind", "n_bytes", "byte_mean", "frames_sampled")),
+        .toDF.select("media_id", "kind", "n_bytes", "frames_sampled")),
 
-    // ---- remaining reference surfaces (rows-only: formatted strings /
-    // nested documents / decimal division, each pinned by unit goldens) ----
     "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
       SyntheticTxns.txns(s, dir)
         .select(col("amount"), col("state"), col("city"),

@@ -128,7 +128,10 @@ object OracleSql {
              ELSE round(amount * local_rate, 2) END AS DECIMAL(18,2)) AS local_tax,
         CAST(CASE WHEN (no_tax OR cust_ex OR cert_ex OR cat_ex) THEN 0
              ELSE round(amount * base_rate, 2) + round(amount * local_rate, 2)
-             END AS DECIMAL(18,2)) AS tax_amount
+             END AS DECIMAL(18,2)) AS tax_amount,
+        CASE WHEN (no_tax OR cust_ex OR cert_ex OR cat_ex)
+             THEN CAST(0 AS DECIMAL(12,6))
+             ELSE base_rate + local_rate END AS combined_rate
       FROM flags
     )"""
 
@@ -190,6 +193,65 @@ object OracleSql {
   /** English stopword total — mirrors TextOps.qualitySignals. */
   val stopwordSumSql: String =
     splitCount(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+
+  /** Word-3-gram shingles of the dedup corpus — mirrors [[graft.text.Dedup
+    * .shingles]] (distinct trigrams; short docs fall back to the joined
+    * token string). Yields `shd(doc_id, s)`. */
+  val shinglesCte: String = s"""
+    $corpusCte,
+    tok AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+      FROM corpus),
+    shd AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM tok))"""
+
+  /** The MinHash affine coefficient families as SQL list literals — same
+    * values as [[graft.text.Dedup.coefA]]/coefB. */
+  private val coefASql = graft.text.Dedup.coefA.mkString("[", ", ", "]")
+  private val coefBSql = graft.text.Dedup.coefB.mkString("[", ", ", "]")
+
+  /** Engine-portable shingle hash — mirrors [[graft.text.Dedup
+    * .portableHash]]: first 15 md5 hex chars as a 60-bit integer. */
+  private def md5Long(col: String): String =
+    s"CAST('0x' || substring(md5($col), 1, 15) AS BIGINT)"
+
+  /** Left-to-right cosine similarity between two FLOAT[]/DOUBLE[] columns —
+    * bit-identical to [[graft.functions.CosineSim]]'s fused loop. */
+  private def cosSql(a: String, b: String): String = s"""
+        list_sum(list_transform(list_zip($a, $b),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        / sqrt(
+            list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+  /** Sign-LSH bucket id for table `t` (planes t*8 .. t*8+7) — mirrors
+    * [[graft.text.Similarity.tableSignature]] with planesPerTable = 8. */
+  private def lshBucketSql(embCol: String, tExpr: String): String = s"""
+        CAST(list_sum(list_transform(generate_series(0, 7), p ->
+          CASE WHEN list_sum(list_transform(
+                 list_zip($embCol, generate_series(0, len($embCol) - 1)),
+                 z -> CAST(z[1] AS DOUBLE) *
+                   (CASE WHEN ((z[2] + ($tExpr * 8 + p) * 1000003)
+                               * 2654435761) % 2147483647 % 2 = 0
+                         THEN 1.0 ELSE -1.0 END))) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT)"""
+
+  /** Fixed IVF centroids as a VALUES list — mirrors
+    * [[graft.text.Ivf.fixedModel]](16, 64). */
+  private val ivfCentsSql: String = (0 until 16).map { j =>
+    val comps = (0 until 64).map(d => graft.text.Ivf.fixedComponent(j, d))
+      .mkString("[", ",", "]")
+    s"($j, $comps::DOUBLE[])"
+  }.mkString("(VALUES ", ", ", ") AS cents(j, cent)")
 
   /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
   val all: Map[String, String] = Map(
@@ -735,6 +797,251 @@ object OracleSql {
       JOIN counts ca ON ca.doc_id = i.a
       JOIN counts cb ON cb.doc_id = i.b
       WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter""",
+
+    // ---- portable-hash dedup / similarity families ----
+    "op_minhash_pairs" -> s"""
+      WITH $shinglesCte,
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT c.a, c.b,
+          CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b)
+      SELECT a, b, n_agree FROM pairs WHERE n_agree >= 20""",
+
+    "op_simhash" -> s"""
+      WITH $shinglesCte,
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")}) AS hs
+        FROM shd GROUP BY doc_id)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(0, 59), j ->
+          CASE WHEN list_sum(list_transform(hs,
+                 h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS simhash
+      FROM hsh""",
+
+    "op_lsh_ann" -> s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, tt.t AS tbl,
+          ${lshBucketSql("embedding", "tt.t")} AS bkt
+        FROM embeddings CROSS JOIN generate_series(0, 3) AS tt(t)),
+      keep AS (SELECT tbl, bkt FROM sigs GROUP BY tbl, bkt
+               HAVING count(*) <= 512),
+      f AS (SELECT s.vec_id, s.tbl, s.bkt FROM sigs s JOIN keep USING (tbl, bkt)),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS neighbor_id
+        FROM f x JOIN f y
+          ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id <> y.vec_id),
+      scored AS (
+        SELECT c.q_id, c.neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.q_id
+        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
+
+    "op_embed_neardup" -> s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, tt.t AS tbl,
+          ${lshBucketSql("embedding", "tt.t")} AS bkt
+        FROM embeddings CROSS JOIN generate_series(0, 3) AS tt(t)),
+      keep AS (SELECT tbl, bkt FROM sigs GROUP BY tbl, bkt
+               HAVING count(*) <= 512),
+      f AS (SELECT s.vec_id, s.tbl, s.bkt FROM sigs s JOIN keep USING (tbl, bkt)),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM f x JOIN f y
+          ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT c.a, c.b, ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.a
+        JOIN embeddings e2 ON e2.vec_id = c.b)
+      SELECT a, b, cos FROM scored WHERE cos >= 0.2""",
+
+    "op_ivf_ann" -> s"""
+      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cents c),
+      -- first-max cell, like Spark's array_position(sims, array_max(sims))
+      assigned AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1),
+      -- top-nprobe cells per query; Spark sorts (sim, cell) structs and
+      -- reverses, so ties break on cell DESC
+      probes AS (
+        SELECT vec_id AS q_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
+          FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.q_id
+        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
+
+    "op_media_features" -> """
+      SELECT doc_id AS media_id,
+        list_extract(['image', 'audio', 'video'],
+          CAST(doc_id % 3 AS INT) + 1) AS kind,
+        octet_length(encode(text)) AS n_bytes,
+        CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             ELSE least(64, (octet_length(encode(text)) - 1) // 32 + 1)
+        END AS frames_sampled
+      FROM documents""",
+
+    "op_txn_details" -> s"""
+      WITH $taxCte
+      SELECT transaction_id, state, coalesce(city, '') AS city,
+        CAST(taxable_amount AS DOUBLE) AS taxable_amount,
+        CAST(state_tax AS DOUBLE) AS state_tax,
+        CAST(local_tax AS DOUBLE) AS local_tax,
+        CAST(tax_amount AS DOUBLE) AS total_tax,
+        CAST(CAST(combined_rate * 100 AS DECIMAL(10,4)) AS VARCHAR) || '%'
+          AS effective_rate,
+        is_exempt, exemption_reason
+      FROM taxcalc""",
+
+    "op_alerts" -> s"""
+      WITH $txnsCte,
+      activity AS (
+        SELECT state, CAST(sum(amount) AS DECIMAL(18,2)) AS revenue,
+          count(*) AS transaction_count
+        FROM txns GROUP BY state),
+      nx AS (SELECT state_code, revenue_threshold, transaction_threshold
+             FROM read_parquet('$Fix/nexus_thresholds.parquet')),
+      nn AS (SELECT state_code FROM read_parquet('$Fix/no_nexus_states.parquet')),
+      regs AS (SELECT * FROM (VALUES ('CA'), ('NY'), ('TX')) t(state_code)),
+      chk AS (
+        SELECT a.state, a.revenue, a.transaction_count,
+          (a.state IN (SELECT state_code FROM nn)) AS is_nn,
+          (t.state_code IS NULL) AS no_data,
+          CASE WHEN a.state IN (SELECT state_code FROM nn) THEN FALSE
+               WHEN t.state_code IS NULL THEN FALSE
+               ELSE (a.revenue >= t.revenue_threshold
+                     OR (t.transaction_threshold IS NOT NULL
+                         AND a.transaction_count >= t.transaction_threshold))
+          END AS has_nexus,
+          CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0.0
+               WHEN t.state_code IS NULL THEN 0.0
+               WHEN t.revenue_threshold > 0 THEN
+                 CAST(a.revenue AS DOUBLE) / CAST(t.revenue_threshold AS DOUBLE) * 100
+               ELSE 0.0 END AS rev_pct,
+          CASE WHEN a.state IN (SELECT state_code FROM nn)
+                 OR t.state_code IS NULL THEN NULL
+               WHEN t.transaction_threshold IS NOT NULL THEN
+                 CAST(a.transaction_count AS DOUBLE)
+                   / CAST(t.transaction_threshold AS DOUBLE) * 100
+          END AS txn_pct
+        FROM activity a LEFT JOIN nx t ON t.state_code = a.state),
+      appr AS (
+        SELECT *, CASE WHEN is_nn OR no_data THEN FALSE
+                       ELSE (rev_pct >= 80 OR coalesce(txn_pct >= 80, FALSE))
+                            AND NOT has_nexus END AS approaching
+        FROM chk),
+      nexus_alerts AS (
+        SELECT
+          CASE WHEN has_nexus AND r.state_code IS NULL THEN 'critical'
+               ELSE 'warning' END AS severity,
+          c.state AS state_code,
+          CASE WHEN has_nexus AND r.state_code IS NULL
+               THEN 'Economic nexus established in ' || c.state ||
+                    ' but not registered for sales tax collection'
+               ELSE 'Approaching economic nexus threshold in ' || c.state ||
+                    ' (' || CAST(CAST(floor(rev_pct + 0.5) AS BIGINT) AS VARCHAR) ||
+                    '% of revenue limit)' END AS message,
+          CASE WHEN has_nexus AND r.state_code IS NULL
+               THEN 'Register for sales tax in ' || c.state ||
+                    ' immediately. Revenue: ' || '$$' ||
+                    format('{:,}', CAST(c.revenue * 100 AS BIGINT) // 100) ||
+                    '.' ||
+                    lpad(CAST(CAST(c.revenue * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+               ELSE 'Monitor ' || c.state ||
+                    ' activity. Prepare registration materials proactively.'
+          END AS action_required,
+          CAST(NULL AS DATE) AS deadline
+        FROM appr c LEFT JOIN regs r ON r.state_code = c.state
+        WHERE (has_nexus AND r.state_code IS NULL) OR approaching),
+      freqr AS (
+        SELECT state_code,
+          CASE WHEN 0 >= 4800 THEN 'monthly'
+               WHEN 0 >= 1200 THEN 'quarterly'
+               ELSE 'annual' END AS frequency
+        FROM regs),
+      periods AS (
+        SELECT f.state_code, f.frequency, CAST(ms AS DATE) AS period_start
+        FROM freqr f CROSS JOIN generate_series(DATE '2024-01-01',
+          DATE '2024-12-01', INTERVAL 1 MONTH) AS t(ms)
+        WHERE (f.frequency = 'monthly')
+           OR (f.frequency = 'quarterly'
+               AND month(CAST(ms AS DATE)) IN (1, 4, 7, 10))
+           OR (f.frequency = 'annual' AND month(CAST(ms AS DATE)) = 1)),
+      pend AS (
+        SELECT *, CASE WHEN frequency = 'monthly' THEN last_day(period_start)
+                       WHEN frequency = 'quarterly'
+                         THEN last_day(period_start + INTERVAL 2 MONTH)
+                       ELSE DATE '2024-12-31' END AS period_end
+        FROM periods),
+      dd AS (SELECT state_code, due_day
+             FROM read_parquet('$Fix/filing_due_days.parquet')),
+      due AS (
+        SELECT p.state_code, p.period_start, p.period_end,
+          make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    coalesce(d.due_day, 20)) AS due_date
+        FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code),
+      overdue_alerts AS (
+        SELECT
+          CASE WHEN datediff('day', due_date, DATE '2024-12-01') > 30
+               THEN 'critical' ELSE 'warning' END AS severity,
+          state_code,
+          state_code || ' return for ' || strftime(period_start, '%Y-%m-%d') ||
+            ' to ' || strftime(period_end, '%Y-%m-%d') || ' is ' ||
+            CAST(datediff('day', due_date, DATE '2024-12-01') AS VARCHAR) ||
+            ' days past due' AS message,
+          'File ' || state_code || ' return immediately. Late penalties may apply.'
+            AS action_required,
+          due_date AS deadline
+        FROM due WHERE due_date < DATE '2024-12-01')
+      SELECT * FROM nexus_alerts UNION ALL SELECT * FROM overdue_alerts""",
 
     "op_ann_topk" -> """
       WITH q AS (

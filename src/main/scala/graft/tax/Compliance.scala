@@ -196,8 +196,20 @@ object Compliance {
     * sort is stable; Spark's is not — state/message secondaries pin order). */
   def alerts(activity: DataFrame, registered: DataFrame,
       asOf: java.time.LocalDate, filed: Option[DataFrame] = None): DataFrame = {
-    val nexus = checkNexus(activity)
+    // the alert union re-sorts at the end — checkNexus's rev-pct sort would
+    // be thrown away, so use the unsorted variant
+    val nexus = checkNexusUnsorted(activity)
     val reg = registered.select(upper(col("state_code")).as("reg_state"))
+
+    // Display formatting derived from exact values, not float printf:
+    //  - pct rounds via floor(x + 0.5) (engine-identical; C/Python %.0f
+    //    round half-even, Java HALF_UP — deviation only at exact halves);
+    //  - revenue renders from exact cents (comma-grouped int + 2-digit
+    //    fraction), matching the reference's f"{v:,.2f}" text.
+    val pctInt = floor(col("revenue_pct_of_threshold") + lit(0.5)).cast(LongType)
+    val revCents = (col("revenue") * 100).cast(LongType)
+    val revMoney = concat(format_number((revCents / 100).cast(LongType), 0),
+      lit("."), lpad((revCents % 100).cast(StringType), 2, "0"))
 
     val nexusAlerts = nexus
       .join(broadcast(reg), col("state") === col("reg_state"), "left")
@@ -208,15 +220,17 @@ object Compliance {
           .otherwise("warning").as("severity"),
         col("state").as("state_code"),
         when(col("has_nexus") && col("unregistered"),
-          format_string("Economic nexus established in %s but not registered for sales tax collection",
-            col("state")))
-          .otherwise(format_string("Approaching economic nexus threshold in %s (%.0f%% of revenue limit)",
-            col("state"), col("revenue_pct_of_threshold"))).as("message"),
+          concat(lit("Economic nexus established in "), col("state"),
+            lit(" but not registered for sales tax collection")))
+          .otherwise(concat(lit("Approaching economic nexus threshold in "),
+            col("state"), lit(" ("), pctInt.cast(StringType),
+            lit("% of revenue limit)"))).as("message"),
         when(col("has_nexus") && col("unregistered"),
-          format_string("Register for sales tax in %s immediately. Revenue: $%,.2f",
-            col("state"), col("revenue").cast(DoubleType)))
-          .otherwise(format_string("Monitor %s activity. Prepare registration materials proactively.",
-            col("state"))).as("action_required"),
+          concat(lit("Register for sales tax in "), col("state"),
+            lit(" immediately. Revenue: $"), revMoney))
+          .otherwise(concat(lit("Monitor "), col("state"),
+            lit(" activity. Prepare registration materials proactively.")))
+          .as("action_required"),
         lit(null).cast(DateType).as("deadline"))
 
     val overdue = overdueFilings(

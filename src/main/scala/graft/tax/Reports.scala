@@ -213,7 +213,11 @@ object Reports {
       .option("header", "true").csv(path)
 
   /** Per-transaction detail CSV (report_generator.py:372-413): fixed 10-col
-    * layout, `%`-formatted effective rate, empty string for null city. */
+    * layout, `%`-formatted effective rate, empty string for null city.
+    * The rate string is derived from the EXACT decimal rate (scale-4 cast →
+    * string), not printf on a double: the text is identical ("8.2500%") but
+    * float printf is engine-sensitive at ties (Java %.Nf rounds HALF_UP, C
+    * half-even) while a decimal's rendering is not. */
   def transactionDetails(taxed: DataFrame): DataFrame =
     taxed.select(
       col("transaction_id"), col("state"),
@@ -222,7 +226,9 @@ object Reports {
       col("state_tax").cast(DoubleType).as("state_tax"),
       col("local_tax").cast(DoubleType).as("local_tax"),
       col("tax_amount").cast(DoubleType).as("total_tax"),
-      format_string("%.4f%%", col("effective_rate") * 100).as("effective_rate"),
+      concat(((col("state_rate") + col("local_rate")) * lit(100))
+        .cast(DecimalType(10, 4)).cast(StringType), lit("%"))
+        .as("effective_rate"),
       col("is_exempt"), col("exemption_reason"))
 
   def exportTransactionDetails(taxed: DataFrame, path: String): Unit =

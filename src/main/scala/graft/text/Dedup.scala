@@ -21,10 +21,11 @@ object Dedup {
   val RowsPerBand = 4 // NumHashes / Bands
 
   /** Deterministic affine coefficients for the MinHash family (seeded,
-    * data-independent). */
-  private val coefA: Array[Long] =
+    * data-independent). Exposed for the DuckDB oracle, which embeds them as
+    * SQL list literals. */
+  val coefA: Array[Long] =
     Array.tabulate(NumHashes)(i => 2654435761L * (i + 1) % P | 1L)
-  private val coefB: Array[Long] =
+  val coefB: Array[Long] =
     Array.tabulate(NumHashes)(i => 40503L * (i + 7) * 2654435769L % P)
 
   /** Exact dedup: canonical survivor per identical text. */
@@ -55,6 +56,19 @@ object Dedup {
   private def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(P)))
 
+  /** Engine-portable base hash: the first 15 hex chars of md5 parsed as a
+    * 60-bit integer (DuckDB: `CAST('0x' || substring(md5(s),1,15) AS
+    * BIGINT)`), optionally folded into [0, 2^31). xxhash64 is Spark-only,
+    * so the oracle-checked dedup queries hash with md5 — the shingling,
+    * affine-permutation, banding, and voting math is identical either way;
+    * the xxh64 family stays the fast path for non-oracle use. */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  private def portableHashes(sh: Column, foldP: Boolean): Column =
+    transform(sh, s =>
+      if (foldP) pmod(portableHash(s), lit(P)) else portableHash(s))
+
   /** MinHash signature via the native codegen expression
     * [[graft.functions.MinHashSig]] — one fused pass over the shingles. */
   def minhashSignature(text: Column): Column =
@@ -84,15 +98,32 @@ object Dedup {
   def withSignature(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("sig", minhashSignature(col(textCol)))
 
+  /** Engine-portable MinHash signature: same affine family over
+    * [[portableHash]] base hashes — one `aggregate` pass with a 64-wide
+    * running-min accumulator (hash array in argument position; see the
+    * PERF note on [[minhashSignatureHof]]). */
+  def minhashSignaturePortable(text: Column): Column = {
+    val base = portableHashes(shingles(text), foldP = true)
+    val aLit = typedLit(coefA.toSeq)
+    val bLit = typedLit(coefB.toSeq)
+    val idx = typedLit((0 until NumHashes).toList)
+    aggregate(base, array_repeat(lit(P), NumHashes),
+      (acc, x) => zip_with(acc, idx, (m, i) =>
+        least(m, pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1),
+          lit(P)))))
+  }
+
   /** LSH candidate pairs from a precomputed `(id, sig)` frame: band the
-    * signature (16 bands × 4 rows), bucket-join on (band, hash-of-band),
-    * emit each unordered pair once. */
+    * signature (16 bands × 4 rows), bucket-join on (band, band-key), emit
+    * each unordered pair once. Band keys are the joined band values (hash-
+    * scheme-agnostic, so the same banding serves the xxh64 and portable
+    * signatures — bucketing only needs equality). */
   def lshCandidatesFromSigs(sigs: DataFrame): DataFrame = {
     // bands as an explicit 16-element array: `sig` appears 16× in argument
     // position, so CollapseProject keeps it materialized (a single lambda-
     // captured reference would re-run the signature aggregate per band)
     val bandArr = array((0 until Bands).map(b =>
-      xxhash64(slice(col("sig"), lit(b * RowsPerBand + 1), lit(RowsPerBand)))): _*)
+      concat_ws(",", slice(col("sig"), lit(b * RowsPerBand + 1), lit(RowsPerBand)))): _*)
     val banded = sigs.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"), col("id").as("a"))
@@ -108,14 +139,19 @@ object Dedup {
       withSignature(docs, textCol).select(col(idCol).as("id"), col("sig")))
 
   /** Candidate pairs + estimated Jaccard from signature agreement; keep
-    * pairs with est ≥ threshold (num agreeing hashes ≥ thresh64/64). */
+    * pairs with est ≥ threshold (num agreeing hashes ≥ thresh64/64).
+    * `portable = true` hashes shingles with [[portableHash]] instead of
+    * xxhash64 — same banding/agreement math, DuckDB-reproducible. */
   def minhashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", minAgree: Int = 32): DataFrame = {
+      idCol: String = "doc_id", minAgree: Int = 32,
+      portable: Boolean = false): DataFrame = {
     // Persist the (id, sig) table: it feeds the band join twice and the
     // verify join twice — without it the signature aggregate (the expensive
     // narrow stage) runs 3-4×. Size is id + 64 longs per doc — tiny
     // relative to the corpus, safe to persist at any scale.
-    val sigs = withSignature(docs, textCol)
+    val sigCol = if (portable) minhashSignaturePortable(col(textCol))
+      else minhashSignature(col(textCol))
+    val sigs = docs.withColumn("sig", sigCol)
       .select(col(idCol).as("sid"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshCandidatesFromSigs(sigs.select(col("sid").as("id"), col("sig")))
@@ -128,23 +164,31 @@ object Dedup {
       .select("a", "b", "n_agree")
   }
 
-  /** 64-bit SimHash over shingle hashes: per-bit majority vote of ±1.
+  /** SimHash over shingle hashes: per-bit majority vote of ±1.
     * (Built via expr(): the Scala shiftleft/shiftright helpers only accept
-    * literal Ints, but the underlying expressions take any int column.) */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    * literal Ints, but the underlying expressions take any int column.)
+    * Default: 64-bit xxhash64 base. `portable = true` votes over the 60
+    * bits of [[portableHash]] instead — DuckDB-reproducible. */
+  def withSimhash(docs: DataFrame, textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
+    val bits = if (portable) 60 else 64
+    val baseCol =
+      if (portable) portableHashes(shingles(col(textCol)), foldP = false)
+      else transform(shingles(col(textCol)), s => xxhash64(s))
     docs
-      .withColumn("sh_h64", transform(shingles(col(textCol)), s => xxhash64(s)))
-      // single pass: 64-wide ±1 vote accumulator, then pack sign bits —
+      .withColumn("sh_h64", baseCol)
+      // single pass: bit-wide ±1 vote accumulator, then pack sign bits —
       // sh_h64 only ever in argument position (see shingles() PERF note)
       .withColumn("sh_votes", expr(
-        """aggregate(sh_h64, array_repeat(0L, 64),
-             (acc, h) -> zip_with(acc, sequence(0, 63),
+        s"""aggregate(sh_h64, array_repeat(0L, $bits),
+             (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),
                (v, j) -> v + if(((h >> j) & 1) = 1, 1L, -1L)))"""))
       .withColumn("simhash", expr(
-        """aggregate(zip_with(sh_votes, sequence(0, 63),
+        s"""aggregate(zip_with(sh_votes, sequence(0, ${bits - 1}),
              (v, j) -> if(v > 0, shiftleft(1L, j), 0L)),
            0L, (acc, b) -> acc + b)"""))
       .drop("sh_h64", "sh_votes")
+  }
 
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -22,6 +22,19 @@ object Ivf {
     def c: Int = centroids.length
   }
 
+  /** Data-independent deterministic centroids from a closed-form integer
+    * formula — small-int components, so both engines' doubles are exact and
+    * the DuckDB oracle can embed the same literals. Cosine assignment is
+    * scale-invariant, so unnormalized centroids partition identically to
+    * their normalized forms. k-means ([[train]]) gives better cells on real
+    * data; the fixed model is the oracle-checkable default. */
+  def fixedModel(c: Int, dim: Int): Model = Model(
+    Array.tabulate(c)(j => Array.tabulate(dim)(d =>
+      fixedComponent(j, d).toFloat)))
+
+  /** Centroid component formula, mirrored textually in the oracle SQL. */
+  def fixedComponent(j: Int, d: Int): Int = ((j * 131 + d * 17 + 7) % 13) - 6
+
   /** Deterministic spherical k-means: init = first `c` sampled vectors,
     * fixed Lloyd iterations, cosine assignment on normalized vectors. */
   def train(corpus: DataFrame, c: Int, iters: Int = 8,
@@ -64,14 +77,20 @@ object Ivf {
   private def simArray(emb: Column, model: Model): Column =
     array(model.centroids.map(cv => CosineSim(emb, typedLit(cv.toSeq))): _*)
 
-  /** Nearest-cell id (0-based) for each vector. */
-  def cellId(emb: Column, model: Model): Column =
-    (array_position(simArray(emb, model), array_max(simArray(emb, model))) - 1)
-      .cast("int")
+  /** Nearest-cell id (0-based) from a MATERIALIZED similarity-array column
+    * (first index on ties). Take the sims as an attribute, not an
+    * expression: argmax references its input twice, and an inlined C-wide
+    * cosine array would be evaluated twice per row. */
+  private def argmaxCell(sims: Column): Column =
+    (array_position(sims, array_max(sims)) - 1).cast("int")
 
   /** Corpus with its IVF cell assignment. */
   def assign(corpus: DataFrame, model: Model): DataFrame =
-    corpus.withColumn("ivf_cell", cellId(col("embedding"), model))
+    corpus
+      // referenced twice by argmax -> CollapseProject keeps it materialized
+      .withColumn("ivf_sims", simArray(col("embedding"), model))
+      .withColumn("ivf_cell", argmaxCell(col("ivf_sims")))
+      .drop("ivf_sims")
 
   /** ANN top-k with `nprobe` probed cells per query: queries explode into
     * their nprobe best cells, candidates come from the cell equi-join,
@@ -92,12 +111,16 @@ object Ivf {
           (s, i) => struct(s.as("sim"), i.as("cell"))))), 1, nprobe))
       .withColumn("probe", explode(col("probe_cells")))
       .select(col("q_id"), col("q_emb"), col("probe.cell").as("ivf_cell"))
-    probes.join(assigned, "ivf_cell")
+    val scored = probes.join(assigned, "ivf_cell")
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos", CosineSim(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), col("neighbor_id"),
+        CosineSim(col("q_emb"), col("n_emb")).as("cos"))
+    // bounded-heap top-k (deterministic tie-break on neighbor_id), rank
+    // assigned over the <= k rows per query that survive
+    graft.ops.TopK.perKey(scored, Seq("q_id"),
+      struct(col("cos"), -col("neighbor_id")), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id", "cos")
   }
 }

@@ -11,11 +11,21 @@ import org.apache.spark.sql.types._
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    O(corpus × queries) but embarrassingly parallel: queries are broadcast,
-  *    the corpus is scanned once, all math in one codegen stage, and the
-  *    top-k shuffle only carries k rows per query partition.
-  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Sign-bit
-  *    signatures bucket the corpus; candidates come from a bucket equi-join
-  *    (shuffle keyed on signature), so work scales with collisions, not n².
+  *    the corpus is scanned once, all math in one codegen stage.
+  *  - [[lshTopK]] / [[nearDupPairs]]: random-hyperplane LSH — the 100 TB
+  *    path. `nTables` independent signature tables of `planesPerTable` bits
+  *    each bucket the corpus; candidates come from per-table bucket
+  *    equi-joins (shuffle keyed on (table, bucket)), so work scales with
+  *    collisions, never n². Buckets larger than `maxBucket` are dropped
+  *    (the same hub cap [[Dedup.jaccardPairs]] uses for shingles) — this is
+  *    what keeps the within-bucket pair join from going quadratic when a
+  *    dense region of embedding space lands in one bucket.
+  *
+  * All per-query top-k selection goes through the bounded-heap
+  * [[graft.ops.TopK]] operator: the shuffle moves ≤ k rows per (query,
+  * partition) instead of every scored candidate (a row_number window here
+  * would exchange and sort the full corpus×queries score set). Rank numbers
+  * are assigned afterwards over the ≤ k·queries survivors.
   *
   * Dot products accumulate left-to-right in double — bit-identical to a
   * sequential C loop (and to DuckDB's list_sum(list_transform(...))), which
@@ -42,6 +52,17 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Deterministic per-query top-k of a scored candidate frame
+    * (q_id, neighbor_id, cos): bounded-heap selection on
+    * struct(cos, -neighbor_id) — fully deterministic under cosine ties —
+    * then rank assignment over the ≤ k·queries survivors. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.TopK.perKey(scored, Seq("q_id"),
+      struct(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .select("q_id", "rank", "neighbor_id", "cos")
+
   /** Exact cosine top-k: for each query vector (subset of the corpus or a
     * separate frame), the k nearest corpus vectors. Queries are broadcast;
     * ties broken by vec_id for determinism. */
@@ -49,57 +70,79 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topKRanked(scored, k)
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * parity of a splitmix-style integer mix — data-independent, seedable. */
+    * parity of a splitmix-style integer mix — data-independent, seedable,
+    * and exactly reproducible in ANSI SQL (the DuckDB oracle mirrors it). */
   private def planeSign(plane: Int, dim: Column): Column = {
     val mixed = (dim + lit(plane.toLong * 1000003L)) * lit(2654435761L) % lit(2147483647L)
     when(pmod(mixed, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** Sign-bit LSH signature: nPlanes random-hyperplane dots → packed long. */
-  def lshSignature(emb: Column, nPlanes: Int = 16): Column = {
-    val sigBits = (0 until nPlanes).map { p =>
+  /** Sign-bit signature for one LSH table: `planesPerTable` hyperplane dots
+    * (planes `table*planesPerTable ..` of the global family) → packed long. */
+  def tableSignature(emb: Column, table: Int, planesPerTable: Int): Column =
+    (0 until planesPerTable).map { p =>
       val s = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+          (x, i) => x.cast(DoubleType) * planeSign(table * planesPerTable + p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    sigBits.reduce(_ + _)
+    }.reduce(_ + _)
+
+  /** Single-table signature (back-compat name; table 0). */
+  def lshSignature(emb: Column, nPlanes: Int = 16): Column =
+    tableSignature(emb, 0, nPlanes)
+
+  /** (vec_id, embedding, tbl, bkt) rows: one bucket assignment per LSH
+    * table, hub buckets larger than `maxBucket` dropped. */
+  private def bucketed(corpus: DataFrame, nTables: Int, planesPerTable: Int,
+      maxBucket: Int): DataFrame = {
+    val sigArr = array((0 until nTables).map(t =>
+      tableSignature(col("embedding"), t, planesPerTable)): _*)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(sigArr).as(Seq("tbl", "bkt")))
+    val keep = b.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    b.join(keep, Seq("tbl", "bkt"))
   }
 
-  /** LSH ANN: bucket by signature, exact cosine within buckets, top-k per
-    * query. Recall < 1 by construction; `nPlanes` trades recall for
-    * bucket size. */
-  def lshTopK(corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val sig = corpus.withColumn("sig", lshSignature(col("embedding"), nPlanes))
-    val l = sig.select(col("sig"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val r = sig.select(col("sig"), col("vec_id").as("neighbor_id"),
+  /** LSH ANN: candidates from `nTables` independent bucket joins (deduped),
+    * exact cosine on candidates, bounded-heap top-k per query. Recall < 1 by
+    * construction; more tables raise recall, more planes shrink buckets. */
+  def lshTopK(corpus: DataFrame, k: Int, nTables: Int = 4,
+      planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
+    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"))
-    l.join(r, "sig")
+    val scored = l.join(r, Seq("tbl", "bkt"))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "neighbor_id", "cos")
+      .select("q_id", "q_emb", "neighbor_id", "n_emb")
+      .distinct() // a pair can collide in several tables — score it once
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+    topKRanked(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * via the LSH buckets (each unordered pair once). */
-  def nearDupPairs(corpus: DataFrame, minCos: Double, nPlanes: Int = 8): DataFrame = {
-    val sig = corpus.withColumn("sig", lshSignature(col("embedding"), nPlanes))
-    val l = sig.select(col("sig"), col("vec_id").as("a"), col("embedding").as("a_emb"))
-    val r = sig.select(col("sig"), col("vec_id").as("b"), col("embedding").as("b_emb"))
-    l.join(r, "sig").filter(col("a") < col("b"))
+    * via the multi-table LSH buckets (each unordered pair once). */
+  def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,
+      planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
+    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("a"),
+      col("embedding").as("a_emb"))
+    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("b"),
+      col("embedding").as("b_emb"))
+    l.join(r, Seq("tbl", "bkt")).filter(col("a") < col("b"))
+      .select("a", "a_emb", "b", "b_emb").distinct()
       .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")

@@ -63,8 +63,30 @@ class PlanSpec extends SparkSpec {
       "one shuffle for the group-by, no more")
   }
 
-  test("op_minhash_pairs: native MinHashSig expression present, not HOFs") {
-    val p = plan("op_minhash_pairs")
+  test("minhashPairs default path plans the native MinHashSig expression") {
+    val corpus = Catalog.dedupCorpus(spark, sf)
+    val p = graft.text.Dedup.minhashPairs(corpus, minAgree = 20)
+      .queryExecution.executedPlan.toString
     assert(p.contains("minhashsig") || p.contains("MinHashSig"), p.take(2000))
+  }
+
+  test("declared op_minhash_pairs uses the portable md5 hash family") {
+    // the ORACLE-checked variant must hash with md5 (DuckDB-reproducible);
+    // the xxh64 native expression stays the non-oracle fast path above
+    val p = plan("op_minhash_pairs").toLowerCase
+    assert(p.contains("md5") && p.contains("conv"), p.take(2000))
+    assert(!p.contains("minhashsig"), "portable path must not use xxh64 sigs")
+  }
+
+  test("similarity top-k plans use TopKPerKey, not a corpus-wide window") {
+    for (q <- Seq("op_ann_topk", "op_lsh_ann", "op_ivf_ann")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"), s"$q: ${p.take(1200)}")
+      // the only Window left runs AFTER the bounded-heap operator, over
+      // <= k rows per query — assert it is not feeding the heap
+      assert(p.indexOf("Window") == -1 ||
+        p.indexOf("TopKPerKey") > p.indexOf("Window"),
+        s"$q: rank window must sit above TopKPerKey\n${p.take(1200)}")
+    }
   }
 }

@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
   test("LSH ANN returns a subset consistent with brute force on testdata") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), 5)
-    val lsh = Similarity.lshTopK(emb, k = 5, nPlanes = 4)
+    val lsh = Similarity.lshTopK(emb, k = 5, nTables = 4, planesPerTable = 4)
       .filter($"q_id" < 20)
     // recall@5: every LSH hit must be a real vector and scores must match
     // the exact cosine (bucketing limits candidates; scoring is exact)
