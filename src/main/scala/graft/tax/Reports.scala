@@ -234,6 +234,32 @@ object Reports {
   def exportTransactionDetails(taxed: DataFrame, path: String): Unit =
     writeCsv(transactionDetails(taxed), path)
 
+  /** Display projection for the per-transaction results table
+    * (cli.py:349-372): transaction id truncated to its first 12 chars
+    * (op-substr-limit, cli.py:100) — the truncation runs in the plan
+    * (`substring`), not on collected rows, so display prep stays
+    * distributed. */
+  def displayResults(taxed: DataFrame): DataFrame =
+    taxed.select(
+      substring(col("transaction_id"), 1, 12).as("id"),
+      col("state"), coalesce(col("city"), lit("-")).as("city"),
+      col("taxable_amount").cast(DoubleType).as("amount"),
+      col("tax_amount").cast(DoubleType).as("tax"),
+      col("effective_rate"), col("is_exempt"))
+
+  /** Display projection for the quick-scan overpayment table
+    * (cli.py:349-377): id truncated to 12 chars, reason to 40
+    * (op-substr-limit, cli.py:366,371). */
+  def displayQuickScan(hits: DataFrame): DataFrame =
+    hits.select(
+      substring(col("transaction_id"), 1, 12).as("id"),
+      col("state"),
+      col("sale_amount").cast(DoubleType).as("sale_amount"),
+      col("tax_paid").cast(DoubleType).as("tax_paid"),
+      col("tax_owed").cast(DoubleType).as("tax_owed"),
+      col("overpayment").cast(DoubleType).as("overpayment"),
+      substring(col("reason"), 1, 40).as("reason"))
+
   /** Console rendering (format_text, report_generator.py:419-508) is a
-    * driver-side presentation concern — see [[graft.Cli]]. */
+    * driver-side presentation concern — see [[TextReport]] / [[graft.Cli]]. */
 }

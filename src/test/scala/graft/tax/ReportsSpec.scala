@@ -72,4 +72,51 @@ class ReportsSpec extends SparkSpec {
     assert(recs.head.overpayment == BigDecimal("17.50"))
     assert(recs.head.statute_of_limitations_date.contains(Date.valueOf("2028-01-01")))
   }
+
+  test("format_text: tax summary renders the reference's console sections") {
+    val txt = TextReport.formatText(
+      Reports.taxSummaryReport(taxed, "2024-01", "2026-01-01"))
+    assert(txt.startsWith("=" * 60))
+    assert(txt.contains("  Tax Liability Summary"))
+    assert(txt.contains("  Generated: 2026-01-01"))
+    assert(txt.contains("  Period: 2024-01"))
+    assert(txt.contains("SUMMARY"))
+    assert(txt.contains("  Total Transactions: 3")) // int: raw, no $
+    assert(txt.contains("  Total Tax: $60.75"))     // float: $%,.2f
+    assert(txt.contains("Overall Effective Rate: ") &&
+      txt.contains("%"), txt) // *rate* keys render as percent
+    assert(txt.contains("STATE BREAKDOWN"))
+    assert(txt.contains("  CA: $") && txt.contains("tax | 1 txns"))
+  }
+
+  test("format_text: refund report renders OVERPAYMENT REASONS") {
+    val txns = TaxCalc.normalize(Seq(
+      ("O1", Date.valueOf("2024-01-01"), bd("1000.00"), "TX",
+        Some("Houston"), None: Option[String], Some(bd("100.00"))))
+      .toDF("transaction_id", "transaction_date", "amount", "state", "city",
+        "item_category", "tax_paid"))
+    val over = Refunds.overpayments(txns, java.time.LocalDate.of(2024, 7, 1))
+    val txt = TextReport.formatText(
+      Reports.refundReport(over, 1L, "2026-01-01"))
+    assert(txt.contains("  Refund Analysis"))
+    assert(txt.contains("  Total Overpayment: $17.50"))
+    assert(txt.contains("OVERPAYMENT REASONS"))
+    assert(txt.contains(": $") && txt.contains("17.50"))
+  }
+
+  test("display projections truncate id to 12 / reason to 40 in-plan") {
+    val longId = TaxCalc.withTax(TaxCalc.normalize(Seq(
+      ("TXN-2024-000000017-ABCDEF", Date.valueOf("2024-01-01"), bd("500.00"),
+        "TX", Some("Houston"), None: Option[String]))
+      .toDF("transaction_id", "transaction_date", "amount", "state", "city",
+        "item_category")))
+    val d = Reports.displayResults(longId).head()
+    assert(d.getAs[String]("id") == "TXN-2024-000") // first 12 chars
+    val hit = Seq(("T-1", "TX", bd("100.00"), bd("20.00"), bd("8.25"),
+      bd("11.75"), "x" * 60))
+      .toDF("transaction_id", "state", "sale_amount", "tax_paid", "tax_owed",
+        "overpayment", "reason")
+    val q = Reports.displayQuickScan(hit).head()
+    assert(q.getAs[String]("reason") == "x" * 40)
+  }
 }
