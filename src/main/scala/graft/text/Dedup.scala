@@ -98,11 +98,17 @@ object Dedup {
   def withSignature(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("sig", minhashSignature(col(textCol)))
 
-  /** Engine-portable MinHash signature: same affine family over
-    * [[portableHash]] base hashes — one `aggregate` pass with a 64-wide
-    * running-min accumulator (hash array in argument position; see the
-    * PERF note on [[minhashSignatureHof]]). */
-  def minhashSignaturePortable(text: Column): Column = {
+  /** Engine-portable MinHash signature via the native codegen expression
+    * [[graft.functions.PortableMinHashSig]] — same affine family over
+    * [[portableHash]] base hashes, one fused pass. */
+  def minhashSignaturePortable(text: Column): Column =
+    graft.functions.PortableMinHashSig(shingles(text), NumHashes)
+
+  /** Pure-HOF construction of the portable signature (bit-identical) —
+    * kept for cross-validation of the native expression: one `aggregate`
+    * pass with a 64-wide running-min accumulator (hash array in argument
+    * position; see the PERF note on [[minhashSignatureHof]]). */
+  def minhashSignaturePortableHof(text: Column): Column = {
     val base = portableHashes(shingles(text), foldP = true)
     val aLit = typedLit(coefA.toSeq)
     val bLit = typedLit(coefB.toSeq)
@@ -170,6 +176,17 @@ object Dedup {
     * Default: 64-bit xxhash64 base. `portable = true` votes over the 60
     * bits of [[portableHash]] instead — DuckDB-reproducible. */
   def withSimhash(docs: DataFrame, textCol: String = "text",
+      portable: Boolean = false): DataFrame =
+    if (portable)
+      // native codegen path ([[graft.functions.PortableSimHash]]) — the
+      // HOF vote/pack below stays as the cross-validated reference
+      docs.withColumn("simhash",
+        graft.functions.PortableSimHash(shingles(col(textCol)), 60))
+    else withSimhashHof(docs, textCol, portable = false)
+
+  /** HOF construction of the simhash (bit-identical to the native portable
+    * path when `portable = true`) — cross-validation + the xxh64 family. */
+  def withSimhashHof(docs: DataFrame, textCol: String = "text",
       portable: Boolean = false): DataFrame = {
     val bits = if (portable) 60 else 64
     val baseCol =

@@ -84,7 +84,10 @@ object Similarity {
   }
 
   /** Sign-bit signature for one LSH table: `planesPerTable` hyperplane dots
-    * (planes `table*planesPerTable ..` of the global family) → packed long. */
+    * (planes `table*planesPerTable ..` of the global family) → packed long.
+    * HOF formulation — kept for cross-validation of the native
+    * [[graft.functions.LshSig]] (which computes ALL tables in one fused
+    * codegen pass and is what [[lshTopK]]/[[nearDupPairs]] use). */
   def tableSignature(emb: Column, table: Int, planesPerTable: Int): Column =
     (0 until planesPerTable).map { p =>
       val s = aggregate(
@@ -98,34 +101,51 @@ object Similarity {
   def lshSignature(emb: Column, nPlanes: Int = 16): Column =
     tableSignature(emb, 0, nPlanes)
 
-  /** (vec_id, embedding, tbl, bkt) rows: one bucket assignment per LSH
-    * table, hub buckets larger than `maxBucket` dropped. */
+  /** (vec_id, tbl, bkt) rows: one bucket assignment per LSH table, hub
+    * buckets larger than `maxBucket` dropped. Ids only — the embedding is
+    * re-joined AFTER candidate dedup, so the bucket join, the pair
+    * `distinct`, and this persist all move 16-byte rows, never the
+    * embedding arrays (at 100 TB the arrays dominate row width ~30×). */
   private def bucketed(corpus: DataFrame, nTables: Int, planesPerTable: Int,
       maxBucket: Int): DataFrame = {
-    val sigArr = array((0 until nTables).map(t =>
-      tableSignature(col("embedding"), t, planesPerTable)): _*)
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    val sigArr = graft.functions.LshSig(col("embedding"), nTables, planesPerTable)
+    val b = corpus.select(col("vec_id"),
       posexplode(sigArr).as(Seq("tbl", "bkt")))
     val keep = b.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket).drop("bsz")
     b.join(keep, Seq("tbl", "bkt"))
   }
 
+  /** Distinct candidate id-pairs from the multi-table bucket self-join
+    * (`left` < `right` when `ordered`, `left` ≠ `right` otherwise). */
+  private def candidatePairs(corpus: DataFrame, nTables: Int,
+      planesPerTable: Int, maxBucket: Int, ordered: Boolean): DataFrame = {
+    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("left"))
+    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("right"))
+    val pairCond = if (ordered) col("left") < col("right")
+      else col("left") =!= col("right")
+    l.join(r, Seq("tbl", "bkt")).filter(pairCond)
+      .select("left", "right")
+      .distinct() // a pair can collide in several tables — score it once
+  }
+
+  private def withEmb(df: DataFrame, idCol: String, embAs: String,
+      corpus: DataFrame): DataFrame =
+    df.join(corpus.select(col("vec_id").as(idCol),
+      col("embedding").as(embAs)), idCol)
+
   /** LSH ANN: candidates from `nTables` independent bucket joins (deduped),
     * exact cosine on candidates, bounded-heap top-k per query. Recall < 1 by
     * construction; more tables raise recall, more planes shrink buckets. */
   def lshTopK(corpus: DataFrame, k: Int, nTables: Int = 4,
       planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
-    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
-    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"))
-    val scored = l.join(r, Seq("tbl", "bkt"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .select("q_id", "q_emb", "neighbor_id", "n_emb")
-      .distinct() // a pair can collide in several tables — score it once
+    val cand = candidatePairs(corpus, nTables, planesPerTable, maxBucket,
+      ordered = false)
+      .select(col("left").as("q_id"), col("right").as("neighbor_id"))
+    val scored = withEmb(withEmb(cand, "q_id", "q_emb", corpus),
+      "neighbor_id", "n_emb", corpus)
       .select(col("q_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos"))
     topKRanked(scored, k)
@@ -135,14 +155,10 @@ object Similarity {
     * via the multi-table LSH buckets (each unordered pair once). */
   def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,
       planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
-    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("a"),
-      col("embedding").as("a_emb"))
-    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("b"),
-      col("embedding").as("b_emb"))
-    l.join(r, Seq("tbl", "bkt")).filter(col("a") < col("b"))
-      .select("a", "a_emb", "b", "b_emb").distinct()
+    val cand = candidatePairs(corpus, nTables, planesPerTable, maxBucket,
+      ordered = true)
+      .select(col("left").as("a"), col("right").as("b"))
+    withEmb(withEmb(cand, "a", "a_emb", corpus), "b", "b_emb", corpus)
       .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")

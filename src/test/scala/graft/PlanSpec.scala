@@ -71,11 +71,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("declared op_minhash_pairs uses the portable md5 hash family") {
-    // the ORACLE-checked variant must hash with md5 (DuckDB-reproducible);
-    // the xxh64 native expression stays the non-oracle fast path above
-    val p = plan("op_minhash_pairs").toLowerCase
-    assert(p.contains("md5") && p.contains("conv"), p.take(2000))
-    assert(!p.contains("minhashsig"), "portable path must not use xxh64 sigs")
+    // the ORACLE-checked variant must hash with the md5-based portable
+    // family (DuckDB-reproducible), via the native PortableMinHashSig
+    // expression; the xxh64 MinHashSig stays the non-oracle fast path
+    val p = plan("op_minhash_pairs")
+    assert(p.contains("portableminhashsig") || p.contains("PortableMinHashSig"),
+      p.take(2000))
+    assert(!p.replace("portableminhashsig", "").replace("PortableMinHashSig", "")
+      .toLowerCase.contains("minhashsig"),
+      "portable path must not use xxh64 sigs")
   }
 
   test("similarity top-k plans use TopKPerKey, not a corpus-wide window") {

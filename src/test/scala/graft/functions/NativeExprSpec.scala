@@ -42,6 +42,40 @@ class NativeExprSpec extends SparkSpec {
     assert(r(1).isNullAt(0))
   }
 
+  test("PortableMinHashSig matches the portable HOF signature bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val both = docs.select(
+      Dedup.minhashSignaturePortable(col("text")).as("native"),
+      Dedup.minhashSignaturePortableHof(col("text")).as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+    assert(both.head().getSeq[Long](0).length == 64)
+  }
+
+  test("PortableSimHash matches the HOF vote/pack bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val native = Dedup.withSimhash(docs, portable = true)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.withSimhashHof(docs, portable = true)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+  }
+
+  test("LshSig matches the per-table HOF signatures bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val hofArr = array((0 until 4).map(t =>
+      Similarity.tableSignature(col("embedding"), t, 8)): _*)
+    val both = emb.select(
+      graft.functions.LshSig(col("embedding"), 4, 8).as("native"),
+      hofArr.as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+    assert(both.head().getSeq[Long](0).length == 4)
+  }
+
   test("interpreted eval path agrees with codegen (expression in filter)") {
     // Force the interpreted path via an eval outside codegen: use the
     // expression inside a python-free context by collecting with
