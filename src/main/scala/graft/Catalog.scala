@@ -41,14 +41,16 @@ object Catalog {
   private def taxed(s: SparkSession, dir: String): DataFrame =
     TaxCalc.withTax(TaxCalc.normalize(SyntheticTxns.txns(s, dir)))
 
-  /** The two lineages shared by many queries (the tax expression block and
-    * the refund scan). Runners (Verify/Bench) persist these ONCE per run —
-    * Spark's CacheManager then substitutes the cached relation into every
-    * query whose plan contains the same subtree, so 8+ queries stop
-    * recomputing the same joins. Left unpersisted here so library users and
-    * plan tests see the raw plans. */
+  /** The lineages shared by many queries: the tax expression block (8+ tax
+    * queries), the refund scan (6 refund queries), and the perturbed dedup
+    * corpus (7 text/dedup queries — its repartition exchange otherwise
+    * re-reads and re-shuffles the docs per query). Runners (Verify/Bench)
+    * persist these ONCE per run — Spark's CacheManager then substitutes the
+    * cached relation into every query whose plan contains the same subtree.
+    * Left unpersisted here so library users and plan tests see the raw
+    * plans. */
   def sharedFrames(s: SparkSession, dir: String): Seq[DataFrame] =
-    Seq(taxed(s, dir), refunds(s, dir))
+    Seq(taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir))
 
   /** Documents plus deterministically perturbed copies of every 10th doc —
     * seeds true near-duplicates so dedup ops have non-trivial output at

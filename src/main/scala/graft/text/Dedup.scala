@@ -219,6 +219,9 @@ object Dedup {
     * index trick; at 100 TB this is what keeps the op near-linear). */
   def jaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxDf: Int = 100): DataFrame = {
+    // NOT persisted: the exploded (id, shingle) index is wide (string rows);
+    // measured at sf0.1, caching it costs more than recomputing the narrow
+    // codegen shingle stage for each of its four uses.
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val filtered = sh.join(
