@@ -104,6 +104,24 @@ class ReportsSpec extends SparkSpec {
     assert(txt.contains(": $") && txt.contains("17.50"))
   }
 
+  test("format_text golden: byte-identical to the reference on the sample CSV") {
+    // Golden produced by running the REFERENCE's ReportGenerator.format_text
+    // (tax summary + refund analysis, period 2024-Q1, generated 2026-08-12)
+    // on data/sample_transactions.csv — pins both the report math and the
+    // text rendering, including blank-line structure.
+    val golden = scala.io.Source.fromResource("golden_report.txt").mkString
+      .stripLineEnd
+    val txns = TaxCalc.normalize(
+      TaxCalc.readCsv(spark, "/root/reference/data/sample_transactions.csv"))
+    val taxedCsv = TaxCalc.withTax(txns)
+    val taxTxt = TextReport.formatText(
+      Reports.taxSummaryReport(taxedCsv, "2024-Q1", "2026-08-12"))
+    val over = Refunds.overpayments(txns, java.time.LocalDate.of(2026, 8, 12))
+    val refundTxt = TextReport.formatText(
+      Reports.refundReport(over, txns.count(), "2026-08-12"))
+    assert(s"$taxTxt\n$refundTxt" == golden)
+  }
+
   test("display projections truncate id to 12 / reason to 40 in-plan") {
     val longId = TaxCalc.withTax(TaxCalc.normalize(Seq(
       ("TXN-2024-000000017-ABCDEF", Date.valueOf("2024-01-01"), bd("500.00"),
