@@ -50,7 +50,14 @@ object Catalog {
     * Left unpersisted here so library users and plan tests see the raw
     * plans. */
   def sharedFrames(s: SparkSession, dir: String): Seq[DataFrame] =
-    Seq(taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir))
+    // normalized txns listed too (and FIRST — runners persist in order, so
+    // the taxed/refund lineages built on top reuse it when materializing):
+    // cache substitution matches a plan only at the cached frame's ROOT, so
+    // the nexus/alerts queries (which use normalize(txns) without withTax)
+    // would otherwise regenerate the synthetic-transaction join from
+    // lineitem
+    Seq(TaxCalc.normalize(SyntheticTxns.txns(s, dir)),
+      taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir))
 
   /** Documents plus deterministically perturbed copies of every 10th doc —
     * seeds true near-duplicates so dedup ops have non-trivial output at
