@@ -219,20 +219,27 @@ object Dedup {
     * index trick; at 100 TB this is what keeps the op near-linear). */
   def jaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxDf: Int = 100): DataFrame = {
-    // NOT persisted: the exploded (id, shingle) index is wide (string rows);
-    // measured at sf0.1, caching it costs more than recomputing the narrow
-    // codegen shingle stage for each of its four uses.
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Per-doc distinct-shingle count rides ALONG the exploded index (size
+    // of the shingle array, same narrow map), so there is no per-doc counts
+    // aggregation and no (a)/(b) count joins downstream — two fewer
+    // shuffles than the textbook inverted-index formulation. The index is
+    // NOT persisted: measured at sf0.1, caching the wide string rows costs
+    // more than recomputing the narrow codegen shingle stage per use.
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol)).as("shs"))
+    val sh = withSh.select(col("id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("s"))
     val filtered = sh.join(
-      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), "s")
-    val inter = filtered.select(col("s"), col("id").as("a"))
-      .join(filtered.select(col("s"), col("id").as("b")), "s")
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("s"), "s")
+    val inter = filtered.select(col("s"), col("id").as("a"), col("n_sh").as("na"))
+      .join(filtered.select(col("s"), col("id").as("b"), col("n_sh").as("nb")), "s")
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .groupBy("a", "b")
+      // na/nb are functionally dependent on a/b — carry them through the
+      // pair aggregation instead of re-joining per-doc counts
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
     inter
-      .join(counts.select(col("id").as("a"), col("n_sh").as("na")), "a")
-      .join(counts.select(col("id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("union_n"))
       .select("a", "b", "inter", "union_n")
