@@ -59,6 +59,12 @@ object Cli {
           TaxCalc.summaryByState(taxed).orderBy("state").collect().foreach { r =>
             println(f"  ${r.getAs[String]("state")}  n=${r.getAs[Long]("transaction_count")}%-6d tax=$$${r.getAs[java.math.BigDecimal]("tax_amount")}")
           }
+          arg(args, "export-json").foreach { name =>
+            Reports.writeJson(Reports.taxSummaryReport(taxed,
+              periodLabel = arg(args, "period").getOrElse("")),
+              s"${arg(args, "output-dir").getOrElse("reports")}/$name")
+            println(s"JSON exported to $name")
+          }
         case None =>
           val amount = arg(args, "amount").getOrElse(sys.error("--amount or --file required"))
           val txn = Seq((
@@ -126,6 +132,11 @@ object Cli {
           .collect().foreach { a =>
             println(s"  [${a.getAs[String]("severity")}] ${a.getAs[String]("message")}")
           }
+        arg(args, "export-json").foreach { name =>
+          Reports.writeJson(Reports.nexusReport(nexus, asOf.toString),
+            s"${arg(args, "output-dir").getOrElse("reports")}/$name")
+          println(s"Report exported to $name")
+        }
 
       case Some("refund") =>
         val f = arg(args, "file").getOrElse(sys.error("--file required"))
