@@ -311,6 +311,46 @@ object Catalog {
           "due_date", "is_overdue", "days_until_due", "status")
     }),
 
+    // filed-period semijoin: already-filed (state, period) pairs flip
+    // status to 'filed' and mask overdue (op-filed-semijoin)
+    "op_filed_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      val reg = Seq(("CA", "60000.00"), ("NY", "2400.00"), ("TX", "600.00"),
+        ("WA", "12000.00"), ("OH", "1600.00"))
+        .toDF("state_code", "liability_s")
+        .withColumn("estimated_annual_liability", col("liability_s").cast(M2))
+        .drop("liability_s")
+      val filed = Seq(
+        ("CA", "2024-01-01", "2024-01-31"),
+        ("CA", "2024-02-01", "2024-02-29"),
+        ("NY", "2024-01-01", "2024-03-31"))
+        .toDF("state_code", "ps", "pe")
+        .select(col("state_code"), col("ps").cast(DateType).as("period_start"),
+          col("pe").cast(DateType).as("period_end"))
+      Compliance.filingDeadlines(reg, 2024, FilingAsOf, Some(filed))
+        .select("state_code", "period_start", "period_end", "due_date",
+          "is_overdue", "days_until_due", "status")
+    }),
+
+    // quick refund scan: overpayments at/above a minimum, aggregated
+    // (op-quickscan-sum + op-threshold-filter)
+    "op_quickscan" -> ((s, dir) =>
+      Refunds.quickScan(TaxCalc.normalize(SyntheticTxns.txns(s, dir)),
+        RefundAsOf, BigDecimal("1.00"))
+        .agg(count(lit(1)).as("n_hits"),
+          dbl(coalesce(sum(col("overpayment")), lit(0)))
+            .as("total_overpayment"))),
+
+    // per-state effective rate via IEEE double division — bit-identical in
+    // both engines once the exact decimal sums are cast (op-effective-rate)
+    "op_effective_rate" -> ((s, dir) =>
+      taxed(s, dir).groupBy("state")
+        .agg(dbl(sum(col("taxable_amount"))).as("taxable"),
+          dbl(sum(col("tax_amount"))).as("tax"))
+        .select(col("state"),
+          when(col("taxable") > 0, col("tax") / col("taxable"))
+            .otherwise(0.0).as("effective_rate"))),
+
     // ---- text / dedup ops ----
     "op_dedup_exact" -> ((s, dir) => t(s, dir, "documents")
       .groupBy(md5(col("text").cast(BinaryType)).as("text_hash"))

@@ -622,6 +622,77 @@ object OracleSql {
              THEN 'overdue' ELSE 'pending' END AS status
       FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code""",
 
+    // Same deadline generation with a filed-period set: filed periods flip
+    // status and mask overdue (mirrors Compliance.filingDeadlines(filed=…)).
+    "op_filed_semijoin" -> s"""
+      WITH reg AS (
+        SELECT * FROM (VALUES
+          ('CA', CAST(60000.00 AS DECIMAL(18,2))),
+          ('NY', CAST(2400.00 AS DECIMAL(18,2))),
+          ('TX', CAST(600.00 AS DECIMAL(18,2))),
+          ('WA', CAST(12000.00 AS DECIMAL(18,2))),
+          ('OH', CAST(1600.00 AS DECIMAL(18,2)))
+        ) AS t(state_code, liability)),
+      freq AS (
+        SELECT *, CASE WHEN liability >= 4800 THEN 'monthly'
+                       WHEN liability >= 1200 THEN 'quarterly'
+                       ELSE 'annual' END AS frequency FROM reg),
+      periods AS (
+        SELECT f.state_code, f.frequency, CAST(ms AS DATE) AS period_start
+        FROM freq f CROSS JOIN generate_series(DATE '2024-01-01',
+          DATE '2024-12-01', INTERVAL 1 MONTH) AS t(ms)
+        WHERE (f.frequency = 'monthly')
+           OR (f.frequency = 'quarterly'
+               AND month(CAST(ms AS DATE)) IN (1, 4, 7, 10))
+           OR (f.frequency = 'annual' AND month(CAST(ms AS DATE)) = 1)),
+      pend AS (
+        SELECT *, CASE WHEN frequency = 'monthly' THEN last_day(period_start)
+                       WHEN frequency = 'quarterly'
+                         THEN last_day(period_start + INTERVAL 2 MONTH)
+                       ELSE DATE '2024-12-31' END AS period_end
+        FROM periods),
+      dd AS (SELECT state_code, due_day
+             FROM read_parquet('$Fix/filing_due_days.parquet')),
+      dued AS (
+        SELECT p.state_code, p.period_start, p.period_end,
+          make_date(CAST(year(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    CAST(month(p.period_end + INTERVAL 1 MONTH) AS INT),
+                    coalesce(d.due_day, 20)) AS due_date
+        FROM pend p LEFT JOIN dd d ON d.state_code = p.state_code),
+      filed AS (
+        SELECT * FROM (VALUES
+          ('CA', DATE '2024-01-01', DATE '2024-01-31'),
+          ('CA', DATE '2024-02-01', DATE '2024-02-29'),
+          ('NY', DATE '2024-01-01', DATE '2024-03-31')
+        ) AS t(state_code, fs, fe))
+      SELECT u.state_code, u.period_start, u.period_end, u.due_date,
+        (u.due_date < DATE '2024-12-01' AND f.fs IS NULL) AS is_overdue,
+        datediff('day', DATE '2024-12-01', u.due_date) AS days_until_due,
+        CASE WHEN f.fs IS NOT NULL THEN 'filed'
+             WHEN u.due_date < DATE '2024-12-01' THEN 'overdue'
+             ELSE 'pending' END AS status
+      FROM dued u LEFT JOIN filed f ON f.state_code = u.state_code
+        AND f.fs = u.period_start AND f.fe = u.period_end""",
+
+    // Quick refund scan: overpayments at/above the 1.00 minimum, aggregated.
+    "op_quickscan" -> s"""
+      WITH $refundsCte
+      SELECT count(*) AS n_hits,
+        CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
+      FROM refunds WHERE overpayment >= 1.00""",
+
+    // Per-state effective rate: exact decimal sums cast to DOUBLE, then
+    // IEEE double division — bit-identical in Spark and DuckDB.
+    "op_effective_rate" -> s"""
+      WITH $taxCte,
+      agg AS (
+        SELECT state, CAST(sum(taxable_amount) AS DOUBLE) AS taxable,
+          CAST(sum(tax_amount) AS DOUBLE) AS tax
+        FROM taxcalc GROUP BY state)
+      SELECT state,
+        CASE WHEN taxable > 0 THEN tax / taxable ELSE 0.0 END AS effective_rate
+      FROM agg""",
+
     // Tax-inclusive back-out with EXACT integer division: taxable =
     // HALF_UP_2(amount / (1 + rate)). For cents n and rate-micro d:
     // taxable_cents = floor((2·n·1e6 + (1e6+d)) / (2·(1e6+d))) — exact
