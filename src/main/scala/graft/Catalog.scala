@@ -341,6 +341,21 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // unknown-state handling (op-unknown-state): deterministically corrupt
+    // some state codes to 'ZZ' — unknown rows compute zero tax, are NOT
+    // exempt, and carry exactly the unknown-state warning
+    "op_unknown_state" -> ((s, dir) => {
+      val corrupted = SyntheticTxns.txns(s, dir)
+        .withColumn("state",
+          when(col("transaction_id").cast(LongType) % 29 === 0, "ZZ")
+            .otherwise(col("state")))
+      TaxCalc.withTax(TaxCalc.normalize(corrupted))
+        .select(col("transaction_id"), col("state"), col("is_exempt"),
+          col("exemption_reason"),
+          dbl(col("tax_amount")).as("tax_amount"),
+          size(col("warnings")).as("n_warnings"))
+    }),
+
     // per-state effective rate via IEEE double division — bit-identical in
     // both engines once the exact decimal sums are cast (op-effective-rate)
     "op_effective_rate" -> ((s, dir) =>

@@ -681,6 +681,70 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Unknown-state handling: corrupt states where txn-id % 29 = 0 to 'ZZ'
+    // (metadata NULLed — the synthetic generator embeds it at creation, so
+    // this chain re-derives the joins the way TaxCalc.withTax does).
+    // Unknown rows: zero tax, NOT exempt, exactly one warning.
+    "op_unknown_state" -> s"""
+      WITH $txnsCte,
+      t2 AS (
+        SELECT transaction_id, amount, city, item_category,
+          exemption_certificate, customer_type,
+          CASE WHEN CAST(transaction_id AS BIGINT) % 29 = 0
+               THEN 'ZZ' ELSE state END AS state,
+          CASE WHEN CAST(transaction_id AS BIGINT) % 29 = 0
+               THEN NULL ELSE state_name END AS state_name,
+          CASE WHEN CAST(transaction_id AS BIGINT) % 29 = 0
+               THEN NULL ELSE base_rate END AS base_rate,
+          CASE WHEN CAST(transaction_id AS BIGINT) % 29 = 0
+               THEN NULL ELSE has_local_taxes END AS has_local_taxes,
+          CASE WHEN CAST(transaction_id AS BIGINT) % 29 = 0
+               THEN NULL ELSE avg_combined_rate END AS avg_combined_rate
+        FROM txns),
+      j2 AS (
+        SELECT t.*, lr.rate AS lr_rate, ex.category AS ex_category
+        FROM t2 t
+        LEFT JOIN (SELECT state_code, city_lc, rate
+                   FROM read_parquet('$Fix/local_rates.parquet')) lr
+          ON lr.state_code = t.state AND lower(t.city) = lr.city_lc
+        LEFT JOIN (SELECT e.state_code, c.synonym, e.category
+                   FROM read_parquet('$Fix/state_exemptions.parquet') e
+                   JOIN read_parquet('$Fix/category_synonyms.parquet') c
+                     USING (category)) ex
+          ON ex.state_code = t.state
+         AND lower(trim(t.item_category)) = ex.synonym),
+      f2 AS (
+        SELECT *,
+          (state_name IS NULL) AS unknown,
+          coalesce(base_rate = CAST(0 AS DECIMAL(10,6))
+                   AND NOT has_local_taxes, false) AS no_tax,
+          (customer_type IN ('wholesale','exempt')) AS cust_ex,
+          (exemption_certificate IS NOT NULL) AS cert_ex,
+          (ex_category IS NOT NULL) AS cat_ex,
+          CASE WHEN lr_rate IS NOT NULL THEN CAST(lr_rate AS DECIMAL(11,6))
+               WHEN coalesce(has_local_taxes, false) THEN
+                 (CASE WHEN avg_combined_rate - base_rate > CAST(0 AS DECIMAL(11,6))
+                       THEN avg_combined_rate - base_rate
+                       ELSE CAST(0 AS DECIMAL(11,6)) END)
+               ELSE CAST(0 AS DECIMAL(11,6)) END AS local_rate
+        FROM j2)
+      SELECT transaction_id, state,
+        (NOT unknown AND (no_tax OR cust_ex OR cert_ex OR cat_ex)) AS is_exempt,
+        CASE WHEN unknown THEN ''
+             WHEN no_tax THEN state_name || ' has no sales tax'
+             WHEN cust_ex THEN 'Customer type: ' || customer_type
+             WHEN cert_ex THEN 'Exemption cert: ' || exemption_certificate
+             WHEN cat_ex THEN state || ' exempts ' || ex_category
+             ELSE '' END AS exemption_reason,
+        CAST(CASE WHEN unknown OR no_tax OR cust_ex OR cert_ex OR cat_ex THEN 0
+             ELSE round(amount * base_rate, 2) + round(amount * local_rate, 2)
+             END AS DOUBLE) AS tax_amount,
+        CASE WHEN unknown THEN 1
+             WHEN NOT (no_tax OR cust_ex OR cert_ex OR cat_ex)
+                  AND city IS NULL AND coalesce(has_local_taxes, false) THEN 1
+             ELSE 0 END AS n_warnings
+      FROM f2""",
+
     // Per-state effective rate: exact decimal sums cast to DOUBLE, then
     // IEEE double division — bit-identical in Spark and DuckDB.
     "op_effective_rate" -> s"""
