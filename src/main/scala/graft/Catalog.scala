@@ -353,7 +353,9 @@ object Catalog {
         .select(col("transaction_id"), col("state"), col("is_exempt"),
           col("exemption_reason"),
           dbl(col("tax_amount")).as("tax_amount"),
-          size(col("warnings")).as("n_warnings"))
+          size(col("warnings")).as("n_warnings"),
+          // op-warn-array surface, flattened for the hasher
+          concat_ws("|", col("warnings")).as("warning_text"))
     }),
 
     // per-state effective rate via IEEE double division — bit-identical in

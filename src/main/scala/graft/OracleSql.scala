@@ -742,7 +742,13 @@ object OracleSql {
         CASE WHEN unknown THEN 1
              WHEN NOT (no_tax OR cust_ex OR cert_ex OR cat_ex)
                   AND city IS NULL AND coalesce(has_local_taxes, false) THEN 1
-             ELSE 0 END AS n_warnings
+             ELSE 0 END AS n_warnings,
+        CASE WHEN unknown THEN 'Unknown state code: ' || state
+             WHEN NOT (no_tax OR cust_ex OR cert_ex OR cat_ex)
+                  AND city IS NULL AND coalesce(has_local_taxes, false)
+               THEN 'No city specified for ' || state
+                    || '; used average local rate'
+             ELSE '' END AS warning_text
       FROM f2""",
 
     // Per-state effective rate: exact decimal sums cast to DOUBLE, then
