@@ -341,6 +341,23 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // point-in-time join: each event gets the latest purchase-event of the
+    // same user at or before its timestamp (backward as-of, inclusive) —
+    // single sort-shuffle union+window plan, no range explosion
+    "op_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.AsOfJoin.asOf(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("purchase_id", "purchase_value"),
+        rightIdCol = Some("purchase_id"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    }),
+
     // unknown-state handling (op-unknown-state): deterministically corrupt
     // some state codes to 'ZZ' — unknown rows compute zero tax, are NOT
     // exempt, and carry exactly the unknown-state warning

@@ -681,6 +681,36 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Backward as-of join via the SAME union + last-non-null-window
+    // construction the Spark operator uses (engine-agnostic — avoids any
+    // native ASOF JOIN tie/equality edge semantics). ts ordering is
+    // order-equivalent across engines (Spark reads TIMESTAMP_NS as BIGINT
+    // nanos, DuckDB as TIMESTAMP_NS).
+    "op_asof_join" -> """
+      WITH r AS (
+        SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT event_id, user_id, ts, 1 AS side,
+          CAST(NULL AS BIGINT) AS purchase_id,
+          CAST(NULL AS DOUBLE) AS purchase_value,
+          CAST(NULL AS BIGINT) AS rid
+        FROM events
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), user_id, ts, 0, purchase_id,
+          purchase_value, purchase_id
+        FROM r),
+      filled AS (
+        SELECT event_id, user_id, side,
+          last_value(purchase_id IGNORE NULLS) OVER w AS purchase_id,
+          last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts ASC, side ASC, rid ASC NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, purchase_id, purchase_value
+      FROM filled WHERE side = 1""",
+
     // Unknown-state handling: corrupt states where txn-id % 29 = 0 to 'ZZ'
     // (metadata NULLed — the synthetic generator embeds it at creation, so
     // this chain re-derives the joins the way TaxCalc.withTax does).

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** As-of join goldens: backward inclusive semantics, per-key isolation,
+  * tie-breaks, and the no-prior-match null case. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 10L, 100L), // before any right row -> nulls
+    (2L, 10L, 200L), // equal ts to right row -> inclusive match
+    (3L, 10L, 250L), // between right rows -> 200 match
+    (4L, 10L, 300L), // after both -> 300 match
+    (5L, 20L, 300L)  // other key, no right rows -> nulls
+  ).toDF("event_id", "user_id", "ts")
+
+  private lazy val right = Seq(
+    (10L, 200L, 7L, 1.5),
+    (10L, 300L, 8L, 2.5)
+  ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+
+  private def run() = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+    Seq("purchase_id", "purchase_value"), rightIdCol = Some("purchase_id"))
+    .select("event_id", "purchase_id", "purchase_value")
+    .collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+
+  test("backward inclusive as-of with per-key isolation") {
+    val m = run()
+    assert(m(1L) == (None, None))            // no prior right row
+    assert(m(2L) == (Some(7L), Some(1.5)))   // equal ts matches (inclusive)
+    assert(m(3L) == (Some(7L), Some(1.5)))
+    assert(m(4L) == (Some(8L), Some(2.5)))
+    assert(m(5L) == (None, None))            // key with no right rows
+  }
+
+  test("ties on (key, ts) resolve to the highest right id") {
+    val dupRight = Seq((10L, 200L, 7L, 1.5), (10L, 200L, 9L, 9.9))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val r = AsOfJoin.asOf(left.filter($"event_id" === 3L), dupRight,
+      Seq("user_id"), "ts", "ts", Seq("purchase_id", "purchase_value"),
+      rightIdCol = Some("purchase_id")).head()
+    assert(r.getAs[Long]("purchase_id") == 9L)
+    assert(r.getAs[Double]("purchase_value") == 9.9)
+  }
+
+  test("exactly one shuffle: hash exchange on the key, then sort") {
+    val df = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).size == 1, plan)
+  }
+}
