@@ -341,6 +341,23 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // interval join: events within 1 hour at/after each purchase of the
+    // same user — bucketized equi-join + exact range filter, never a
+    // per-key cross product
+    "op_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourNs = 3600L * 1000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("lo"), (col("ts") + hourNs).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), ts = "ts", lo = "lo", hi = "hi",
+        bucketWidth = hourNs)
+        .groupBy("purchase_id", "user_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // point-in-time join: each event gets the latest purchase-event of the
     // same user at or before its timestamp (backward as-of, inclusive) —
     // single sort-shuffle union+window plan, no range explosion

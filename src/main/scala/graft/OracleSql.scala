@@ -681,6 +681,18 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Interval join: the oracle states the range predicate directly —
+    // DuckDB's IEJoin handles it; the Spark side bucketizes (same rows).
+    "op_range_join" -> """
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS lo,
+          ts + INTERVAL 1 HOUR AS hi
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, count(*) AS n_events
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.ts >= p.lo AND e.ts <= p.hi
+      GROUP BY p.purchase_id, p.user_id""",
+
     // Backward as-of join via the SAME union + last-non-null-window
     // construction the Spark operator uses (engine-agnostic — avoids any
     // native ASOF JOIN tie/equality edge semantics). ts ordering is
