@@ -341,6 +341,22 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // KMV distinct sketch: k smallest portable-hash minima of l_partkey —
+    // a mergeable fixed-memory distinct estimate whose minima (and thus
+    // estimate) are EXACTLY engine-reproducible, unlike HLL
+    "op_kmv_distinct" -> ((s, dir) => {
+      val k = 64 // sf0.001 has only ~200 distinct partkeys; keep k below
+      t(s, dir, "lineitem")
+        .select(Dedup.portableHash(col("l_partkey").cast(StringType)).as("h"))
+        .agg(graft.functions.KmvSketch(col("h"), k).as("minima"))
+        .select(
+          size(col("minima")).as("n_minima"),
+          when(size(col("minima")) >= k, element_at(col("minima"), k))
+            .as("kth_min"), // ANSI element_at throws on short arrays
+          graft.functions.KmvSketch.estimate(col("minima"), k)
+            .as("est_distinct"))
+    }),
+
     // interval join: events within 1 hour at/after each purchase of the
     // same user — bucketized equi-join + exact range filter, never a
     // per-key cross product

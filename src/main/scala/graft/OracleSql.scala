@@ -681,6 +681,21 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // KMV sketch: the k smallest distinct md5-60 hashes and the classic
+    // (k-1)·H/kth estimator — deterministic in both engines.
+    "op_kmv_distinct" -> """
+      WITH h AS (
+        SELECT DISTINCT CAST('0x' || substring(
+          md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM lineitem),
+      m AS (SELECT h FROM h ORDER BY h LIMIT 64)
+      SELECT count(*) AS n_minima,
+        CASE WHEN count(*) < 64 THEN NULL ELSE max(h) END AS kth_min,
+        CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        END AS est_distinct
+      FROM m""",
+
     // Interval join: the oracle states the range predicate directly —
     // DuckDB's IEJoin handles it; the Spark side bucketizes (same rows).
     "op_range_join" -> """
