@@ -37,6 +37,35 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+      }),
+    ("lsh_sig",
+      new ExpressionInfo(classOf[LshSig].getName, "lsh_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => LshSig(e, 4, 8)
+        case Seq(e, t, p) => LshSig(e,
+          t.eval(null).toString.toInt, p.eval(null).toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "lsh_sig(embedding[, nTables, planesPerTable])")
+      }),
+    ("p_minhash_sig",
+      new ExpressionInfo(classOf[PortableMinHashSig].getName, "p_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => PortableMinHashSig(c, 64)
+        case Seq(c, k) => PortableMinHashSig(c, k.eval(null).toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "p_minhash_sig(shingles[, numHashes])")
+      }),
+    ("p_simhash",
+      new ExpressionInfo(classOf[PortableSimHash].getName, "p_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => PortableSimHash(c, 60)
+        case _ => throw new IllegalArgumentException("p_simhash(shingles)")
+      }),
+    ("kmv_sketch",
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, k) => KmvSketch(h, k.eval(null).toString.toInt)
+        case _ => throw new IllegalArgumentException("kmv_sketch(hash, k)")
       }))
 
   /** Imperative registration on an existing session. */

@@ -52,4 +52,22 @@ class SaltingSpec extends SparkSpec {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
     assert(cos == 1.0)
   }
+
+  test("SQL registration: lsh_sig, p_minhash_sig, p_simhash, kmv_sketch") {
+    GraftFunctions.register(spark)
+    val lsh = spark.sql(
+      "SELECT lsh_sig(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2, 4) AS s")
+      .head().getSeq[Long](0)
+    assert(lsh.length == 2 && lsh.forall(s => s >= 0 && s < 16))
+    val pm = spark.sql(
+      "SELECT p_minhash_sig(array('a b c', 'b c d'), 32) AS s")
+      .head().getSeq[Long](0)
+    assert(pm.length == 32)
+    val ps = spark.sql("SELECT p_simhash(array('a b c')) AS s").head().getLong(0)
+    assert(ps >= 0L)
+    val kmv = spark.sql(
+      "SELECT kmv_sketch(h, 3) AS m FROM (SELECT CAST(id * 37 % 11 AS BIGINT) AS h " +
+        "FROM range(100))").head().getSeq[Long](0)
+    assert(kmv == Seq(0L, 1L, 2L)) // 3 smallest distinct residues
+  }
 }
