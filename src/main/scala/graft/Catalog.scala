@@ -341,6 +341,22 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // deterministic hash-threshold sample: a pure filter, reproducible
+    // across reruns/partitionings/engines (no RNG)
+    "op_hash_sample" -> ((s, dir) =>
+      graft.ops.Sampling.byHash(t(s, dir, "lineitem"),
+        Dedup.portableHash(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))), permille = 100)
+        .agg(count(lit(1)).as("n_sampled"),
+          dbl(sum(col("l_quantity").cast(M2))).as("sum_qty"))),
+
+    // deterministic stratified sample: k docs per language, chosen as the
+    // k smallest doc-id hashes via the bounded-heap TopKPerKey operator
+    "op_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratified(t(s, dir, "documents"),
+        Seq("lang"), Dedup.portableHash(col("doc_id").cast(StringType)), 20)
+        .select("lang", "doc_id")),
+
     // KMV distinct sketch: k smallest portable-hash minima of l_partkey —
     // a mergeable fixed-memory distinct estimate whose minima (and thus
     // estimate) are EXACTLY engine-reproducible, unlike HLL

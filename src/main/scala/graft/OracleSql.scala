@@ -681,6 +681,29 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Deterministic hash-threshold sample (no RNG — pure function of data).
+    "op_hash_sample" -> """
+      SELECT count(*) AS n_sampled,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE CAST('0x' || substring(md5(
+          CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+          || '|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1000 < 100""",
+
+    // Deterministic stratified sample: 20 smallest doc-id hashes per lang.
+    "op_stratified_sample" -> """
+      WITH h AS (
+        SELECT lang, doc_id,
+          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hh
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn
+        FROM h)
+      SELECT lang, doc_id FROM r WHERE rn <= 20""",
+
     // KMV sketch: the k smallest distinct md5-60 hashes and the classic
     // (k-1)·H/kth estimator — deterministic in both engines.
     "op_kmv_distinct" -> """

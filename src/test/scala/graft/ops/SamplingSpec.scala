@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deterministic-sampling specs: partitioning invariance and rate. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratified sample is invariant under repartitioning") {
+    def sample(parts: Int): Set[(String, Long)] =
+      Sampling.stratified(docs.repartition(parts), Seq("lang"),
+        Dedup.portableHash($"doc_id".cast(StringType)), 10)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val one = sample(1)
+    assert(one == sample(8))
+    assert(one.groupBy(_._1).forall(_._2.size <= 10))
+  }
+
+  test("hash-threshold sample rate lands near permille/1000") {
+    val n = docs.count()
+    val sampled = Sampling.byHash(docs,
+      Dedup.portableHash($"doc_id".cast(StringType)), permille = 250).count()
+    assert(math.abs(sampled.toDouble / n - 0.25) < 0.08, s"$sampled of $n")
+    // deterministic: same filter, same rows
+    assert(sampled == Sampling.byHash(docs.repartition(13),
+      Dedup.portableHash($"doc_id".cast(StringType)), 250).count())
+  }
+}
