@@ -341,6 +341,15 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // corpus statistics: 50 most frequent word bigrams (ties broken by
+    // ngram text) — explode + count + top-k
+    "op_top_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.bigrams(col("text"))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(50)),
+
     // deterministic hash-threshold sample: a pure filter, reproducible
     // across reruns/partitionings/engines (no RNG)
     "op_hash_sample" -> ((s, dir) =>

@@ -681,6 +681,22 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Top-50 word bigrams (all occurrences; ties break on ngram text).
+    "op_top_ngrams" -> """
+      WITH tok AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      bg AS (
+        SELECT unnest(
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1])
+          ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        FROM tok)
+      SELECT ngram, count(*) AS cnt FROM bg
+      GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
+
     // Deterministic hash-threshold sample (no RNG — pure function of data).
     "op_hash_sample" -> """
       SELECT count(*) AS n_sampled,

@@ -19,6 +19,18 @@ object TextOps {
   /** Token count: whitespace segmentation (empty text → 0). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word bigrams (ALL occurrences, not distinct — corpus-statistics use).
+    * Built from slice+zip_with so the token array stays in HOF argument
+    * position (see [[Dedup.shingles]] PERF note). */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bg = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    when(n >= 2, bg)
+      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
+  }
+
   /** BPE-ish subword proxy count: word pieces after splitting on
     * non-alphanumeric runs — a cheap deterministic stand-in for a real
     * tokenizer's piece count (RE2-safe: no lookaround). */
