@@ -681,6 +681,21 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Exact discrete quantiles: the (pos)-th smallest per state — a sorted
+    // POSITION pick, so the value is engine-independent even under ties.
+    "op_state_quantiles" -> s"""
+      WITH $taxCte,
+      r AS (
+        SELECT state, tax_amount,
+          row_number() OVER (PARTITION BY state ORDER BY tax_amount) AS rn,
+          count(*) OVER (PARTITION BY state) AS cnt
+        FROM taxcalc)
+      SELECT state, 'p50' AS quantile, CAST(tax_amount AS DOUBLE) AS tax_amount
+      FROM r WHERE rn = (cnt + 1) // 2
+      UNION ALL
+      SELECT state, 'p90' AS quantile, CAST(tax_amount AS DOUBLE) AS tax_amount
+      FROM r WHERE rn = (9 * cnt + 9) // 10""",
+
     // Top-50 word bigrams (all occurrences; ties break on ngram text).
     "op_top_ngrams" -> """
       WITH tok AS (

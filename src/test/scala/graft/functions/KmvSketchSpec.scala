@@ -30,6 +30,28 @@ class KmvSketchSpec extends SparkSpec {
     assert(one == one.sorted && one.distinct == one)
   }
 
+  test("works as a streaming aggregate (state merges across micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDF().select($"value".as("h"))
+      .agg(KmvSketch($"h", 4).as("m"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(30L, 10L, 20L, 10L)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").head().getSeq[Long](0) ==
+        Seq(10L, 20L, 30L))
+      in.addData(5L, 40L, 1L)
+      q.processAllAvailable()
+      // merged across batches: 4 smallest distinct of {1,5,10,20,30,40}
+      assert(spark.table("kmv_stream").head().getSeq[Long](0) ==
+        Seq(1L, 5L, 10L, 20L))
+    } finally q.stop()
+  }
+
   test("estimate lands near the true distinct count") {
     val base = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val truth = base.select(countDistinct($"l_partkey")).head().getLong(0)
