@@ -341,6 +341,29 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // hierarchical totals: (state, is_exempt) -> state -> grand via rollup
+    "op_rollup" -> ((s, dir) =>
+      // expr()-based grouping columns: rollup(String*) resolves names via
+      // Dataset.col, which trips the ambiguous-self-join check on the
+      // withTax join lineage's dataset-id tags
+      taxed(s, dir).select("state", "is_exempt", "tax_amount")
+        .rollup(expr("state"), expr("is_exempt"))
+        .agg(dbl(sum(col("tax_amount"))).as("tax_total"),
+          count(lit(1)).as("n"))
+        // nullable BOOLEAN stringifies differently in the driver's two read
+        // paths (None vs NaN) — emit the subtotal level as a string
+        .select(col("state"),
+          coalesce(col("is_exempt").cast(StringType), lit("all"))
+            .as("exempt_level"),
+          col("tax_total"), col("n"))),
+
+    // wide-form per-state tax by customer type via pivot (explicit value
+    // list keeps the output schema static — no driver-side distinct scan)
+    "op_pivot" -> ((s, dir) =>
+      taxed(s, dir).groupBy("state")
+        .pivot("customer_type", Seq("retail", "wholesale", "exempt"))
+        .agg(dbl(sum(col("tax_amount"))))),
+
     // exact discrete quantiles per state (p50/p90 positions picked by
     // row_number — the value at a sorted position is multiset-deterministic,
     // and no per-key buffer ever materializes, unlike percentile/collect)

@@ -115,6 +115,7 @@ object OracleSql {
     ),
     taxcalc AS (
       SELECT transaction_id, transaction_date, state, city, amount, tax_paid,
+        customer_type,
         (no_tax OR cust_ex OR cert_ex OR cat_ex) AS is_exempt,
         CASE WHEN no_tax THEN state_name || ' has no sales tax'
              WHEN cust_ex THEN 'Customer type: ' || customer_type
@@ -680,6 +681,29 @@ object OracleSql {
       SELECT count(*) AS n_hits,
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
+
+    // Rollup: same grouping-sets rows (NULL keys for subtotal levels) in
+    // both engines; neither grouping column is data-nullable, so there is
+    // no grouping-null vs data-null ambiguity.
+    "op_rollup" -> s"""
+      WITH $taxCte
+      SELECT state,
+        coalesce(CAST(is_exempt AS VARCHAR), 'all') AS exempt_level,
+        CAST(coalesce(sum(tax_amount), 0) AS DOUBLE) AS tax_total,
+        count(*) AS n
+      FROM taxcalc GROUP BY ROLLUP (state, is_exempt)""",
+
+    // Pivot mirrored as conditional aggregation (engine-portable).
+    "op_pivot" -> s"""
+      WITH $taxCte
+      SELECT state,
+        CAST(sum(CASE WHEN customer_type = 'retail' THEN tax_amount END)
+             AS DOUBLE) AS retail,
+        CAST(sum(CASE WHEN customer_type = 'wholesale' THEN tax_amount END)
+             AS DOUBLE) AS wholesale,
+        CAST(sum(CASE WHEN customer_type = 'exempt' THEN tax_amount END)
+             AS DOUBLE) AS exempt
+      FROM taxcalc GROUP BY state""",
 
     // Exact discrete quantiles: the (pos)-th smallest per state — a sorted
     // POSITION pick, so the value is engine-independent even under ties.
