@@ -341,6 +341,16 @@ object Catalog {
           dbl(coalesce(sum(col("overpayment")), lit(0)))
             .as("total_overpayment"))),
 
+    // forward-looking window functions: next event type, session-position
+    // quartile, cumulative distribution (deterministic (ts, event_id) order)
+    "op_lead_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cume"))
+    }),
+
     // hierarchical totals: (state, is_exempt) -> state -> grand via rollup
     "op_rollup" -> ((s, dir) =>
       // expr()-based grouping columns: rollup(String*) resolves names via

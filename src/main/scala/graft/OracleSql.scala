@@ -682,6 +682,15 @@ object OracleSql {
         CAST(coalesce(sum(overpayment), 0) AS DOUBLE) AS total_overpayment
       FROM refunds WHERE overpayment >= 1.00""",
 
+    // Forward window functions; cume_dist is a count ratio — IEEE-identical.
+    "op_lead_ntile" -> """
+      SELECT event_id, user_id,
+        lead(event_type, 1) OVER w AS next_type,
+        ntile(4) OVER w AS quartile,
+        cume_dist() OVER w AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
     // Rollup: same grouping-sets rows (NULL keys for subtotal levels) in
     // both engines; neither grouping column is data-nullable, so there is
     // no grouping-null vs data-null ambiguity.
