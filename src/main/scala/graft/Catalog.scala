@@ -376,21 +376,24 @@ object Catalog {
 
     // exact discrete quantiles per state (p50/p90 positions picked by
     // row_number — the value at a sorted position is multiset-deterministic,
-    // and no per-key buffer ever materializes, unlike percentile/collect)
+    // and no per-key buffer ever materializes, unlike percentile/collect).
+    // Single window pass: each ranked row explodes into the quantile labels
+    // whose position it occupies (a two-branch union would evaluate the
+    // window subtree twice).
     "op_state_quantiles" -> ((s, dir) => {
       val w = Window.partitionBy("state").orderBy("tax_amount")
-      val ranked = taxed(s, dir)
+      taxed(s, dir)
         .select(col("state"), col("tax_amount"))
         .withColumn("rn", row_number().over(w))
         .withColumn("cnt",
           count(lit(1)).over(Window.partitionBy("state")))
-      val p50 = ranked.filter(expr("rn = (cnt + 1) div 2"))
-        .select(col("state"), lit("p50").as("quantile"),
+        .withColumn("quantile", explode(expr(
+          """filter(array(
+               if(rn = (cnt + 1) div 2, 'p50', null),
+               if(rn = (9 * cnt + 9) div 10, 'p90', null)),
+             x -> x is not null)""")))
+        .select(col("state"), col("quantile"),
           dbl(col("tax_amount")).as("tax_amount"))
-      val p90 = ranked.filter(expr("rn = (9 * cnt + 9) div 10"))
-        .select(col("state"), lit("p90").as("quantile"),
-          dbl(col("tax_amount")).as("tax_amount"))
-      p50.unionByName(p90)
     }),
 
     // corpus statistics: 50 most frequent word bigrams (ties broken by

@@ -22,13 +22,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
+  /** Integer parameter of a SQL builder: must be a foldable literal — a
+    * column reference or subquery gets a clear analysis-time error instead
+    * of an opaque NPE from eval(null). */
+  private def litInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $param must be a literal integer, got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null)
+      throw new IllegalArgumentException(s"$fn: $param must not be NULL")
+    v.toString.toInt
+  }
+
   private[functions] val descriptors: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => MinHashSig(c, 64)
         case Seq(c, k) => MinHashSig(c,
-          k.eval(null).toString.toInt)
+          litInt("minhash_sig", "numHashes", k))
         case _ => throw new IllegalArgumentException(
           "minhash_sig(shingles[, numHashes])")
       }),
@@ -43,7 +56,7 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(e) => LshSig(e, 4, 8)
         case Seq(e, t, p) => LshSig(e,
-          t.eval(null).toString.toInt, p.eval(null).toString.toInt)
+          litInt("lsh_sig", "nTables", t), litInt("lsh_sig", "planesPerTable", p))
         case _ => throw new IllegalArgumentException(
           "lsh_sig(embedding[, nTables, planesPerTable])")
       }),
@@ -51,7 +64,7 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PortableMinHashSig].getName, "p_minhash_sig"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => PortableMinHashSig(c, 64)
-        case Seq(c, k) => PortableMinHashSig(c, k.eval(null).toString.toInt)
+        case Seq(c, k) => PortableMinHashSig(c, litInt("p_minhash_sig", "numHashes", k))
         case _ => throw new IllegalArgumentException(
           "p_minhash_sig(shingles[, numHashes])")
       }),
@@ -64,7 +77,7 @@ object GraftFunctions {
     ("kmv_sketch",
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (args: Seq[Expression]) => args match {
-        case Seq(h, k) => KmvSketch(h, k.eval(null).toString.toInt)
+        case Seq(h, k) => KmvSketch(h, litInt("kmv_sketch", "k", k))
         case _ => throw new IllegalArgumentException("kmv_sketch(hash, k)")
       }))
 

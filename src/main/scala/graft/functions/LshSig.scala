@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   * The ±1 hyperplane family is the same splitmix-style parity
   * (plane, dim) → sign the HOF version uses; keep in sync with
   * [[graft.text.Similarity.planeSign]].
+  *
+  * NULL elements: this expression SKIPS null array elements (treats them as
+  * absent), whereas the HOF formulation propagates them through
+  * aggregate/zip_with (nulling the whole signature). The documented
+  * bit-identical equivalence therefore holds only for arrays with
+  * `containsNull = false` — which every embedding/shingle producer in this
+  * library guarantees. Filter nulls first if the input can contain them.
   */
 case class LshSig(child: Expression, nTables: Int, planesPerTable: Int)
     extends UnaryExpression {

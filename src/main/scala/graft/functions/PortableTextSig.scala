@@ -14,7 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)` in DuckDB
   * (keep in sync with [[graft.text.Dedup.portableHash]]). The first 15 hex
   * chars are the big-endian first 8 digest bytes shifted right by one
-  * nibble. */
+  * nibble.
+  *
+  * NULL elements: the native expressions below SKIP null array elements,
+  * while the HOF cross-validation formulations in [[graft.text.Dedup]]
+  * propagate them (nulling/zeroing the signature) — bit-identity holds for
+  * `containsNull=false` inputs, which [[graft.text.Dedup.shingles]]
+  * guarantees. Filter nulls first otherwise. */
 object PortableTextSig {
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))

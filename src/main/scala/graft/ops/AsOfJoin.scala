@@ -18,18 +18,30 @@ import org.apache.spark.sql.types.LongType
   * join. (An extension operator isn't needed: the composition already
   * yields the plan a custom SparkPlan would produce.)
   *
-  * Requirements: `left` must not already contain `valueCols`; ties among
-  * right rows at the same (key, ts) are broken by `rightIdCol` ascending
-  * (last — i.e. highest id — wins), so pass one whenever (key, ts) is not
-  * unique on the right.
+  * Requirements: `left` must not already contain `valueCols`; neither input
+  * may contain the reserved internal columns `_side`/`_ats`/`_rid`/`_vals`;
+  * ties among right rows at the same (key, ts) are broken by `rightIdCol`
+  * ascending (last — i.e. highest id — wins), so pass one whenever
+  * (key, ts) is not unique on the right.
+  *
+  * All value columns are carried as ONE struct from the matched right row —
+  * a right row whose latest-match has NULL in some value column still
+  * supplies that NULL (whole-row semantics), rather than falling back to an
+  * older row's value per-column.
   */
 object AsOfJoin {
+  private val Reserved = Seq("_side", "_ats", "_rid", "_vals")
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
       rightIdCol: Option[String] = None): DataFrame = {
     require(valueCols.nonEmpty, "asOf needs at least one right value column")
     require(!valueCols.exists(left.columns.contains),
       s"left already contains ${valueCols.mkString(",")}")
+    for (c <- Reserved) {
+      require(!left.columns.contains(c), s"asOf: left must not contain reserved column $c")
+      require(!right.columns.contains(c), s"asOf: right must not contain reserved column $c")
+    }
     val l = left
       .withColumn("_side", lit(1))
       .withColumn("_ats", col(leftTs))
@@ -44,8 +56,15 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats").asc, col("_side").asc, col("_rid").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.filter(col("_side") === 1).drop("_side", "_ats", "_rid")
+    // Whole-row carry: pack the right row's values into one struct (NULL for
+    // left rows — a bare struct(nulls) would be non-null and defeat
+    // ignoreNulls), take the last non-null struct, then unpack.
+    val filled = u
+      .withColumn("_vals",
+        when(col("_side") === 0, struct(valueCols.map(col): _*)))
+      .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    filled.select(left.columns.map(col) ++
+      valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 }

@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   * so floating floor() would corrupt them.
   */
 object RangeJoin {
+  /** Backtick-quoted identifier for interpolation into expr() — column names
+    * with dots/spaces/hyphens resolve as single identifiers, matching the
+    * Column-API style used elsewhere. */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   def pointInInterval(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val lb = left.withColumn("_bkt", expr(s"$ts div ${bucketWidth}L"))
+    require(!left.columns.contains("_bkt") && !right.columns.contains("_bkt"),
+      "pointInInterval: inputs must not contain reserved column _bkt")
+    val lb = left.withColumn("_bkt", expr(s"${q(ts)} div ${bucketWidth}L"))
     val rb = right.withColumn("_bkt", explode(sequence(
-      expr(s"$lo div ${bucketWidth}L"), expr(s"$hi div ${bucketWidth}L"))))
+      expr(s"${q(lo)} div ${bucketWidth}L"), expr(s"${q(hi)} div ${bucketWidth}L"))))
     lb.join(rb, keys :+ "_bkt")
-      .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
+      // expr(quoted) rather than col(): col("a.ts") would parse the dot as
+      // a struct-field access
+      .filter(expr(q(ts)) >= expr(q(lo)) && expr(q(ts)) <= expr(q(hi)))
       .drop("_bkt")
   }
 }

@@ -30,7 +30,10 @@ object Sampling {
     * per-group sample. Ties must not exist in the hash for the selected
     * set to be unique; pass a collision-free id-bearing struct otherwise. */
   def stratified(df: DataFrame, strataCols: Seq[String], hash: Column,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    require(!df.columns.contains("__h"),
+      "stratified: input must not contain reserved column __h")
     TopK.perKey(df.withColumn("__h", hash), strataCols, col("__h"), k,
       descending = false).drop("__h")
+  }
 }

@@ -87,7 +87,10 @@ object Similarity {
     * (planes `table*planesPerTable ..` of the global family) → packed long.
     * HOF formulation — kept for cross-validation of the native
     * [[graft.functions.LshSig]] (which computes ALL tables in one fused
-    * codegen pass and is what [[lshTopK]]/[[nearDupPairs]] use). */
+    * codegen pass and is what [[lshTopK]]/[[nearDupPairs]] use).
+    * Equivalence precondition: embedding arrays with `containsNull=false`
+    * (a null element nulls this formulation's whole signature but is
+    * skipped by the native one — see the LshSig scaladoc). */
   def tableSignature(emb: Column, table: Int, planesPerTable: Int): Column =
     (0 until planesPerTable).map { p =>
       val s = aggregate(

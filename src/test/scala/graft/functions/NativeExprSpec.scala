@@ -92,4 +92,14 @@ class NativeExprSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(interp == codegen)
   }
+
+  test("SQL builders reject non-literal size parameters with a clear error") {
+    GraftFunctions.register(spark)
+    Seq("doc").toDF("t").createOrReplaceTempView("nes_docs")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT p_minhash_sig(array(t), length(t)) FROM nes_docs").collect()
+    }
+    assert(e.getMessage.contains("must be a literal integer"), e.getMessage)
+  }
 }

@@ -46,6 +46,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getAs[Double]("purchase_value") == 9.9)
   }
 
+  test("whole-row semantics: a NULL value column in the latest right row " +
+      "is NOT backfilled from an older row") {
+    // right row at ts=300 has purchase_value NULL; an event after it must
+    // carry (8, NULL) — per-column last(ignoreNulls) would wrongly mix
+    // purchase_id=8 with the ts=200 row's value 1.5.
+    val r = Seq((10L, 200L, Some(7L), Some(1.5)),
+      (10L, 300L, Some(8L), Option.empty[Double]))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = AsOfJoin.asOf(left.filter($"event_id" === 4L), r,
+      Seq("user_id"), "ts", "ts", Seq("purchase_id", "purchase_value"),
+      rightIdCol = Some("purchase_id")).head()
+    assert(out.getAs[Long]("purchase_id") == 8L)
+    assert(out.isNullAt(out.fieldIndex("purchase_value")))
+  }
+
+  test("reserved internal column names are rejected") {
+    val bad = left.withColumn("_side", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(bad, right, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+    }
+    assert(e.getMessage.contains("_side"))
+  }
+
   test("exactly one shuffle: hash exchange on the key, then sort") {
     val df = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
       Seq("purchase_id", "purchase_value"))

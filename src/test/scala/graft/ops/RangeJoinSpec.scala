@@ -22,6 +22,26 @@ class RangeJoinSpec extends SparkSpec {
     .select("event_id", "iv_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("column names needing backtick quoting resolve correctly") {
+    val pts = points.withColumnRenamed("ts", "event.ts")
+    val ivs = intervals.withColumnRenamed("lo", "from ts")
+      .withColumnRenamed("hi", "to-ts")
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("user_id"),
+      "event.ts", "from ts", "to-ts", 100L)
+      .select("event_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 7L), (2L, 7L), (3L, 7L), (3L, 8L), (4L, 8L)))
+  }
+
+  test("reserved _bkt column is rejected") {
+    val bad = points.withColumn("_bkt", org.apache.spark.sql.functions.lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(bad, intervals, Seq("user_id"),
+        "ts", "lo", "hi", 100L)
+    }
+    assert(e.getMessage.contains("_bkt"))
+  }
+
   test("inclusive bounds, boundary crossings, key isolation") {
     val expected = Set((1L, 7L), (2L, 7L), (3L, 7L), (3L, 8L), (4L, 8L))
     assert(run(100L) == expected)
