@@ -222,13 +222,17 @@ object Dedup {
     // Per-doc distinct-shingle count rides ALONG the exploded index (size
     // of the shingle array, same narrow map), so there is no per-doc counts
     // aggregation and no (a)/(b) count joins downstream — two fewer
-    // shuffles than the textbook inverted-index formulation. The index is
-    // NOT persisted: measured at sf0.1, caching the wide string rows costs
-    // more than recomputing the narrow codegen shingle stage per use.
+    // shuffles than the textbook inverted-index formulation. The exploded
+    // index (id, n_sh, shingle) is persisted: it feeds the df-count
+    // aggregate once and the pair self-join twice, so without the cache the
+    // shingle stage (regex split + 3-gram assembly) runs 3×. Rows are
+    // narrow (two longs + a ~25-byte shingle), O(corpus tokens) — the same
+    // persistence contract as minhashPairs' signature table.
     val withSh = docs.select(col(idCol).as("id"),
       shingles(col(textCol)).as("shs"))
     val sh = withSh.select(col("id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("s"), "s")
