@@ -396,6 +396,35 @@ object Catalog {
           dbl(col("tax_amount")).as("tax_amount"))
     }),
 
+    // approximate per-state quantiles via a fixed-width histogram sketch —
+    // the 100 TB-scale complement of op_state_quantiles: the exact window
+    // path sort-shuffles every row, while this aggregates to a bounded
+    // (state, bucket) histogram with map-side partial counts (mergeable,
+    // fixed memory), then picks the bucket containing the same rank
+    // positions the exact op uses ((n+1) div 2, (9n+9) div 10). All-integer
+    // arithmetic: cents div 500 buckets, bucket lower bound in cents out.
+    "op_hist_quantiles" -> ((s, dir) => {
+      val binned = taxed(s, dir)
+        .select(col("state"),
+          (col("tax_amount") * 100).cast(LongType).as("cents"))
+        .withColumn("bucket", expr("cents div 500"))
+        .groupBy("state", "bucket").agg(count(lit(1)).as("n"))
+      binned
+        .withColumn("cum", sum("n").over(
+          Window.partitionBy("state").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum("n").over(Window.partitionBy("state")))
+        .withColumn("quantile", explode(expr(
+          """filter(array(
+               if(cum - n < (total + 1) div 2
+                  and (total + 1) div 2 <= cum, 'p50', null),
+               if(cum - n < (9 * total + 9) div 10
+                  and (9 * total + 9) div 10 <= cum, 'p90', null)),
+             x -> x is not null)""")))
+        .select(col("state"), col("quantile"),
+          (col("bucket") * 500).as("lo_cents"))
+    }),
+
     // corpus statistics: 50 most frequent word bigrams (ties broken by
     // ngram text) — explode + count + top-k
     "op_top_ngrams" -> ((s, dir) =>

@@ -729,6 +729,27 @@ object OracleSql {
       SELECT state, 'p90' AS quantile, CAST(tax_amount AS DOUBLE) AS tax_amount
       FROM r WHERE rn = (9 * cnt + 9) // 10""",
 
+    // Histogram-sketch quantiles: fixed-width cents-bucket counts, then the
+    // bucket containing the exact op's rank positions. All-integer math;
+    // DuckDB's HUGEINT sums only feed comparisons, never the output.
+    "op_hist_quantiles" -> s"""
+      WITH $taxCte,
+      b AS (
+        SELECT state, CAST(tax_amount * 100 AS BIGINT) // 500 AS bucket,
+          count(*) AS n
+        FROM taxcalc GROUP BY 1, 2),
+      c AS (
+        SELECT state, bucket, n,
+          sum(n) OVER (PARTITION BY state ORDER BY bucket) AS cum,
+          sum(n) OVER (PARTITION BY state) AS total
+        FROM b)
+      SELECT state, 'p50' AS quantile, CAST(bucket * 500 AS BIGINT) AS lo_cents
+      FROM c WHERE cum - n < (total + 1) // 2 AND (total + 1) // 2 <= cum
+      UNION ALL
+      SELECT state, 'p90' AS quantile, CAST(bucket * 500 AS BIGINT) AS lo_cents
+      FROM c WHERE cum - n < (9 * total + 9) // 10
+        AND (9 * total + 9) // 10 <= cum""",
+
     // Top-50 word bigrams (all occurrences; ties break on ngram text).
     "op_top_ngrams" -> """
       WITH tok AS (
