@@ -31,6 +31,8 @@ object Bench {
     val w0 = System.nanoTime()
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // sequential on purpose: each materialization already fills all
+      // executor slots, so concurrent counts only add contention
       Catalog.sharedFrames(spark, sfDir).foreach(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count())
     } catch { case _: Throwable => }

@@ -17,8 +17,11 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Catalog.sharedFrames(spark, sfDir).foreach(
-      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count())
+    Catalog.sharedFrames(spark, sfDir).zipWithIndex.foreach { case (df, i) =>
+      val t0 = System.nanoTime()
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      println(f"PROBE warm-frame$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
