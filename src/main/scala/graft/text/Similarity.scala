@@ -104,6 +104,18 @@ object Similarity {
   def lshSignature(emb: Column, nPlanes: Int = 16): Column =
     tableSignature(emb, 0, nPlanes)
 
+  /** Planes per table sized so the expected bucket occupancy stays near
+    * `targetBucket` for an `n`-vector corpus: 2^planes buckets per table ⇒
+    * planes = ceil(log2(n / targetBucket)). The quadratic-within-bucket
+    * candidate cost is (n / 2^planes)² per bucket — at FIXED planes it grows
+    * with n², so callers working at a new corpus scale should re-derive
+    * planes from this rule (measured: a 10× corpus at fixed 8 planes grew
+    * candidate pairs ~50×; the maxBucket cap bounds the worst bucket but not
+    * the average). Recall falls as planes rise — compensate with more
+    * tables (recall ≈ 1-(1-p^planes)^tables for per-plane agreement p). */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+
   /** (vec_id, tbl, bkt) rows: one bucket assignment per LSH table, hub
     * buckets larger than `maxBucket` dropped. Ids only — the embedding is
     * re-joined AFTER candidate dedup, so the bucket join, the pair

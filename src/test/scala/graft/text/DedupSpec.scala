@@ -82,6 +82,18 @@ class DedupSpec extends SparkSpec {
     assert(top.last == 25L) // opposite direction ranks last
   }
 
+  test("planesFor sizes bucket counts to the corpus") {
+    // 2^planes buckets => expected occupancy n / 2^planes <= targetBucket
+    assert(Similarity.planesFor(2000, 64) == 5)   // 2000/32=62.5 <= 64
+    assert(Similarity.planesFor(20000, 64) == 9)  // 20000/512=39
+    assert(Similarity.planesFor(64, 64) == 1)     // floor at 1 plane
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val p = Similarity.planesFor(n, 64)
+      assert(n.toDouble / (1L << p) <= 64.0)
+      assert(p == 1 || n.toDouble / (1L << (p - 1)) > 64.0) // minimal
+    }
+  }
+
   test("LSH ANN returns a subset consistent with brute force on testdata") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), 5)
