@@ -16,6 +16,9 @@ run / fork := true
 // trailer so that JSON line is the last thing on stdout.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another setting — keep
+// the unused-key lint quiet about it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,7 +50,8 @@ object Bench {
     // the metric line: keep it compact (3-decimal seconds => ~1.7 KB for 66
     // queries) and make it the very last line (build.sbt suppresses sbt's
     // "[success]" trailer and forwards forked stdout unprefixed).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")

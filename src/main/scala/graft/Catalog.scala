@@ -603,6 +603,28 @@ object Catalog {
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
         minCos = 0.2)),
 
+    // end-to-end training-data curation pipeline — the flagship composition
+    // of the LLM-data ops: quality-filter ('ok' bucket only) → exact dedup
+    // (min-doc_id survivor per identical text, a windowed min keyed on the
+    // text hash — bounded agg, one shuffle) → deterministic stratified
+    // sample (10 docs per language by smallest portable content hash, via
+    // the bounded-heap TopKPerKey operator). Every stage is the declared
+    // operator the standalone queries check; composing them stays one lazy
+    // plan — no intermediate materialization.
+    "op_curation_pipeline" -> ((s, dir) => {
+      val q = TextOps.qualityBucket(
+        TextOps.qualitySignals(t(s, dir, "documents"), "text"))
+        .filter(col("quality_bucket") === "ok")
+      val survivors = q
+        .withColumn("keep_id", min("doc_id").over(
+          Window.partitionBy(md5(col("text").cast(BinaryType)))))
+        .filter(col("doc_id") === col("keep_id"))
+        .select("lang", "doc_id", "n_tokens")
+      graft.ops.Sampling.stratified(survivors, Seq("lang"),
+        graft.text.Dedup.portableHash(col("doc_id").cast(StringType)), 10)
+        .select("lang", "doc_id", "n_tokens")
+    }),
+
     // byte-level features (byte_mean/entropy/histogram) stay API-only —
     // the oracle checks the ids/kinds/sizes/frame-sampling plumbing
     "op_media_features" -> ((s, dir) =>

@@ -1076,6 +1076,39 @@ object OracleSql {
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
 
+    // Curation pipeline: quality 'ok' docs → exact-dedup survivors →
+    // 10-per-language smallest-portable-hash sample.
+    "op_curation_pipeline" -> s"""
+      WITH padded AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
+      sig AS (
+        SELECT p.doc_id, d.lang, d.text,
+          length(d.text) AS n_chars,
+          CASE WHEN length(trim(d.text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS n_digit,
+          length(regexp_replace(d.text, '[^.!?,;:]', '', 'g')) AS n_punct,
+          $stopwordSumSql AS n_stopword
+        FROM padded p JOIN documents d ON p.doc_id = d.doc_id),
+      ok AS (
+        SELECT * FROM sig
+        WHERE NOT (n_chars < 30)
+          AND NOT (n_digit * 3 > n_chars)
+          AND NOT (n_punct * 5 > n_tokens * 2)
+          AND NOT (n_stopword * 20 < n_tokens)),
+      ded AS (
+        SELECT lang, doc_id, n_tokens,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM ok),
+      sv AS (SELECT lang, doc_id, n_tokens FROM ded WHERE doc_id = keep_id),
+      r AS (
+        SELECT lang, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT)) AS rn
+        FROM sv)
+      SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 10""",
+
     "op_token_jaccard" -> s"""
       WITH $corpusCte,
       tok AS (

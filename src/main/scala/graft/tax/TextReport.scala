@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, Row}
 object TextReport {
 
   /** Python `f"{x:,.2f}"`. */
-  private[graft] def money(v: Double): String = "%,.2f".formatLocal(Locale.US, v)
+  private[graft] def money(v: Double): String =
+    String.format(Locale.US, "%,.2f", Double.box(v))
 
   /** Python `f"{x:.2%}"` (half-even, like CPython float formatting). */
   private[graft] def pct(v: Double, scale: Int = 2): String = {
