@@ -44,8 +44,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
-    val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // Second pass only if the box is healthy: on a badly contended host the
+    // first sweep already tells the story, and doubling a slow run risks
+    // the harness timeout. 150 s ≈ 2-3× the healthy warm+pass time.
+    val elapsed = (System.nanoTime() - w0) / 1e9
+    val p2 = if (elapsed < 150.0) Some(pass()) else None
+    val agg = if (p2.isDefined) "min_of_2" else "pass1_only"
+    val results = p1.map { case (k, v) =>
+      k -> p2.map(m => math.min(v, m(k))).getOrElse(v) }
     // The driver captures only the last ~2000 chars of output and json-parses
     // the metric line: keep it compact (3-decimal seconds => ~1.7 KB for 66
     // queries) and make it the very last line (build.sbt suppresses sbt's
@@ -60,7 +66,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR") // keep shutdown quiet after the metric line
     // pass1_total = the first (cold-cache/JIT) sweep, for transparency
     // alongside the per-query minima that `value` sums.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"min_of_2","queries":$qs,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","queries":$qs,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
