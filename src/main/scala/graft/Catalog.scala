@@ -629,7 +629,7 @@ object Catalog {
     // the oracle checks the ids/kinds/sizes/frame-sampling plumbing
     "op_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
-        .toDF.select("media_id", "kind", "n_bytes", "frames_sampled")),
+        .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")),
 
     "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
       SyntheticTxns.txns(s, dir)

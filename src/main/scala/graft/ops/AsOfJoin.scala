@@ -64,7 +64,7 @@ object AsOfJoin {
         when(col("_side") === 0, struct(valueCols.map(col): _*)))
       .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-    filled.select(left.columns.map(col) ++
+    filled.select(left.columns.toIndexedSeq.map(col) ++
       valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 }

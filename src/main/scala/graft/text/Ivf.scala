@@ -75,7 +75,7 @@ object Ivf {
 
   /** Per-centroid cosine similarities as an array column. */
   private def simArray(emb: Column, model: Model): Column =
-    array(model.centroids.map(cv => CosineSim(emb, typedLit(cv.toSeq))): _*)
+    array(model.centroids.toIndexedSeq.map(cv => CosineSim(emb, typedLit(cv.toSeq))): _*)
 
   /** Nearest-cell id (0-based) from a MATERIALIZED similarity-array column
     * (first index on ties). Take the sims as an attribute, not an
