@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the composite/approximate catalog queries against
+  * their exact or componentwise counterparts on real testdata — the
+  * invariants that make the approximate paths trustworthy at scale. */
+class CompositeQuerySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hist-quantile bucket contains the exact quantile value") {
+    // op_hist_quantiles picks the $5-wide cents bucket holding the same
+    // rank position op_state_quantiles resolves exactly: for every
+    // (state, quantile) the exact value must fall inside [lo, lo + 500).
+    val exact = SparkEntry.queries("op_state_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val sketch = SparkEntry.queries("op_hist_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == sketch.keySet)
+    exact.foreach { case (k, v) =>
+      val lo = sketch(k)
+      val cents = math.round(v * 100)
+      assert(cents >= lo && cents < lo + 500,
+        s"$k: exact $cents cents outside sketch bucket [$lo, ${lo + 500})")
+    }
+  }
+
+  test("curation pipeline agrees with composing its stages independently") {
+    val piped = SparkEntry.queries("op_curation_pipeline")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // stage-by-stage reference composition
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ok = graft.text.TextOps.qualityBucket(
+      graft.text.TextOps.qualitySignals(docs, "text"))
+      .filter(col("quality_bucket") === "ok")
+    val survivors = ok.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .join(ok, "doc_id")
+    val sampled = graft.ops.Sampling.stratified(
+      survivors.select("lang", "doc_id"), Seq("lang"),
+      graft.text.Dedup.portableHash(col("doc_id").cast("string")), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(piped == sampled)
+
+    // sample-size contract: at most 10 docs per language
+    val perLang = piped.groupBy(_._1).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 10), perLang.toMap.toString)
+  }
+}
