@@ -93,4 +93,23 @@ class PlanSpec extends SparkSpec {
         s"$q: rank window must sit above TopKPerKey\n${p.take(1200)}")
     }
   }
+
+  test("op_hist_quantiles: map-side partial aggregation, window only over the histogram") {
+    val p = plan("op_hist_quantiles")
+    // partial-then-final hash aggregate around the exchange: the full fact
+    // never sorts — only the <= (states x buckets) histogram reaches the
+    // window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    // plan text prints consumers first: the Window (string index lower)
+    // must CONSUME the aggregate's output, i.e. appear above it
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window must run above the histogram aggregate\n${p.take(1500)}")
+  }
+
+  test("op_curation_pipeline: stratified sample via TopKPerKey, no global sort") {
+    val p = plan("op_curation_pipeline")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("\nSort "), "no global sort of the corpus")
+  }
 }
