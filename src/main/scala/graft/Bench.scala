@@ -37,10 +37,12 @@ object Bench {
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count())
     } catch { case _: Throwable => }
     val warmSec = (System.nanoTime() - w0) / 1e9
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
@@ -65,8 +67,11 @@ object Bench {
     val p1Total = if (p1.nonEmpty) p1.values.sum else 0.0
     spark.sparkContext.setLogLevel("ERROR") // keep shutdown quiet after the metric line
     // pass1_total = the first (cold-cache/JIT) sweep, for transparency
-    // alongside the per-query minima that `value` sums.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","queries":$qs,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"sf":"$sfDir"}""")
+    // alongside the per-query minima that `value` sums. A query that threw
+    // still reports its (meaningless) elapsed time — the failed list is
+    // what marks it; the correctness gate is Verify, not this.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","queries":$qs,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
