@@ -603,6 +603,21 @@ object Catalog {
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
         minCos = 0.2)),
 
+    // grouped vector aggregation: per-label embedding centroid components
+    // (class prototypes) — posexplode to (label, dim, value) rides the
+    // scan; the aggregate is map-side partial over (label, dim), so no
+    // vector buffer ever materializes per group and the shuffle carries
+    // (labels × dims) rows, not embeddings. Division-free outputs
+    // (sum of floor(x*1000) millis + count) keep float summation exact and
+    // engine-portable; callers divide when they want the mean.
+    "op_label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(floor(col("x").cast(DoubleType) * 1000).cast(LongType))
+          .as("sum_milli"),
+          count(lit(1)).as("n"))),
+
     // end-to-end training-data curation pipeline — the flagship composition
     // of the LLM-data ops: quality-filter ('ok' bucket only) → exact dedup
     // (min-doc_id survivor per identical text, a windowed min keyed on the

@@ -1076,6 +1076,18 @@ object OracleSql {
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
 
+    // Per-label centroid components: floor-quantized milli sums + counts
+    // (division-free; float->double then *1000 is bit-identical math).
+    "op_label_centroids" -> """
+      WITH e AS (
+        SELECT label, t.i - 1 AS dim,
+          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i))
+      SELECT label, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
+        count(*) AS n
+      FROM e GROUP BY label, dim""",
+
     // Curation pipeline: quality 'ok' docs → exact-dedup survivors →
     // 10-per-language smallest-portable-hash sample.
     "op_curation_pipeline" -> s"""
