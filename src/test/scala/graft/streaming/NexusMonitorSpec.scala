@@ -55,6 +55,38 @@ class NexusMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode drops data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Txn]
+    // append mode: a window is emitted once, only after the watermark
+    // passes its end — THE mode where late-drop semantics are observable
+    // (complete mode keeps all state and would still absorb late rows)
+    val q = windowedRevenue(in.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Txn("CA", 100.0, ts("2024-03-01 10:00:00")),
+        Txn("CA", 50.0, ts("2024-03-01 15:00:00")))
+      q.processAllAvailable()
+      // advance the watermark beyond day 1 -> the day-1 window finalizes
+      in.addData(Txn("CA", 25.0, ts("2024-03-03 12:00:00")))
+      q.processAllAvailable()
+      // 999 is two days behind the watermark: must be dropped entirely
+      in.addData(Txn("CA", 999.0, ts("2024-03-01 12:00:00")))
+      q.processAllAvailable()
+      // push the watermark past day 3 so its window finalizes too
+      in.addData(Txn("CA", 10.0, ts("2024-03-05 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("late_drop").orderBy("day").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("day").toString.take(10) ->
+          r.getAs[java.math.BigDecimal]("revenue").doubleValue)
+      assert(rows.contains("2024-03-01" -> 150.0), rows.toSeq.toString)
+      assert(rows.contains("2024-03-03" -> 25.0), rows.toSeq.toString)
+      assert(!rows.exists(_._2 >= 999.0), "late row must not surface anywhere")
+    } finally q.stop()
+  }
+
   test("the batch tax expression block runs unchanged on a stream") {
     // stream-static broadcast joins: TaxCalc.withTax over a streaming source
     implicit val sqlCtx = spark.sqlContext
