@@ -603,6 +603,19 @@ object Catalog {
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
         minCos = 0.2)),
 
+    // cross-corpus contamination check (train/benchmark decontamination):
+    // the benchmark side is every 7th document with a shifted id — each is
+    // verbatim-contained in train, so every benchmark doc must surface with
+    // overlap == its own shingle count against its train original (plus any
+    // true near-matches). Inverted index over train only; benchmark
+    // shingles probe it (never bench x bench pairs).
+    "op_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      Dedup.contamination(docs, bench)
+    }),
+
     // grouped vector aggregation: per-label embedding centroid components
     // (class prototypes) — posexplode to (label, dim, value) rides the
     // scan; the aggregate is map-side partial over (label, dim), so no

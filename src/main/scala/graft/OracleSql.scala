@@ -214,6 +214,24 @@ object OracleSql {
           ELSE [array_to_string(toks, ' ')] END) AS s
         FROM tok))"""
 
+  /** Same shingle derivation over RAW documents (no perturbed corpus
+    * copies) — yields `shd(doc_id, s)` for the cross-corpus contamination
+    * oracle. Plain (non-interpolated) string: `\s` stays literal. */
+  val shingleCteDocs: String = """
+    tok0 AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      FROM documents),
+    shd AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM tok0))"""
+
   /** The MinHash affine coefficient families as SQL list literals — same
     * values as [[graft.text.Dedup.coefA]]/coefB. */
   private val coefASql = graft.text.Dedup.coefA.mkString("[", ", ", "]")
@@ -1075,6 +1093,24 @@ object OracleSql {
              WHEN n_stopword * 20 < n_tokens THEN 'low_stopword'
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
+
+    // Contamination: benchmark = every 7th doc (id-shifted); overlap =
+    // count of shared distinct 3-gram shingles vs the df-capped train index.
+    "op_contamination" -> s"""
+      WITH $shingleCteDocs,
+      tsh AS (SELECT doc_id AS train_id, s FROM shd),
+      keep AS (
+        SELECT s FROM tsh GROUP BY s HAVING count(*) <= 100),
+      tidx AS (SELECT train_id, tsh.s FROM tsh JOIN keep ON tsh.s = keep.s),
+      bsh AS (
+        SELECT doc_id + 5000000000 AS bench_id, s,
+          count(*) OVER (PARTITION BY doc_id) AS bench_n_sh
+        FROM shd WHERE doc_id % 7 = 3)
+      SELECT bench_id, train_id, count(*) AS overlap,
+        CAST(min(bench_n_sh) AS BIGINT) AS bench_n_sh
+      FROM bsh JOIN tidx ON bsh.s = tidx.s
+      GROUP BY bench_id, train_id
+      HAVING count(*) >= 5""",
 
     // Per-label centroid components: floor-quantized milli sums + counts
     // (division-free; float->double then *1000 is bit-identical math).

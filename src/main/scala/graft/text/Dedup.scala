@@ -248,4 +248,41 @@ object Dedup {
       .filter(col("inter") * 2 >= col("union_n"))
       .select("a", "b", "inter", "union_n")
   }
+
+  /** Cross-corpus contamination check (train/benchmark decontamination):
+    * for each benchmark doc, the train docs sharing at least `minOverlap`
+    * distinct word 3-grams, with the overlap count and the benchmark's
+    * shingle count (so callers can threshold on overlap/bench_n coverage).
+    *
+    * Same inverted-index shape as [[jaccardPairs]], but the two sides are
+    * DIFFERENT corpora: the index is built over the train side only and
+    * benchmark shingles probe it — a benchmark row never pairs with
+    * another benchmark row, and df-capping (`maxDf`, on TRAIN document
+    * frequency) bounds hub shingles exactly as in the self-join case.
+    * At 100 TB train / small benchmark, the probe side is the small one:
+    * the join shuffles O(bench shingles + train index rows), never pairs
+    * of train docs. */
+  def contamination(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minOverlap: Int = 5, maxDf: Int = 100): DataFrame = {
+    // persisted for the same reason as jaccardPairs' index: the exploded
+    // train shingles feed the df-count aggregate AND the probe join
+    val tSh = train.select(col(idCol).as("train_id"),
+      explode(shingles(col(textCol))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIdx = tSh.join(
+      tSh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("s"), "s")
+    // stage the shingle array once (same pattern as jaccardPairs) so size
+    // and explode read one computed array
+    val bSh = bench
+      .select(col(idCol).as("bench_id"), shingles(col(textCol)).as("shs"))
+      .select(col("bench_id"),
+        size(col("shs")).cast(LongType).as("bench_n_sh"),
+        explode(col("shs")).as("s"))
+    bSh.join(tIdx, "s")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("overlap"), first("bench_n_sh").as("bench_n_sh"))
+      .filter(col("overlap") >= minOverlap)
+  }
 }

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) > 16)
   }
 
+  test("contamination: verbatim benchmark docs hit their train originals") {
+    val train = docs.filter($"doc_id" =!= 5L)
+    val bench = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank"), // = train 1/4
+      (102L, "totally novel benchmark question with no training overlap at all"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, bench, minOverlap = 5)
+      .collect().map(r => (r.getAs[Long]("bench_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("overlap"), r.getAs[Long]("bench_n_sh")))
+    // verbatim containment: overlap equals the benchmark's own shingle count
+    val verbatim = hits.filter(h => h._1 == 101L && (h._2 == 1L || h._2 == 4L))
+    assert(verbatim.length == 2, hits.toSeq.toString)
+    verbatim.foreach(h => assert(h._3 == h._4, s"verbatim hit must cover all shingles: $h"))
+    // near-dup train doc 2 shares most shingles too
+    assert(hits.exists(h => h._1 == 101L && h._2 == 2L))
+    // the novel doc is clean, and bench docs never pair with each other
+    assert(!hits.exists(_._1 == 102L))
+    assert(!hits.exists(h => h._2 >= 100L))
+  }
+
   test("jaccard pairs: near-dups above 1/3 threshold with exact counts") {
     val pairs = Dedup.jaccardPairs(docs)
       .select("a", "b", "inter", "union_n").as[(Long, Long, Long, Long)]
