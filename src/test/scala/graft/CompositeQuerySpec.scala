@@ -25,6 +25,24 @@ class CompositeQuerySpec extends SparkSpec {
     }
   }
 
+  test("planted contamination is fully detected on testdata") {
+    // op_contamination plants every 7th document (id + 5e9) as a verbatim
+    // benchmark: each must hit its own original with overlap == its whole
+    // shingle count (full coverage), whenever it clears the minOverlap=5
+    // floor.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 7 === 3).count()
+    val hits = SparkEntry.queries("op_contamination")(spark, sf).collect()
+    val selfHits = hits.filter(r =>
+      r.getAs[Long]("train_id") == r.getAs[Long]("bench_id") - 5000000000L)
+    assert(selfHits.length == planted,
+      s"expected all $planted planted docs to self-hit, got ${selfHits.length}")
+    selfHits.foreach { r =>
+      assert(r.getAs[Long]("overlap") == r.getAs[Long]("bench_n_sh"),
+        s"verbatim plant must cover all its shingles: $r")
+    }
+  }
+
   test("curation pipeline agrees with composing its stages independently") {
     val piped = SparkEntry.queries("op_curation_pipeline")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
