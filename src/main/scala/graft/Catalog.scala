@@ -603,6 +603,29 @@ object Catalog {
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
         minCos = 0.2)),
 
+    // sink/scan round-trip (op-csv-sink + op-csv-scan, oracle-grade): a
+    // typed slice of lineitem is written as headered CSV and read back with
+    // an explicit schema; the oracle compares against the SOURCE, so any
+    // type-fidelity loss in the writer or parser (decimal text, ISO dates)
+    // hash-mismatches. The temp path never reaches the output.
+    "op_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(M2).as("qty"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          col("l_returnflag").as("flag"))
+        .write.option("header", "true").mode("overwrite").csv(out)
+      s.read.option("header", "true")
+        .schema(StructType.fromDDL(
+          "l_orderkey BIGINT, l_linenumber INT, qty DECIMAL(18,2), " +
+            "ship_date DATE, flag STRING"))
+        .csv(out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dbl(col("qty")).as("qty"), col("ship_date"), col("flag"))
+    }),
+
     // cross-corpus contamination check (train/benchmark decontamination):
     // the benchmark side is every 7th document with a shifted id — each is
     // verbatim-contained in train, so every benchmark doc must surface with

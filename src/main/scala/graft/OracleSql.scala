@@ -1094,6 +1094,15 @@ object OracleSql {
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
 
+    // CSV round-trip: the oracle reads the SOURCE — the Spark side must
+    // reproduce it exactly through its own CSV write+read cycle.
+    "op_csv_roundtrip" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+        CAST(l_shipdate AS DATE) AS ship_date,
+        l_returnflag AS flag
+      FROM lineitem WHERE l_orderkey % 100 = 0""",
+
     // Contamination: benchmark = every 7th doc (id-shifted); overlap =
     // count of shared distinct 3-gram shingles vs the df-capped train index.
     "op_contamination" -> s"""
