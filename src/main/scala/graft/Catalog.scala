@@ -450,6 +450,15 @@ object Catalog {
         Seq("lang"), Dedup.portableHash(col("doc_id").cast(StringType)), 20)
         .select("lang", "doc_id")),
 
+    // deterministic source-weighted mixing: down-sample dominant languages
+    // to rebalance the corpus (en 40%, de 65%, others kept) — sampleBy
+    // semantics as a pure hash filter, no RNG (op extends op-hash-sample)
+    "op_source_mix" -> ((s, dir) =>
+      graft.ops.Sampling.byRates(t(s, dir, "documents"), col("lang"),
+        Dedup.portableHash(col("doc_id").cast(StringType)),
+        Map("en" -> 400, "de" -> 650))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
+
     // KMV distinct sketch: k smallest portable-hash minima of l_partkey —
     // a mergeable fixed-memory distinct estimate whose minima (and thus
     // estimate) are EXACTLY engine-reproducible, unlike HLL
@@ -624,6 +633,26 @@ object Catalog {
         .csv(out)
         .select(col("l_orderkey"), col("l_linenumber"),
           dbl(col("qty")).as("qty"), col("ship_date"), col("flag"))
+    }),
+
+    // JSON sink/scan round-trip (op-json-sink, oracle-grade): same contract
+    // as op_csv_roundtrip via JSON lines — numbers and ISO dates must
+    // survive the writer+parser cycle bit-exactly.
+    "op_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(M2).as("total"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          col("o_orderpriority").as("priority"))
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, total DECIMAL(18,2), " +
+            "order_date DATE, priority STRING"))
+        .json(out)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dbl(col("total")).as("total"), col("order_date"), col("priority"))
     }),
 
     // cross-corpus contamination check (train/benchmark decontamination):

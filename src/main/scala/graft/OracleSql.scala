@@ -1094,6 +1094,23 @@ object OracleSql {
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
 
+    // Deterministic source-weighted mixing: per-lang hash thresholds.
+    "op_source_mix" -> """
+      SELECT lang, count(*) AS n_kept FROM documents
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 1000 <
+        CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 650 ELSE 1000 END
+      GROUP BY lang""",
+
+    // JSON round-trip: oracle reads the source; Spark must reproduce it
+    // through its own JSON write+read cycle.
+    "op_json_roundtrip" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        CAST(o_orderdate AS DATE) AS order_date,
+        o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 100 = 0""",
+
     // CSV round-trip: the oracle reads the SOURCE — the Spark side must
     // reproduce it exactly through its own CSV write+read cycle.
     "op_csv_roundtrip" -> """

@@ -25,6 +25,21 @@ object Sampling {
     df.filter(pmod(hash, lit(1000L)) < permille)
   }
 
+  /** Deterministic per-group rates (source-weighted data mixing): keep a
+    * row when its content hash clears the group's per-mille threshold —
+    * `sampleBy` without an RNG. `rates` maps group value → permille kept;
+    * groups absent from the map keep `defaultPermille`. A pure filter
+    * against a broadcastable CASE, so it rides the scan at any scale and
+    * reruns/engines reproduce the same mix. */
+  def byRates(df: DataFrame, groupCol: Column, hash: Column,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    require((rates.values ++ Seq(defaultPermille)).forall(p => p >= 0 && p <= 1000))
+    val threshold = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, p)) =>
+      when(groupCol === k, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(hash, lit(1000L)) < threshold)
+  }
+
   /** Exactly `k` rows per stratum (fewer if the stratum is smaller),
     * chosen as the k SMALLEST hash values — a uniform, deterministic
     * per-group sample. Ties must not exist in the hash for the selected

@@ -23,6 +23,31 @@ class SamplingSpec extends SparkSpec {
     assert(one.groupBy(_._1).forall(_._2.size <= 10))
   }
 
+  test("byRates keeps per-group rates, defaults unknown groups, is a subset") {
+    val h = Dedup.portableHash($"doc_id".cast(StringType))
+    val kept = Sampling.byRates(docs, $"lang", h,
+      Map("en" -> 0, "de" -> 1000), defaultPermille = 500)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("en"))              // rate 0 drops everything
+    assert(kept("de") == all("de"))           // rate 1000 keeps everything
+    // other langs near half (hash-uniform; small corpus tolerance)
+    val others = (all.keySet - "en" - "de")
+    val ratio = others.map(l => kept.getOrElse(l, 0L)).sum.toDouble /
+      others.map(all).sum
+    assert(ratio > 0.3 && ratio < 0.7, s"default-rate ratio $ratio")
+    // deterministic: same call, same sample
+    val again = Sampling.byRates(docs, $"lang", h,
+      Map("en" -> 0, "de" -> 1000), defaultPermille = 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.byRates(docs.repartition(7), $"lang", h,
+      Map("en" -> 0, "de" -> 1000), defaultPermille = 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("hash-threshold sample rate lands near permille/1000") {
     val n = docs.count()
     val sampled = Sampling.byHash(docs,
