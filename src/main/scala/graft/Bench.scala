@@ -60,8 +60,12 @@ object Bench {
     // "[success]" trailer and forwards forked stdout unprefixed).
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-query values at 2 decimals: 10 ms resolution is ample and the
+    // saved ~70 chars keep the growing query map inside the tail window
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val p1Total = if (p1.nonEmpty) p1.values.sum else 0.0
