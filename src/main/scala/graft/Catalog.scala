@@ -575,6 +575,12 @@ object Catalog {
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
 
+    // near-dup CLUSTERS from jaccard pairs via DataFrame-only connected
+    // components (min-label propagation) — cluster id = min member id;
+    // survivors are doc_id == cluster_id rows
+    "op_dedup_clusters" -> ((s, dir) =>
+      Dedup.components(Dedup.jaccardPairs(dedupCorpus(s, dir)))),
+
     "op_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)

@@ -1211,6 +1211,46 @@ object OracleSql {
       JOIN counts cb ON cb.doc_id = i.b
       WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter""",
 
+    // Near-dup clusters: the jaccard pair derivation, then exact connected
+    // components via a recursive CTE (cluster id = min reachable doc_id —
+    // the same fixpoint the Spark min-label propagation converges to).
+    "op_dedup_clusters" -> s"""
+      WITH RECURSIVE $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id)
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""",
+
     // ---- portable-hash dedup / similarity families ----
     "op_minhash_pairs" -> s"""
       WITH $shinglesCte,

@@ -249,6 +249,60 @@ object Dedup {
       .select("a", "b", "inter", "union_n")
   }
 
+  /** Connected components over an undirected pair list — the clustering
+    * step that turns near-dup PAIRS into dedup GROUPS (cluster id = min
+    * member id; survivors are the rows where `doc_id == cluster_id`).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own and its neighbors' labels; converges to the component
+    * min in O(component diameter) rounds. Near-dup clusters are
+    * near-cliques (diameter 1-2), so 2-4 rounds in practice; `maxIters`
+    * bounds pathological chains.
+    *
+    * Scale: DataFrame-only (no GraphX/RDDs, no driver collect) — per round
+    * one shuffle join (edges ⋈ labels) and one per-vertex min aggregate;
+    * the edge list is persisted once and label frames swap each round. The
+    * convergence check is one count() per round, so the driver issues
+    * O(diameter) jobs — the standard trade for CC on DataFrames. */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().persist(lvl)
+    // initialization fused with the first propagation round: every vertex
+    // starts at min(self, neighbors) — one round fewer for the common
+    // pair/clique components (bidirectional edges ⇒ every vertex is a `u`)
+    var labels = edges.groupBy(col("u").as("id")).agg(min("v").as("nv"))
+      .select(col("id"), least(col("id"), col("nv")).as("label"))
+      .persist(lvl)
+    // labels only ever DECREASE (least of own and neighbor min), so the
+    // label sum is strictly decreasing until the fixpoint — an unchanged
+    // sum proves convergence without a per-round diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nmin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("id")).agg(min("vl").as("nmin"))
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(lvl)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Cross-corpus contamination check (train/benchmark decontamination):
     * for each benchmark doc, the train docs sharing at least `minOverlap`
     * distinct word 3-grams, with the overlap count and the benchmark's

@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) > 16)
   }
 
+  test("connected components: cliques, chains, min-id cluster labels") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (23L, 22L), (21L, 20L), (21L, 22L)) // a chain needing propagation
+      .toDF("a", "b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert((20L to 23L).forall(comps(_) == 20L))
+    assert(comps.size == 9) // only vertices appearing in pairs
+  }
+
   test("contamination: verbatim benchmark docs hit their train originals") {
     val train = docs.filter($"doc_id" =!= 5L)
     val bench = Seq(
