@@ -12,6 +12,17 @@ import org.apache.spark.sql.types._
   * LSH band-bucket self-join (keyed on (band, band_hash), so candidate
   * generation is O(collisions), never O(n²)) and the final per-pair verify.
   * At 100 TB the corpus never materializes pairwise.
+  *
+  * Persistence contract: [[minhashPairs]], [[jaccardPairs]] and
+  * [[contamination]] persist a narrow intermediate (the signature table /
+  * exploded shingle index) that the returned lazy frame reads more than
+  * once, and deliberately do NOT unpersist it — the result would recompute
+  * the expensive narrow stage on every downstream action. Spark's
+  * CacheManager dedupes identical plans, so repeated calls over the same
+  * input reuse one cache entry; callers sweeping MANY DISTINCT corpora in
+  * one session should `spark.catalog.clearCache()` (or unpersist the frames
+  * surfaced by `spark.catalog.cacheManager`) between corpora, or cached
+  * entries accumulate until executor storage evicts under pressure.
   */
 object Dedup {
   /** 31-bit modulus keeps a*x+b inside a long under ANSI overflow checks. */
@@ -256,16 +267,32 @@ object Dedup {
     * Iterative min-label propagation: each round every vertex takes the
     * min of its own and its neighbors' labels; converges to the component
     * min in O(component diameter) rounds. Near-dup clusters are
-    * near-cliques (diameter 1-2), so 2-4 rounds in practice; `maxIters`
+    * near-cliques (diameter 1-2), so 1-2 rounds in practice; `maxIters`
     * bounds pathological chains.
     *
     * Scale: DataFrame-only (no GraphX/RDDs, no driver collect) — per round
     * one shuffle join (edges ⋈ labels) and one per-vertex min aggregate;
     * the edge list is persisted once and label frames swap each round. The
-    * convergence check is one count() per round, so the driver issues
-    * O(diameter) jobs — the standard trade for CC on DataFrames. */
+    * driver issues exactly ONE action per round: the round's aggregate
+    * computes the pre- and post-propagation label sums together, and since
+    * labels only ever decrease, sum(new) == sum(old) proves the fixpoint —
+    * no separate up-front sum, no per-round diff join. O(diameter) driver-
+    * synchronized jobs total — the standard trade for CC on DataFrames.
+    *
+    * Persistence contract: the returned labels frame is left persisted (it
+    * is the result; callers that only derive from it once may unpersist);
+    * all per-round intermediates and the edge list are unpersisted here. */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    componentsWithStats(pairs, aCol, bCol, maxIters).labels
+
+  /** Result of [[componentsWithStats]]: final labels + convergence info. */
+  final case class ComponentsResult(labels: DataFrame, rounds: Int,
+      converged: Boolean)
+
+  /** [[components]] with the round count and convergence flag exposed. */
+  def componentsWithStats(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIters: Int = 20): ComponentsResult = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -276,12 +303,6 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id")).agg(min("v").as("nv"))
       .select(col("id"), least(col("id"), col("nv")).as("label"))
       .persist(lvl)
-    // labels only ever DECREASE (least of own and neighbor min), so the
-    // label sum is strictly decreasing until the fixpoint — an unchanged
-    // sum proves convergence without a per-round diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head().getLong(0)
-    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -289,18 +310,28 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min("vl").as("nmin"))
       val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(lvl)
-      val nextSum = labelSum(next)
+      // one action per round: materializes `next` AND compares the sums.
+      // coalesce guards the empty-graph case (sum over zero rows is NULL).
+      val sums = next.agg(
+        coalesce(sum("label"), lit(0L)).as("s_new"),
+        coalesce(sum("old_label"), lit(0L)).as("s_old")).head()
+      converged = sums.getLong(0) == sums.getLong(1)
       labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      labels = next.select("id", "label")
       iters += 1
     }
+    if (!converged)
+      // a truncated fixpoint silently diverges from exact CC — make it loud
+      System.err.println(s"[graft] Dedup.components: label propagation did " +
+        s"NOT converge within maxIters=$maxIters rounds; cluster labels may " +
+        s"be split. Raise maxIters for long-chain graphs.")
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    ComponentsResult(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      iters, converged)
   }
 
   /** Cross-corpus contamination check (train/benchmark decontamination):

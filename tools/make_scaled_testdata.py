@@ -13,6 +13,7 @@ genuine near-neighbors).
 Usage: python3 tools/make_scaled_testdata.py [N] [outdir]
 Then:  SPARK_GRAFT_SF_DIR=<outdir> sbt 'runMain graft.PerfProbe <queries...>'
 """
+import os
 import shutil
 import sys
 import time
@@ -22,6 +23,9 @@ import duckdb
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfx{N}"
 SRC = "/root/testdata/sf0.1"
+
+# DuckDB COPY TO does not create parent directories
+os.makedirs(OUT, exist_ok=True)
 
 t0 = time.time()
 con = duckdb.connect()
