@@ -37,6 +37,10 @@ object Catalog {
   val RefundAsOf: java.time.LocalDate = java.time.LocalDate.of(2004, 6, 15)
   /** Pinned as-of for filing-deadline queries. */
   val FilingAsOf: java.time.LocalDate = java.time.LocalDate.of(2024, 12, 1)
+  /** Pinned as-of for the overdue-filings listing — past the 2024 annual
+    * due dates, so zero-liability (annual-frequency) registrations show up
+    * overdue. */
+  val OverdueAsOf: java.time.LocalDate = java.time.LocalDate.of(2025, 3, 1)
 
   private def taxed(s: SparkSession, dir: String): DataFrame =
     TaxCalc.withTax(TaxCalc.normalize(SyntheticTxns.txns(s, dir)))
@@ -332,6 +336,51 @@ object Catalog {
           "is_overdue", "days_until_due", "status")
     }),
 
+    // overdue filings across registered states sorted by due date
+    // (op-sort-duedate, compliance.py:483-497): registrations carry no
+    // liability estimate, so every state files annually and the 2024 return
+    // is overdue by the pinned 2025-03-01 as-of
+    "op_sort_duedate" -> ((s, dir) => {
+      import s.implicits._
+      val reg = Seq("CA", "NY", "TX", "WA", "OH").toDF("state_code")
+      Compliance.overdueFilings(reg, 2024, OverdueAsOf)
+        .select("state_code", "period_start", "period_end", "due_date",
+          "days_until_due", "status")
+    }),
+
+    // display truncation in-plan (op-substr-limit, cli.py:100,366,371): the
+    // quick-scan table truncates transaction id to 12 chars and the reason
+    // text to 40 — the cut runs as a `substring` in the plan, so display
+    // prep stays distributed (the 40-char cut lands mid-way through the
+    // %.4f-rendered paid rate, making the truncation observable)
+    "op_display_truncate" -> ((s, dir) =>
+      Reports.displayQuickScan(
+        Refunds.quickScan(TaxCalc.normalize(SyntheticTxns.txns(s, dir)),
+          RefundAsOf, BigDecimal("1.00")))),
+
+    // all-states rates listing sorted by code (op-sort-code +
+    // op-string-fns; reference rates.py:864-866, cli.py:208-231): the CLI's
+    // None/-/Y renderings computed in-plan from the EXACT decimal rates
+    // (scale-3 percent cast → string), not float printf
+    "op_rates_listing" -> ((s, dir) =>
+      Dims.stateRates(s).select(
+        col("state_code"), col("state_name"),
+        when(col("base_rate") > 0,
+          concat((col("base_rate") * 100).cast(DecimalType(9, 3))
+            .cast(StringType), lit("%"))).otherwise("None").as("base_rate_text"),
+        when(col("avg_combined_rate") > 0,
+          concat((col("avg_combined_rate") * 100).cast(DecimalType(9, 3))
+            .cast(StringType), lit("%"))).otherwise("-").as("avg_combined_text"),
+        when(col("has_local_taxes"), "Y").otherwise("").as("local_flag"))),
+
+    // states exempting each category (reference rates.py:856-862): the
+    // `rates --category` CLI surface as a grouped listing
+    "op_states_exempting" -> ((s, dir) =>
+      Dims.stateExemptions(s).groupBy("category")
+        .agg(concat_ws(",", array_sort(collect_set(col("state_code"))))
+          .as("states"),
+          countDistinct(col("state_code")).as("n_states"))),
+
     // quick refund scan: overpayments at/above a minimum, aggregated
     // (op-quickscan-sum + op-threshold-filter)
     "op_quickscan" -> ((s, dir) =>
@@ -613,6 +662,33 @@ object Catalog {
         model, k = 5, nprobe = 4)
     }),
 
+    // recall@5 of the approximate ANN paths against the exact brute-force
+    // baseline — all three are deterministic, so the recall is a pinned,
+    // oracle-checkable number the driver can trend. Intersection counted on
+    // (q_id, neighbor_id) over the baseline's query set; the LSH path
+    // answers every vector, so the brute join restricts it to the
+    // benchmark queries.
+    "op_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .select("q_id", "neighbor_id")
+      val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
+      val methods =
+        Similarity.lshTopK(emb, k = 5)
+          .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
+          .unionByName(
+            graft.text.Ivf.searchTopK(emb, qs, model, k = 5, nprobe = 4)
+              .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
+      methods.join(brute, Seq("q_id", "neighbor_id"))
+        .groupBy("method").agg(count(lit(1)).as("n_hit"))
+        .crossJoin(brute.agg(count(lit(1)).as("n_total")))
+        .select(col("method"), col("n_hit"), col("n_total"),
+          (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("recall_at_5"))
+    }),
+
     "op_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
         t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
@@ -759,6 +835,23 @@ object Catalog {
 
     "op_tax_report" -> ((s, dir) =>
       Reports.taxSummaryFlat(taxed(s, dir))),
+
+    // printf-parity oracle for the console text sink (op-text-sink,
+    // format_text, report_generator.py:419-508): the driver hash-compares
+    // every rendered line — header, SUMMARY ($-money, raw counts, percent
+    // rate), STATE BREAKDOWN with %12s/%10s column padding — against the
+    // same text rebuilt in DuckDB from exact cents. Collecting the single
+    // report row is the op's contract (console rendering is driver-side by
+    // definition); everything upstream of the one-row report is
+    // distributed.
+    "op_text_report" -> ((s, dir) => {
+      import s.implicits._
+      val report = Reports.taxSummaryReport(taxed(s, dir),
+        periodLabel = "2024", generatedDate = "2024-12-01")
+      val lines = graft.tax.TextReport.formatText(report).split("\n", -1)
+      lines.toIndexedSeq.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }.toDF("line_no", "line")
+    }),
 
     "op_refund_report" -> ((s, dir) =>
       Reports.refundFlat(refunds(s, dir), totalReviewed = 0)),

@@ -272,6 +272,95 @@ object OracleSql {
     s"($j, $comps::DOUBLE[])"
   }.mkString("(VALUES ", ", ", ") AS cents(j, cent)")
 
+  /** Exact brute-force ANN baseline (mirrors [[graft.text.Similarity
+    * .bruteForceTopK]] over the %25 query set) — shared by op_ann_topk and
+    * the op_ann_recall intersection. */
+  private val annBruteSql: String = """
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / sqrt(
+              list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * list_sum(list_transform(q.q_emb,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5"""
+
+  /** Sign-LSH ANN (mirrors [[graft.text.Similarity.lshTopK]]) — shared by
+    * op_lsh_ann and op_ann_recall. */
+  private val annLshSql: String = s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, tt.t AS tbl,
+          ${lshBucketSql("embedding", "tt.t")} AS bkt
+        FROM embeddings CROSS JOIN generate_series(0, 3) AS tt(t)),
+      keep AS (SELECT tbl, bkt FROM sigs GROUP BY tbl, bkt
+               HAVING count(*) <= 512),
+      f AS (SELECT s.vec_id, s.tbl, s.bkt FROM sigs s JOIN keep USING (tbl, bkt)),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS neighbor_id
+        FROM f x JOIN f y
+          ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id <> y.vec_id),
+      scored AS (
+        SELECT c.q_id, c.neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.q_id
+        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5"""
+
+  /** IVF ANN over the fixed-formula centroids (mirrors [[graft.text.Ivf
+    * .searchTopK]]) — shared by op_ivf_ann and op_ann_recall. */
+  private val annIvfSql: String = s"""
+      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cents c),
+      -- first-max cell, like Spark's array_position(sims, array_max(sims))
+      assigned AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1),
+      -- top-nprobe cells per query; Spark sorts (sim, cell) structs and
+      -- reverses, so ties break on cell DESC
+      probes AS (
+        SELECT vec_id AS q_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
+          FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.q_id
+        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5"""
+
   /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
   val all: Map[String, String] = Map(
     // ---- generic relational ops over the TPC-H-ish testdata ----
@@ -1292,30 +1381,7 @@ object OracleSql {
           AS BIGINT) AS simhash
       FROM hsh""",
 
-    "op_lsh_ann" -> s"""
-      WITH sigs AS (
-        SELECT vec_id, embedding, tt.t AS tbl,
-          ${lshBucketSql("embedding", "tt.t")} AS bkt
-        FROM embeddings CROSS JOIN generate_series(0, 3) AS tt(t)),
-      keep AS (SELECT tbl, bkt FROM sigs GROUP BY tbl, bkt
-               HAVING count(*) <= 512),
-      f AS (SELECT s.vec_id, s.tbl, s.bkt FROM sigs s JOIN keep USING (tbl, bkt)),
-      cand AS (
-        SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS neighbor_id
-        FROM f x JOIN f y
-          ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id <> y.vec_id),
-      scored AS (
-        SELECT c.q_id, c.neighbor_id,
-          ${cosSql("e1.embedding", "e2.embedding")} AS cos
-        FROM cand c
-        JOIN embeddings e1 ON e1.vec_id = c.q_id
-        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT q_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-            AS rank
-        FROM scored) r
-      WHERE rank <= 5""",
+    "op_lsh_ann" -> annLshSql,
 
     "op_embed_neardup" -> s"""
       WITH sigs AS (
@@ -1336,40 +1402,7 @@ object OracleSql {
         JOIN embeddings e2 ON e2.vec_id = c.b)
       SELECT a, b, cos FROM scored WHERE cos >= 0.2""",
 
-    "op_ivf_ann" -> s"""
-      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
-      sims AS (
-        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
-        FROM embeddings e CROSS JOIN cents c),
-      -- first-max cell, like Spark's array_position(sims, array_max(sims))
-      assigned AS (
-        SELECT vec_id, ivf_cell FROM (
-          SELECT vec_id, j AS ivf_cell,
-            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
-          FROM sims) t WHERE rn = 1),
-      -- top-nprobe cells per query; Spark sorts (sim, cell) structs and
-      -- reverses, so ties break on cell DESC
-      probes AS (
-        SELECT vec_id AS q_id, ivf_cell FROM (
-          SELECT vec_id, j AS ivf_cell,
-            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
-          FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4),
-      cand AS (
-        SELECT p.q_id, a.vec_id AS neighbor_id
-        FROM probes p JOIN assigned a
-          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
-      scored AS (
-        SELECT c.q_id, c.neighbor_id,
-          ${cosSql("e1.embedding", "e2.embedding")} AS cos
-        FROM cand c
-        JOIN embeddings e1 ON e1.vec_id = c.q_id
-        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT q_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-            AS rank
-        FROM scored) r
-      WHERE rank <= 5""",
+    "op_ivf_ann" -> annIvfSql,
 
     "op_media_features" -> """
       SELECT doc_id AS media_id,
@@ -1496,26 +1529,176 @@ object OracleSql {
         FROM due WHERE due_date < DATE '2024-12-01')
       SELECT * FROM nexus_alerts UNION ALL SELECT * FROM overdue_alerts""",
 
-    "op_ann_topk" -> """
-      WITH q AS (
-        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id % 25 = 0),
-      scored AS (
-        SELECT q.q_id, e.vec_id AS neighbor_id,
-          list_sum(list_transform(list_zip(e.embedding, q.q_emb),
-            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-          / sqrt(
-              list_sum(list_transform(e.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-              * list_sum(list_transform(q.q_emb,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
-        FROM embeddings e CROSS JOIN q
-        WHERE e.vec_id <> q.q_id)
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT q_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
-            AS rank
-        FROM scored) r
-      WHERE rank <= 5""",
+    "op_ann_topk" -> annBruteSql,
+
+    // Recall@5 of each approximate ANN path against the exact baseline:
+    // intersection on (q_id, neighbor_id), denominator = baseline pairs.
+    "op_ann_recall" -> s"""
+      WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      lshm AS (SELECT q_id, neighbor_id FROM ($annLshSql)),
+      ivfm AS (SELECT q_id, neighbor_id FROM ($annIvfSql)),
+      methods AS (
+        SELECT 'lsh' AS method, q_id, neighbor_id FROM lshm
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, neighbor_id FROM ivfm),
+      hits AS (
+        SELECT m.method, count(*) AS n_hit
+        FROM methods m JOIN brute b USING (q_id, neighbor_id)
+        GROUP BY m.method),
+      tot AS (SELECT count(*) AS n_total FROM brute)
+      SELECT h.method, h.n_hit, t.n_total,
+        CAST(h.n_hit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS recall_at_5
+      FROM hits h CROSS JOIN tot t""",
+
+    // Overdue filings for zero-liability (annual) registrations as of
+    // 2025-03-01 — the single 2024 annual period per state, due in Jan 2025.
+    "op_sort_duedate" -> s"""
+      WITH reg AS (SELECT * FROM (VALUES
+          ('CA'), ('NY'), ('TX'), ('WA'), ('OH')) AS t(state_code)),
+      dd AS (SELECT state_code, due_day
+             FROM read_parquet('$Fix/filing_due_days.parquet')),
+      dued AS (
+        SELECT r.state_code,
+          DATE '2024-01-01' AS period_start,
+          DATE '2024-12-31' AS period_end,
+          make_date(2025, 1, coalesce(d.due_day, 20)) AS due_date
+        FROM reg r LEFT JOIN dd d ON d.state_code = r.state_code)
+      SELECT state_code, period_start, period_end, due_date,
+        datediff('day', DATE '2025-03-01', due_date) AS days_until_due,
+        'overdue' AS status
+      FROM dued WHERE due_date < DATE '2025-03-01'""",
+
+    // Quick-scan display projection with in-plan truncation: id cut to 12
+    // chars, reason to 40 (the cut lands inside the %.4f-rendered paid
+    // rate, so the truncation is observable). printf %.4f on a double is
+    // correctly rounded from the exact binary value in both engines, and
+    // exact decimal ties at the 4th place are impossible for binary doubles.
+    "op_display_truncate" -> s"""
+      WITH $taxCte,
+      hits AS (
+        SELECT t.transaction_id, t.state, t.amount, t.tax_paid, t.tax_amount,
+          t.combined_rate, t.is_exempt, t.exemption_reason,
+          CAST(round(t.tax_paid - t.tax_amount, 2) AS DECIMAL(18,2))
+            AS overpayment
+        FROM taxcalc t
+        WHERE round(t.tax_paid - t.tax_amount, 2) >= CAST(1.00 AS DECIMAL(18,2)))
+      SELECT substring(transaction_id, 1, 12) AS id, state,
+        CAST(amount AS DOUBLE) AS sale_amount,
+        CAST(tax_paid AS DOUBLE) AS tax_paid,
+        CAST(tax_amount AS DOUBLE) AS tax_owed,
+        CAST(overpayment AS DOUBLE) AS overpayment,
+        substring(
+          CASE WHEN is_exempt
+                 THEN 'Exempt transaction taxed: ' || exemption_reason
+               WHEN tax_amount > 0
+                 THEN printf('Rate mismatch: paid %.4f%%, correct rate %.4f%%',
+                   CAST(tax_paid AS DOUBLE) / CAST(amount AS DOUBLE) * 100,
+                   CAST(combined_rate AS DOUBLE) * 100)
+               ELSE 'Tax collected in no-tax jurisdiction' END,
+          1, 40) AS reason
+      FROM hits""",
+
+    // All-states rates listing with the CLI's None/-/Y renderings derived
+    // from the exact decimal rates (scale-3 percent cast → string).
+    "op_rates_listing" -> s"""
+      SELECT state_code, state_name,
+        CASE WHEN base_rate > 0
+             THEN CAST(CAST(base_rate * 100 AS DECIMAL(9,3)) AS VARCHAR) || '%'
+             ELSE 'None' END AS base_rate_text,
+        CASE WHEN avg_combined_rate > 0
+             THEN CAST(CAST(avg_combined_rate * 100 AS DECIMAL(9,3)) AS VARCHAR) || '%'
+             ELSE '-' END AS avg_combined_text,
+        CASE WHEN has_local_taxes THEN 'Y' ELSE '' END AS local_flag
+      FROM read_parquet('$Fix/state_rates.parquet')""",
+
+    // States exempting each category (rates.py:856-862).
+    "op_states_exempting" -> s"""
+      SELECT category,
+        string_agg(DISTINCT state_code, ',' ORDER BY state_code) AS states,
+        count(DISTINCT state_code) AS n_states
+      FROM read_parquet('$Fix/state_exemptions.parquet')
+      GROUP BY category""",
+
+    // format_text printf-parity: every console line of the tax-liability
+    // summary report rebuilt from exact cents (comma-grouped int + 2-digit
+    // fraction = Java's %,.2f on decimal-sourced doubles, which never tie
+    // at the 2nd place) and %.2f for the overall rate (correctly rounded
+    // exact-value formatting in both engines). Line numbers are 0-based.
+    "op_text_report" -> s"""
+      WITH $taxCte,
+      sm AS (
+        SELECT count(*) AS n,
+          sum(taxable_amount) AS taxable, sum(tax_amount) AS tax,
+          coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0) AS exempt,
+          count(CASE WHEN is_exempt THEN 1 END) AS n_exempt
+        FROM taxcalc),
+      st AS (
+        SELECT state, count(*) AS n,
+          sum(taxable_amount) AS taxable, sum(tax_amount) AS tax
+        FROM taxcalc GROUP BY state),
+      smc AS (
+        SELECT n, n_exempt,
+          CAST(taxable * 100 AS BIGINT) AS tc,
+          CAST(tax * 100 AS BIGINT) AS xc,
+          CAST(exempt * 100 AS BIGINT) AS ec,
+          CASE WHEN taxable > 0
+               THEN CAST(tax AS DOUBLE) / CAST(taxable AS DOUBLE) ELSE 0.0
+          END AS rate
+        FROM sm),
+      stc AS (
+        SELECT state, n,
+          format('{:,}', CAST(taxable * 100 AS BIGINT) // 100) || '.' ||
+            lpad(CAST(CAST(taxable * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+            AS ttxt,
+          format('{:,}', CAST(tax * 100 AS BIGINT) // 100) || '.' ||
+            lpad(CAST(CAST(tax * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+            AS xtxt
+        FROM st),
+      stline AS (
+        SELECT 16 + row_number() OVER (ORDER BY state) AS line_no,
+          '  ' || state || ': $$' ||
+          CASE WHEN length(ttxt) >= 12 THEN ttxt
+               ELSE lpad(ttxt, 12, ' ') END ||
+          ' taxable | $$' ||
+          CASE WHEN length(xtxt) >= 10 THEN xtxt
+               ELSE lpad(xtxt, 10, ' ') END ||
+          ' tax | ' || CAST(n AS VARCHAR) || ' txns' AS line
+        FROM stc),
+      header AS (
+        SELECT * FROM (VALUES
+          (0, repeat('=', 60)),
+          (1, '  Tax Liability Summary'),
+          (2, '  Generated: 2024-12-01'),
+          (3, '  Period: 2024'),
+          (4, repeat('=', 60)),
+          (5, ''),
+          (6, 'SUMMARY'),
+          (7, repeat('-', 40)),
+          (14, ''),
+          (15, 'STATE BREAKDOWN'),
+          (16, repeat('-', 40))) AS t(line_no, line)),
+      smline AS (
+        SELECT 8 AS line_no,
+          '  Total Transactions: ' || CAST(n AS VARCHAR) AS line FROM smc
+        UNION ALL SELECT 9, '  Total Taxable: $$' ||
+          format('{:,}', tc // 100) || '.' ||
+          lpad(CAST(tc % 100 AS VARCHAR), 2, '0') FROM smc
+        UNION ALL SELECT 10, '  Total Tax: $$' ||
+          format('{:,}', xc // 100) || '.' ||
+          lpad(CAST(xc % 100 AS VARCHAR), 2, '0') FROM smc
+        UNION ALL SELECT 11, '  Total Exempt: $$' ||
+          format('{:,}', ec // 100) || '.' ||
+          lpad(CAST(ec % 100 AS VARCHAR), 2, '0') FROM smc
+        UNION ALL SELECT 12, '  Exempt Transactions: ' ||
+          CAST(n_exempt AS VARCHAR) FROM smc
+        UNION ALL SELECT 13, '  Overall Effective Rate: ' ||
+          printf('%.2f', rate * 100) || '%' FROM smc),
+      trailer AS (
+        SELECT 17 + count(*) AS line_no, '' AS line FROM st)
+      SELECT CAST(line_no AS BIGINT) AS line_no, line FROM (
+        SELECT * FROM header
+        UNION ALL SELECT * FROM smline
+        UNION ALL SELECT * FROM stline
+        UNION ALL SELECT * FROM trailer)""",
   )
 }
