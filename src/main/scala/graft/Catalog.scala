@@ -32,6 +32,22 @@ object Catalog {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp dir for the sink round-trip queries, removed at JVM exit — the
+    * returned frame reads the files lazily, so eager cleanup inside the op
+    * is impossible, but repeated Bench/Verify runs must not accumulate
+    * sink litter in /tmp. */
+  private def tempOutDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   /** Pinned as-of for the refund pipeline — shipdates span 1995-2001, so a
     * 2004 reference date exercises both SOL outcomes. */
   val RefundAsOf: java.time.LocalDate = java.time.LocalDate.of(2004, 6, 15)
@@ -72,8 +88,11 @@ object Catalog {
       (col("doc_id") + 1000000000L).as("doc_id"),
       concat(col("text"), lit(" near duplicate copy suffix")).as("text"),
       col("lang"), col("source"), col("n_chars")))
-      // documents.parquet is a single small file -> one input partition;
-      // spread the CPU-heavy signature work across all cores
+      // HARNESS-ONLY: documents.parquet is a single small local fixture file
+      // -> one input partition, so spread the CPU-heavy signature work
+      // across all cores. A real corpus arrives pre-partitioned from
+      // thousands of files — do NOT copy this data-sized full shuffle
+      // into a deployment.
       .repartition(s.sparkContext.defaultParallelism)
   }
 
@@ -700,7 +719,7 @@ object Catalog {
     // type-fidelity loss in the writer or parser (decimal text, ISO dates)
     // hash-mismatches. The temp path never reaches the output.
     "op_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val out = tempOutDir("graft_csv_rt")
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -721,7 +740,7 @@ object Catalog {
     // as op_csv_roundtrip via JSON lines — numbers and ISO dates must
     // survive the writer+parser cycle bit-exactly.
     "op_json_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+      val out = tempOutDir("graft_json_rt")
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
@@ -792,6 +811,18 @@ object Catalog {
     "op_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
         .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")),
+
+    // REAL image codec end-to-end: per-partition PNG-encode of a
+    // closed-form grayscale pattern, real javax.imageio decode, pixel
+    // stats — the oracle recomputes the same stats from the pattern
+    // formula, so any encode/decode infidelity hash-mismatches
+    "op_image_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(Multimodal.encodedImages(s, dir)).toDF()),
+
+    // REAL audio codec end-to-end: WAV PCM encode via javax.sound,
+    // decode, sample stats vs the closed-form pattern
+    "op_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.encodedAudio(s, dir)).toDF()),
 
     "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
       SyntheticTxns.txns(s, dir)

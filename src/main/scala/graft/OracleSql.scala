@@ -1619,6 +1619,43 @@ object OracleSql {
       FROM read_parquet('$Fix/state_exemptions.parquet')
       GROUP BY category""",
 
+    // Decoded-pixel statistics of the real PNG round-trip, recomputed from
+    // the closed-form pattern (Multimodal.imagePattern): w = 8 + id%9,
+    // h = 8 + id%7, pixel(i) = (id*31 + i*7) % 256.
+    "op_image_features" -> """
+      SELECT doc_id AS media_id,
+        CAST(8 + doc_id % 9 AS INT) AS width,
+        CAST(8 + doc_id % 7 AS INT) AS height,
+        (8 + doc_id % 9) * (8 + doc_id % 7) AS n_px,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS INT) - 1),
+          i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum,
+        CAST(list_aggregate(list_transform(
+          generate_series(0, CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS INT) - 1),
+          i -> (doc_id * 31 + i * 7) % 256), 'min') AS INT) AS px_min,
+        CAST(list_aggregate(list_transform(
+          generate_series(0, CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS INT) - 1),
+          i -> (doc_id * 31 + i * 7) % 256), 'max') AS INT) AS px_max
+      FROM documents""",
+
+    // Decoded-sample statistics of the real WAV PCM round-trip, recomputed
+    // from Multimodal.audioPattern: n = 256 + id%257,
+    // s(i) = ((id*131 + i*17) % 65536) - 32768.
+    "op_audio_features" -> """
+      SELECT doc_id AS media_id,
+        CAST(16000 AS INT) AS sample_rate,
+        256 + doc_id % 257 AS n_samples,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST(256 + doc_id % 257 AS INT) - 1),
+          i -> (doc_id * 131 + i * 17) % 65536 - 32768)) AS BIGINT) AS sample_sum,
+        CAST(list_aggregate(list_transform(
+          generate_series(0, CAST(256 + doc_id % 257 AS INT) - 1),
+          i -> (doc_id * 131 + i * 17) % 65536 - 32768), 'min') AS INT) AS sample_min,
+        CAST(list_aggregate(list_transform(
+          generate_series(0, CAST(256 + doc_id % 257 AS INT) - 1),
+          i -> (doc_id * 131 + i * 17) % 65536 - 32768), 'max') AS INT) AS sample_max
+      FROM documents""",
+
     // format_text printf-parity: every console line of the tax-liability
     // summary report rebuilt from exact cents (comma-grouped int + 2-digit
     // fraction = Java's %,.2f on decimal-sourced doubles, which never tie
