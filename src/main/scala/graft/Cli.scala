@@ -7,8 +7,8 @@ import graft.tax._
 /** Thin CLI mirroring the reference's subcommands (cli.py:466-529):
   *
   *   runMain graft.Cli calculate --file txns.csv
-  *   runMain graft.Cli calculate --amount 500 --state TX --city Houston
-  *   runMain graft.Cli rates [--state TX]
+  *   runMain graft.Cli calculate --amount 500 --state TX --city Houston [--as-of 2024-06-01]
+  *   runMain graft.Cli rates [--state TX | --category groceries]
   *   runMain graft.Cli compliance --file txns.csv --registered TX,CA
   *   runMain graft.Cli refund --file txns.csv [--as-of 2026-01-01] [--quick]
   *   runMain graft.Cli report --file txns.csv [--period P] [--export-json f]
@@ -67,8 +67,13 @@ object Cli {
           }
         case None =>
           val amount = arg(args, "amount").getOrElse(sys.error("--amount or --file required"))
+          // --as-of pins the transaction date (defaults to today, mirroring
+          // the reference CLI's implicit date.today()) — the only other
+          // now() in the repo; everything else takes explicit as-of dates
+          val asOf = arg(args, "as-of").map(java.time.LocalDate.parse)
+            .getOrElse(java.time.LocalDate.now())
           val txn = Seq((
-            "cli", java.sql.Date.valueOf(java.time.LocalDate.now()),
+            "cli", java.sql.Date.valueOf(asOf),
             new java.math.BigDecimal(amount),
             arg(args, "state").getOrElse(sys.error("--state required")),
             arg(args, "city").orNull, arg(args, "category").orNull))
@@ -86,8 +91,21 @@ object Cli {
 
       case Some("rates") =>
         val st = Dims.stateRates(spark)
-        arg(args, "state") match {
-          case Some(s) =>
+        (arg(args, "category"), arg(args, "state")) match {
+          case (Some(catRaw), _) =>
+            // states exempting a category (rates.py:856-862); free-text
+            // input resolves through the synonym map like the calculator
+            val catLc = catRaw.trim.toLowerCase
+            val resolved = Dims.categorySynonyms(spark)
+              .filter(col("synonym") === catLc).select("category")
+              .collect().headOption.map(_.getString(0)).getOrElse(catLc)
+            val states = Dims.stateExemptions(spark)
+              .filter(col("category") === resolved)
+              .select("state_code").orderBy("state_code")
+              .collect().map(_.getString(0))
+            println(s"States exempting '$resolved': " +
+              (if (states.isEmpty) "(none)" else states.mkString(", ")))
+          case (None, Some(s)) =>
             val r = st.filter(upper(col("state_code")) === s.toUpperCase).head()
             println(s"${r.getAs[String]("state_name")} (${r.getAs[String]("state_code")})")
             println(s"  base rate:     ${r.getAs[java.math.BigDecimal]("base_rate")}")
@@ -97,7 +115,7 @@ object Cli {
               .orderBy("jurisdiction").collect().foreach { lr =>
                 println(s"    ${lr.getAs[String]("jurisdiction")} (${lr.getAs[String]("county")}): ${lr.getAs[java.math.BigDecimal]("rate")}")
               }
-          case None =>
+          case (None, None) =>
             // All-states summary sorted by code (rates.py:864-866 all_states;
             // cli.py:208-231): base "None" when zero, avg "-" when zero.
             println("US Sales Tax Rates - All States")

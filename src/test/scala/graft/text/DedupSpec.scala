@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(comps.size == 9) // only vertices appearing in pairs
   }
 
+  test("components: empty pair set yields an empty labels frame (no NPE)") {
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val res = Dedup.componentsWithStats(none)
+    assert(res.labels.count() == 0)
+    assert(res.converged)
+  }
+
+  test("components: near-dup cliques converge in at most 3 rounds") {
+    // driver-synchronized rounds are the cost at scale — pin the testdata
+    // round count so a regression in the fused convergence check is loud
+    val pairs = Dedup.jaccardPairs(
+      graft.Catalog.dedupCorpus(spark, "/root/testdata/sf0.001"))
+    val res = Dedup.componentsWithStats(pairs)
+    assert(res.converged, "label propagation must reach the fixpoint")
+    assert(res.rounds <= 3, s"expected <= 3 rounds, took ${res.rounds}")
+    res.labels.unpersist()
+  }
+
   test("contamination: verbatim benchmark docs hit their train originals") {
     val train = docs.filter($"doc_id" =!= 5L)
     val bench = Seq(
