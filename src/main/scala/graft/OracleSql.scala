@@ -1656,6 +1656,51 @@ object OracleSql {
           i -> (doc_id * 131 + i * 17) % 65536 - 32768), 'max') AS INT) AS sample_max
       FROM documents""",
 
+    // Deterministic 90/5/5 split on the portable doc-id hash.
+    "op_split_assign" -> """
+      WITH b AS (
+        SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 1000 AS bucket,
+          length(text) AS n_chars
+        FROM documents)
+      SELECT CASE WHEN bucket < 900 THEN 'train'
+                  WHEN bucket < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM b GROUP BY 1""",
+
+    // Per-doc token totals / distinct types / top-token count (empty docs
+    // drop on both sides: explode of an empty array vs the length filter).
+    "op_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_tok_n
+      FROM cnt GROUP BY doc_id""",
+
+    // int8 max-abs quantization parity: scale, quantized-value sum, and
+    // max reconstruction error — every step an IEEE double op, computed
+    // identically element-by-element in both engines.
+    "op_embed_quantize" -> """
+      WITH m AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') AS max_abs
+        FROM embeddings)
+      SELECT vec_id, max_abs, 127.0 / max_abs AS scale,
+        CAST(list_sum(list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT)))
+          AS BIGINT) AS q_sum,
+        list_aggregate(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)
+                   - round(CAST(x AS DOUBLE) * (127.0 / max_abs))
+                     / (127.0 / max_abs))), 'max') AS max_err
+      FROM m WHERE max_abs > 0""",
+
     // format_text printf-parity: every console line of the tax-liability
     // summary report rebuilt from exact cents (comma-grouped int + 2-digit
     // fraction = Java's %,.2f on decimal-sourced doubles, which never tie

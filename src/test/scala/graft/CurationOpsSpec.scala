@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-4 curation operators (split assignment,
+  * repetition signals, int8 quantization) beyond the oracle hash check. */
+class CurationOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("op_split_assign: 90/5/5 by hash, partition-count independent") {
+    val rows = SparkEntry.queries("op_split_assign")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    val trainFrac = rows("train").toDouble / total
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    // the assignment is a pure hash of doc_id: recomputing after an
+    // arbitrary repartition yields the identical breakdown
+    val bucket = pmod(
+      graft.text.Dedup.portableHash(col("doc_id").cast("string")), lit(1000))
+    val again = spark.read.parquet(s"$sf/documents.parquet").repartition(13)
+      .withColumn("split",
+        when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows.view.mapValues(identity).toMap.map {
+      case (k, _) => k -> rows(k) })
+  }
+
+  test("op_repetition: token totals, types, and top-token count agree with a direct recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("op_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out.keys.take(25).foreach { id =>
+      val toks = docs(id).trim.toLowerCase.split("\\s+").toSeq
+        .filter(_ => docs(id).trim.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      assert(out(id) == ((toks.size.toLong, counts.size.toLong,
+        counts.values.max.toLong)), s"doc $id")
+    }
+  }
+
+  test("op_embed_quantize: scale saturates int8, error bounded by half a step") {
+    val rows = SparkEntry.queries("op_embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val maxAbs = r.getAs[Double]("max_abs")
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_err")
+      assert(math.abs(scale * maxAbs - 127.0) < 1e-9)
+      // quantization error can never exceed half a quantization step
+      assert(maxErr <= 0.5 / scale * (1 + 1e-12), s"err $maxErr step ${1 / scale}")
+    }
+  }
+}
