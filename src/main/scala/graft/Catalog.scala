@@ -531,49 +531,26 @@ object Catalog {
     // assignment is a pure hash of the doc id — reproducible across
     // engines, reruns, and repartitionings, and a narrow filter at 100 TB
     // (the aggregate here just summarizes the assignment for the oracle)
-    "op_split_assign" -> ((s, dir) => {
-      val bucket = pmod(
-        Dedup.portableHash(col("doc_id").cast(StringType)), lit(1000))
-      t(s, dir, "documents")
-        .withColumn("split",
-          when(bucket < 900, "train").when(bucket < 950, "val")
-            .otherwise("test"))
+    "op_split_assign" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplit(t(s, dir, "documents"),
+        Dedup.portableHash(col("doc_id").cast(StringType)))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text")).cast(LongType)).as("n_chars"))
-    }),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))),
 
     // Gopher-style repetition signals per document: token total, distinct
     // types, and the top token's count (type-token ratio + top-share are
-    // standard repetition quality filters). Explode + two hash aggregates
-    // keyed (doc_id, tok) then doc_id — map-side partials, never a per-doc
-    // buffer
+    // standard repetition quality filters)
     "op_repetition" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-          max("c").as("top_tok_n"))),
+      TextOps.repetitionSignals(t(s, dir, "documents"), "text")),
 
     // int8 max-abs quantization of the embedding column with an in-plan
-    // reconstruction check: scale = 127/max|x|, q_i = round(x_i*scale) —
-    // all IEEE double ops (bit-identical in both engines; round-half-away
-    // matches Spark's HALF_UP on doubles). One narrow codegen map over the
-    // scan: q_sum pins every quantized value, max_err bounds the loss
+    // reconstruction check — flat scalar projection of
+    // graft.text.Embeddings.quantizeInt8 (the int8 array itself stays
+    // API-only: nested outputs crash the driver's hasher); q_sum pins
+    // every quantized value, max_err bounds the loss
     "op_embed_quantize" -> ((s, dir) =>
-      t(s, dir, "embeddings")
-        .withColumn("max_abs", expr(
-          "array_max(transform(embedding, x -> abs(cast(x as double))))"))
-        .filter(col("max_abs") > 0)
-        .withColumn("scale", lit(127.0) / col("max_abs"))
-        .withColumn("q_sum", expr(
-          """aggregate(embedding, cast(0 as bigint),
-             (acc, x) -> acc + cast(round(cast(x as double) * scale) as bigint))"""))
-        .withColumn("max_err", expr(
-          """array_max(transform(embedding,
-             x -> abs(cast(x as double)
-                      - round(cast(x as double) * scale) / scale)))"""))
+      graft.text.Embeddings.quantizeInt8(t(s, dir, "embeddings"))
         .select("vec_id", "max_abs", "scale", "q_sum", "max_err")),
 
     // KMV distinct sketch: k smallest portable-hash minima of l_partkey —

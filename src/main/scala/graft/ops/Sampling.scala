@@ -51,4 +51,23 @@ object Sampling {
     TopK.perKey(df.withColumn("__h", hash), strataCols, col("__h"), k,
       descending = false).drop("__h")
   }
+
+  /** Deterministic, leakage-free dataset split: bucket = hash mod 1000
+    * mapped through ascending `(upperBound, label)` cut points (rows at or
+    * above the last bound get `defaultLabel`). The default cuts give the
+    * standard 90/5/5 train/val/test. A pure narrow projection — the
+    * assignment is a function of the hashed key alone, so reruns,
+    * engines, and repartitionings agree, and downstream train/eval
+    * separation cannot leak through nondeterminism. */
+  def assignSplit(df: DataFrame, hash: Column,
+      cuts: Seq[(Int, String)] = Seq(900 -> "train", 950 -> "val"),
+      defaultLabel: String = "test", outCol: String = "split"): DataFrame = {
+    require(cuts.map(_._1) == cuts.map(_._1).sorted &&
+      cuts.forall(c => c._1 > 0 && c._1 <= 1000), "cuts must ascend in (0, 1000]")
+    val bucket = pmod(hash, lit(1000))
+    val label = cuts.foldRight(lit(defaultLabel): Column) {
+      case ((bound, lbl), acc) => when(bucket < bound, lbl).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
 }

@@ -83,4 +83,18 @@ object TextOps {
     * whitespace-normalized lower-cased text. */
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " ")).cast(BinaryType)), 1, 16)
+
+  /** Gopher-style repetition signals per document: token total, distinct
+    * types, and the most-frequent token's count — the inputs to
+    * type-token-ratio and top-token-share repetition filters. Empty
+    * documents drop (no tokens). Scale: explode + two hash aggregates with
+    * map-side partials keyed (id, token) then id — the shuffle carries
+    * distinct (doc, token) pairs, never a per-document buffer. */
+  def repetitionSignals(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("c").as("top_tok_n"))
 }

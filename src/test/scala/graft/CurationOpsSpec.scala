@@ -44,6 +44,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("Embeddings.quantizeInt8: int8 range respected; dequantize reproduces max_err") {
+    val q = graft.text.Embeddings.quantizeInt8(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val checked = graft.text.Embeddings.dequantize(q)
+      .select(col("vec_id"),
+        expr("array_max(transform(q, v -> abs(cast(v as int))))").as("q_max"),
+        expr("""array_max(zip_with(embedding, emb_hat,
+                (a, b) -> abs(cast(a as double) - b)))""").as("rt_err"),
+        col("max_err"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getAs[Int]("q_max") <= 127, "quantized values must fit int8")
+      // dequantize(q)/scale is the same expression max_err bounds — exact
+      assert(r.getAs[Double]("rt_err") == r.getAs[Double]("max_err"))
+    }
+  }
+
   test("op_embed_quantize: scale saturates int8, error bounded by half a step") {
     val rows = SparkEntry.queries("op_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
