@@ -855,6 +855,14 @@ object Catalog {
     "op_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.encodedAudio(s, dir)).toDF()),
 
+    // REAL multi-frame video container end-to-end: animated-GIF encode of
+    // a closed-form frame sequence (identity gray palette → lossless),
+    // real javax.imageio frame decode, stride-2 frame sampling, pixel
+    // stats over the sampled frames — the oracle recomputes everything
+    // from the pattern formula
+    "op_video_features" -> ((s, dir) =>
+      Multimodal.videoFeatures(Multimodal.encodedVideo(s, dir)).toDF()),
+
     "op_use_tax" -> ((s, dir) => TaxCalc.useTax(
       SyntheticTxns.txns(s, dir)
         .select(col("amount"), col("state"), col("city"),

@@ -1656,6 +1656,36 @@ object OracleSql {
           i -> (doc_id * 131 + i * 17) % 65536 - 32768), 'max') AS INT) AS sample_max
       FROM documents""",
 
+    // Decoded-frame statistics of the real animated-GIF round-trip,
+    // recomputed from Multimodal.videoPattern: 2 + id%4 frames of the
+    // image dims, frame f pixel i = (id*31 + f*97 + i*7) % 256, frames
+    // sampled at stride 2.
+    "op_video_features" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+          2 + doc_id % 4 AS nf
+        FROM documents),
+      s AS (
+        SELECT doc_id, w, h, nf,
+          list_filter([0, 2, 4], f -> f < nf) AS sampled
+        FROM d)
+      SELECT doc_id AS media_id,
+        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        CAST(nf AS INT) AS n_frames,
+        CAST(len(sampled) AS INT) AS n_sampled,
+        CAST(list_sum(list_transform(sampled, f ->
+          list_sum(list_transform(generate_series(0, CAST(w * h AS INT) - 1),
+            i -> (doc_id * 31 + f * 97 + i * 7) % 256)))) AS BIGINT) AS px_sum,
+        CAST(list_aggregate(list_transform(sampled, f ->
+          list_aggregate(list_transform(generate_series(0, CAST(w * h AS INT) - 1),
+            i -> (doc_id * 31 + f * 97 + i * 7) % 256), 'min')), 'min')
+          AS INT) AS px_min,
+        CAST(list_aggregate(list_transform(sampled, f ->
+          list_aggregate(list_transform(generate_series(0, CAST(w * h AS INT) - 1),
+            i -> (doc_id * 31 + f * 97 + i * 7) % 256), 'max')), 'max')
+          AS INT) AS px_max
+      FROM s""",
+
     // Deterministic 90/5/5 split on the portable doc-id hash.
     "op_split_assign" -> """
       WITH b AS (

@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * Image and audio decode are REAL, JDK-only codecs: PNG/JPEG via
-  * `javax.imageio` ([[decodeImage]]/[[encodePng]]) and WAV PCM via
-  * `javax.sound.sampled` ([[decodeWav]]/[[encodeWav]]) — both lossless
-  * round-trips, oracle-checked end-to-end (op_image_features /
-  * op_audio_features decode real in-plan-encoded payloads and the DuckDB
-  * oracle recomputes the pixel/sample statistics from the closed-form test
-  * pattern). Only VIDEO frame decode remains a STUB (`decodeStub`: no video
-  * codec ships with the JDK) — the batching/schema plumbing around it is
-  * real and tested.
+  * ALL THREE modalities decode through REAL, JDK-only codecs: PNG/JPEG
+  * images via `javax.imageio` ([[decodeImage]]/[[encodePng]]), WAV PCM
+  * audio via `javax.sound.sampled` ([[decodeWav]]/[[encodeWav]]), and
+  * multi-frame video via animated GIF ([[decodeGifFrames]]/[[encodeGif]] —
+  * lossless for 8-bit gray through the identity palette). Each is
+  * oracle-checked end-to-end: op_image_features / op_audio_features /
+  * op_video_features decode in-plan-encoded payloads and the DuckDB oracle
+  * recomputes the pixel/sample/frame statistics from the closed-form test
+  * patterns. `decodeStub` remains only as the byte-level fallback for
+  * OPAQUE payloads in [[extractFeatures]] (unknown codecs still get
+  * schema/batching-correct byte features).
   *
   * Scale: feature extraction is a narrow mapPartitions (no shuffle); payloads
   * stay off the driver; batches bound memory per task.
@@ -55,10 +57,10 @@ object Multimodal {
         (length(col("text")) * 10).cast(IntegerType).as("durationMs")).as("meta"))
   }
 
-  /** STUB decode (video frames only — the JDK ships no video codec; image
-    * and audio payloads have the real [[decodeImage]]/[[decodeWav]] paths):
-    * deterministic fake "pixels" from payload bytes, also used by the
-    * byte-level [[extractFeatures]] stage whose payloads are opaque. */
+  /** Byte-level fallback for OPAQUE payloads (codecs the JDK lacks):
+    * deterministic pseudo-"pixels" from the raw bytes, used by
+    * [[extractFeatures]]. Known formats decode for real —
+    * [[decodeImage]] / [[decodeWav]] / [[decodeGifFrames]]. */
   def decodeStub(payload: Array[Byte]): Array[Int] =
     if (payload == null) Array.empty
     else payload.map(b => (b & 0xff)).toArray
@@ -188,6 +190,61 @@ object Multimodal {
     (fmt.getSampleRate.toInt, out)
   }
 
+  /** 256-level grayscale palette: index i ↦ gray i, so GIF round-trips are
+    * bit-exact (the writer stores indices against this palette). */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode a grayscale frame sequence as an animated GIF (lossless for
+    * 8-bit gray via the identity palette) — a real multi-frame
+    * moving-picture container from the JDK's own codec. */
+  def encodeGif(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      img.getRaster.setSamples(0, 0, w, h, 0, px)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode every frame of an animated GIF to (width, height, gray
+    * pixels) — pixels are read through the palette (getRGB red channel),
+    * so an index permutation in the container cannot corrupt values. */
+  def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map { f =>
+      val img = reader.read(f)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(i) = (img.getRGB(x, y) >> 16) & 0xff; i += 1; x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+    reader.dispose()
+    iis.close()
+    out
+  }
+
   // ---- deterministic closed-form test patterns (oracle-recomputable) ----
 
   /** Grayscale test pattern for id: w = 8 + id%9, h = 8 + id%7,
@@ -204,6 +261,50 @@ object Multimodal {
   def audioPattern(id: Long): Array[Short] = {
     val n = (256 + id % 257).toInt
     Array.tabulate(n)(i => (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+  }
+
+  /** Frame-sequence test pattern for id: 2 + id%4 frames of the image
+    * dimensions, frame f pixel i = (id*31 + f*97 + i*7) mod 256. */
+  def videoPattern(id: Long): (Int, Int, Seq[Array[Int]]) = {
+    val (w, h, _) = imagePattern(id)
+    val nFrames = (2 + id % 4).toInt
+    val frames = (0 until nFrames).map(f =>
+      Array.tabulate(w * h)(i =>
+        ((id * 31 + f.toLong * 97 + i.toLong * 7) % 256).toInt))
+    (w, h, frames)
+  }
+
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Real animated-GIF payloads for every document id. */
+  def encodedVideo(spark: SparkSession, sfDir: String): Dataset[EncodedMedia] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, frames) = videoPattern(id)
+        EncodedMedia(id, "video", encodeGif(frames, w, h))
+      })
+  }
+
+  /** Decode GIF frames, sample every `stride`-th frame, and emit pixel
+    * statistics over the sampled frames — the real-codec version of the
+    * frame-sample stage. Narrow mapPartitions, payloads off-driver. */
+  def videoFeatures(media: Dataset[EncodedMedia], stride: Int = 2,
+      maxFrames: Int = 64): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val frames = decodeGifFrames(m.payload)
+      val sampled = frames.indices.collect {
+        case f if f % stride == 0 => frames(f)
+      }.take(maxFrames)
+      val (w, h) = (frames.head._1, frames.head._2)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      sampled.foreach(_._3.foreach { v =>
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v })
+      VideoFeatures(m.media_id, w, h, frames.length, sampled.length, sum,
+        if (sampled.isEmpty) 0 else mn, if (sampled.isEmpty) 0 else mx)
+    })
   }
 
   case class EncodedMedia(media_id: Long, kind: String, payload: Array[Byte])

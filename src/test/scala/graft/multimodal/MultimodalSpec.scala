@@ -27,6 +27,35 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.toSeq == samples.toSeq)
   }
 
+  test("animated GIF encode/decode round-trips every frame exactly") {
+    val (w, h, frames) = Multimodal.videoPattern(13L)
+    assert(frames.length >= 2, "a video needs multiple frames")
+    val bytes = Multimodal.encodeGif(frames, w, h)
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val decoded = Multimodal.decodeGifFrames(bytes)
+    assert(decoded.length == frames.length)
+    decoded.zip(frames).foreach { case ((dw, dh, px), expected) =>
+      assert((dw, dh) == (w, h))
+      assert(px.toSeq == expected.toSeq)
+    }
+  }
+
+  test("videoFeatures samples every 2nd frame with exact stats") {
+    val feats = Multimodal.videoFeatures(Multimodal.encodedVideo(spark, sf))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.nonEmpty)
+    feats.keys.take(20).foreach { id =>
+      val (w, h, frames) = Multimodal.videoPattern(id)
+      val sampled = frames.indices.collect { case f if f % 2 == 0 => frames(f) }
+      val px = sampled.flatten
+      val f = feats(id)
+      assert(f.width == w && f.height == h)
+      assert(f.n_frames == frames.length && f.n_sampled == sampled.length)
+      assert(f.px_sum == px.map(_.toLong).sum)
+      assert(f.px_min == px.min && f.px_max == px.max)
+    }
+  }
+
   test("decodeImage reduces RGB inputs to BT.601 luma") {
     val img = new java.awt.image.BufferedImage(
       2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
