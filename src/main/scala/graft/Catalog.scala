@@ -855,6 +855,13 @@ object Catalog {
     "op_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.encodedAudio(s, dir)).toDF()),
 
+    // REAL decode + spatial resize end-to-end: PNG decode, nearest-neighbor
+    // resample to 8x8 (pure integer index math the oracle recomputes),
+    // stats over the resized pixels — one narrow mapPartitions
+    "op_image_resize" -> ((s, dir) =>
+      Multimodal.imageResizeFeatures(Multimodal.encodedImages(s, dir), 8, 8)
+        .toDF()),
+
     // REAL multi-frame video container end-to-end: animated-GIF encode of
     // a closed-form frame sequence (identity gray palette → lossless),
     // real javax.imageio frame decode, stride-2 frame sampling, pixel

@@ -1656,6 +1656,26 @@ object OracleSql {
           i -> (doc_id * 131 + i * 17) % 65536 - 32768), 'max') AS INT) AS sample_max
       FROM documents""",
 
+    // Nearest-neighbor 8x8 resize of the decoded pattern image: out pixel
+    // (ox, oy) samples source (ox*w//8, oy*h//8) — pure integer math.
+    "op_image_resize" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 63),
+            i -> (doc_id * 31
+                  + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 7) % 256)
+            AS px
+        FROM d)
+      SELECT doc_id AS media_id,
+        CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        CAST(list_sum(px) AS BIGINT) AS r_sum,
+        CAST(list_aggregate(px, 'min') AS INT) AS r_min,
+        CAST(list_aggregate(px, 'max') AS INT) AS r_max
+      FROM r""",
+
     // Decoded-frame statistics of the real animated-GIF round-trip,
     // recomputed from Multimodal.videoPattern: 2 + id%4 frames of the
     // image dims, frame f pixel i = (id*31 + f*97 + i*7) % 256, frames

@@ -65,7 +65,7 @@ object Multimodal {
     if (payload == null) Array.empty
     else payload.map(b => (b & 0xff)).toArray
 
-  /** STUB frame sampler: every `stride`-th decoded unit, capped at `max`. */
+  /** Frame sampler: every `stride`-th decoded unit, capped at `max`. */
   def sampleFrames(decoded: Array[Int], stride: Int, max: Int): Array[Int] = {
     val out = decoded.indices.collect { case i if i % stride == 0 => decoded(i) }
     out.take(max).toArray
@@ -99,15 +99,56 @@ object Multimodal {
     }
   }
 
-  /** Resize stub for image payloads: nearest-neighbor index sampling of the
-    * fake pixel array down to (w × h) values — the real version would do a
-    * bilinear resample of the decoded bitmap. */
-  def resizeStub(decoded: Array[Int], w: Int, h: Int): Array[Int] = {
-    val target = w * h
-    if (decoded.isEmpty || target == 0) Array.empty
-    else Array.tabulate(math.min(target, decoded.length)) { i =>
-      decoded((i.toLong * decoded.length / math.max(target, 1)).toInt.min(decoded.length - 1))
+  /** Real spatial nearest-neighbor resize of a row-major grayscale bitmap
+    * (w × h) → (ow × oh): out(ox, oy) = in(ox·w ∕ ow, oy·h ∕ oh) with
+    * floor division — pure integer arithmetic, so the DuckDB oracle can
+    * recompute every output pixel (op_image_resize). */
+  def resizeNearest(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
+    require(px.length == w * h && ow > 0 && oh > 0)
+    Array.tabulate(ow * oh) { i =>
+      val ox = i % ow
+      val oy = i / ow
+      px((oy.toLong * h / oh).toInt * w + (ox.toLong * w / ow).toInt)
     }
+  }
+
+  /** Real bilinear resize (pixel-center sampling, edge clamp) — the
+    * quality path for model-input preprocessing; deterministic double
+    * arithmetic, unit-pinned (the oracle op uses [[resizeNearest]] whose
+    * integer math is SQL-recomputable). */
+  def resizeBilinear(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Double] = {
+    require(px.length == w * h && ow > 0 && oh > 0)
+    Array.tabulate(ow * oh) { i =>
+      val ox = i % ow
+      val oy = i / ow
+      val fx = math.max(0.0, (ox + 0.5) * w / ow - 0.5)
+      val fy = math.max(0.0, (oy + 0.5) * h / oh - 0.5)
+      val x0 = math.min(fx.toInt, w - 1); val x1 = math.min(x0 + 1, w - 1)
+      val y0 = math.min(fy.toInt, h - 1); val y1 = math.min(y0 + 1, h - 1)
+      val dx = fx - x0
+      val dy = fy - y0
+      (px(y0 * w + x0) * (1 - dx) + px(y0 * w + x1) * dx) * (1 - dy) +
+        (px(y1 * w + x0) * (1 - dx) + px(y1 * w + x1) * dx) * dy
+    }
+  }
+
+  case class ResizeFeatures(media_id: Long, out_w: Int, out_h: Int,
+      r_sum: Long, r_min: Int, r_max: Int)
+
+  /** Decode PNG payloads, nearest-neighbor resize to (ow × oh), and emit
+    * resized-pixel statistics — decode + real spatial resample in one
+    * narrow mapPartitions. */
+  def imageResizeFeatures(media: Dataset[EncodedMedia], ow: Int,
+      oh: Int): Dataset[ResizeFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, px) = decodeImage(m.payload)
+      val r = resizeNearest(px, w, h, ow, oh)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      r.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+      ResizeFeatures(m.media_id, ow, oh, sum,
+        if (r.isEmpty) 0 else mn, if (r.isEmpty) 0 else mx)
+    })
   }
 
   // ---- real codecs (JDK-only; no new dependencies) ----

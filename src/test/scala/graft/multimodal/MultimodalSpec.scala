@@ -56,6 +56,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeNearest: identity at same size, exact index sampling when shrinking") {
+    val (w, h, px) = Multimodal.imagePattern(5L)
+    assert(Multimodal.resizeNearest(px, w, h, w, h).toSeq == px.toSeq)
+    val r = Multimodal.resizeNearest(px, w, h, 8, 8)
+    assert(r.length == 64)
+    for (oy <- 0 until 8; ox <- 0 until 8)
+      assert(r(oy * 8 + ox) == px((oy * h / 8) * w + (ox * w / 8)))
+  }
+
+  test("resizeBilinear: 2x2 -> 1x1 is the four-pixel average; identity at same size") {
+    val px = Array(0, 100, 200, 60)
+    val one = Multimodal.resizeBilinear(px, 2, 2, 1, 1)
+    assert(math.abs(one(0) - (0 + 100 + 200 + 60) / 4.0) < 1e-12)
+    val same = Multimodal.resizeBilinear(px, 2, 2, 2, 2)
+    assert(same.toSeq == px.map(_.toDouble).toSeq)
+  }
+
   test("decodeImage reduces RGB inputs to BT.601 luma") {
     val img = new java.awt.image.BufferedImage(
       2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
