@@ -527,6 +527,31 @@ object Catalog {
         Map("en" -> 400, "de" -> 650))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
 
+    // skew-safe salted equi-join (ops/Salting): the fact side salts into 8
+    // buckets, the dim side replicates 8x, the shuffle key becomes
+    // (key, salt) — and the RESULT is provably salt-independent, which is
+    // exactly what the oracle (a plain join) verifies. Exact decimal sums
+    // make the check order-insensitive
+    "op_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_quantity").cast(M2).as("qty"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Salting.saltedJoin(li, dim, "suppkey", buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dbl(sum(col("qty"))).as("sum_qty"))
+    }),
+
+    // two-phase skew-safe aggregation (ops/Salting.saltedSum): partial
+    // sums on (key, salt) then a final merge per key — oracle-verified
+    // equal to the plain group-by (exact decimal addition commutes)
+    "op_salted_agg" -> ((s, dir) =>
+      graft.ops.Salting.saltedSum(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast(M2).as("qty")),
+        "l_returnflag", "qty", buckets = 16)
+        .select(col("l_returnflag"), dbl(col("sum_qty")).as("sum_qty"))),
+
     // deterministic, leakage-free train/val/test split (90/5/5): the
     // assignment is a pure hash of the doc id — reproducible across
     // engines, reruns, and repartitionings, and a narrow filter at 100 TB

@@ -1706,6 +1706,20 @@ object OracleSql {
           AS INT) AS px_max
       FROM s""",
 
+    // The salted join's result is salt-independent — the oracle is the
+    // plain equi-join it must equal.
+    "op_salted_join" -> """
+      SELECT s.s_nationkey, count(*) AS n,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey""",
+
+    // Two-phase salted aggregation equals the plain group-by.
+    "op_salted_agg" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag""",
+
     // Deterministic 90/5/5 split on the portable doc-id hash.
     "op_split_assign" -> """
       WITH b AS (
