@@ -13,10 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[GraftFunctions.register]] for imperative per-session registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the bounded-heap top-k physical operator: sessions configured with
+    // spark.sql.extensions=graft.functions.GraftExtensions get the
+    // strategy at build time (graft.ops.TopK.perKey also self-registers
+    // via experimental.extraStrategies for imperative use)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {
