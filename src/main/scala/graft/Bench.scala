@@ -60,13 +60,18 @@ object Bench {
     // "[success]" trailer and forwards forked stdout unprefixed).
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query values at 2 decimals: 10 ms resolution is ample and the
-    // saved ~70 chars keep the growing query map inside the tail window
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    // Per-query values as INTEGER CENTISECONDS with the "op_" key prefix
+    // stripped ("qunit":"cs" / "qprefix":"op_" document the encoding in
+    // the line itself). The driver keeps only the LAST 2000 chars of
+    // stdout and json-parses the metric line, so the WHOLE line must fit
+    // that window: at 89 queries the former 2-decimal float map measured
+    // 2143 chars and would truncate mid-line (the r1/r2 unparsed-bench
+    // failure mode); centisecond ints + stripped prefixes ≈ 1700.
+    def qJson(m: Seq[(String, Double)]): String = m
+      .map { case (k, v) =>
+        "\"" + k.stripPrefix("op_") + "\":" + math.round(v * 100).toString }
       .mkString("{", ",", "}")
+    val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val p1Total = if (p1.nonEmpty) p1.values.sum else 0.0
     spark.sparkContext.setLogLevel("ERROR") // keep shutdown quiet after the metric line
@@ -75,7 +80,19 @@ object Bench {
     // still reports its (meaningless) elapsed time — the failed list is
     // what marks it; the correctness gate is Verify, not this.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","queries":$qs,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"failed":$failedJson,"sf":"$sfDir"}""")
+    def line(qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val full = line(qJson(sorted), 0)
+    // hard guard: never emit a metric line that cannot fit the 2000-char
+    // tail — fall back to the slowest queries only (sorted by key for
+    // stable diffs) and say how many were dropped
+    val out = if (full.length <= 1900) full else {
+      val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
+      line(qJson(top), sorted.length - top.length)
+    }
+    println(out)
     System.out.flush()
     spark.stop()
   }
