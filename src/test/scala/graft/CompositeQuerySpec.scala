@@ -65,4 +65,30 @@ class CompositeQuerySpec extends SparkSpec {
     val perLang = piped.groupBy(_._1).view.mapValues(_.size)
     assert(perLang.values.forall(_ <= 10), perLang.toMap.toString)
   }
+
+  test("curation v2: repetition filter -> dedup -> split composes as one lazy plan") {
+    // The round-4 curation ops chain with the existing ones lazily:
+    // repetition-filter (top-token share < 1/2) → exact dedup survivor →
+    // deterministic split — no action until the final count, and every
+    // stage is a declared-operator building block.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = graft.text.TextOps.repetitionSignals(docs, "text")
+      .filter(col("top_tok_n") * 2 < col("n_tokens"))
+    val kept = docs.join(rep.select("doc_id"), "doc_id")
+      .withColumn("keep_id", min("doc_id").over(
+        Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("keep_id"))
+    val split = graft.ops.Sampling.assignSplit(kept,
+      graft.text.Dedup.portableHash(col("doc_id").cast("string")))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.keySet.subsetOf(Set("train", "val", "test")))
+    val total = split.values.sum
+    assert(total > 0 && total <= docs.count())
+    // the filter bit: repetition-heavy docs (top token >= half) are gone
+    val repHeavy = graft.text.TextOps.repetitionSignals(docs, "text")
+      .filter(col("top_tok_n") * 2 >= col("n_tokens")).count()
+    assert(total + repHeavy <= docs.count())
+  }
 }
