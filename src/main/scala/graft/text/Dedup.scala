@@ -244,9 +244,13 @@ object Dedup {
     val sh = withSh.select(col("id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the de-hubbed index feeds BOTH sides of the pair self-join: persist
+    // it too, so the (index ⋈ keep-set) join runs once instead of twice
+    // (same persistence contract as `sh` above; both are O(corpus tokens))
     val filtered = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("s"), "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = filtered.select(col("s"), col("id").as("a"), col("n_sh").as("na"))
       .join(filtered.select(col("s"), col("id").as("b"), col("n_sh").as("nb")), "s")
       .filter(col("a") < col("b"))
