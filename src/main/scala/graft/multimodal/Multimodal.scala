@@ -153,14 +153,28 @@ object Multimodal {
 
   // ---- real codecs (JDK-only; no new dependencies) ----
 
+  /** Memory-backed ImageIO streams: the registry default wraps streams in
+    * a FILE cache — a temp file per encode/decode, pure overhead (and /tmp
+    * churn + contention at 32 concurrent tasks) for in-memory payloads. */
+  private def memOut(bos: java.io.ByteArrayOutputStream) =
+    new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+  private def memIn(payload: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
   /** Encode row-major 8-bit grayscale pixels as PNG (lossless). */
   def encodePng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
     require(pixels.length == w * h, s"expected $w*$h pixels, got ${pixels.length}")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = memOut(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    writer.dispose()
     bos.toByteArray
   }
 
@@ -168,7 +182,8 @@ object Multimodal {
     * (width, height, row-major grayscale pixels). Multi-band (RGB) inputs
     * are reduced to luma via the standard integer BT.601 weights. */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) closes the stream itself
+    val img = javax.imageio.ImageIO.read(memIn(payload))
     require(img != null, "not a decodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
     val px = new Array[Int](w * h)
@@ -245,7 +260,7 @@ object Multimodal {
     require(frames.nonEmpty && frames.forall(_.length == w * h))
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = memOut(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     frames.foreach { px =>
@@ -265,8 +280,7 @@ object Multimodal {
     * so an index permutation in the container cannot corrupt values. */
   def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val iis = memIn(payload)
     reader.setInput(iis)
     val n = reader.getNumImages(true)
     val out = (0 until n).map { f =>
