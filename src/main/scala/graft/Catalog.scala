@@ -694,6 +694,28 @@ object Catalog {
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
 
+    // text-dedup candidate quality, the dedup-side sibling of
+    // op_ann_recall: how many exact (de-hubbed) jaccard near-dup pairs
+    // the MinHash-LSH candidates surface (recall), and how many
+    // candidates are true near-dups at the 1/3 bar (proxy precision) —
+    // deterministic, so the harness can trend both numbers
+    "op_dedup_recall" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val mh = Dedup.minhashPairs(corpus, minAgree = 20, portable = true)
+        .select("a", "b")
+      val ex = Dedup.jaccardPairs(corpus).select("a", "b")
+      mh.join(ex, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
+        .crossJoin(mh.agg(count(lit(1)).as("n_minhash")))
+        .crossJoin(ex.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_minhash"), col("n_exact"), col("n_both"),
+          when(col("n_exact") > 0,
+            col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType))
+            .otherwise(1.0).as("recall"),
+          when(col("n_minhash") > 0,
+            col("n_both").cast(DoubleType) / col("n_minhash").cast(DoubleType))
+            .otherwise(1.0).as("precision_proxy"))
+    }),
+
     // near-dup CLUSTERS from jaccard pairs via DataFrame-only connected
     // components (min-label propagation) — cluster id = min member id;
     // survivors are doc_id == cluster_id rows

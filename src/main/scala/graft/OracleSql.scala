@@ -361,6 +361,65 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
+  /** Exact (de-hubbed) jaccard near-dup pairs — shared by
+    * op_token_jaccard and the op_dedup_recall intersection. */
+  private val jaccardPairsSql: String = s"""
+      WITH $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT i.a, i.b, i.inter, ca.n_sh + cb.n_sh - i.inter AS union_n
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.a
+      JOIN counts cb ON cb.doc_id = i.b
+      WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter"""
+
+  /** MinHash-LSH candidate pairs — shared by op_minhash_pairs and
+    * op_dedup_recall. */
+  private val minhashPairsSql: String = s"""
+      WITH $shinglesCte,
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT c.a, c.b,
+          CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b)
+      SELECT a, b, n_agree FROM pairs WHERE n_agree >= 20"""
+
   /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
   val all: Map[String, String] = Map(
     // ---- generic relational ops over the TPC-H-ish testdata ----
@@ -1272,33 +1331,7 @@ object OracleSql {
         FROM sv)
       SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 10""",
 
-    "op_token_jaccard" -> s"""
-      WITH $corpusCte,
-      tok AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-        FROM corpus),
-      shd AS (
-        SELECT DISTINCT doc_id, s FROM (
-          SELECT doc_id, unnest(
-            CASE WHEN len(toks) >= 3 THEN
-              list_transform(generate_series(1, len(toks) - 2),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            ELSE [array_to_string(toks, ' ')] END) AS s
-          FROM tok)),
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
-      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
-      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
-      inter AS (
-        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id)
-      SELECT i.a, i.b, i.inter, ca.n_sh + cb.n_sh - i.inter AS union_n
-      FROM inter i
-      JOIN counts ca ON ca.doc_id = i.a
-      JOIN counts cb ON cb.doc_id = i.b
-      WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter""",
+    "op_token_jaccard" -> jaccardPairsSql,
 
     // Near-dup clusters: the jaccard pair derivation, then exact connected
     // components via a recursive CTE (cluster id = min reachable doc_id —
@@ -1341,32 +1374,7 @@ object OracleSql {
       SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""",
 
     // ---- portable-hash dedup / similarity families ----
-    "op_minhash_pairs" -> s"""
-      WITH $shinglesCte,
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
-      banded AS (
-        SELECT doc_id, g.bd,
-          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
-        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM banded x JOIN banded y
-          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      pairs AS (
-        SELECT c.a, c.b,
-          CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_agree
-        FROM cand c
-        JOIN sig sa ON sa.doc_id = c.a
-        JOIN sig sb ON sb.doc_id = c.b)
-      SELECT a, b, n_agree FROM pairs WHERE n_agree >= 20""",
+    "op_minhash_pairs" -> minhashPairsSql,
 
     "op_simhash" -> s"""
       WITH $shinglesCte,
@@ -1705,6 +1713,24 @@ object OracleSql {
             i -> (doc_id * 31 + f * 97 + i * 7) % 256), 'max')), 'max')
           AS INT) AS px_max
       FROM s""",
+
+    // MinHash-LSH candidate quality vs the exact (de-hubbed) jaccard
+    // pairs: recall = exact pairs surfaced by the candidates; the proxy
+    // precision = candidates that really are near-dups at the 1/3 bar.
+    "op_dedup_recall" -> s"""
+      WITH mh AS (SELECT a, b FROM ($minhashPairsSql)),
+      ex AS (SELECT a, b FROM ($jaccardPairsSql)),
+      bth AS (SELECT count(*) AS n_both FROM mh JOIN ex USING (a, b)),
+      nm AS (SELECT count(*) AS n_minhash FROM mh),
+      ne AS (SELECT count(*) AS n_exact FROM ex)
+      SELECT n_minhash, n_exact, n_both,
+        CASE WHEN n_exact > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
+             ELSE 1.0 END AS recall,
+        CASE WHEN n_minhash > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_minhash AS DOUBLE)
+             ELSE 1.0 END AS precision_proxy
+      FROM nm CROSS JOIN ne CROSS JOIN bth""",
 
     // The salted join's result is salt-independent — the oracle is the
     // plain equi-join it must equal.
