@@ -834,6 +834,24 @@ object Catalog {
           dbl(col("total")).as("total"), col("order_date"), col("priority"))
     }),
 
+    // ORC sink/scan round-trip — the columnar sink beyond parquet (ORC
+    // ships in spark-sql; same oracle-grade contract as the CSV/JSON
+    // round-trips: the oracle reads the SOURCE, so any type-fidelity loss
+    // in the ORC writer or reader hash-mismatches)
+    "op_orc_roundtrip" -> ((s, dir) => {
+      val out = tempOutDir("graft_orc_rt")
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(M2).as("total"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          col("o_orderstatus").as("status"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dbl(col("total")).as("total"), col("order_date"), col("status"))
+    }),
+
     // cross-corpus contamination check (train/benchmark decontamination):
     // the benchmark side is every 7th document with a shifted id — each is
     // verbatim-contained in train, so every benchmark doc must surface with

@@ -1714,6 +1714,15 @@ object OracleSql {
           AS INT) AS px_max
       FROM s""",
 
+    // ORC round-trip oracle = the source slice (writer/reader fidelity is
+    // what the hash checks).
+    "op_orc_roundtrip" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        CAST(o_orderdate AS DATE) AS order_date,
+        o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 50 = 0""",
+
     // MinHash-LSH candidate quality vs the exact (de-hubbed) jaccard
     // pairs: recall = exact pairs surfaced by the candidates; the proxy
     // precision = candidates that really are near-dups at the 1/3 bar.
