@@ -569,6 +569,12 @@ object Catalog {
     "op_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(t(s, dir, "documents"), "text")),
 
+    // GPT-style sequence packing: per-source concat-then-chunk into
+    // 512-token training sequences — one per-shard window cumsum (never a
+    // global order), docs may span chunk boundaries
+    "op_seq_pack" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"), "text", budget = 512)),
+
     // int8 max-abs quantization of the embedding column with an in-plan
     // reconstruction check — flat scalar projection of
     // graft.text.Embeddings.quantizeInt8 (the int8 array itself stays

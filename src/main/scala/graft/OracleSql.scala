@@ -1781,6 +1781,30 @@ object OracleSql {
         count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_tok_n
       FROM cnt GROUP BY doc_id""",
 
+    // Per-source concat-then-chunk packing at budget 512: start offset =
+    // per-shard cumsum of token counts, chunk ids by integer division.
+    "op_seq_pack" -> """
+      WITH tok AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS n_tokens
+        FROM documents),
+      off AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM tok)
+      SELECT doc_id, source, n_tokens, start_offset,
+        start_offset // 512 AS chunk_start,
+        CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+             ELSE start_offset // 512 END AS chunk_end,
+        (start_offset // 512) <>
+          (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+                ELSE start_offset // 512 END) AS spans_chunks
+      FROM off""",
+
     // int8 max-abs quantization parity: scale, quantized-value sum, and
     // max reconstruction error — every step an IEEE double op, computed
     // identically element-by-element in both engines.

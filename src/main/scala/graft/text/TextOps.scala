@@ -84,6 +84,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " ")).cast(BinaryType)), 1, 16)
 
+  /** GPT-style sequence packing (concat-then-chunk): documents are
+    * concatenated in id order WITHIN EACH SHARD and chunked into
+    * fixed-token-budget training sequences; a document may span a chunk
+    * boundary (the standard trade — no padding waste). Each doc's start
+    * offset is a running per-shard cumsum of token counts: one window
+    * pass, no sequential loop. Sharding (`shardCol`) is what makes this
+    * scale — a global ordered cumsum would funnel the corpus through one
+    * reducer; per-shard packing is both the production layout and an
+    * independent window per shard. */
+  def packSequences(docs: DataFrame, textCol: String, budget: Int,
+      shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(shardCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(w), lit(0L)).cast(LongType))
+      .withColumn("chunk_start", expr(s"start_offset div $budget"))
+      .withColumn("chunk_end", expr(
+        s"if(n_tokens > 0, (start_offset + n_tokens - 1) div $budget, start_offset div $budget)"))
+      .withColumn("spans_chunks", col("chunk_start") =!= col("chunk_end"))
+  }
+
   /** Gopher-style repetition signals per document: token total, distinct
     * types, and the most-frequent token's count — the inputs to
     * type-token-ratio and top-token-share repetition filters. Empty

@@ -44,6 +44,29 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: per-shard offsets are contiguous and spans flags are exact") {
+    val packed = graft.text.TextOps.packSequences(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", budget = 512)
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(packed.nonEmpty)
+    packed.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expectOffset = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expectOffset,
+          s"offsets must concatenate contiguously: $r")
+        val n = r.getAs[Int]("n_tokens")
+        val cs = r.getAs[Long]("chunk_start")
+        val ce = r.getAs[Long]("chunk_end")
+        assert(cs == expectOffset / 512)
+        if (n > 0) assert(ce == (expectOffset + n - 1) / 512) else assert(ce == cs)
+        assert(r.getAs[Boolean]("spans_chunks") == (cs != ce))
+        expectOffset += n
+      }
+    }
+  }
+
   test("Embeddings.quantizeInt8: int8 range respected; dequantize reproduces max_err") {
     val q = graft.text.Embeddings.quantizeInt8(
       spark.read.parquet(s"$sf/embeddings.parquet"))
