@@ -77,7 +77,7 @@ object Catalog {
     // would otherwise regenerate the synthetic-transaction join from
     // lineitem
     Seq(TaxCalc.normalize(SyntheticTxns.txns(s, dir)),
-      taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir))
+      taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir), embCorpus(s, dir))
 
   /** Documents plus deterministically perturbed copies of every 10th doc —
     * seeds true near-duplicates so dedup ops have non-trivial output at
@@ -95,6 +95,14 @@ object Catalog {
       // into a deployment.
       .repartition(s.sparkContext.defaultParallelism)
   }
+
+  /** Repartitioned embeddings corpus shared by the ANN family (the
+    * parquet fixture is one small file -> one input partition; the same
+    * HARNESS-ONLY note as [[dedupCorpus]] applies). Listed in
+    * [[sharedFrames]] so runners materialize it once for the five
+    * ANN-family queries instead of re-reading + re-shuffling per query. */
+  def embCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
@@ -735,8 +743,7 @@ object Catalog {
       Dedup.components(Dedup.jaccardPairs(dedupCorpus(s, dir)))),
 
     "op_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
+      val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
     }),
 
@@ -753,12 +760,11 @@ object Catalog {
 
     "op_lsh_ann" -> ((s, dir) =>
       Similarity.lshTopK(
-        t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
+        embCorpus(s, dir),
         k = 5)),
 
     "op_ivf_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
+      val emb = embCorpus(s, dir)
       // fixed-formula centroids (oracle-checkable); Ivf.train is the
       // data-adaptive alternative, pinned by IvfSpec's recall test
       val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
@@ -773,8 +779,7 @@ object Catalog {
     // answers every vector, so the brute join restricts it to the
     // benchmark queries.
     "op_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
+      val emb = embCorpus(s, dir)
       val qs = emb.filter(col("vec_id") % 25 === 0)
       // the baseline subtree appears twice (hit join + denominator) but is
       // NOT persisted: AQE's exchange reuse already dedupes the identical
@@ -800,7 +805,7 @@ object Catalog {
 
     "op_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
-        t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism),
+        embCorpus(s, dir),
         minCos = 0.2)),
 
     // sink/scan round-trip (op-csv-sink + op-csv-scan, oracle-grade): a
