@@ -107,6 +107,14 @@ object Catalog {
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
 
+  /** Register every testdata table as a temp view so the `spark.sql` front
+    * end can address them by name (the SQL-surface counterpart of the
+    * DataFrame API this catalog is built on). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- generic relational ops ----
     "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
@@ -118,6 +126,15 @@ object Catalog {
           (lit(1) - col("l_discount").cast(DecimalType(4, 2)))))
           .as("sum_disc_price"),
         count(lit(1)).as("n"))),
+
+    // SQL front-end parity: the EXACT oracle SQL text (an ANSI subset both
+    // dialects accept) runs through spark.sql over registered views — one
+    // string, two engines, hash-equal results. Everything else in this
+    // catalog is DataFrame-first; this pins that the SQL surface works too.
+    "op_sql_surface" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(OracleSql.all("op_sql_surface"))
+    }),
 
     "op_filter_project" -> ((s, dir) => t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&

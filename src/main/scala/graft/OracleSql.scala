@@ -432,6 +432,22 @@ object OracleSql {
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
+    // Runs VERBATIM on both engines (Spark executes this very string via
+    // spark.sql) — keep it inside the common ANSI subset: explicit CASTs,
+    // no engine-specific functions, count(*) only.
+    "op_sql_surface" -> """
+      SELECT o.o_orderpriority,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          AS revenue,
+        count(*) AS n_items,
+        min(CAST(l.l_shipdate AS DATE)) AS first_ship,
+        max(CAST(l.l_shipdate AS DATE)) AS last_ship
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(l.l_quantity AS DECIMAL(18,2)) > 10
+      GROUP BY o.o_orderpriority""",
+
     "op_filter_project" -> """
       SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
