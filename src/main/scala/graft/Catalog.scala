@@ -594,6 +594,11 @@ object Catalog {
     "op_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(t(s, dir, "documents"), "text")),
 
+    // corpus-frequency document scoring (integer-exact unigram quality
+    // filter core): sum of each doc's tokens' corpus-wide counts
+    "op_unigram_score" -> ((s, dir) =>
+      TextOps.unigramScore(t(s, dir, "documents"), "text")),
+
     // GPT-style sequence packing: per-source concat-then-chunk into
     // 512-token training sequences — one per-shard window cumsum (never a
     // global order), docs may span chunk boundaries

@@ -1797,6 +1797,18 @@ object OracleSql {
         count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_tok_n
       FROM cnt GROUP BY doc_id""",
 
+    // Sum of corpus-wide token counts per document (unigram quality core).
+    "op_unigram_score" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      cnt AS (SELECT tok, count(*) AS corpus_n FROM tok GROUP BY tok)
+      SELECT t.doc_id, count(*) AS n_tokens,
+        CAST(sum(c.corpus_n) AS BIGINT) AS freq_sum
+      FROM tok t JOIN cnt c USING (tok)
+      GROUP BY t.doc_id""",
+
     // Per-source concat-then-chunk packing at budget 512: start offset =
     // per-shard cumsum of token counts, chunk ids by integer division.
     "op_seq_pack" -> """

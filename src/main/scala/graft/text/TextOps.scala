@@ -84,6 +84,24 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " ")).cast(BinaryType)), 1, 16)
 
+  /** Corpus-frequency document scoring — the integer-exact core of a
+    * KenLM-style unigram quality filter: each document gets the SUM of its
+    * tokens' corpus-wide occurrence counts (plus its token total), so
+    * downstream filters can threshold on mean token frequency. Integer
+    * sums keep it engine-exact (a log-prob variant would hit libm
+    * differences); rare-token-heavy docs score low, boilerplate scores
+    * high. Scale: one (token) count aggregate with map-side partials, then
+    * an exploded-token join keyed on token — both shuffles carry distinct
+    * tokens / token occurrences, never per-doc buffers. */
+  def unigramScore(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("corpus_n"))
+    tok.join(counts, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("corpus_n").as("freq_sum"))
+  }
+
   /** GPT-style sequence packing (concat-then-chunk): documents are
     * concatenated in id order WITHIN EACH SHARD and chunked into
     * fixed-token-budget training sequences; a document may span a chunk
