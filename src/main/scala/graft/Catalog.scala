@@ -104,6 +104,21 @@ object Catalog {
   def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
+  /** Documents with planted repeated boilerplate paragraphs — the fixture
+    * texts are single-paragraph, so the paragraph-dedup query appends two
+    * deterministic boilerplate paragraphs (the C4 motivation: licenses /
+    * subscribe-chrome repeated across pages) to every 5th / 3rd doc
+    * in-plan; mirrored in OracleSql. */
+  def paraCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n\nshared boilerplate license paragraph repeated across documents"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\n\nsubscribe to the newsletter for updates and announcements"))
+          .otherwise(lit(""))).as("text"))
+
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
 
@@ -338,6 +353,31 @@ object Catalog {
         count(lit(1)).as("transaction_count"),
         concat_ws(",", array_sort(collect_set(col("reason_key"))))
           .as("supporting_reasons"))),
+
+    // streaming batch-equivalence: the events fixture is staged to a temp
+    // dir and replayed through NexusMonitor.eventStateTotals on the REAL
+    // Structured Streaming path (file source -> AvailableNow micro-batch ->
+    // complete-mode memory sink); the nexus evaluation then runs as a
+    // batch step over the streamed totals. The DuckDB oracle checks the
+    // whole thing as a plain aggregate — stream-replay == batch is the
+    // equivalence being certified. Integer-cents accumulation keeps the
+    // streamed sum order-independent (see eventStateTotals).
+    "op_stream_nexus" -> ((s, dir) => {
+      val src = tempOutDir("graft_stream_src")
+      val ev = t(s, dir, "events")
+      ev.write.mode("overwrite").parquet(src)
+      val totals = graft.streaming.Replay.replayComplete(s, src, ev.schema,
+        st => graft.streaming.NexusMonitor.eventStateTotals(st, Dims.stateRates(s)))
+      val activity = totals.select(col("state"),
+        (col("revenue_cents").cast(M2) * lit(new java.math.BigDecimal("0.01")))
+          .cast(M2).as("revenue"),
+        col("transaction_count"))
+      Compliance.checkNexusUnsorted(activity)
+        .select(col("state"), dbl(col("revenue")).as("revenue"),
+          col("transaction_count"), col("has_nexus"),
+          dbl(col("revenue_threshold")).as("revenue_threshold"),
+          col("transaction_threshold"), col("revenue_pct_of_threshold"))
+    }),
 
     "op_nexus_check" -> ((s, dir) =>
       Compliance.checkNexus(
@@ -599,6 +639,18 @@ object Catalog {
     "op_unigram_score" -> ((s, dir) =>
       TextOps.unigramScore(t(s, dir, "documents"), "text")),
 
+    // bigram LM quality score (the next KenLM-style rung): sum of each
+    // doc's bigrams' corpus-wide counts — same join shape as the unigram
+    // core over word PAIRS (fluency, not just vocabulary)
+    "op_bigram_score" -> ((s, dir) =>
+      TextOps.bigramScore(t(s, dir, "documents"), "text")),
+
+    // paragraph-level exact dedup (C4/Gopher granularity) over the planted
+    // boilerplate corpus: per-doc paragraph totals + corpus-wide surviving
+    // paragraph count (survivor = lowest doc id owning the paragraph)
+    "op_para_dedup" -> ((s, dir) =>
+      Dedup.paraDedup(paraCorpus(s, dir))),
+
     // GPT-style sequence packing: per-source concat-then-chunk into
     // 512-token training sequences — one per-shard window cumsum (never a
     // global order), docs may span chunk boundaries
@@ -811,8 +863,13 @@ object Catalog {
       val brute = Similarity.bruteForceTopK(emb, qs, 5)
         .select("q_id", "neighbor_id")
       val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
+      // the LSH side is restricted to the benchmark query set BEFORE its
+      // cosine scoring (lshTopK's queries param — a semi-join on the
+      // id-only candidate frame): per-query top-k commutes with the
+      // restriction, so the recall values are identical to the all-corpus
+      // run the oracle computes, minus ~25x avoidable scoring work
       val methods =
-        Similarity.lshTopK(emb, k = 5)
+        Similarity.lshTopK(emb, k = 5, queries = Some(qs))
           .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
           .unionByName(
             graft.text.Ivf.searchTopK(emb, qs, model, k = 5, nprobe = 4)
@@ -965,6 +1022,21 @@ object Catalog {
     "op_image_resize" -> ((s, dir) =>
       Multimodal.imageResizeFeatures(Multimodal.encodedImages(s, dir), 8, 8)
         .toDF()),
+
+    // perceptual average-hash over REAL decoded images: PNG decode →
+    // 8x8 nearest resample → integer mean-threshold bits packed into two
+    // 32-bit halves — the oracle rebuilds every bit from the closed-form
+    // pattern formula (no codec in SQL; encode/decode infidelity would
+    // hash-mismatch)
+    "op_image_phash" -> ((s, dir) =>
+      Multimodal.imagePHash(Multimodal.encodedImages(s, dir)).toDF()),
+
+    // image near-dup pairs: 4x16-bit banded LSH over the perceptual hash,
+    // exact hamming <= 12 verify — multimodal dedup end-to-end (decode →
+    // hash → banded candidate join → verified pairs)
+    "op_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.imagePHash(Multimodal.encodedImages(s, dir)).toDF())),
 
     // REAL multi-frame video container end-to-end: animated-GIF encode of
     // a closed-form frame sequence (identity gray palette → lossless),

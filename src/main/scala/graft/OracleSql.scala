@@ -361,6 +361,35 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
+  /** Perceptual-hash bits rebuilt from the closed-form image pattern —
+    * mirrors [[graft.multimodal.Multimodal.imagePHash]] over
+    * `imagePattern(id)` + `resizeNearest` integer index math: 8×8 cell
+    * i (row-major) samples source pixel ((i÷8)·h÷8)·w + ((i%8)·w÷8) of the
+    * w=8+id%9 × h=8+id%7 pattern, bit set iff cell·64 > Σcells (strict).
+    * Halves are sums of distinct powers of two < 2^32 (no shift-at-63 /
+    * integer-overflow semantics in play). Yields `bits(doc_id, phash_hi,
+    * phash_lo, n_bits)`; shared by op_image_phash and op_phash_pairs. */
+  private val phashBitsSql: String = """
+      ph AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 63), i ->
+            (doc_id * 31 +
+              (((i // 8) * (8 + doc_id % 7) // 8) * (8 + doc_id % 9)
+                + ((i % 8) * (8 + doc_id % 9) // 8)) * 7) % 256) AS r
+        FROM documents),
+      st AS (SELECT doc_id, r, list_sum(r) AS rsum FROM ph),
+      bits AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(32, 63), i ->
+            CASE WHEN r[i+1] * 64 > rsum THEN (CAST(1 AS BIGINT) << (i - 32))
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash_hi,
+          CAST(list_sum(list_transform(generate_series(0, 31), i ->
+            CASE WHEN r[i+1] * 64 > rsum THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash_lo,
+          CAST(list_sum(list_transform(generate_series(0, 63), i ->
+            CASE WHEN r[i+1] * 64 > rsum THEN 1 ELSE 0 END)) AS INT) AS n_bits
+        FROM st)"""
+
   /** Exact (de-hubbed) jaccard near-dup pairs — shared by
     * op_token_jaccard and the op_dedup_recall intersection. */
   private val jaccardPairsSql: String = s"""
@@ -736,6 +765,47 @@ object OracleSql {
         SELECT state, CAST(sum(amount) AS DECIMAL(18,2)) AS revenue,
           count(*) AS transaction_count
         FROM txns GROUP BY state),
+      nx AS (SELECT state_code, revenue_threshold, transaction_threshold
+             FROM read_parquet('$Fix/nexus_thresholds.parquet')),
+      nn AS (SELECT state_code FROM read_parquet('$Fix/no_nexus_states.parquet'))
+      SELECT a.state, CAST(a.revenue AS DOUBLE) AS revenue, a.transaction_count,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN FALSE
+             WHEN t.state_code IS NULL THEN FALSE
+             ELSE (a.revenue >= t.revenue_threshold
+                   OR (t.transaction_threshold IS NOT NULL
+                       AND a.transaction_count >= t.transaction_threshold))
+        END AS has_nexus,
+        CAST(CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0
+             WHEN t.state_code IS NULL THEN 0
+             ELSE t.revenue_threshold END AS DOUBLE) AS revenue_threshold,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN NULL
+             WHEN t.state_code IS NULL THEN NULL
+             ELSE t.transaction_threshold END AS transaction_threshold,
+        CASE WHEN a.state IN (SELECT state_code FROM nn) THEN 0.0
+             WHEN t.state_code IS NULL THEN 0.0
+             WHEN t.revenue_threshold > 0 THEN
+               CAST(a.revenue AS DOUBLE) / CAST(t.revenue_threshold AS DOUBLE) * 100
+             ELSE 0.0 END AS revenue_pct_of_threshold
+      FROM activity a LEFT JOIN nx t ON t.state_code = a.state""",
+
+    // Streaming batch-equivalence: the Spark side replays events through
+    // the REAL Structured Streaming path (file source -> complete-mode
+    // memory sink) — this oracle is the batch aggregate the stream must
+    // equal. Integer-cents accumulation makes the sum order-independent.
+    "op_stream_nexus" -> s"""
+      WITH states AS (
+        SELECT state_idx, state_code
+        FROM read_parquet('$Fix/state_rates.parquet')),
+      ev AS (
+        SELECT s.state_code AS state,
+          CAST(floor(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN states s ON s.state_idx = e.user_id % 51),
+      activity AS (
+        SELECT state,
+          CAST(CAST(sum(cents) AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
+            AS DECIMAL(18,2)) AS revenue,
+          count(*) AS transaction_count
+        FROM ev GROUP BY state),
       nx AS (SELECT state_code, revenue_threshold, transaction_threshold
              FROM read_parquet('$Fix/nexus_thresholds.parquet')),
       nn AS (SELECT state_code FROM read_parquet('$Fix/no_nexus_states.parquet'))
@@ -1797,6 +1867,86 @@ object OracleSql {
         count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_tok_n
       FROM cnt GROUP BY doc_id""",
 
+    // Perceptual average-hash bits from the closed-form pattern (the Spark
+    // side decodes REAL PNGs and resamples — any codec/resize infidelity
+    // hash-mismatches here).
+    "op_image_phash" -> s"""
+      WITH $phashBitsSql
+      SELECT doc_id AS media_id, phash_hi, phash_lo, n_bits FROM bits""",
+
+    // Image near-dup pairs: 4x16-bit banded candidates over the perceptual
+    // hash, exact hamming <= 12.
+    "op_phash_pairs" -> s"""
+      WITH $phashBitsSql,
+      bands AS (
+        SELECT doc_id, g.band,
+          CASE g.band WHEN 0 THEN phash_lo % 65536
+                      WHEN 1 THEN phash_lo // 65536
+                      WHEN 2 THEN phash_hi % 65536
+                      ELSE phash_hi // 65536 END AS bval
+        FROM bits CROSS JOIN generate_series(0, 3) AS g(band)),
+      keep AS (SELECT band, bval FROM bands GROUP BY band, bval
+               HAVING count(*) <= 64),
+      f AS (SELECT b.doc_id, b.band, b.bval
+            FROM bands b JOIN keep USING (band, bval)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM f x JOIN f y
+          ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(ha.phash_hi, hb.phash_hi))
+           + bit_count(xor(ha.phash_lo, hb.phash_lo)) AS INT) AS hamming
+      FROM cand c
+      JOIN bits ha ON ha.doc_id = c.a
+      JOIN bits hb ON hb.doc_id = c.b
+      WHERE bit_count(xor(ha.phash_hi, hb.phash_hi))
+          + bit_count(xor(ha.phash_lo, hb.phash_lo)) <= 12""",
+
+    // Paragraph-level exact dedup over the planted-boilerplate corpus:
+    // per-doc totals + surviving distinct paragraphs (survivor = lowest
+    // owning doc id).
+    "op_para_dedup" -> """
+      WITH pc AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+            'shared boilerplate license paragraph repeated across documents'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+            'subscribe to the newsletter for updates and announcements'
+            ELSE '' END AS text
+        FROM documents),
+      paras AS (
+        SELECT doc_id, md5(p) AS ph FROM (
+          SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS p
+          FROM pc) u
+        WHERE length(trim(p)) > 0),
+      perdoc AS (
+        SELECT doc_id, ph, count(*) AS n_occ FROM paras GROUP BY doc_id, ph),
+      owner AS (SELECT ph, min(doc_id) AS keep_doc FROM perdoc GROUP BY ph)
+      SELECT d.doc_id, CAST(sum(d.n_occ) AS BIGINT) AS n_paras,
+        count(*) AS n_unique,
+        count(CASE WHEN o.keep_doc = d.doc_id THEN 1 END) AS n_kept
+      FROM perdoc d JOIN owner o USING (ph)
+      GROUP BY d.doc_id""",
+
+    // Sum of corpus-wide bigram counts per document (bigram LM quality
+    // rung); docs with < 2 tokens drop (no bigrams).
+    "op_bigram_score" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM tok WHERE len(toks) >= 2),
+      cnt AS (SELECT bg, count(*) AS corpus_n FROM bg GROUP BY bg)
+      SELECT t.doc_id, count(*) AS n_bigrams,
+        CAST(sum(c.corpus_n) AS BIGINT) AS freq_sum
+      FROM bg t JOIN cnt c USING (bg)
+      GROUP BY t.doc_id""",
+
     // Sum of corpus-wide token counts per document (unigram quality core).
     "op_unigram_score" -> """
       WITH tok AS (
@@ -1820,7 +1970,8 @@ object OracleSql {
         FROM documents),
       off AS (
         SELECT doc_id, source, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id, n_tokens
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS start_offset
         FROM tok)

@@ -62,8 +62,13 @@ object Sampling {
   def assignSplit(df: DataFrame, hash: Column,
       cuts: Seq[(Int, String)] = Seq(900 -> "train", 950 -> "val"),
       defaultLabel: String = "test", outCol: String = "split"): DataFrame = {
-    require(cuts.map(_._1) == cuts.map(_._1).sorted &&
-      cuts.forall(c => c._1 > 0 && c._1 <= 1000), "cuts must ascend in (0, 1000]")
+    // strictly ascending: a duplicated bound (e.g. 900->train, 900->val)
+    // would pass a sorted-equality check but make the later label
+    // unreachable — reject it loudly instead
+    require(cuts.map(_._1).sliding(2)
+        .forall(p => p.length < 2 || p.head < p(1)) &&
+      cuts.forall(c => c._1 > 0 && c._1 <= 1000),
+      "cuts must STRICTLY ascend in (0, 1000]")
     val bucket = pmod(hash, lit(1000))
     val label = cuts.foldRight(lit(defaultLabel): Column) {
       case ((bound, lbl), acc) => when(bucket < bound, lbl).otherwise(acc)

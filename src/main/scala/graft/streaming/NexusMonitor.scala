@@ -40,6 +40,26 @@ object NexusMonitor {
         "approaching_threshold", "revenue_pct_of_threshold")
   }
 
+  /** Per-state integer-cents revenue + transaction-count totals over the
+    * events-stream shape (user_id, value): state comes from a broadcast dim
+    * join BEFORE the aggregation (stream-static inner join, then the
+    * streaming agg — the supported composition order; joining AFTER a
+    * complete-mode aggregate is not), keyed `state_idx = user_id mod 51`.
+    * Amounts aggregate as `floor(value·100)` integer cents, so the running
+    * total is order-independent — a double sum would drift with arrival
+    * order and could never equal a batch oracle bit-for-bit. Works
+    * identically on a batch frame (same function, no streaming API), which
+    * is exactly what the replay-equivalence check exercises. */
+  def eventStateTotals(events: DataFrame, stateDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(stateDim.select(col("state_idx"), col("state_code"))),
+        pmod(col("user_id"), lit(51)) === col("state_idx"))
+      .select(col("state_code").as("state"),
+        floor(col("value") * 100).as("cents"))
+      .groupBy("state")
+      .agg(sum("cents").as("revenue_cents"),
+        count(lit(1)).as("transaction_count"))
+
   /** Watermarked daily revenue per state over event time; accepts data up
     * to `lateness` behind the max seen event time, drops later. */
   def windowedRevenue(txns: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Batch-replay harness for streaming pipelines: run a streaming
+  * transformation over a FILE-SOURCE replay of staged parquet and return
+  * the final result as a batch frame — the streaming/batch equivalence
+  * bridge. The transformation executes on the REAL Structured Streaming
+  * path (file source → `StreamExecution` micro-batches → memory sink), so
+  * a batch-checkable oracle (DuckDB can't run a stream) still certifies
+  * the streaming plan: for a complete-mode aggregation, replaying the
+  * whole input must equal the batch aggregate over the same input.
+  *
+  * Scale posture: this is a TEST/VERIFICATION harness — the memory sink
+  * collects the FINAL AGGREGATED frame to the driver (bounded: per-state
+  * totals etc.), never the input. Production streams keep their real sinks;
+  * the point here is that the identical transformation function is what a
+  * deployment passes to `writeStream`.
+  */
+object Replay {
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay the parquet files under `srcDir` through `transform` as ONE
+    * `Trigger.AvailableNow` streaming run (every staged file in the first
+    * and only micro-batch set), collecting complete-mode output in a
+    * memory sink. Returns the sink's table; the memory sink holds only the
+    * final aggregated rows. */
+  def replayComplete(spark: SparkSession, srcDir: String, schema: StructType,
+      transform: DataFrame => DataFrame): DataFrame = {
+    // unique sink name per replay: Bench re-runs each query and memory
+    // sink names are session-global
+    val name = s"graft_replay_${nameCounter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = transform(stream).writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

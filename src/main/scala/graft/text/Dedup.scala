@@ -16,13 +16,14 @@ import org.apache.spark.sql.types._
   * Persistence contract: [[minhashPairs]], [[jaccardPairs]] and
   * [[contamination]] persist a narrow intermediate (the signature table /
   * exploded shingle index) that the returned lazy frame reads more than
-  * once, and deliberately do NOT unpersist it — the result would recompute
-  * the expensive narrow stage on every downstream action. Spark's
+  * once, and deliberately do NOT unpersist it by default — the result would
+  * recompute the expensive narrow stage on every downstream action. Spark's
   * CacheManager dedupes identical plans, so repeated calls over the same
-  * input reuse one cache entry; callers sweeping MANY DISTINCT corpora in
-  * one session should `spark.catalog.clearCache()` (or unpersist the frames
-  * surfaced by `spark.catalog.cacheManager`) between corpora, or cached
-  * entries accumulate until executor storage evicts under pressure.
+  * input reuse one cache entry. Callers sweeping MANY DISTINCT corpora in
+  * one session pass their own [[graft.ops.CacheScope]] and call
+  * `scope.unpersistAll()` after consuming each result, so cached
+  * intermediates are released instead of accumulating until executor
+  * storage evicts under pressure.
   */
 object Dedup {
   /** 31-bit modulus keeps a*x+b inside a long under ANSI overflow checks. */
@@ -43,6 +44,36 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol).cast(BinaryType)).as("text_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Paragraph-level exact dedup — the C4/Gopher recipe granularity: the
+    * standard pipelines drop REPEATED PARAGRAPHS (boilerplate, licenses,
+    * navigation chrome) across the whole corpus, not just whole-document
+    * duplicates. Paragraphs are `sepRegex` splits (default blank-line);
+    * the canonical survivor of each distinct paragraph is its occurrence
+    * in the LOWEST doc id.
+    *
+    * Output per document: total paragraph count (`n_paras`), distinct
+    * paragraphs (`n_unique`), and how many of its distinct paragraphs
+    * survive corpus-wide dedup (`n_kept`) — the inputs to a
+    * keep/strip-boilerplate filter.
+    *
+    * Scale: explode is narrow; both aggregations key on the paragraph hash
+    * / (doc, hash) with map-side partials, and the min-owner join moves
+    * (hash, doc_id) rows only — the same bounded-agg shape as [[exact]],
+    * one explode wider. No windows, no per-doc buffers. */
+  def paraDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\\n\\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), sepRegex)).as("para"))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col("doc_id"), md5(col("para").cast(BinaryType)).as("ph"))
+    val perDoc = paras.groupBy("doc_id", "ph").agg(count(lit(1)).as("n_occ"))
+    val owner = perDoc.groupBy("ph").agg(min("doc_id").as("keep_doc"))
+    perDoc.join(owner, "ph")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_paras"), count(lit(1)).as("n_unique"),
+        count(when(col("keep_doc") === col("doc_id"), 1)).as("n_kept"))
+  }
 
   /** Word 3-gram shingles (distinct); short docs fall back to the whole
     * token array joined.
@@ -161,16 +192,16 @@ object Dedup {
     * xxhash64 — same banding/agreement math, DuckDB-reproducible. */
   def minhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minAgree: Int = 32,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     // Persist the (id, sig) table: it feeds the band join twice and the
     // verify join twice — without it the signature aggregate (the expensive
     // narrow stage) runs 3-4×. Size is id + 64 longs per doc — tiny
     // relative to the corpus, safe to persist at any scale.
     val sigCol = if (portable) minhashSignaturePortable(col(textCol))
       else minhashSignature(col(textCol))
-    val sigs = docs.withColumn("sig", sigCol)
-      .select(col(idCol).as("sid"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = scope.persist(docs.withColumn("sig", sigCol)
+      .select(col(idCol).as("sid"), col("sig")))
     lshCandidatesFromSigs(sigs.select(col("sid").as("id"), col("sig")))
       .join(sigs.select(col("sid").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("sid").as("b"), col("sig").as("sig_b")), "b")
@@ -229,7 +260,8 @@ object Dedup {
     * (a shingle shared by > maxDf docs is dropped — standard inverted-
     * index trick; at 100 TB this is what keeps the op near-linear). */
   def jaccardPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxDf: Int = 100): DataFrame = {
+      idCol: String = "doc_id", maxDf: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     // Per-doc distinct-shingle count rides ALONG the exploded index (size
     // of the shingle array, same narrow map), so there is no per-doc counts
     // aggregation and no (a)/(b) count joins downstream — two fewer
@@ -241,16 +273,14 @@ object Dedup {
     // persistence contract as minhashPairs' signature table.
     val withSh = docs.select(col(idCol).as("id"),
       shingles(col(textCol)).as("shs"))
-    val sh = withSh.select(col("id"), size(col("shs")).as("n_sh"),
-      explode(col("shs")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = scope.persist(withSh.select(col("id"),
+      size(col("shs")).as("n_sh"), explode(col("shs")).as("s")))
     // the de-hubbed index feeds BOTH sides of the pair self-join: persist
     // it too, so the (index ⋈ keep-set) join runs once instead of twice
     // (same persistence contract as `sh` above; both are O(corpus tokens))
-    val filtered = sh.join(
+    val filtered = scope.persist(sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("s"), "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select("s"), "s"))
     val inter = filtered.select(col("s"), col("id").as("a"), col("n_sh").as("na"))
       .join(filtered.select(col("s"), col("id").as("b"), col("n_sh").as("nb")), "s")
       .filter(col("a") < col("b"))
@@ -353,12 +383,12 @@ object Dedup {
     * of train docs. */
   def contamination(train: DataFrame, bench: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      minOverlap: Int = 5, maxDf: Int = 100): DataFrame = {
+      minOverlap: Int = 5, maxDf: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     // persisted for the same reason as jaccardPairs' index: the exploded
     // train shingles feed the df-count aggregate AND the probe join
-    val tSh = train.select(col(idCol).as("train_id"),
-      explode(shingles(col(textCol))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tSh = scope.persist(train.select(col(idCol).as("train_id"),
+      explode(shingles(col(textCol))).as("s")))
     val tIdx = tSh.join(
       tSh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("s"), "s")

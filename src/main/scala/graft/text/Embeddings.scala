@@ -20,10 +20,18 @@ object Embeddings {
     * for in-plan quality monitoring. Zero vectors are dropped — they have
     * no max-abs scale (store them as all-zero out of band).
     *
-    * Output columns: input's ++ (max_abs, scale, q int8[], q_sum, max_err).
+    * Output columns: input's ++ (max_abs, scale, q int8[], q_sum, max_err) —
+    * these five names are RESERVED: an input frame that already carries any
+    * of them is rejected (the unqualified internal references would
+    * otherwise be ambiguous or silently shadow the caller's data).
     * ~4× storage reduction for float32 embeddings at a bounded, monitored
     * precision cost — the standard trade for ANN candidate stores. */
-  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame =
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val reserved = Seq("max_abs", "scale", "q", "q_sum", "max_err")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"quantizeInt8: input must not contain reserved output column(s) " +
+        clash.mkString(", "))
     df.withColumn("max_abs", expr(
       s"array_max(transform($embCol, x -> abs(cast(x as double))))"))
       .filter(col("max_abs") > 0)
@@ -36,6 +44,7 @@ object Embeddings {
         s"""array_max(transform($embCol,
             x -> abs(cast(x as double)
                      - round(cast(x as double) * scale) / scale)))"""))
+  }
 
   /** Dequantize back to doubles: `x̂_i = q_i / scale`. */
   def dequantize(df: DataFrame, qCol: String = "q",

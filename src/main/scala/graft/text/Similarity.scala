@@ -116,6 +116,33 @@ object Similarity {
   def planesFor(n: Long, targetBucket: Int = 64): Int =
     math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
 
+  /** Sizing advisory for a FIXED `planesPerTable` at corpus size `n`: a
+    * warning message when the expected per-table bucket occupancy
+    * (n / 2^planes) exceeds ~4× `targetBucket` — the measured regime where
+    * within-bucket candidate generation goes quadratic (see [[planesFor]]).
+    * Pure function of the sizes, so it's unit-testable without a corpus. */
+  def advisePlanes(n: Long, planesPerTable: Int,
+      targetBucket: Int = 64): Option[String] = {
+    val expected = n.toDouble / math.pow(2.0, planesPerTable)
+    if (expected > 4.0 * targetBucket)
+      Some(s"[graft] Similarity: expected LSH bucket occupancy ~${expected.toLong} " +
+        s"rows at planesPerTable=$planesPerTable for an n=$n corpus exceeds " +
+        s"${4 * targetBucket} (4x target $targetBucket); candidate generation " +
+        s"grows ~quadratically past this point — re-derive planes with " +
+        s"planesFor(n) = ${planesFor(n, targetBucket)}")
+    else None
+  }
+
+  /** When `check` is set, count the corpus and surface [[advisePlanes]]'s
+    * warning on stderr. Off by default: the count is an extra action, and
+    * the declared bench/oracle queries pin their parameters — this guard is
+    * for deployments, where a silently mis-sized plane count re-creates the
+    * measured ×10 quadratic candidate growth. */
+  private def maybeWarnPlanes(corpus: DataFrame, planesPerTable: Int,
+      check: Boolean): Unit =
+    if (check) advisePlanes(corpus.count(), planesPerTable)
+      .foreach(System.err.println)
+
   /** (vec_id, tbl, bkt) rows: one bucket assignment per LSH table, hub
     * buckets larger than `maxBucket` dropped. Ids only — the embedding is
     * re-joined AFTER candidate dedup, so the bucket join, the pair
@@ -134,9 +161,9 @@ object Similarity {
   /** Distinct candidate id-pairs from the multi-table bucket self-join
     * (`left` < `right` when `ordered`, `left` ≠ `right` otherwise). */
   private def candidatePairs(corpus: DataFrame, nTables: Int,
-      planesPerTable: Int, maxBucket: Int, ordered: Boolean): DataFrame = {
-    val b = bucketed(corpus, nTables, planesPerTable, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      planesPerTable: Int, maxBucket: Int, ordered: Boolean,
+      scope: graft.ops.CacheScope): DataFrame = {
+    val b = scope.persist(bucketed(corpus, nTables, planesPerTable, maxBucket))
     val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("left"))
     val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("right"))
     val pairCond = if (ordered) col("left") < col("right")
@@ -153,12 +180,31 @@ object Similarity {
 
   /** LSH ANN: candidates from `nTables` independent bucket joins (deduped),
     * exact cosine on candidates, bounded-heap top-k per query. Recall < 1 by
-    * construction; more tables raise recall, more planes shrink buckets. */
+    * construction; more tables raise recall, more planes shrink buckets.
+    *
+    * `queries`: optional frame of query `vec_id`s — when set, candidate
+    * pairs are semi-joined to it BEFORE the embedding re-join and cosine
+    * scoring. The restriction commutes with per-query top-k (selection is
+    * independent per `q_id`), so the surviving queries' answers are
+    * IDENTICAL to the all-queries run — but the expensive scoring work
+    * drops from O(corpus candidates) to O(query-set candidates). The
+    * candidate frame is id-only at that point, so the semi-join moves
+    * 16-byte rows. At a fixed benchmark query set over a growing corpus
+    * the saving is the corpus/queries ratio (measured 25× avoidable
+    * scoring in the recall harness before this parameter existed).
+    *
+    * `checkSizing`: opt-in [[advisePlanes]] guard (one extra count action).
+    * `scope`: release handle for the internal bucket-table persist. */
   def lshTopK(corpus: DataFrame, k: Int, nTables: Int = 4,
-      planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
-    val cand = candidatePairs(corpus, nTables, planesPerTable, maxBucket,
-      ordered = false)
+      planesPerTable: Int = 8, maxBucket: Int = 512,
+      queries: Option[DataFrame] = None, checkSizing: Boolean = false,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    maybeWarnPlanes(corpus, planesPerTable, checkSizing)
+    val all = candidatePairs(corpus, nTables, planesPerTable, maxBucket,
+      ordered = false, scope)
       .select(col("left").as("q_id"), col("right").as("neighbor_id"))
+    val cand = queries.fold(all)(q =>
+      all.join(q.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi"))
     val scored = withEmb(withEmb(cand, "q_id", "q_emb", corpus),
       "neighbor_id", "n_emb", corpus)
       .select(col("q_id"), col("neighbor_id"),
@@ -169,9 +215,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the multi-table LSH buckets (each unordered pair once). */
   def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,
-      planesPerTable: Int = 8, maxBucket: Int = 512): DataFrame = {
+      planesPerTable: Int = 8, maxBucket: Int = 512,
+      checkSizing: Boolean = false,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    maybeWarnPlanes(corpus, planesPerTable, checkSizing)
     val cand = candidatePairs(corpus, nTables, planesPerTable, maxBucket,
-      ordered = true)
+      ordered = true, scope)
       .select(col("left").as("a"), col("right").as("b"))
     withEmb(withEmb(cand, "a", "a_emb", corpus), "b", "b_emb", corpus)
       .withColumn("cos", cosine(col("a_emb"), col("b_emb")))

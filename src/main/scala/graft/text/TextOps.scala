@@ -102,6 +102,26 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum("corpus_n").as("freq_sum"))
   }
 
+  /** Bigram extension of [[unigramScore]] — the next rung of the
+    * KenLM-style quality-filter ladder: each document gets the SUM of its
+    * bigrams' corpus-wide occurrence counts (plus its bigram total), so
+    * downstream filters can threshold on mean bigram frequency — a much
+    * sharper fluency signal than unigram frequency (word-salad text has
+    * common words but rare word PAIRS). Integer sums keep it engine-exact;
+    * documents with fewer than two tokens drop (no bigrams). Scale: same
+    * join shape as the unigram core — one (bigram) count aggregate with
+    * map-side partials, then an exploded-bigram join keyed on bigram; both
+    * shuffles carry distinct bigrams / bigram occurrences, never per-doc
+    * buffers. ~linear in corpus tokens. */
+  def bigramScore(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val bg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("corpus_n"))
+    bg.join(counts, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("corpus_n").as("freq_sum"))
+  }
+
   /** GPT-style sequence packing (concat-then-chunk): documents are
     * concatenated in id order WITHIN EACH SHARD and chunked into
     * fixed-token-budget training sequences; a document may span a chunk
@@ -114,8 +134,13 @@ object TextOps {
   def packSequences(docs: DataFrame, textCol: String, budget: Int,
       shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0)
+    // n_tokens tiebreaks duplicate ids within a shard: rows that still tie
+    // are identical in every projected column, so the output MULTISET is
+    // deterministic even then — without the tiebreak, duplicate ids with
+    // different lengths would make start_offset order-dependent, defeating
+    // the cross-engine reproducibility guarantee
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shardCol).orderBy(idCol)
+      .partitionBy(shardCol).orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), col(shardCol), tokenCount(col(textCol)).as("n_tokens"))

@@ -44,6 +44,45 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramScore: corpus-frequency sums agree with a direct recount") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat"),
+      (3L, "single"), // < 2 tokens -> no bigrams -> drops
+      (4L, "the cat sat")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.bigramScore(docs, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus bigram counts: "the cat"=3, "cat sat"=2, "sat on"=1, "on the"=2,
+    // "the mat"=2, "cat ran"=1, "ran on"=1
+    assert(out(1L) == ((5L, 3L + 2L + 1L + 2L + 2L)))
+    assert(out(2L) == ((5L, 3L + 1L + 1L + 2L + 2L)))
+    assert(out(4L) == ((2L, 3L + 2L)))
+    assert(!out.contains(3L))
+  }
+
+  test("assignSplit rejects duplicate cut bounds (unreachable labels)") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("id")
+    val h = graft.text.Dedup.portableHash(col("id").cast("string"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.assignSplit(df, h,
+        cuts = Seq(900 -> "train", 900 -> "val"))
+    }
+    // strictly ascending still accepted
+    assert(graft.ops.Sampling.assignSplit(df, h,
+      cuts = Seq(900 -> "train", 950 -> "val")).count() == 2)
+  }
+
+  test("quantizeInt8 rejects inputs carrying its reserved output columns") {
+    import spark.implicits._
+    val clash = Seq((1L, Array(1.0f), 2.0)).toDF("vec_id", "embedding", "scale")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Embeddings.quantizeInt8(clash)
+    }
+    assert(e.getMessage.contains("scale"))
+  }
+
   test("packSequences: per-shard offsets are contiguous and spans flags are exact") {
     val packed = graft.text.TextOps.packSequences(
       spark.read.parquet(s"$sf/documents.parquet"), "text", budget = 512)

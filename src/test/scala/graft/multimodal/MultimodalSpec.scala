@@ -97,6 +97,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePHash matches a direct recompute from the pattern") {
+    val hashes = Multimodal.imagePHash(Multimodal.encodedImages(spark, sf))
+      .collect().map(p => p.media_id -> p).toMap
+    assert(hashes.nonEmpty)
+    hashes.keys.take(20).foreach { id =>
+      val (w, h, px) = Multimodal.imagePattern(id)
+      val r = Multimodal.resizeNearest(px, w, h, 8, 8)
+      val sum = r.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { i =>
+        if (r(i) * 64L > sum) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+      }
+      val p = hashes(id)
+      assert(p.phash_hi == hi && p.phash_lo == lo, s"id $id")
+      assert(p.n_bits ==
+        java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
+      // halves stay within 32 bits (oracle-portability invariant)
+      assert(p.phash_hi >= 0 && p.phash_hi < (1L << 32))
+      assert(p.phash_lo >= 0 && p.phash_lo < (1L << 32))
+    }
+  }
+
+  test("phashPairs: identical images at hamming 0; hub bands capped") {
+    import spark.implicits._
+    // 1 and 2 share a pattern (identical hash); 3 is a different pattern
+    val media = Seq(1L -> 7L, 2L -> 7L, 3L -> 8L).map { case (mid, pat) =>
+      val (w, h, px) = Multimodal.imagePattern(pat)
+      Multimodal.EncodedMedia(mid, "image", Multimodal.encodePng(px, w, h))
+    }.toDS()
+    val hashes = Multimodal.imagePHash(media).toDF()
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a hub band shared by everything is dropped by the cap
+    val hub = hashes.select(org.apache.spark.sql.functions.col("media_id"),
+      org.apache.spark.sql.functions.lit(0L).as("phash_hi"),
+      org.apache.spark.sql.functions.lit(0L).as("phash_lo"))
+    assert(Multimodal.phashPairs(hub, maxHamming = 64, maxBucket = 2)
+      .count() == 0)
+  }
+
   test("audioFeatures matches the closed-form pattern statistics") {
     val feats = Multimodal.audioFeatures(Multimodal.encodedAudio(spark, sf))
       .collect().map(f => f.media_id -> f).toMap

@@ -165,6 +165,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("paraDedup: repeated paragraphs survive only in their lowest doc") {
+    val pd = Seq(
+      (1L, "unique first paragraph\n\nshared boilerplate\n\nanother unique one"),
+      (2L, "different content here\n\nshared boilerplate"),
+      (3L, "shared boilerplate\n\nshared boilerplate\n\nfresh paragraph"),
+      (4L, "\n\n"), // only empty paragraphs -> drops entirely
+      (5L, "solo document")).toDF("doc_id", "text")
+    val r = Dedup.paraDedup(pd).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_paras"), x.getAs[Long]("n_unique"),
+          x.getAs[Long]("n_kept")))).toMap
+    assert(r(1L) == ((3L, 3L, 3L))) // owns the boilerplate (lowest doc id)
+    assert(r(2L) == ((2L, 2L, 1L))) // boilerplate already owned by doc 1
+    assert(r(3L) == ((3L, 2L, 1L))) // dup-within-doc counted, not kept
+    assert(!r.contains(4L)) // empty paragraphs filtered, doc drops
+    assert(r(5L) == ((1L, 1L, 1L)))
+  }
+
+  test("lshTopK queries restriction: identical answers for the query set") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val full = key(Similarity.lshTopK(emb, k = 5)
+      .filter($"q_id" % 25 === 0))
+    val restricted = key(Similarity.lshTopK(emb, k = 5, queries = Some(qs)))
+    assert(restricted == full) // per-query top-k commutes with restriction
+    assert(restricted.nonEmpty)
+  }
+
+  test("advisePlanes warns only when fixed planes under-bucket the corpus") {
+    // 1M vectors at 8 planes -> ~3900/bucket, way past 4x64
+    assert(Similarity.advisePlanes(1000000L, 8).isDefined)
+    // and the advice names the planesFor-sized fix
+    assert(Similarity.advisePlanes(1000000L, 8).get
+      .contains(Similarity.planesFor(1000000L).toString))
+    // properly sized: 1M at planesFor(1M)=14 planes -> ~61/bucket
+    assert(Similarity.advisePlanes(1000000L,
+      Similarity.planesFor(1000000L)).isEmpty)
+    assert(Similarity.advisePlanes(500L, 8).isEmpty) // small corpus fine
+  }
+
+  test("CacheScope releases the dedup family's internal persists") {
+    val scope = new graft.ops.CacheScope
+    val pairs = Dedup.jaccardPairs(docs, scope = scope)
+    assert(pairs.count() >= 0) // materialize (fills the tracked caches)
+    assert(scope.size == 2) // exploded index + de-hubbed index
+    val probe = scope.persist(docs.limit(1))
+    probe.count()
+    assert(probe.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    scope.unpersistAll(blocking = true)
+    assert(scope.size == 0)
+    assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // the Session default remains untracked: unpersistAll is a no-op there
+    val keep = graft.ops.CacheScope.Session.persist(docs.limit(2))
+    keep.count()
+    graft.ops.CacheScope.Session.unpersistAll(blocking = true)
+    assert(keep.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    keep.unpersist(blocking = true)
+  }
+
   test("multimodal: stub decode + batched feature extraction shapes") {
     val media = graft.multimodal.Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val feats = graft.multimodal.Multimodal.extractFeatures(media, batchSize = 32)
