@@ -80,18 +80,26 @@ object Bench {
     // still reports its (meaningless) elapsed time — the failed list is
     // what marks it; the correctness gate is Verify, not this.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def line(qs: String, omitted: Int): String = {
+    def line(qs: String, omitted: Int, slim: Boolean): String = {
       val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om,"pass1_total":${f(p1Total)},"warm_sec":${f(warmSec)},"failed":$failedJson,"sf":"$sfDir"}"""
+      // slim: drop the informational pass1_total and an EMPTY failed list
+      // (never drop a non-empty one — failures must stay visible)
+      val p1 = if (slim) "" else s""","pass1_total":${f(p1Total)}"""
+      val fl = if (slim && failed.isEmpty) "" else s""","failed":$failedJson"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om$p1,"warm_sec":${f(warmSec)}$fl,"sf":"$sfDir"}"""
     }
-    val full = line(qJson(sorted), 0)
     // hard guard: never emit a metric line that cannot fit the 2000-char
-    // tail — fall back to the slowest queries only (sorted by key for
-    // stable diffs) and say how many were dropped
-    val out = if (full.length <= 1900) full else {
-      val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
-      line(qJson(top), sorted.length - top.length)
-    }
+    // tail. Degrade in steps, each keeping MORE per-query data than the
+    // next: full -> full minus informational fields -> slowest 50 only
+    // (sorted by key for stable diffs, with how many were dropped). 1960
+    // leaves 40 chars of margin to the true window.
+    val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
+    val out = Seq(
+      line(qJson(sorted), 0, slim = false),
+      line(qJson(sorted), 0, slim = true),
+      line(qJson(top), sorted.length - top.length, slim = false))
+      .find(_.length <= 1960)
+      .getOrElse(line(qJson(top), sorted.length - top.length, slim = true))
     println(out)
     System.out.flush()
     spark.stop()

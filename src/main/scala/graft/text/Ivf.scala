@@ -111,6 +111,17 @@ object Ivf {
           (s, i) => struct(s.as("sim"), i.as("cell"))))), 1, nprobe))
       .withColumn("probe", explode(col("probe_cells")))
       .select(col("q_id"), col("q_emb"), col("probe.cell").as("ivf_cell"))
+    // join order matters more than it looks: leaving the optimizer free
+    // (no broadcast hint) lets AQE broadcast the smaller materialized side.
+    // Forcing broadcast(probes) was measured 10x SLOWER at the x10 probe
+    // (51 s vs 4.9 s): with the corpus streamed, the inferred
+    // isnotnull(ivf_cell) join-key predicate pushes the whole 16-cosine
+    // argmax assignment below the repartition exchange (single input
+    // partition on the fixture) and duplicates its evaluation per row,
+    // while the unhinted plan materializes the assignment once into the
+    // broadcast table. At true 100 TB corpus scale the cell-id join is
+    // low-cardinality (C keys) — there, pre-partition the corpus by cell
+    // (bucketing) rather than hinting this join.
     val scored = probes.join(assigned, "ivf_cell")
       .filter(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
