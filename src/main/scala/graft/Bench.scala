@@ -80,26 +80,31 @@ object Bench {
     // still reports its (meaningless) elapsed time — the failed list is
     // what marks it; the correctness gate is Verify, not this.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def line(qs: String, omitted: Int, slim: Boolean): String = {
+    def line(qs: String, omitted: Int, slim: Int): String = {
       val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
-      // slim: drop the informational pass1_total and an EMPTY failed list
-      // (never drop a non-empty one — failures must stay visible)
-      val p1 = if (slim) "" else s""","pass1_total":${f(p1Total)}"""
-      val fl = if (slim && failed.isEmpty) "" else s""","failed":$failedJson"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om$p1,"warm_sec":${f(warmSec)}$fl,"sf":"$sfDir"}"""
+      // slim >= 1: drop the informational pass1_total and an EMPTY failed
+      // list (never a non-empty one — failures must stay visible).
+      // slim >= 2: also drop warm_sec and shorten sf to its basename —
+      // per-query trend data for every query outranks the side stats.
+      val p1 = if (slim >= 1) "" else s""","pass1_total":${f(p1Total)}"""
+      val fl = if (slim >= 1 && failed.isEmpty) "" else s""","failed":$failedJson"""
+      val ws = if (slim >= 2) "" else s""","warm_sec":${f(warmSec)}"""
+      val sf = if (slim >= 2) new java.io.File(sfDir).getName else sfDir
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
     // tail. Degrade in steps, each keeping MORE per-query data than the
-    // next: full -> full minus informational fields -> slowest 50 only
-    // (sorted by key for stable diffs, with how many were dropped). 1960
-    // leaves 40 chars of margin to the true window.
+    // next: full -> minus informational fields (2 levels) -> slowest 50
+    // only (sorted by key for stable diffs, with how many were dropped).
+    // 1960 leaves 40 chars of margin to the true window.
     val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
     val out = Seq(
-      line(qJson(sorted), 0, slim = false),
-      line(qJson(sorted), 0, slim = true),
-      line(qJson(top), sorted.length - top.length, slim = false))
+      line(qJson(sorted), 0, slim = 0),
+      line(qJson(sorted), 0, slim = 1),
+      line(qJson(sorted), 0, slim = 2),
+      line(qJson(top), sorted.length - top.length, slim = 0))
       .find(_.length <= 1960)
-      .getOrElse(line(qJson(top), sorted.length - top.length, slim = true))
+      .getOrElse(line(qJson(top), sorted.length - top.length, slim = 2))
     println(out)
     System.out.flush()
     spark.stop()

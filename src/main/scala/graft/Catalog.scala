@@ -379,6 +379,18 @@ object Catalog {
           col("transaction_threshold"), col("revenue_pct_of_threshold"))
     }),
 
+    // streaming event-time window aggregation, replayed and batch-checked:
+    // daily per-state totals through a REAL window() streaming aggregate
+    // (complete mode; the watermarked variant stays unit-tested — append
+    // finalization would hold back the last day on a bounded replay)
+    "op_stream_windows" -> ((s, dir) => {
+      val src = tempOutDir("graft_stream_win_src")
+      val ev = t(s, dir, "events")
+      ev.write.mode("overwrite").parquet(src)
+      graft.streaming.Replay.replayComplete(s, src, ev.schema,
+        st => graft.streaming.NexusMonitor.eventDailyTotals(st, Dims.stateRates(s)))
+    }),
+
     "op_nexus_check" -> ((s, dir) =>
       Compliance.checkNexus(
         Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))))
@@ -816,6 +828,15 @@ object Catalog {
     "op_dedup_clusters" -> ((s, dir) =>
       Dedup.components(Dedup.jaccardPairs(dedupCorpus(s, dir)))),
 
+    // the dedup DELIVERABLE: every corpus doc with its near-dup cluster id
+    // and keep flag (pairs -> connected components -> left join back) —
+    // filtering survivor = true materializes the deduplicated corpus
+    "op_neardup_survivors" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      Dedup.survivors(corpus,
+        Dedup.components(Dedup.jaccardPairs(corpus)))
+    }),
+
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
@@ -880,6 +901,23 @@ object Catalog {
         .select(col("method"), col("n_hit"), col("n_total"),
           (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
             .as("recall_at_5"))
+    }),
+
+    // PQ codes for every embedding: 8 subvectors x 16 codewords, argmax
+    // dot encode — the x32-compressed vector store (8 small ints vs 64
+    // floats); every code oracle-rebuilt from the closed-form codebook
+    "op_pq_encode" -> ((s, dir) =>
+      graft.text.Pq.encode(t(s, dir, "embeddings"), graft.text.Pq.fixedModel())
+        .select(col("vec_id") +: (0 until 8).map(b => col(s"pq_$b")): _*)),
+
+    // compressed-domain ANN via asymmetric distance computation: corpus
+    // scanned as 8-int code rows, queries broadcast with per-block LUTs,
+    // score = 8 lookups + adds per candidate — no per-candidate float
+    // vector math (the billion-vector scan economics)
+    "op_pq_ann" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Pq.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Pq.fixedModel(), k = 5)
     }),
 
     "op_embed_neardup" -> ((s, dir) =>

@@ -390,6 +390,40 @@ object OracleSql {
             CASE WHEN r[i+1] * 64 > rsum THEN 1 ELSE 0 END)) AS INT) AS n_bits
         FROM st)"""
 
+  /** PQ codebook for block `b` as a nested list literal — same values as
+    * [[graft.text.Pq.fixedModel]] (m=8, dsub=8, ksub=16). */
+  private def pqBookSql(b: Int): String =
+    (0 until 16).map(j => (0 until 8).map(d =>
+      graft.text.Pq.fixedComponent(b, j, d)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** Left-to-right double dot — bit-identical to Pq's aggregate/zip_with. */
+  private def pqDotSql(sub: String, cw: String): String =
+    s"""list_sum(list_transform(list_zip($sub, $cw),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"""
+
+  /** PQ codes (vec_id, pq_0..pq_7) — mirrors [[graft.text.Pq.encode]]:
+    * argmax (FIRST max) of subvector·codeword dots per block. Yields
+    * `pqcodes`; shared by op_pq_encode and op_pq_ann. */
+  private val pqCodesSql: String = {
+    val sims = (0 until 8).map(b =>
+      s"""list_transform(${pqBookSql(b)}, cw ->
+            ${pqDotSql(s"list_slice(embedding, ${b * 8 + 1}, ${b * 8 + 8})", "cw")})
+          AS sims_$b""").mkString(",\n          ")
+    val codes = (0 until 8).map(b =>
+      s"CAST(list_position(sims_$b, list_aggregate(sims_$b, 'max')) - 1 AS INT) AS pq_$b")
+      .mkString(",\n          ")
+    s"""
+      pqsims AS (
+        SELECT vec_id,
+          $sims
+        FROM embeddings),
+      pqcodes AS (
+        SELECT vec_id,
+          $codes
+        FROM pqsims)"""
+  }
+
   /** Exact (de-hubbed) jaccard near-dup pairs — shared by
     * op_token_jaccard and the op_dedup_recall intersection. */
   private val jaccardPairsSql: String = s"""
@@ -828,6 +862,21 @@ object OracleSql {
                CAST(a.revenue AS DOUBLE) / CAST(t.revenue_threshold AS DOUBLE) * 100
              ELSE 0.0 END AS revenue_pct_of_threshold
       FROM activity a LEFT JOIN nx t ON t.state_code = a.state""",
+
+    // Streaming event-time daily windows, batch-checked: the Spark side
+    // runs window() on the real streaming path; this is the batch daily
+    // aggregate it must equal (UTC-aligned day boundaries both sides).
+    "op_stream_windows" -> s"""
+      WITH states AS (
+        SELECT state_idx, state_code
+        FROM read_parquet('$Fix/state_rates.parquet'))
+      SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+        s.state_code AS state,
+        CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+          AS revenue_cents,
+        count(*) AS transaction_count
+      FROM events e JOIN states s ON s.state_idx = e.user_id % 51
+      GROUP BY 1, 2""",
 
     "op_filing_deadlines" -> s"""
       WITH reg AS (
@@ -1459,6 +1508,50 @@ object OracleSql {
         SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id)
       SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""",
 
+    // The dedup deliverable: every corpus doc with its near-dup cluster id
+    // (itself when unpaired) and the canonical-survivor flag — the same
+    // recursive-CTE exact CC as op_dedup_clusters, left-joined back.
+    "op_neardup_survivors" -> s"""
+      WITH RECURSIVE $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id)
+      SELECT c.doc_id, coalesce(x.cluster_id, c.doc_id) AS cluster_id,
+        (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS survivor
+      FROM corpus c LEFT JOIN cc x USING (doc_id)""",
+
     // ---- portable-hash dedup / similarity families ----
     "op_minhash_pairs" -> minhashPairsSql,
 
@@ -1497,6 +1590,35 @@ object OracleSql {
       SELECT a, b, cos FROM scored WHERE cos >= 0.2""",
 
     "op_ivf_ann" -> annIvfSql,
+
+    // PQ codes: every embedding's 8 subvector codewords (argmax dot,
+    // first-max ties) against the closed-form codebook.
+    "op_pq_encode" -> s"""
+      WITH $pqCodesSql
+      SELECT vec_id, pq_0, pq_1, pq_2, pq_3, pq_4, pq_5, pq_6, pq_7
+      FROM pqcodes""",
+
+    // Compressed-domain ANN (ADC): candidate score = sum over blocks of
+    // dot(query subvector, the candidate's coded codeword) — identical
+    // left-to-right accumulation to the Spark LUT-lookup sum.
+    "op_pq_ann" -> s"""
+      WITH $pqCodesSql,
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+          ${(0 until 8).map(b => pqDotSql(
+            s"list_slice(q.q_emb, ${b * 8 + 1}, ${b * 8 + 8})",
+            s"(${pqBookSql(b)})[c.pq_$b + 1]")).mkString("\n          + ")}
+          AS score
+        FROM pqcodes c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id)
+      SELECT q_id, rank, neighbor_id, score FROM (
+        SELECT q_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
 
     "op_media_features" -> """
       SELECT doc_id AS media_id,

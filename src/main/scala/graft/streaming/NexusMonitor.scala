@@ -60,6 +60,28 @@ object NexusMonitor {
       .agg(sum("cents").as("revenue_cents"),
         count(lit(1)).as("transaction_count"))
 
+  /** Daily per-state integer-cents totals over the events-stream shape via
+    * a REAL event-time window aggregation: the long-nanos `ts` truncates to
+    * a microsecond timestamp for `window(..., "1 day")` (UTC-aligned
+    * boundaries under the session's UTC timezone), state joins broadcast
+    * BEFORE the aggregation as in [[eventStateTotals]]. Complete-mode
+    * friendly (no watermark — [[windowedRevenue]] is the watermarked
+    * variant; append-mode finalization would hold back the last day on a
+    * bounded replay). State store is (days × 51) rows — bounded by the
+    * event-time span, not traffic. */
+  def eventDailyTotals(events: DataFrame, stateDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(stateDim.select(col("state_idx"), col("state_code"))),
+        pmod(col("user_id"), lit(51)) === col("state_idx"))
+      .select(col("state_code").as("state"),
+        floor(col("value") * 100).as("cents"),
+        timestamp_micros(expr("ts div 1000")).as("event_ts"))
+      .groupBy(window(col("event_ts"), "1 day"), col("state"))
+      .agg(sum("cents").as("revenue_cents"),
+        count(lit(1)).as("transaction_count"))
+      .select(to_date(col("window.start")).as("day"), col("state"),
+        col("revenue_cents"), col("transaction_count"))
+
   /** Watermarked daily revenue per state over event time; accepts data up
     * to `lateness` behind the max seen event time, drops later. */
   def windowedRevenue(txns: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -368,6 +368,23 @@ object Dedup {
       iters, converged)
   }
 
+  /** Near-dup survivors — the dedup DELIVERABLE that [[components]]' labels
+    * imply: every corpus doc with its cluster id (itself when it joined no
+    * near-dup pair) and the keep flag (`survivor` = it IS its cluster's
+    * canonical min-id member). Downstream pipelines filter
+    * `survivor = true` to materialize the deduplicated corpus.
+    * Scale: one left join keyed on doc id against the labels frame —
+    * labels hold only docs that appeared in a pair, so the join's small
+    * side is the near-dup subset, not the corpus. */
+  def survivors(corpus: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    corpus.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("survivor"))
+
   /** Cross-corpus contamination check (train/benchmark decontamination):
     * for each benchmark doc, the train docs sharing at least `minOverlap`
     * distinct word 3-grams, with the overlap count and the benchmark's

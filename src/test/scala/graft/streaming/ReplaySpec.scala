@@ -28,6 +28,15 @@ class ReplaySpec extends SparkSpec {
       val again = Replay.replayComplete(spark, dir.toString, ev.schema,
         st => NexusMonitor.eventStateTotals(st, dim)).count()
       assert(again == batch.size)
+      // the event-time window aggregate replays to its batch equivalent too
+      def winKey(r: org.apache.spark.sql.Row) =
+        (r.getDate(0).toString, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))
+      val winStream = Replay.replayComplete(spark, dir.toString, ev.schema,
+        st => NexusMonitor.eventDailyTotals(st, dim)).collect().map(winKey).toMap
+      val winBatch = NexusMonitor.eventDailyTotals(ev, dim)
+        .collect().map(winKey).toMap
+      assert(winStream.nonEmpty && winStream == winBatch)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -165,6 +165,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("survivors: clustered docs keep only the min member; unpaired docs survive") {
+    val labels = Dedup.components(Dedup.jaccardPairs(docs))
+    val surv = Dedup.survivors(docs, labels).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("survivor")))).toMap
+    assert(surv(1L) == ((1L, true)))  // cluster {1,2,4} min member
+    assert(surv(2L) == ((1L, false)))
+    assert(surv(4L) == ((1L, false)))
+    assert(surv(3L) == ((3L, true)))  // never paired -> own cluster, kept
+    assert(surv(5L) == ((5L, true)))
+  }
+
   test("paraDedup: repeated paragraphs survive only in their lowest doc") {
     val pd = Seq(
       (1L, "unique first paragraph\n\nshared boilerplate\n\nanother unique one"),
