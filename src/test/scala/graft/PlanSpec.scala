@@ -122,6 +122,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("op_image_phash stays a narrow codec pipeline (zero shuffles)") {
+    val df = SparkEntry.queries("op_image_phash")(spark, sf)
+    assert(shuffleCount(df) == 0, "encode→decode→hash must not shuffle")
+  }
+
+  test("op_pq_encode: one narrow map stage, no joins or exchanges") {
+    val df = SparkEntry.queries("op_pq_encode")(spark, sf)
+    assert(shuffleCount(df) == 0, "PQ encoding must ride the scan")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "no join in the encode path")
+  }
+
+  test("op_pq_ann: queries broadcast with LUTs; corpus side never sorts") {
+    val df = SparkEntry.queries("op_pq_ann")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.contains("TopKPerKey"), "ADC top-k must use the bounded heap")
+    assert(!p.contains("SortMergeJoin"), "the code scan must not sort-merge")
+  }
+
   test("op_display_truncate rides the shuffle-free tax lineage") {
     val df = SparkEntry.queries("op_display_truncate")(spark, sf)
     assert(shuffleCount(df) == 0,
