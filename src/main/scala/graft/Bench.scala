@@ -84,27 +84,26 @@ object Bench {
       val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
       // slim >= 1: drop the informational pass1_total and an EMPTY failed
       // list (never a non-empty one — failures must stay visible).
-      // slim >= 2: also drop warm_sec and shorten sf to its basename —
-      // per-query trend data for every query outranks the side stats.
+      // slim >= 2: also drop warm_sec and shorten sf to its basename.
+      // slim >= 3: also drop the qunit/qprefix self-documentation (the
+      // encoding is stable across rounds and documented in SURVEY §9) —
+      // per-query trend data for every query outranks all side fields.
       val p1 = if (slim >= 1) "" else s""","pass1_total":${f(p1Total)}"""
       val fl = if (slim >= 1 && failed.isEmpty) "" else s""","failed":$failedJson"""
       val ws = if (slim >= 2) "" else s""","warm_sec":${f(warmSec)}"""
       val sf = if (slim >= 2) new java.io.File(sfDir).getName else sfDir
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg","qunit":"cs","qprefix":"op_","queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
+      val qu = if (slim >= 3) "" else s""","qunit":"cs","qprefix":"op_""""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
     // tail. Degrade in steps, each keeping MORE per-query data than the
-    // next: full -> minus informational fields (2 levels) -> slowest 50
+    // next: full -> minus informational fields (3 levels) -> slowest 50
     // only (sorted by key for stable diffs, with how many were dropped).
     // 1960 leaves 40 chars of margin to the true window.
     val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
-    val out = Seq(
-      line(qJson(sorted), 0, slim = 0),
-      line(qJson(sorted), 0, slim = 1),
-      line(qJson(sorted), 0, slim = 2),
-      line(qJson(top), sorted.length - top.length, slim = 0))
+    val out = (0 to 3).map(s => line(qJson(sorted), 0, s))
       .find(_.length <= 1960)
-      .getOrElse(line(qJson(top), sorted.length - top.length, slim = 2))
+      .getOrElse(line(qJson(top), sorted.length - top.length, slim = 3))
     println(out)
     System.out.flush()
     spark.stop()

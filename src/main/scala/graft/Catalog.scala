@@ -651,6 +651,18 @@ object Catalog {
     "op_unigram_score" -> ((s, dir) =>
       TextOps.unigramScore(t(s, dir, "documents"), "text")),
 
+    // token-level Rabin-Karp rolling-hash fingerprints (the brief's
+    // "document fingerprinting (rolling hash)" verbatim): per-doc window
+    // count, distinct windows, min window hash (winnowing anchor)
+    "op_rolling_fp" -> ((s, dir) =>
+      TextOps.rollingFingerprint(t(s, dir, "documents"), "text", w = 8)),
+
+    // cross-document duplicated passages at 5-token granularity over the
+    // planted-boilerplate corpus — substring-level dedup between whole-doc
+    // fingerprints and paragraph dedup
+    "op_passage_dups" -> ((s, dir) =>
+      TextOps.passageDups(paraCorpus(s, dir), "text", w = 5)),
+
     // bigram LM quality score (the next KenLM-style rung): sum of each
     // doc's bigrams' corpus-wide counts — same join shape as the unigram
     // core over word PAIRS (fluency, not just vocabulary)
@@ -918,6 +930,15 @@ object Catalog {
       val emb = embCorpus(s, dir)
       graft.text.Pq.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         graft.text.Pq.fixedModel(), k = 5)
+    }),
+
+    // IVF-PQ: coarse cell pruning x compressed-domain ADC scoring — the
+    // standard billion-scale index composition
+    "op_ivfpq_ann" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Pq.searchTopKIvf(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64),
+        graft.text.Pq.fixedModel(), k = 5, nprobe = 4)
     }),
 
     "op_embed_neardup" -> ((s, dir) =>

@@ -324,10 +324,10 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
-  /** IVF ANN over the fixed-formula centroids (mirrors [[graft.text.Ivf
-    * .searchTopK]]) — shared by op_ivf_ann and op_ann_recall. */
-  private val annIvfSql: String = s"""
-      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
+  /** IVF cell CTEs (cents, sims, assigned, probes over the %25 query
+    * set) — shared by op_ivf_ann / op_ann_recall / op_ivfpq_ann. */
+  private val ivfCtesSql: String = s"""
+      cents AS (SELECT j, cent FROM $ivfCentsSql),
       sims AS (
         SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
         FROM embeddings e CROSS JOIN cents c),
@@ -343,7 +343,12 @@ object OracleSql {
         SELECT vec_id AS q_id, ivf_cell FROM (
           SELECT vec_id, j AS ivf_cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
-          FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4),
+          FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4)"""
+
+  /** IVF ANN over the fixed-formula centroids (mirrors [[graft.text.Ivf
+    * .searchTopK]]) — shared by op_ivf_ann and op_ann_recall. */
+  private val annIvfSql: String = s"""
+      WITH $ivfCtesSql,
       cand AS (
         SELECT p.q_id, a.vec_id AS neighbor_id
         FROM probes p JOIN assigned a
@@ -423,6 +428,43 @@ object OracleSql {
           $codes
         FROM pqsims)"""
   }
+
+  /** ADC score of candidate `codesAlias` against query embedding `qEmb` —
+    * sum over blocks of dot(query subvector, the coded codeword), same
+    * left-to-right order as Pq's LUT-lookup sum. */
+  private def pqAdcScoreSql(qEmb: String, codesAlias: String): String =
+    (0 until 8).map(b => pqDotSql(
+      s"list_slice($qEmb, ${b * 8 + 1}, ${b * 8 + 8})",
+      s"(${pqBookSql(b)})[$codesAlias.pq_$b + 1]")).mkString("\n          + ")
+
+  /** Stepwise Horner rolling hash over bh[i..i+w-1] mod 2^31−1 — nested
+    * per step (every intermediate ≤ ~7·10^10), matching Spark's
+    * aggregate((acc·31 + t) % P) from acc = 0: the first step reduces to
+    * bh[i] since bh values are already < P. */
+  private def rollingStepSql(w: Int): String =
+    (1 until w).foldLeft("bh[i]")((acc, j) =>
+      s"(($acc * 31 + bh[i+$j]) % 2147483647)")
+
+  /** Rolling-hash window CTEs over `src(doc_id, text)` — mirrors
+    * [[graft.text.TextOps.withRollingWindows]]; yields `whs(doc_id, wh)`. */
+  private def rollingWindowsCte(src: String, w: Int): String = s"""
+      tokr AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM $src),
+      bhs AS (
+        SELECT doc_id, list_transform(toks,
+          t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 2147483647)
+          AS bh
+        FROM tokr),
+      whs AS (
+        SELECT doc_id,
+          CASE WHEN len(bh) >= $w THEN
+            list_transform(generate_series(1, len(bh) - ${w - 1}),
+              i -> ${rollingStepSql(w)})
+          ELSE CAST([] AS BIGINT[]) END AS wh
+        FROM bhs)"""
 
   /** Exact (de-hubbed) jaccard near-dup pairs — shared by
     * op_token_jaccard and the op_dedup_recall intersection. */
@@ -1570,6 +1612,30 @@ object OracleSql {
 
     "op_lsh_ann" -> annLshSql,
 
+    // IVF-PQ: the probes/assigned CTEs of op_ivf_ann composed with the
+    // pqcodes of op_pq_encode — candidates from the probed cells only,
+    // scored by the same ADC sum as op_pq_ann.
+    "op_ivfpq_ann" -> s"""
+      WITH $ivfCtesSql,
+      $pqCodesSql,
+      codes AS (
+        SELECT a.ivf_cell, p.* FROM pqcodes p JOIN assigned a USING (vec_id)),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT p.q_id, c.vec_id AS neighbor_id,
+          ${pqAdcScoreSql("q.q_emb", "c")}
+          AS score
+        FROM probes p
+        JOIN q ON q.q_id = p.q_id
+        JOIN codes c ON c.ivf_cell = p.ivf_cell AND c.vec_id <> p.q_id)
+      SELECT q_id, rank, neighbor_id, score FROM (
+        SELECT q_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
+
     "op_embed_neardup" -> s"""
       WITH sigs AS (
         SELECT vec_id, embedding, tt.t AS tbl,
@@ -1607,9 +1673,7 @@ object OracleSql {
             WHERE vec_id % 25 = 0),
       scored AS (
         SELECT q.q_id, c.vec_id AS neighbor_id,
-          ${(0 until 8).map(b => pqDotSql(
-            s"list_slice(q.q_emb, ${b * 8 + 1}, ${b * 8 + 8})",
-            s"(${pqBookSql(b)})[c.pq_$b + 1]")).mkString("\n          + ")}
+          ${pqAdcScoreSql("q.q_emb", "c")}
           AS score
         FROM pqcodes c CROSS JOIN q
         WHERE c.vec_id <> q.q_id)
@@ -2050,6 +2114,32 @@ object OracleSql {
         count(CASE WHEN o.keep_doc = d.doc_id THEN 1 END) AS n_kept
       FROM perdoc d JOIN owner o USING (ph)
       GROUP BY d.doc_id""",
+
+    // Per-doc Rabin-Karp rolling-hash fingerprint summary (w = 8 token
+    // windows); docs shorter than 8 tokens drop.
+    "op_rolling_fp" -> s"""
+      WITH ${rollingWindowsCte("documents", 8)}
+      SELECT doc_id, len(wh) AS n_windows,
+        len(list_distinct(wh)) AS n_distinct,
+        list_aggregate(wh, 'min') AS min_wh
+      FROM whs WHERE len(wh) > 0""",
+
+    // Cross-document duplicated 5-token passages over the planted
+    // boilerplate corpus: window hashes in >= 2 docs, min-id owner.
+    "op_passage_dups" -> s"""
+      WITH pc AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+            'shared boilerplate license paragraph repeated across documents'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+            'subscribe to the newsletter for updates and announcements'
+            ELSE '' END AS text
+        FROM documents),
+      ${rollingWindowsCte("pc", 5)},
+      ex AS (SELECT doc_id, unnest(list_distinct(wh)) AS wh FROM whs)
+      SELECT wh, count(*) AS n_docs, min(doc_id) AS keep_doc
+      FROM ex GROUP BY wh HAVING count(*) >= 2""",
 
     // Sum of corpus-wide bigram counts per document (bigram LM quality
     // rung); docs with < 2 tokens drop (no bigrams).

@@ -92,17 +92,13 @@ object Ivf {
       .withColumn("ivf_cell", argmaxCell(col("ivf_sims")))
       .drop("ivf_sims")
 
-  /** ANN top-k with `nprobe` probed cells per query: queries explode into
-    * their nprobe best cells, candidates come from the cell equi-join,
-    * scoring is exact cosine within candidates. */
-  def searchTopK(corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int, nprobe: Int): DataFrame = {
+  /** (q_id, q_emb, ivf_cell) rows: each query exploded into its `nprobe`
+    * best cells — sort (sim, idx) structs descending, so ties break on
+    * cell DESC (mirrored in the oracle). Shared by [[searchTopK]] and
+    * [[Pq.searchTopKIvf]]. */
+  def probeCells(queries: DataFrame, model: Model, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.c)
-    val assigned = assign(corpus, model)
-      .select(col("ivf_cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"))
-    // top-nprobe cells per query: sort (sim, idx) structs descending
-    val probes = queries
+    queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("probe_cells",
         slice(reverse(array_sort(zip_with(
@@ -111,6 +107,17 @@ object Ivf {
           (s, i) => struct(s.as("sim"), i.as("cell"))))), 1, nprobe))
       .withColumn("probe", explode(col("probe_cells")))
       .select(col("q_id"), col("q_emb"), col("probe.cell").as("ivf_cell"))
+  }
+
+  /** ANN top-k with `nprobe` probed cells per query: queries explode into
+    * their nprobe best cells, candidates come from the cell equi-join,
+    * scoring is exact cosine within candidates. */
+  def searchTopK(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = assign(corpus, model)
+      .select(col("ivf_cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+    val probes = probeCells(queries, model, nprobe)
     // join order matters more than it looks: leaving the optimizer free
     // (no broadcast hint) lets AQE broadcast the smaller materialized side.
     // Forcing broadcast(probes) was measured 10x SLOWER at the x10 probe

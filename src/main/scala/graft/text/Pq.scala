@@ -82,6 +82,37 @@ object Pq {
     }
   }
 
+  /** IVF-PQ top-k — the standard billion-scale composition (coarse cell
+    * pruning × compressed-domain scoring): the corpus carries its IVF cell
+    * AND its PQ codes; a query probes its `nprobe` best cells and scores
+    * ONLY those cells' candidates, each by m LUT lookups. Cuts the scan by
+    * ~C/nprobe on top of PQ's per-candidate economics — at corpus scale
+    * the code store is read cell-partitioned (bucket by `ivf_cell` at
+    * write time) so a probe touches only its cells' files. */
+  def searchTopKIvf(corpus: DataFrame, queries: DataFrame, ivf: Ivf.Model,
+      pq: Model, k: Int, nprobe: Int): DataFrame = {
+    val codes = encode(Ivf.assign(corpus, ivf), pq)
+      .select(col("ivf_cell") +: col("vec_id").as("neighbor_id") +:
+        (0 until pq.m).map(b => col(codeCol(b))): _*)
+    val probed = (0 until pq.m).foldLeft(
+      Ivf.probeCells(queries, ivf, nprobe)) { (acc, b) =>
+      acc.withColumn(s"__lut_$b",
+        array(pq.codebook(b).toIndexedSeq.map(cw =>
+          dotLit(slice(col("q_emb"), b * pq.dsub + 1, pq.dsub), cw)): _*))
+    }.drop("q_emb")
+    val score = (0 until pq.m)
+      .map(b => element_at(col(s"__lut_$b"), col(codeCol(b)) + 1))
+      .reduce(_ + _)
+    val scored = probed.join(codes, "ivf_cell")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), score.as("score"))
+    graft.ops.TopK.perKey(scored, Seq("q_id"),
+      struct(col("score"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .select("q_id", "rank", "neighbor_id", "score")
+  }
+
   /** ADC top-k: corpus codes (ids + m ints — the compressed store) scanned
     * once against broadcast queries carrying per-block LUTs; candidate
     * score = m LUT lookups summed left-to-right. Ties break on neighbor_id

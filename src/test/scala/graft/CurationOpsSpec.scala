@@ -44,6 +44,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingFingerprint matches a direct Rabin-Karp recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // 9 tokens
+      (2L, "short doc")) // < 8 tokens -> drops
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.rollingFingerprint(docs, "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(!out.contains(2L))
+    // direct recompute: md5-60 token hash mod P, Horner windows
+    val P = 2147483647L
+    def th(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % P
+    }
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota".split(" ")
+    val whs = toks.sliding(8).map(_.foldLeft(0L)((acc, t) =>
+      (acc * 31 + th(t)) % P)).toSeq
+    assert(out(1L) == ((2, whs.distinct.length, whs.min)))
+  }
+
+  test("passageDups finds the planted shared passage with its min owner") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "x y z common passage shared by many docs"),
+      (7L, "a b common passage shared by many docs too"),
+      (9L, "entirely different words without any overlap here"))
+      .toDF("doc_id", "text")
+    val dups = graft.text.TextOps.passageDups(docs, "text", w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "common passage shared by many" and "passage shared by many docs"
+    // are 5-token windows common to docs 3 and 7
+    assert(dups.length == 2)
+    assert(dups.forall { case (_, nDocs, keep) => nDocs == 2 && keep == 3L })
+  }
+
   test("bigramScore: corpus-frequency sums agree with a direct recount") {
     import spark.implicits._
     val docs = Seq(

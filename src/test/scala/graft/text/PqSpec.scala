@@ -55,6 +55,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: scores match reconstruction; candidates restricted to probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val raw = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val ivf = Ivf.fixedModel(c = 16, dim = 64)
+    val top = Pq.searchTopKIvf(emb, emb.filter($"vec_id" === 0), ivf, model,
+      k = 5, nprobe = 4)
+      .select("rank", "neighbor_id", "score").as[(Int, Long, Double)].collect()
+    assert(top.map(_._1).sorted.sameElements(1 to 5))
+    val q = raw(0L)
+    top.foreach { case (_, nid, score) =>
+      val codes = scalaEncode(raw(nid))
+      val expect = (0 until model.m).map { b =>
+        q.slice(b * model.dsub, (b + 1) * model.dsub)
+          .zip(model.codebook(b)(codes(b)))
+          .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y }
+      }.reduce(_ + _)
+      assert(score == expect, s"neighbor $nid")
+    }
+    // cell pruning is real: IVF-PQ answers are a subset of full-PQ scoring
+    // only when the neighbor's cell is probed — check against the plain
+    // ADC ranking restricted to the probed cells
+    val assignedCells = Ivf.assign(emb, ivf)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val probed = Ivf.probeCells(emb.filter($"vec_id" === 0), ivf, 4)
+      .select("ivf_cell").as[Int].collect().toSet
+    top.foreach { case (_, nid, _) =>
+      assert(probed.contains(assignedCells(nid)), s"neighbor $nid cell")
+    }
+  }
+
   test("encode rejects inputs carrying reserved pq_* columns") {
     val clash = Seq((1L, Array(1.0f), 3)).toDF("vec_id", "embedding", "pq_3")
     val e = intercept[IllegalArgumentException](Pq.encode(clash, model))
