@@ -49,11 +49,12 @@ object Pq {
       Array.tabulate(dsub)(d => fixedComponent(b, j, d).toDouble))))
 
   /** Left-to-right double dot of a subvector column against a literal
-    * codeword — the same accumulation order as [[Similarity.dot]], so the
-    * oracle's list_sum(list_transform(list_zip(...))) is bit-identical. */
+    * codeword via the native [[graft.functions.DotProduct]] — the same
+    * accumulation order as [[Similarity.dot]]'s HOF form, so the oracle's
+    * list_sum(list_transform(list_zip(...))) is bit-identical
+    * (NativeExprSpec pins the native↔HOF equality). */
   private def dotLit(sub: Column, cw: Array[Double]): Column =
-    aggregate(zip_with(sub, typedLit(cw.toSeq),
-      (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(sub, typedLit(cw.toSeq))
 
   private def codeCol(b: Int) = s"pq_$b"
 
@@ -90,16 +91,25 @@ object Pq {
     * the code store is read cell-partitioned (bucket by `ivf_cell` at
     * write time) so a probe touches only its cells' files. */
   def searchTopKIvf(corpus: DataFrame, queries: DataFrame, ivf: Ivf.Model,
-      pq: Model, k: Int, nprobe: Int): DataFrame = {
-    val codes = encode(Ivf.assign(corpus, ivf), pq)
+      pq: Model, k: Int, nprobe: Int,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    // the code table persists for the same reasons as in [[searchTopK]] —
+    // it IS the stored index, and unpersisted its encode expressions can
+    // be re-planned into the join output path
+    val codes = scope.persist(encode(Ivf.assign(corpus, ivf), pq)
       .select(col("ivf_cell") +: col("vec_id").as("neighbor_id") +:
-        (0 until pq.m).map(b => col(codeCol(b))): _*)
-    val probed = (0 until pq.m).foldLeft(
+        (0 until pq.m).map(b => col(codeCol(b))): _*))
+    // the probed LUT frame persists for the same reason: its m×ksub dots
+    // are per-QUERY work (queries × nprobe rows — small), and AQE's
+    // runtime replan was measured re-evaluating them per CANDIDATE
+    // (4.3 s pass-1 static plan, 200 s once the code-table cache fed the
+    // replanner) — the barrier pins LUT construction to once per probe
+    val probed = scope.persist((0 until pq.m).foldLeft(
       Ivf.probeCells(queries, ivf, nprobe)) { (acc, b) =>
       acc.withColumn(s"__lut_$b",
         array(pq.codebook(b).toIndexedSeq.map(cw =>
           dotLit(slice(col("q_emb"), b * pq.dsub + 1, pq.dsub), cw)): _*))
-    }.drop("q_emb")
+    }.drop("q_emb"))
     val score = (0 until pq.m)
       .map(b => element_at(col(s"__lut_$b"), col(codeCol(b)) + 1))
       .reduce(_ + _)
@@ -119,11 +129,20 @@ object Pq {
     * via the bounded-heap [[graft.ops.TopK]] operator like every ANN path
     * here. Scores are ADC approximations of the dot product (not cosine) —
     * rank quality, not metric parity, is the contract. */
-  def searchTopK(corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int): DataFrame = {
-    val codes = encode(corpus, model)
+  def searchTopK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    // Persist the code table: it is the STORED index in a real PQ
+    // deployment (encode once, scan codes many times), it is tiny
+    // (id + m small ints per vector — the whole point of PQ), and the
+    // barrier pins the encode work to one pass per corpus row. Without
+    // it, AQE's runtime re-planning of the scored stage can inline the
+    // m×ksub encode dots into the join OUTPUT projection — measured
+    // 260 s vs 3.4 s at the ×10 probe (the dots re-ran per candidate,
+    // not per vector). Same CacheScope release contract as the dedup
+    // families.
+    val codes = scope.persist(encode(corpus, model)
       .select(col("vec_id").as("neighbor_id") +:
-        (0 until model.m).map(b => col(codeCol(b))): _*)
+        (0 until model.m).map(b => col(codeCol(b))): _*))
     val q = (0 until model.m).foldLeft(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))) {
       (acc, b) =>

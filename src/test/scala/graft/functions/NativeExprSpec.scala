@@ -32,6 +32,24 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("DotProduct matches the HOF dot bit-for-bit (float x double-literal)") {
+    import org.apache.spark.sql.functions.{aggregate, lit, typedLit, zip_with}
+    import org.apache.spark.sql.types.DoubleType
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cw = Array.tabulate(64)(d => ((d * 17 + 5) % 13 - 6).toDouble)
+    val hof = aggregate(zip_with(col("embedding"), typedLit(cw.toSeq),
+      (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, v) => acc + v)
+    val both = emb.select(
+      graft.functions.DotProduct(col("embedding"), typedLit(cw.toSeq)).as("native"),
+      hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    // length mismatch -> NULL
+    val bad = Seq((Array(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(bad.select(graft.functions.DotProduct($"a", $"b").as("d"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("CosineSim null/edge handling") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
