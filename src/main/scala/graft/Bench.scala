@@ -97,13 +97,20 @@ object Bench {
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
     // tail. Degrade in steps, each keeping MORE per-query data than the
-    // next: full -> minus informational fields (3 levels) -> slowest 50
-    // only (sorted by key for stable diffs, with how many were dropped).
+    // next: full -> minus informational fields (3 levels) -> the MAXIMUM
+    // number of slowest queries that still fits (sorted by key for stable
+    // diffs, with how many were dropped) — dropping only the cheapest
+    // queries' trend data, typically a handful, never a fixed 50.
     // 1960 leaves 40 chars of margin to the true window.
-    val top = sorted.sortBy(-_._2).take(50).sortBy(_._1)
+    val bySlow = sorted.sortBy(-_._2)
     val out = (0 to 3).map(s => line(qJson(sorted), 0, s))
       .find(_.length <= 1960)
-      .getOrElse(line(qJson(top), sorted.length - top.length, slim = 3))
+      .getOrElse(Iterator.range(bySlow.length - 1, 0, -1)
+        .map { n =>
+          line(qJson(bySlow.take(n).sortBy(_._1)), sorted.length - n, slim = 3)
+        }
+        .find(_.length <= 1960)
+        .getOrElse(line("{}", sorted.length, slim = 3)))
     println(out)
     System.out.flush()
     spark.stop()

@@ -657,6 +657,12 @@ object Catalog {
     "op_rolling_fp" -> ((s, dir) =>
       TextOps.rollingFingerprint(t(s, dir, "documents"), "text", w = 8)),
 
+    // winnowing fingerprint selection (the MOSS scheme) over the rolling
+    // windows: rightmost minimum of every 4-window run — any >= 11-token
+    // match shares a fingerprint at ~2/5 the density of all windows
+    "op_winnow" -> ((s, dir) =>
+      TextOps.winnow(t(s, dir, "documents"), "text", w = 8, g = 4)),
+
     // cross-document duplicated passages at 5-token granularity over the
     // planted-boilerplate corpus — substring-level dedup between whole-doc
     // fingerprints and paragraph dedup

@@ -2124,6 +2124,28 @@ object OracleSql {
         list_aggregate(wh, 'min') AS min_wh
       FROM whs WHERE len(wh) > 0""",
 
+    // Winnowing (g = 4) over the 8-token rolling windows: rightmost
+    // minimum per 4-run; n_fp counts distinct selected positions (the
+    // 1-based SQL positions are a uniform shift of Spark's 0-based ones,
+    // so the distinct count is identical).
+    "op_winnow" -> s"""
+      WITH ${rollingWindowsCte("documents", 8)},
+      whg AS (SELECT doc_id, wh FROM whs WHERE len(wh) >= 4),
+      sel AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(wh) - 3), s ->
+            CASE WHEN wh[s+3] = least(wh[s], wh[s+1], wh[s+2], wh[s+3]) THEN s + 3
+                 WHEN wh[s+2] = least(wh[s], wh[s+1], wh[s+2], wh[s+3]) THEN s + 2
+                 WHEN wh[s+1] = least(wh[s], wh[s+1], wh[s+2], wh[s+3]) THEN s + 1
+                 ELSE s END) AS sels,
+          list_transform(generate_series(1, len(wh) - 3), s ->
+            least(wh[s], wh[s+1], wh[s+2], wh[s+3])) AS ms
+        FROM whg)
+      SELECT doc_id, CAST(len(ms) AS INT) AS n_select,
+        CAST(len(list_distinct(sels)) AS INT) AS n_fp,
+        CAST(list_aggregate(ms, 'min') AS BIGINT) AS min_fp
+      FROM sel""",
+
     // Cross-document duplicated 5-token passages over the planted
     // boilerplate corpus: window hashes in >= 2 docs, min-id owner.
     "op_passage_dups" -> s"""

@@ -130,6 +130,43 @@ object TextOps {
         min("wh").as("min_wh"))
       .withColumnRenamed("doc_id", idCol)
 
+  /** Winnowing fingerprint selection (the MOSS scheme) over
+    * [[rollingWindows]]: every run of `g` consecutive window hashes
+    * contributes its RIGHTMOST minimum — the standard guarantee that any
+    * match of `w + g − 1` tokens or longer shares a selected fingerprint,
+    * at expected density 2/(g+1) instead of every window. Selection is a
+    * CASE over `g` leads in the same per-doc window pass as the hashes —
+    * no extra shuffle. Returns per doc: the number of selection windows
+    * (`n_select`), distinct selected fingerprints (`n_fp`), and the
+    * minimum selected hash (`min_fp`). Docs with fewer than `w + g − 1`
+    * tokens drop (no full selection window). */
+  def winnow(docs: DataFrame, textCol: String, idCol: String = "doc_id",
+      w: Int = 8, g: Int = 4): DataFrame = {
+    require(g >= 1)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val whs: Seq[Column] = (0 until g).map(j =>
+      if (j == 0) col("wh") else lead(col("wh"), j).over(win))
+    val m = least(whs: _*)
+    // rightmost minimum: CASE scanning offsets g−1 → 1, else offset 0.
+    // (least() skips nulls, so partial tail windows must be filtered on
+    // the furthest lead explicitly — __full below.)
+    val selPos = (g - 1 until 0 by -1)
+      .map(j => (whs(j) === m, col("pos") + j))
+      .foldRight(col("pos") + lit(0)) { case ((cond, v), acc) =>
+        when(cond, v).otherwise(acc)
+      }
+    rollingWindows(docs, textCol, idCol, w)
+      .select(col("doc_id"), m.as("__m"), selPos.as("__sel"),
+        (if (g == 1) lit(true) else whs(g - 1).isNotNull).as("__full"))
+      .filter(col("__full"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_select"),
+        countDistinct(col("__sel")).cast("int").as("n_fp"),
+        min("__m").as("min_fp"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Cross-document duplicated passages: window hashes appearing in two or
     * more documents, with the earliest (min-id) owner — substring-level
     * dedup/contamination at `w`-token granularity, the repeated-passage

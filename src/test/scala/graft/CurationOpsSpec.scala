@@ -67,6 +67,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) == ((2, whs.distinct.length, whs.min)))
   }
 
+  test("winnow matches a direct rightmost-min selection recompute") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, text), (2L, "too short for any window")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.winnow(docs, "text", w = 8, g = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(!out.contains(2L)) // 5 tokens -> no 8-token window
+    // direct recompute
+    val P = 2147483647L
+    def th(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % P
+    }
+    val wh = text.split(" ").sliding(8)
+      .map(_.foldLeft(0L)((acc, t) => (acc * 31 + th(t)) % P)).toArray
+    val runs = wh.indices.dropRight(3)
+    val sels = runs.map { s =>
+      val m = (s to s + 3).map(wh).min
+      (s to s + 3).reverse.find(j => wh(j) == m).get
+    }
+    val ms = runs.map(s => (s to s + 3).map(wh).min)
+    assert(out(1L) == ((runs.length, sels.distinct.length, ms.min)))
+    // winnowing density: selected fingerprints are a strict subset of
+    // windows yet every 4-run is covered by construction
+    assert(sels.distinct.length < wh.length)
+  }
+
   test("passageDups finds the planted shared passage with its min owner") {
     import spark.implicits._
     val docs = Seq(
