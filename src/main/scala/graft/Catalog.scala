@@ -604,6 +604,14 @@ object Catalog {
         Map("en" -> 400, "de" -> 650))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
 
+    // temperature-scaled language mixing (alpha = 0.5): keep rates derived
+    // from the corpus's own language counts — smallest language keeps all,
+    // larger ones downsample toward the sqrt-tempered distribution
+    "op_temp_mix" -> ((s, dir) =>
+      graft.ops.Sampling.byTemperature(t(s, dir, "documents"), "lang",
+        Dedup.portableHash(col("doc_id").cast(StringType)))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
+
     // skew-safe salted equi-join (ops/Salting): the fact side salts into 8
     // buckets, the dim side replicates 8x, the shuffle key becomes
     // (key, salt) — and the RESULT is provably salt-independent, which is

@@ -1429,6 +1429,23 @@ object OracleSql {
 
     // JSON round-trip: oracle reads the source; Spark must reproduce it
     // through its own JSON write+read cycle.
+    // Temperature-scaled (alpha = 0.5) language mixing: keep rate =
+    // floor(1000 * sqrt(c_min / c_lang)); IEEE division + sqrt are
+    // correctly rounded in both engines.
+    "op_temp_mix" -> """
+      WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      m AS (SELECT min(cnt) AS cmin FROM c),
+      r AS (
+        SELECT lang,
+          CAST(floor(1000.0 * sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE)))
+            AS INT) AS permille
+        FROM c CROSS JOIN m),
+      k AS (
+        SELECT d.lang FROM documents d JOIN r USING (lang)
+        WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1000 < r.permille)
+      SELECT lang, count(*) AS n_kept FROM k GROUP BY lang""",
+
     "op_json_roundtrip" -> """
       SELECT o_orderkey, o_custkey,
         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,

@@ -40,6 +40,37 @@ object Sampling {
     df.filter(pmod(hash, lit(1000L)) < threshold)
   }
 
+  /** Temperature-scaled group mixing — the standard multilingual-corpus
+    * rebalancing recipe: target group shares ∝ count^alpha (alpha < 1
+    * flattens the head), realized as deterministic per-group keep rates
+    * `permille_g = ⌊1000 · (c_min / c_g)^(1−alpha)⌋` — the SMALLEST group
+    * keeps everything, larger groups downsample toward the tempered
+    * distribution. Rates derive from the data itself (one bounded
+    * group-count aggregate, broadcast back), then the keep decision is
+    * the same pure content-hash filter as [[byRates]] — reproducible
+    * across engines, reruns, and partitionings.
+    *
+    * Only `alpha = 0.5` is oracle-portable (the exponent computes via
+    * IEEE `sqrt`, correctly rounded in both engines; an arbitrary-`alpha`
+    * `pow` is libm-specific) — other alphas work but are engine-local. */
+  def byTemperature(df: DataFrame, groupCol: String, hash: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(!df.columns.exists(Set("__c", "__cmin", "__permille")),
+      "byTemperature: input must not contain reserved __ columns")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__c"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val tempered =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = counts
+      .crossJoin(counts.agg(min(col("__c")).as("__cmin")))
+      .select(col(groupCol),
+        floor(lit(1000.0) * tempered).cast("int").as("__permille"))
+    df.join(broadcast(rates), groupCol)
+      .filter(pmod(hash, lit(1000L)) < col("__permille"))
+      .drop("__permille")
+  }
+
   /** Exactly `k` rows per stratum (fewer if the stratum is smaller),
     * chosen as the k SMALLEST hash values — a uniform, deterministic
     * per-group sample. Ties must not exist in the hash for the selected

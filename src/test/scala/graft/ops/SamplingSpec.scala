@@ -48,6 +48,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("byTemperature: smallest group keeps all; heads downsample by sqrt ratio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // groups of 1000 / 4000: sqrt(1000/4000) = 0.5 -> big group ~50%
+    val df = ((1 to 1000).map(i => (i.toLong, "rare")) ++
+      (1001 to 5000).map(i => (i.toLong, "big"))).toDF("id", "grp")
+    val h = graft.text.Dedup.portableHash(col("id").cast("string"))
+    val kept = graft.ops.Sampling.byTemperature(df, "grp", h)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 1000L) // permille 1000 keeps everything
+    assert(kept("big") > 1700 && kept("big") < 2300, kept.toString) // ~2000
+    // deterministic: rerun keeps the identical sample
+    val again = graft.ops.Sampling.byTemperature(df, "grp", h)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.byTemperature(
+        df.withColumn("__c", lit(1)), "grp", h)
+    }
+  }
+
   test("hash-threshold sample rate lands near permille/1000") {
     val n = docs.count()
     val sampled = Sampling.byHash(docs,
