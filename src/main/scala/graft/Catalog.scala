@@ -54,12 +54,20 @@ object Catalog {
     * list, and re-staging 1M rows per query run is pure overhead. */
   private val stagedEventsDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedEvents(s: SparkSession, dir: String): String =
+  private def stagedEvents(s: SparkSession, dir: String): String = {
+    // revalidate the memoized path: a tmp reaper (or a session spanning
+    // cleanups) can remove the staged dir out from under the JVM-global
+    // cache, and a stale entry would fail the stream source instead of
+    // restaging
+    stagedEventsDirs.get(dir).filterNot(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach(_ => stagedEventsDirs.remove(dir))
     stagedEventsDirs.getOrElseUpdate(dir, {
       val out = tempOutDir("graft_stream_src")
       t(s, dir, "events").write.mode("overwrite").parquet(out)
       out
     })
+  }
 
   /** Pinned as-of for the refund pipeline — shipdates span 1995-2001, so a
     * 2004 reference date exercises both SOL outcomes. */

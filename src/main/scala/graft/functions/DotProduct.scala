@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   * `list_sum(list_transform(list_zip(...)))`, so oracle hashes are
   * unaffected (NativeExprSpec pins bit-equality against the HOF).
   *
-  * Returns NULL when either side is NULL or lengths differ.
+  * Returns NULL when either side is NULL, lengths differ, or any element
+  * is NULL — matching the HOF form, where a null element nulls the zipped
+  * product and the aggregate. Element/array type misuse is rejected at
+  * analysis time ([[checkInputDataTypes]]), not execution.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,6 +30,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    Seq(left, right).map(_.dataType).zipWithIndex.collectFirst {
+      case (t, i) if !t.isInstanceOf[ArrayType] ||
+          !Set[DataType](FloatType, DoubleType)
+            .contains(t.asInstanceOf[ArrayType].elementType) =>
+        TypeCheckFailure(
+          s"DotProduct argument ${i + 1} needs ARRAY<FLOAT|DOUBLE>, got ${t.sql}")
+    }.getOrElse(TypeCheckSuccess)
+  }
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -48,6 +63,7 @@ case class DotProduct(left: Expression, right: Expression)
       var i = 0
       val n = a.numElements()
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         dot += get(a, i, ta) * get(b, i, tb)
         i += 1
       }
@@ -71,10 +87,16 @@ case class DotProduct(left: Expression, right: Expression)
         } else {
           double $dot = 0.0;
           for (int $i = 0; $i < $a.numElements(); $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) {
+              ${ev.isNull} = true;
+              break;
+            }
             $dot += ${accessor(a, i, elemType(left))} *
               ${accessor(b, i, elemType(right))};
           }
-          ${ev.value} = $dot;
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot;
+          }
         }
       """
     })

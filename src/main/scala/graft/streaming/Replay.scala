@@ -26,18 +26,38 @@ object Replay {
   /** Replay the parquet files under `srcDir` through `transform` as ONE
     * `Trigger.AvailableNow` streaming run (every staged file in the first
     * and only micro-batch set), collecting complete-mode output in a
-    * memory sink. Returns the sink's table; the memory sink holds only the
-    * final aggregated rows. */
+    * memory sink. Returns a MATERIALIZED copy of the sink's rows (bounded:
+    * the final aggregated frame) — the sink's session-global temp view is
+    * dropped before returning, so repeated Bench/Verify reruns don't
+    * accumulate driver-held result tables for the session lifetime. */
   def replayComplete(spark: SparkSession, srcDir: String, schema: StructType,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame): DataFrame =
+    replay(spark, srcDir, schema, transform, "complete")
+
+  /** Append-mode sibling of [[replayComplete]] for stateful row-level
+    * streaming ops (dedup, sessionize): the sink accumulates every APPENDED
+    * row across the replay's micro-batches. Callers keep the appended set
+    * bounded (deduped/aggregated rows, not the raw input). */
+  def replayAppend(spark: SparkSession, srcDir: String, schema: StructType,
+      transform: DataFrame => DataFrame): DataFrame =
+    replay(spark, srcDir, schema, transform, "append")
+
+  private def replay(spark: SparkSession, srcDir: String, schema: StructType,
+      transform: DataFrame => DataFrame, mode: String): DataFrame = {
     // unique sink name per replay: Bench re-runs each query and memory
     // sink names are session-global
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = transform(stream).writeStream
-      .format("memory").queryName(name).outputMode("complete")
+      .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    val sink = spark.table(name)
+    // materialize off the sink, then drop its view: the copy is what the
+    // caller computes on; the sink's rows are GC-able immediately
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
   }
 }

@@ -101,7 +101,14 @@ object TextOps {
     * window — measured 15.6 s at sf0.1 vs ~1 s for this row form, whose
     * leads are codegen'd over each doc's sorted run. The per-doc sort
     * shuffle is the same shape the unigram/repetition ops already pay.
-    * Returns (doc_id, pos, wh) — one row per window. */
+    * Returns (doc_id, pos, wh) — one row per window.
+    *
+    * PRECONDITION: `idCol` values must be UNIQUE — duplicate ids merge
+    * into one window partition whose `pos` ordering ties across the
+    * duplicates, making the lead() folds (and everything built on them:
+    * [[rollingFingerprint]], [[winnow]], [[passageDups]]) nondeterministic.
+    * Dedup or disambiguate ids (e.g. append a source discriminator)
+    * before calling. */
   def rollingWindows(docs: DataFrame, textCol: String,
       idCol: String = "doc_id", w: Int = 8): DataFrame = {
     require(w >= 1)

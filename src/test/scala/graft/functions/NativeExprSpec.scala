@@ -50,6 +50,25 @@ class NativeExprSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("DotProduct null elements propagate NULL (HOF semantics); non-array rejected at analysis") {
+    // null element anywhere -> NULL result, same as aggregate(zip_with(...))
+    val withNull = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val r = withNull
+      .select(graft.functions.DotProduct($"a", $"b").as("d")).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) == 14.0)
+    // non-array input fails analysis (checkInputDataTypes), not execution
+    val notArray = Seq((1.0, Seq(1.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      notArray.select(graft.functions.DotProduct($"a", $"b")).collect()
+    }
+  }
+
   test("CosineSim null/edge handling") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
