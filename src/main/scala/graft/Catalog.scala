@@ -69,6 +69,28 @@ object Catalog {
     })
   }
 
+  /** Staged documents-with-planted-duplicates for the streaming dedup
+    * replay: every 7th doc appears twice (different id/ts, identical
+    * text), each row stamped with a deterministic event time. Same
+    * memoize-and-revalidate contract as [[stagedEvents]]. */
+  private val stagedDocDupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDocDups(s: SparkSession, dir: String): String = {
+    stagedDocDupDirs.get(dir).filterNot(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach(_ => stagedDocDupDirs.remove(dir))
+    stagedDocDupDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_stream_docs")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 2000000000L).as("doc_id"), col("text")))
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
   /** Pinned as-of for the refund pipeline — shipdates span 1995-2001, so a
     * 2004 reference date exercises both SOL outcomes. */
   val RefundAsOf: java.time.LocalDate = java.time.LocalDate.of(2004, 6, 15)
@@ -409,6 +431,21 @@ object Catalog {
         st => graft.streaming.NexusMonitor.eventDailyTotals(st, Dims.stateRates(s)))
     }),
 
+    // streaming exact dedup, replayed and batch-checked: documents with
+    // planted duplicate texts stream through dropDuplicatesWithinWatermark
+    // (bounded state — the watermark horizon covers the bounded replay, so
+    // the result is exact global dedup; on an unbounded deploy the horizon
+    // is the dedup contract). Only the content hash is emitted: WHICH
+    // duplicate survives is scheduling-dependent, the distinct-hash SET is
+    // not — that set is what the DuckDB oracle pins.
+    "op_stream_dedup" -> ((s, dir) => {
+      graft.streaming.Replay.replayAppend(s, stagedDocDups(s, dir),
+        StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP"),
+        st => graft.streaming.Sessions
+          .dedupByContent(st, "text", "ts", lateness = "3650 days")
+          .select("text_hash"))
+    }),
+
     "op_nexus_check" -> ((s, dir) =>
       Compliance.checkNexus(
         Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))))
@@ -713,6 +750,13 @@ object Catalog {
     "op_seq_pack" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"), "text", budget = 512)),
 
+    // fixed-size token-window chunking with overlap (the retrieval/teacher-
+    // data sibling of op_seq_pack): 128-token chunks at stride 96, chunk
+    // content pinned by an md5 over the chunk's joined tokens — a pure
+    // narrow map + per-doc sequence explode, no shuffle
+    "op_chunk" -> ((s, dir) =>
+      TextOps.chunk(t(s, dir, "documents"), "text", size = 128, overlap = 32)),
+
     // int8 max-abs quantization of the embedding column with an in-plan
     // reconstruction check — flat scalar projection of
     // graft.text.Embeddings.quantizeInt8 (the int8 array itself stays
@@ -999,6 +1043,29 @@ object Catalog {
         .csv(out)
         .select(col("l_orderkey"), col("l_linenumber"),
           dbl(col("qty")).as("qty"), col("ship_date"), col("flag"))
+    }),
+
+    // key/value CSV export round-trip — the reference to_csv's DICT mode
+    // (report_generator.py:358-362): the one-row summary section unpivots
+    // to key,value rows (values coerced to double, the reference's
+    // float(v)), lands as headered CSV, and is read back with an explicit
+    // schema; the oracle rebuilds the same rows from the tax CTE, so any
+    // unpivot or type-fidelity loss hash-mismatches
+    "op_csv_kv" -> ((s, dir) => {
+      val out = tempOutDir("graft_csv_kv")
+      val sm = graft.tax.TaxCalc.batchAgg(taxed(s, dir)).select(
+        col("transaction_count").cast(DoubleType).as("total_transactions"),
+        dbl(col("total_taxable")).as("total_taxable"),
+        dbl(col("total_tax")).as("total_tax"),
+        dbl(col("total_exempt")).as("total_exempt"),
+        col("exempt_count").cast(DoubleType).as("exempt_transactions"),
+        when(col("total_taxable") > 0, col("total_tax").cast(DoubleType) /
+          col("total_taxable").cast(DoubleType)).otherwise(0.0)
+          .as("overall_effective_rate"))
+      Reports.writeCsvKeyValue(sm, out)
+      s.read.option("header", "true")
+        .schema(StructType.fromDDL("key STRING, value DOUBLE"))
+        .csv(out)
     }),
 
     // JSON sink/scan round-trip (op-json-sink, oracle-grade): same contract

@@ -725,6 +725,27 @@ object OracleSql {
       SELECT state, CAST(sum(tax_amount) AS DOUBLE) AS state_total_tax
       FROM taxcalc GROUP BY state""",
 
+    // key/value CSV dict-mode export (report_generator.py:358-362): the
+    // summary dict as key,value rows, every value float-coerced — the
+    // Spark side round-trips these rows through an actual CSV sink+scan
+    "op_csv_kv" -> s"""
+      WITH $taxCte,
+      agg AS (
+        SELECT count(*) AS n,
+          sum(taxable_amount) AS taxable, sum(tax_amount) AS tax,
+          coalesce(sum(CASE WHEN is_exempt THEN taxable_amount END), 0)
+            AS exempt,
+          count(CASE WHEN is_exempt THEN 1 END) AS n_exempt
+        FROM taxcalc)
+      SELECT 'total_transactions' AS key, CAST(n AS DOUBLE) AS value FROM agg
+      UNION ALL SELECT 'total_taxable', CAST(taxable AS DOUBLE) FROM agg
+      UNION ALL SELECT 'total_tax', CAST(tax AS DOUBLE) FROM agg
+      UNION ALL SELECT 'total_exempt', CAST(exempt AS DOUBLE) FROM agg
+      UNION ALL SELECT 'exempt_transactions', CAST(n_exempt AS DOUBLE) FROM agg
+      UNION ALL SELECT 'overall_effective_rate',
+        CASE WHEN taxable > 0 THEN CAST(tax AS DOUBLE) / CAST(taxable AS DOUBLE)
+             ELSE 0.0 END FROM agg""",
+
     "op_refund_scan" -> s"""
       WITH $refundsCte
       SELECT transaction_id, transaction_date, state, city,
@@ -904,6 +925,15 @@ object OracleSql {
                CAST(a.revenue AS DOUBLE) / CAST(t.revenue_threshold AS DOUBLE) * 100
              ELSE 0.0 END AS revenue_pct_of_threshold
       FROM activity a LEFT JOIN nx t ON t.state_code = a.state""",
+
+    // Streaming exact-dedup equivalence: the Spark side replays documents
+    // (with planted duplicate texts) through dropDuplicatesWithinWatermark
+    // on the real streaming path; the surviving distinct-content-hash SET
+    // must equal the batch distinct over the same texts. (Which duplicate
+    // row survives is scheduling-dependent; the hash set is not — hence
+    // hash-only output.)
+    "op_stream_dedup" -> """
+      SELECT DISTINCT md5(text) AS text_hash FROM documents""",
 
     // Streaming event-time daily windows, batch-checked: the Spark side
     // runs window() on the real streaming path; this is the batch daily
@@ -2234,6 +2264,30 @@ object OracleSql {
           (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
                 ELSE start_offset // 512 END) AS spans_chunks
       FROM off""",
+
+    // token-window chunking with overlap: 128-token chunks at stride 96
+    // (chunk starts = generate_series over the token count), content
+    // pinned by md5 over the chunk's joined tokens — mirrors
+    // TextOps.chunk's slice+concat_ws exactly (1-based inclusive list
+    // slicing clamps at the tail in both engines)
+    "op_chunk" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+')
+          END AS toks
+        FROM documents),
+      ch AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks,
+          unnest(generate_series(0, len(toks) - 1, 96)) AS tok_start
+        FROM tok WHERE len(toks) > 0)
+      SELECT doc_id,
+        CAST(tok_start // 96 AS INT) AS chunk_idx,
+        CAST(tok_start AS INT) AS tok_start,
+        least(128, n_tokens - tok_start) AS n_chunk_tokens,
+        md5(array_to_string(toks[tok_start + 1 : tok_start + 128], ' '))
+          AS chunk_hash
+      FROM ch""",
 
     // int8 max-abs quantization parity: scale, quantized-value sum, and
     // max reconstruction error — every step an IEEE double op, computed

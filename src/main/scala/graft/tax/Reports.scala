@@ -212,6 +212,25 @@ object Reports {
     section.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(path)
 
+  /** Key/value unpivot of a ONE-ROW dict section — the reference's second
+    * `to_csv` mode (report_generator.py:358-362: a dict section exports as
+    * `key,value` rows, Decimals coerced to float). `stack()` turns the
+    * single summary row into (key, value) rows in-plan; every value is cast
+    * to DOUBLE, mirroring the reference's float(v) coercion. */
+  def keyValueSection(section: DataFrame): DataFrame = {
+    val cols = section.columns
+    require(cols.nonEmpty, "key/value export needs at least one column")
+    val args = cols
+      .flatMap(c => Seq(s"'${c.replace("'", "''")}'", s"CAST(`$c` AS DOUBLE)"))
+      .mkString(", ")
+    section.selectExpr(s"stack(${cols.length}, $args) AS (key, value)")
+  }
+
+  /** CSV sink for a dict section as `key,value` rows
+    * (report_generator.py:358-362). */
+  def writeCsvKeyValue(section: DataFrame, path: String): Unit =
+    writeCsv(keyValueSection(section), path)
+
   /** Per-transaction detail CSV (report_generator.py:372-413): fixed 10-col
     * layout, `%`-formatted effective rate, empty string for null city.
     * The rate string is derived from the EXACT decimal rate (scale-4 cast →

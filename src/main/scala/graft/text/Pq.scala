@@ -99,17 +99,27 @@ object Pq {
     val codes = scope.persist(encode(Ivf.assign(corpus, ivf), pq)
       .select(col("ivf_cell") +: col("vec_id").as("neighbor_id") +:
         (0 until pq.m).map(b => col(codeCol(b))): _*))
-    // the probed LUT frame persists for the same reason: its m×ksub dots
-    // are per-QUERY work (queries × nprobe rows — small), and AQE's
-    // runtime replan was measured re-evaluating them per CANDIDATE
-    // (4.3 s pass-1 static plan, 200 s once the code-table cache fed the
-    // replanner) — the barrier pins LUT construction to once per probe
-    val probed = scope.persist((0 until pq.m).foldLeft(
-      Ivf.probeCells(queries, ivf, nprobe)) { (acc, b) =>
+    adcTopK(scope.persist(probeLuts(queries, ivf, pq, nprobe)), codes, pq, k)
+  }
+
+  /** Per-query probe frame carrying the per-block ADC LUTs: q_id × nprobe
+    * rows, each with `m` ksub-wide lookup arrays. Persisted by callers —
+    * the m×ksub dots are per-QUERY work, and AQE's runtime replan was
+    * measured re-evaluating them per CANDIDATE (4.3 s pass-1 static plan,
+    * 200 s once the code-table cache fed the replanner); the persist
+    * barrier pins LUT construction to once per probe. */
+  private def probeLuts(queries: DataFrame, ivf: Ivf.Model, pq: Model,
+      nprobe: Int): DataFrame =
+    (0 until pq.m).foldLeft(Ivf.probeCells(queries, ivf, nprobe)) { (acc, b) =>
       acc.withColumn(s"__lut_$b",
         array(pq.codebook(b).toIndexedSeq.map(cw =>
           dotLit(slice(col("q_emb"), b * pq.dsub + 1, pq.dsub), cw)): _*))
-    }.drop("q_emb"))
+    }.drop("q_emb")
+
+  /** Cell-equi-join + LUT scoring + bounded-heap top-k over a probed LUT
+    * frame and an (ivf_cell, neighbor_id, pq_*) code table. */
+  private def adcTopK(probed: DataFrame, codes: DataFrame, pq: Model,
+      k: Int): DataFrame = {
     val score = (0 until pq.m)
       .map(b => element_at(col(s"__lut_$b"), col(codeCol(b)) + 1))
       .reduce(_ + _)
@@ -121,6 +131,42 @@ object Pq {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))))
       .select("q_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Write-time IVF cell layout for the PQ code store — the true 100 TB
+    * read path: the corpus is assigned + encoded ONCE and written
+    * hive-partitioned by `ivf_cell`, so a probe query's scan touches only
+    * its probed cells' FILES (directory-level partition pruning — zero I/O
+    * for the other ~C−nprobe cells). The store rows are (neighbor_id,
+    * pq_0..pq_{m−1}) under their cell directory: ~9 small values per
+    * vector, the ×32-compressed index PQ exists for. */
+  def writeCellStore(corpus: DataFrame, ivf: Ivf.Model, pq: Model,
+      path: String, embCol: String = "embedding"): Unit =
+    graft.ops.Layout.writePartitioned(
+      encode(Ivf.assign(corpus, ivf), pq, embCol)
+        .select(col("ivf_cell") +: col("vec_id").as("neighbor_id") +:
+          (0 until pq.m).map(b => col(codeCol(b))): _*),
+      path, Seq("ivf_cell"))
+
+  /** IVF-PQ top-k over a [[writeCellStore]] store: the probe set's distinct
+    * cells (≤ C ints — bounded, driver-safe) become a static partition
+    * filter, so the parquet scan reads ONLY the probed cells' files
+    * (LayoutSpec pins the pruning in the executed plan). Functionally
+    * identical to [[searchTopKIvf]] on the same corpus/models. */
+  def searchTopKIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, ivf: Ivf.Model, pq: Model, k: Int,
+      nprobe: Int,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    val probed = scope.persist(probeLuts(queries, ivf, pq, nprobe))
+    // distinct probed cells: bounded by the centroid count C (kilobytes),
+    // collected so the cell restriction is a LITERAL predicate on the
+    // partition column — static directory pruning, no join needed to
+    // decide which files to read
+    val cells = probed.select("ivf_cell").distinct().collect()
+      .map(_.getInt(0)).sorted.toIndexedSeq
+    val codes = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*))
+    adcTopK(probed, codes, pq, k)
   }
 
   /** ADC top-k: corpus codes (ids + m ints — the compressed store) scanned

@@ -257,6 +257,46 @@ object TextOps {
       .withColumn("spans_chunks", col("chunk_start") =!= col("chunk_end"))
   }
 
+  /** Fixed-size token-window document chunking with overlap — the
+    * retrieval / teacher-data sibling of [[packSequences]]: where packing
+    * concatenates documents ACROSS boundaries into fixed budgets, chunking
+    * splits each document ALONE into overlapping `size`-token windows at
+    * stride `size - overlap` (consecutive chunks share `overlap` tokens,
+    * the standard RAG/context-window recipe — no chunk ever spans two
+    * documents). Every token lands in at least one chunk; the final chunk
+    * may be short (`n_chunk_tokens < size`). Zero-token documents yield no
+    * chunks.
+    *
+    * Output per chunk: (doc_id, chunk_idx, tok_start, n_chunk_tokens,
+    * chunk_hash) where chunk_hash = md5 of the chunk's tokens joined by a
+    * single space — pinning exact chunk CONTENT cross-engine without
+    * emitting nested arrays.
+    *
+    * Scale: narrow map + per-doc sequence explode — no shuffle, no window
+    * functions, no per-corpus state; chunk count is O(corpus tokens /
+    * stride). The token array is computed once per document at the
+    * generator input (plain expression context — no HOF lambda captures;
+    * see [[Dedup.shingles]]' PERF note for the trap this avoids). */
+  def chunk(docs: DataFrame, textCol: String, size: Int, overlap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size,
+      "overlap must be in [0, size) — stride = size - overlap must advance")
+    val stride = size - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        posexplode(sequence(lit(0), col("n_tokens") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        least(lit(size), col("n_tokens") - col("tok_start"))
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("tok_start") + 1, lit(size)))
+          .cast(BinaryType)).as("chunk_hash"))
+  }
+
   /** Gopher-style repetition signals per document: token total, distinct
     * types, and the most-frequent token's count — the inputs to
     * type-token-ratio and top-token-share repetition filters. Empty

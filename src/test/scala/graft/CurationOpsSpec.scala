@@ -174,6 +174,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk: full coverage at stride size-overlap; hashes pin exact chunk content") {
+    import spark.implicits._
+    // 10-token doc, size 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.chunk(docs, "text", size = 4, overlap = 1)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(!out.contains(2L), "zero-token docs yield no chunks")
+    val d3 = out(3L).map(r => (r.getAs[Int]("chunk_idx"),
+      r.getAs[Int]("tok_start"), r.getAs[Int]("n_chunk_tokens")))
+    assert(d3.toSeq == Seq((0, 0, 2)), "short doc -> one short chunk")
+    val d1 = out(1L).sortBy(_.getAs[Int]("chunk_idx"))
+      .map(r => (r.getAs[Int]("tok_start"), r.getAs[Int]("n_chunk_tokens")))
+    assert(d1.toSeq == Seq((0, 4), (3, 4), (6, 4), (9, 1)))
+    // content pin: chunk at tok_start=3 is "d e f g"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectHash = md.digest("d e f g".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = out(1L).find(_.getAs[Int]("tok_start") == 3).get
+      .getAs[String]("chunk_hash")
+    assert(got == expectHash)
+    // every token covered: union of [start, start+n) spans [0, 10)
+    val covered = out(1L).flatMap(r => r.getAs[Int]("tok_start") until
+      (r.getAs[Int]("tok_start") + r.getAs[Int]("n_chunk_tokens"))).toSet
+    assert(covered == (0 until 10).toSet)
+    // invalid parameters rejected
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.chunk(docs, "text", size = 4, overlap = 4)
+    }
+  }
+
   test("Embeddings.quantizeInt8: int8 range respected; dequantize reproduces max_err") {
     val q = graft.text.Embeddings.quantizeInt8(
       spark.read.parquet(s"$sf/embeddings.parquet"))

@@ -33,6 +33,60 @@ class LayoutSpec extends SparkSpec {
     assert(r > 12) // shipdates span multiple years
   }
 
+  test("IVF-PQ cell store: probe queries scan ONLY the probed cells' files") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dir = Files.createTempDirectory("graft_ivf_store").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = graft.text.Ivf.fixedModel(c = 16, dim = 64)
+    val pq = graft.text.Pq.fixedModel()
+    graft.text.Pq.writeCellStore(emb, ivf, pq, s"$dir/codes")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val nprobe = 2
+    val scope = new CacheScope
+    try {
+      val res = graft.text.Pq.searchTopKIvfStore(spark, s"$dir/codes",
+        queries, ivf, pq, k = 5, nprobe = nprobe, scope = scope)
+      // the probed-cell set this query is allowed to touch
+      val probedCells = graft.text.Ivf.probeCells(queries, ivf, nprobe)
+        .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+      assert(probedCells.size < 16, "probe set must actually prune")
+      // functional equality with the in-memory IVF-PQ path
+      val store = res.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val mem = graft.text.Pq.searchTopKIvf(emb, queries, ivf, pq, k = 5,
+        nprobe = nprobe, scope = scope)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(store == mem)
+      // executed plan: the store scan's selected partitions == probed cells
+      val scan = scans(res.queryExecution.executedPlan).find(
+        _.metadata.get("Location").exists(_.contains("graft_ivf_store")))
+      assert(scan.nonEmpty, "expected a parquet scan of the cell store")
+      // cells with no assigned vectors write no directory: the scan covers
+      // probed ∩ existing, and strictly fewer dirs than the full store
+      val existing = spark.read.parquet(s"$dir/codes")
+        .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+      val expected = probedCells.intersect(existing)
+      val scannedParts = scan.get.selectedPartitions.partitionCount
+      assert(scannedParts == expected.size,
+        s"scan read $scannedParts partition dirs, probes needed ${expected.size}")
+      assert(scannedParts < existing.size,
+        "pruning must skip at least one existing cell directory")
+      assert(res.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [ivf_cell"))
+    } finally scope.unpersistAll()
+  }
+
   test("identically bucketed tables join without an exchange") {
     // default warehouse dir (./spark-warehouse, gitignored); clean any
     // leftover managed locations from previous JVMs (the fresh derby

@@ -34,6 +34,29 @@ class ReportsSpec extends SparkSpec {
     assert(d.length == 10)
   }
 
+  test("key/value CSV export: dict section unpivots to key,value rows (to_csv dict mode)") {
+    val sm = TaxCalc.batchAgg(taxed).select(
+      col("transaction_count").cast("double").as("total_transactions"),
+      col("total_tax").cast("double").as("total_tax"))
+    val kv = Reports.keyValueSection(sm)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kv == Map("total_transactions" -> 3.0, "total_tax" -> 60.75))
+    // sink round-trip: header + one row per key, values parse back exactly
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_spec").toString
+    try {
+      Reports.writeCsvKeyValue(sm, out)
+      val back = spark.read.option("header", "true")
+        .schema("key STRING, value DOUBLE").csv(out)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(back == kv)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("json sink produces parseable document") {
     val js = Reports.toJsonString(Reports.taxSummaryReport(taxed, "", "2026-01-01"))
     assert(js.contains("\"report_type\":\"tax_liability_summary\""))

@@ -90,6 +90,18 @@ class DedupSpec extends SparkSpec {
     res.labels.unpersist()
   }
 
+  test("recall floor: LSH banding surfaces >=95% of exact jaccard pairs (fixture)") {
+    // an explicit floor, not just a pinned oracle hash: a banding/threshold
+    // parameter change that TANKS candidate recall must fail tests loudly,
+    // not just shift a hash the next round notices
+    val r = graft.SparkEntry.queries("op_dedup_recall")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getAs[Double]("recall") >= 0.95,
+      s"MinHash-LSH candidate recall ${r.getAs[Double]("recall")} fell below the 0.95 floor")
+    assert(r.getAs[Double]("precision_proxy") >= 0.90,
+      s"candidate precision ${r.getAs[Double]("precision_proxy")} fell below the 0.90 floor")
+  }
+
   test("contamination: verbatim benchmark docs hit their train originals") {
     val train = docs.filter($"doc_id" =!= 5L)
     val bench = Seq(

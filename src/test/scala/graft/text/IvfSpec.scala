@@ -43,4 +43,18 @@ class IvfSpec extends SparkSpec {
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivfAll == brute)
   }
+
+  test("recall floors: the declared op_ann_recall values stay above their fixture baselines") {
+    // explicit floors on the DECLARED recall query (fixed model, nprobe=4,
+    // 12-plane LSH): a parameter change that tanks approximate-ANN recall
+    // must fail here, not just shift a pinned oracle hash
+    val rows = graft.SparkEntry.queries("op_ann_recall")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        r.getAs[String]("method") -> r.getAs[Double]("recall_at_5")).toMap
+    assert(rows("ivf") >= 0.30,
+      s"IVF recall@5 ${rows("ivf")} fell below the 0.30 floor")
+    assert(rows("lsh") >= 0.10,
+      s"LSH recall@5 ${rows("lsh")} fell below the 0.10 floor")
+  }
 }
