@@ -56,6 +56,7 @@ object Bench {
     "text_report" -> "txt_rpt", "sort_duedate" -> "duedate",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
     "stream_dedup" -> "strm_dedup", "top_ngrams" -> "ngrams",
+    "stream_sessions" -> "strm_sess",
     "image_phash" -> "img_phash", "image_resize" -> "img_resize")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */

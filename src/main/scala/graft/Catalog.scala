@@ -431,6 +431,32 @@ object Catalog {
         st => graft.streaming.NexusMonitor.eventDailyTotals(st, Dims.stateRates(s)))
     }),
 
+    // streaming gap-sessionization, replayed and batch-checked: events
+    // stream through the REAL flatMapGroupsWithState path (custom session
+    // state + event-time timeout). On a bounded AvailableNow replay the
+    // emitted set is deterministic and batch-expressible: sessions closed
+    // by a later same-user event (every non-final session) plus final
+    // sessions flushed by the event-time timeout once the no-data batch
+    // advances the watermark past session_end + gap. Timestamps are
+    // ms-truncated on BOTH sides (Timestamp state math is ms; the oracle
+    // mirrors with integer ms), bounds emitted as epoch-ms BIGINT.
+    "op_stream_sessions" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema // ts = long nanos (nanosAsLong)
+      graft.streaming.Replay.replayAppend(s, stagedEvents(s, dir), schema,
+        st => {
+          import st.sparkSession.implicits._
+          val evs = st.select(col("event_id"), col("user_id"),
+              timestamp_millis(expr("ts div 1000000")).as("ts"))
+            .as[graft.streaming.Sessions.Event]
+          graft.streaming.Sessions
+            .sessionize(evs, gapMinutes = 30, lateness = "61 minutes").toDF()
+            .select(col("user_id"),
+              unix_millis(col("session_start")).as("session_start_ms"),
+              unix_millis(col("session_end")).as("session_end_ms"),
+              col("n_events"))
+        })
+    }),
+
     // streaming exact dedup, replayed and batch-checked: documents with
     // planted duplicate texts stream through dropDuplicatesWithinWatermark
     // (bounded state — the watermark horizon covers the bounded replay, so

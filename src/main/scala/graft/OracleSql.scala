@@ -926,6 +926,41 @@ object OracleSql {
              ELSE 0.0 END AS revenue_pct_of_threshold
       FROM activity a LEFT JOIN nx t ON t.state_code = a.state""",
 
+    // Streaming gap-sessionization equivalence: the Spark side replays
+    // events through flatMapGroupsWithState (custom session state +
+    // event-time timeout). Emitted on a bounded AvailableNow replay:
+    // every session CLOSED by a later same-user event (all non-final
+    // sessions), plus final sessions whose timeout (session_end + 30 min)
+    // falls strictly before the final watermark (max event time - 61 min,
+    // advanced by the trailing no-data micro-batch). All math in integer
+    // epoch-ms on both sides (Timestamp state math is ms-granular).
+    "op_stream_sessions" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms FROM events),
+      d AS (
+        SELECT user_id, event_id, tms,
+          CASE WHEN lag(tms) OVER w IS NULL
+                 OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      s AS (
+        SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY tms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM d),
+      sess AS (
+        SELECT user_id, sid, min(tms) AS session_start_ms,
+          max(tms) AS session_end_ms, count(*) AS n_events
+        FROM s GROUP BY user_id, sid),
+      last AS (
+        SELECT user_id, CAST(max(sid) AS BIGINT) AS last_sid
+        FROM sess GROUP BY user_id),
+      mx AS (SELECT max(tms) AS mt FROM ev)
+      SELECT s.user_id, s.session_start_ms, s.session_end_ms,
+        CAST(s.n_events AS BIGINT) AS n_events
+      FROM sess s JOIN last l ON l.user_id = s.user_id
+      WHERE s.sid < l.last_sid
+         OR s.session_end_ms + 1800000 < (SELECT mt FROM mx) - 3660000""",
+
     // Streaming exact-dedup equivalence: the Spark side replays documents
     // (with planted duplicate texts) through dropDuplicatesWithinWatermark
     // on the real streaming path; the surviving distinct-content-hash SET

@@ -37,6 +37,36 @@ class ReplaySpec extends SparkSpec {
       val winBatch = NexusMonitor.eventDailyTotals(ev, dim)
         .collect().map(winKey).toMap
       assert(winStream.nonEmpty && winStream == winBatch)
+      // append-mode replay of the stateful sessionizer: the emitted set is
+      // every gap-closed (non-final) session plus final sessions flushed
+      // by the event-time timeout once the trailing no-data batch advances
+      // the watermark — the exact contract op_stream_sessions' oracle pins
+      import spark.implicits._
+      val sessions = Replay.replayAppend(spark, dir.toString, ev.schema,
+        st => Sessions.sessionize(
+          st.select(col("event_id"), col("user_id"),
+            timestamp_millis(expr("ts div 1000000")).as("ts"))
+            .as[Sessions.Event], gapMinutes = 30, lateness = "61 minutes")
+          .toDF())
+      val n = sessions.count()
+      // batch recount of the same rule (ms-truncated, 30-min gap)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tms", "event_id")
+      val batchSess = ev
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tms"))
+        .withColumn("new_s", when(lag("tms", 1).over(w).isNull ||
+          col("tms") - lag("tms", 1).over(w) > 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(max("tms").as("end_ms"), count(lit(1)).as("n_events"))
+      val lastSid = batchSess.groupBy("user_id").agg(max("sid").as("last_sid"))
+      val maxTs = ev.agg(max(expr("ts div 1000000"))).head().getLong(0)
+      val expected = batchSess.join(lastSid, "user_id")
+        .filter(col("sid") < col("last_sid") ||
+          col("end_ms") + 1800000L < maxTs - 3660000L)
+        .count()
+      assert(n == expected, s"streamed $n sessions, batch rule expects $expected")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
