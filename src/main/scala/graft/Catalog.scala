@@ -162,6 +162,21 @@ object Catalog {
           lit("\n\nsubscribe to the newsletter for updates and announcements"))
           .otherwise(lit(""))).as("text"))
 
+  /** Documents with deterministically planted PII — the fixture texts
+    * carry no emails/phones/IPs, so the scrub query appends synthetic ones
+    * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
+  def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" server 10.0."), (col("doc_id") % 256).cast(StringType),
+            lit(".42"))).otherwise(lit(""))).as("text"))
+
   private def refunds(s: SparkSession, dir: String): DataFrame =
     Refunds.overpayments(TaxCalc.normalize(SyntheticTxns.txns(s, dir)), RefundAsOf)
 
@@ -775,6 +790,12 @@ object Catalog {
     // global order), docs may span chunk boundaries
     "op_seq_pack" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"), "text", budget = 512)),
+
+    // PII scrubbing (the redaction pass before any training data ships):
+    // per-class counts + md5 of the sentinel-scrubbed text over the
+    // planted-PII corpus — a pure narrow regexp map, zero shuffles
+    "op_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(piiCorpus(s, dir), "text")),
 
     // fixed-size token-window chunking with overlap (the retrieval/teacher-
     // data sibling of op_seq_pack): 128-token chunks at stride 96, chunk

@@ -2300,6 +2300,37 @@ object OracleSql {
                 ELSE start_offset // 512 END) AS spans_chunks
       FROM off""",
 
+    // PII scrubbing over the planted-PII corpus: per-class counts on the
+    // original text + md5 of the chained sentinel replacement (email →
+    // phone → IPv4, the same order as TextOps.PiiPatterns — the patterns
+    // below are interpolated FROM that Seq so they cannot drift). RE2
+    // ('g' = replace all) and Java regex agree on these alternation-free
+    // patterns.
+    "op_pii_scrub" -> {
+      val ps = graft.text.TextOps.PiiPatterns
+      val scrub = ps.foldLeft("t") { case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val counts = ps.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$name"
+      }.mkString(",\n        ")
+      s"""
+      WITH pii AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+          CASE WHEN doc_id % 9 = 0
+               THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42'
+               ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        $counts,
+        md5($scrub) AS scrubbed_hash
+      FROM pii"""
+    },
+
     // token-window chunking with overlap: 128-token chunks at stride 96
     // (chunk starts = generate_series over the token count), content
     // pinned by md5 over the chunk's joined tokens — mirrors

@@ -257,6 +257,39 @@ object TextOps {
       .withColumn("spans_chunks", col("chunk_start") =!= col("chunk_end"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and its oracle mirror: simple
+    * alternation-free regexes that parse identically under Java regex
+    * (Spark) and RE2 (DuckDB) — no lookaround, no backrefs. Scrub ORDER
+    * matters (emails contain dots/digits): email → phone → IPv4. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\d{3}[-.]\\d{3}[-.]\\d{4}", "<PHONE>"),
+    ("ip", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"))
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything else ships: per document, the count of each PII class
+    * (emails, phones, IPv4s) and the md5 of the text with every match
+    * replaced by its sentinel token (`<EMAIL>`/`<PHONE>`/`<IP>`), classes
+    * applied in [[PiiPatterns]] order. Counts + hash (not the scrubbed
+    * text itself) keep the output flat and oracle-hashable while pinning
+    * the exact redacted CONTENT cross-engine.
+    *
+    * Scale: pure column expressions (regexp_count + chained
+    * regexp_replace) — one narrow codegen map over the corpus scan, zero
+    * shuffles; at 100 TB this rides the same scan as the other quality
+    * signals. */
+  def piiScrub(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    docs.select(
+      col(idCol) +:
+        PiiPatterns.map { case (name, pat, _) =>
+          regexp_count(col(textCol), lit(pat)).as(s"n_$name") } :+
+        md5(scrubbed.cast(BinaryType)).as("scrubbed_hash"): _*)
+  }
+
   /** Fixed-size token-window document chunking with overlap — the
     * retrieval / teacher-data sibling of [[packSequences]]: where packing
     * concatenates documents ACROSS boundaries into fixed budgets, chunking

@@ -174,6 +174,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("piiScrub: per-class counts and sentinel replacement pin exact redacted content") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail john.doe@corp.io or 555-123-4567, server 10.0.0.1 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org and dotted 555.123.4567 phone"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.piiScrub(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == md5hex("mail <EMAIL> or <PHONE>, server <IP> ok"))
+    assert(out(2L) == ((0, 0, 0, md5hex("no pii here at all"))))
+    // dotted phone: counted as phone (class order: email scrubs first,
+    // then phone — before the 3-group IP pattern could see it)
+    assert(out(3L)._1 == 2 && out(3L)._2 == 1 && out(3L)._3 == 0)
+    assert(out(3L)._4 == md5hex("two mails <EMAIL> <EMAIL> and dotted <PHONE> phone"))
+  }
+
   test("chunk: full coverage at stride size-overlap; hashes pin exact chunk content") {
     import spark.implicits._
     // 10-token doc, size 4, overlap 1 -> stride 3 -> starts 0,3,6,9
