@@ -56,7 +56,14 @@ object Bench {
     "text_report" -> "txt_rpt", "sort_duedate" -> "duedate",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
     "stream_dedup" -> "strm_dedup", "top_ngrams" -> "ngrams",
-    "stream_sessions" -> "strm_sess",
+    "stream_sessions" -> "strm_sess", "compact_latest" -> "compact",
+    "phash_pairs" -> "ph_pairs", "salted_join" -> "salt_j",
+    "salted_agg" -> "salt_a", "rolling_fp" -> "roll_fp",
+    "range_join" -> "rng_j", "lead_ntile" -> "ntile",
+    "sessionize" -> "sess", "asof_join" -> "asof",
+    "anti_join" -> "anti", "semi_join" -> "semi",
+    "key_union" -> "key_un", "retention" -> "retain",
+    "pii_scrub" -> "pii",
     "image_phash" -> "img_phash", "image_resize" -> "img_resize")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */

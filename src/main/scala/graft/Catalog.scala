@@ -332,6 +332,37 @@ object Catalog {
         .select("event_id", "user_id", "session_id")
     }),
 
+    // ordered conversion funnel (view → click → purchase, strictly
+    // time-ordered per user): per-stage first timestamps + stages reached.
+    // ts drops to MICROS first (div 1000): DuckDB reads the nanos fixture
+    // at µs precision, so all ordering comparisons must happen in µs space
+    // on both sides or a same-µs event pair could order differently
+    "op_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(
+        t(s, dir, "events").withColumn("ts", expr("ts div 1000L")),
+        Seq("view", "click", "purchase"))),
+
+    // cohort retention triangle at day granularity over the event log —
+    // (first-activity day, day offset) → active cohort members
+    "op_retention" -> ((s, dir) =>
+      graft.ops.EventOps.retention(t(s, dir, "events"))),
+
+    // CDC-style latest-record compaction: one row per (user, event_type)
+    // via a max_by aggregate (O(keys) shuffle, not a per-group sort; the
+    // oracle's row_number window proves the same result)
+    "op_compact_latest" -> ((s, dir) =>
+      graft.ops.EventOps.compactLatest(
+        t(s, dir, "events").withColumn("ts", expr("ts div 1000L")),
+        keys = Seq("user_id", "event_type"),
+        orderCols = Seq("ts", "event_id"), payload = Seq("value"))),
+
+    // calendar gap-fill + running total per order priority: dense daily
+    // grid, zero-filled revenue in exact cents, cumulative sum
+    "op_resample" -> ((s, dir) =>
+      graft.ops.EventOps.gapFillDaily(t(s, dir, "orders"),
+        "o_orderpriority", to_date(col("o_orderdate")),
+        round(col("o_totalprice") * 100).cast(LongType))),
+
     "op_period_gen" -> ((s, dir) => {
       val months = t(s, dir, "nation").select("n_nationkey")
         .withColumn("period_start", explode(sequence(

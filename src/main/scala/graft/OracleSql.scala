@@ -671,6 +671,79 @@ object OracleSql {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged""",
 
+    // ordered funnel: stage i's first event must be STRICTLY after stage
+    // i-1's first event for the same user; µs-long timestamps both sides
+    // (DuckDB reads the nanos fixture at µs precision — the Spark side
+    // truncates to µs so the strict-after comparisons agree exactly)
+    "op_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS ts_view
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS ts_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_view
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS ts_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_click
+        GROUP BY 1)
+      SELECT s1.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,
+        CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+          AS n_stages
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s2.user_id = s3.user_id""",
+
+    // cohort retention: integer epoch-day arithmetic (// is exact integer
+    // division — mirrors the Spark side's `div`, never double math)
+    "op_retention" -> """
+      WITH active AS (
+        SELECT DISTINCT user_id,
+          epoch_ns(ts) // 86400000000000 AS day
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+      SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        count(*) AS n_users
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2""",
+
+    // latest-record compaction: the window formulation (deterministic
+    // (ts, event_id) tie-break) proves the Spark max_by aggregate's result
+    "op_compact_latest" -> """
+      SELECT user_id, event_type, epoch_us(ts) AS ts, event_id, value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""",
+
+    // calendar gap-fill: dense daily grid per priority, zero-filled exact
+    // cents, running cumulative sum (HUGEINT window sum pinned to BIGINT)
+    "op_resample" -> """
+      WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT p.o_orderpriority, CAST(gs.d AS DATE) AS day
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+            (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+            INTERVAL 1 DAY)) AS d) gs)
+      SELECT g.o_orderpriority, g.day,
+        CAST(COALESCE(d.cents, 0) AS BIGINT) AS cents,
+        CAST(sum(COALESCE(d.cents, 0)) OVER (
+          PARTITION BY g.o_orderpriority ORDER BY g.day) AS BIGINT)
+          AS cum_cents
+      FROM grid g LEFT JOIN daily d
+        ON g.o_orderpriority = d.o_orderpriority AND g.day = d.day""",
+
     "op_period_gen" -> """
       SELECT n.n_nationkey,
         CAST(ms AS DATE) AS period_start,

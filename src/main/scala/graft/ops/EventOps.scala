@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-log analytics: ordered funnels, cohort retention, latest-record
+  * compaction, and calendar gap-fill — the standard product-analytics
+  * surface over an append-only event stream, expressed as lazy DataFrame
+  * programs so Catalyst keeps filters on the scan and aggregations
+  * map-side-partial.
+  *
+  * The reference engine has no event-log module; these extend the rebuild
+  * the same way the dedup/similarity families do (SURVEY §8.1) and follow
+  * its conventions: deterministic outputs (total tie-break orders), flat
+  * oracle-hashable schemas, and nanosecond-long timestamps end to end
+  * (the events fixture arrives as TIMESTAMP(NANOS) → `nanosAsLong`).
+  */
+object EventOps {
+
+  /** Ordered conversion funnel: for each user, the timestamp of the first
+    * stage-1 event, the first stage-2 event STRICTLY AFTER it, and so on —
+    * the "view → click → purchase within order" question, where an early
+    * purchase before the first view must NOT count.
+    *
+    * Returns one row per user who reached stage 1: the per-stage first
+    * timestamps (`ts_<stage>`, null once the chain breaks) and `n_stages`
+    * reached. Funnel drop-off counts are a trivial aggregate on top;
+    * keeping per-user rows preserves time-to-convert analysis
+    * (`ts_purchase - ts_view`).
+    *
+    * Scale: one filtered min-aggregate per stage, each keyed by user —
+    * partial aggregation runs map-side before each shuffle, and every
+    * stage's events filter (`event_type = s`) is pushed to the scan. The
+    * per-stage frames join on the SAME user key, so after the first
+    * shuffle all joins are co-partitioned (no re-exchange under AQE).
+    * Stages are sequential by construction (stage i needs stage i-1's
+    * timestamps) — depth = funnel length, each level near-linear. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    def tsName(s: String) = s"ts_$s"
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as(tsName(stages.head)))
+    val chained = stages.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (st, i)) =>
+        val prev = tsName(stages(i - 1))
+        val next = events.filter(col(typeCol) === st)
+          .select(col(userCol), col(tsCol).as("_t"))
+          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col("_t") > col(prev))
+          .groupBy(col(userCol)).agg(min("_t").as(tsName(st)))
+        acc.join(next, Seq(userCol), "left")
+    }
+    chained.select(
+      col(userCol) +:
+        stages.map(s => col(tsName(s))) :+
+        stages.map(s => when(col(tsName(s)).isNotNull, 1).otherwise(0))
+          .reduce(_ + _).as("n_stages"): _*)
+  }
+
+  /** Cohort retention: users bucketed by their FIRST-ACTIVITY day (the
+    * cohort), then for each (cohort, day-offset) the number of cohort
+    * members active that many days later — the classic retention triangle,
+    * at day granularity.
+    *
+    * Day arithmetic stays in integer epoch-day space (`ts div 86400e9`):
+    * no timestamp/timezone conversion, and exact for any 64-bit
+    * nanosecond timestamp (double math would lose precision above 2^53).
+    *
+    * Scale: distinct (user, day) first — that collapses the event volume
+    * to at most users × active-days before anything else shuffles; the
+    * cohort min rides the same user-keyed partitioning, and because
+    * (user, day) is unique after the distinct, the final count is a plain
+    * `count(*)` — no count-distinct expansion. Output is bounded by
+    * cohorts × horizon, independent of event count. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    // `div`, not `/`: Column./ on longs goes through DOUBLE, and a 2^60-ns
+    // timestamp is not double-representable — integer division is exact
+    val active = events
+      .select(col(userCol).as("user_id"),
+        expr(s"`$tsCol` div ${dayNs}L").as("day"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Latest-record-per-key compaction — the CDC / upsert-log primitive:
+    * one row per key group carrying the payload of the record with the
+    * greatest (orderCols) tuple. Ties are impossible by construction when
+    * the LAST order column is unique (callers pass a record id there —
+    * enforcing the same total-order discipline as the sort family's
+    * deterministic tie-breaks).
+    *
+    * Scale: a single `max_by(struct(payload), struct(order))` aggregate —
+    * partial aggregation keeps one candidate row per key per partition
+    * before the shuffle, so this moves O(keys) data, not O(records): the
+    * right shape for compacting a 100 TB change log. The window
+    * `row_number = 1` formulation (what the oracle uses) would instead
+    * sort every group; same result, strictly worse plan. */
+  def compactLatest(records: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty)
+    val carried = (orderCols ++ payload).distinct
+    val picked = records.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_latest"))
+    picked.select(keys.map(col) ++
+      carried.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Calendar gap-fill + running total — the time-series resample
+    * primitive: per key, a dense DAILY grid from the global min to max
+    * day, the day's aggregated value (0 where no rows exist — the whole
+    * point of the operator), and the running cumulative sum.
+    *
+    * Values flow as exact integer cents (`centsExpr` must yield a LONG):
+    * double summation is order-sensitive and would not reproduce across
+    * engines or runs; integer sums are exact in any order.
+    *
+    * Scale: the daily pre-aggregate collapses input volume to keys × days
+    * BEFORE the grid join, so the left join is between two key×day-sized
+    * frames, not the fact table; the grid side is keys × calendar-days
+    * (tiny — broadcast). The cumulative window sorts only each key's
+    * days, bounded by the calendar horizon, not the data. */
+  def gapFillDaily(rows: DataFrame, keyCol: String, dayCol: Column,
+      centsExpr: Column): DataFrame = {
+    val daily = rows
+      .groupBy(col(keyCol), dayCol.as("day"))
+      .agg(sum(centsExpr).as("cents"))
+    val bounds = rows.agg(min(dayCol).as("d0"), max(dayCol).as("d1"))
+    val grid = rows.select(col(keyCol)).distinct()
+      .crossJoin(bounds)
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("cum_cents",
+        sum("cents").over(Window.partitionBy(keyCol).orderBy("day")))
+  }
+}
