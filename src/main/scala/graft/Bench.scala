@@ -63,7 +63,10 @@ object Bench {
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "key_un", "retention" -> "retain",
-    "pii_scrub" -> "pii",
+    "pii_scrub" -> "pii", "ann_recall" -> "ann_rec",
+    "fuzzy_join" -> "fuzzy", "period_gen" -> "periods",
+    "repetition" -> "repeat", "source_mix" -> "src_mix",
+    "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
     "image_phash" -> "img_phash", "image_resize" -> "img_resize")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */

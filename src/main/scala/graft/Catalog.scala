@@ -25,6 +25,10 @@ import graft.multimodal.Multimodal
 object Catalog {
   private val M2 = DecimalType(18, 2)
 
+  /** Fixed query-term set for op_bm25 — shared with the OracleSql mirror
+    * so the two sides cannot drift. */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "vector")
+
   /** Oracle-safe final cast: exact decimal → double (both engines round
     * correctly to nearest, so values stay bit-identical). */
   private def dbl(c: Column): Column = c.cast(DoubleType)
@@ -362,6 +366,30 @@ object Catalog {
       graft.ops.EventOps.gapFillDaily(t(s, dir, "orders"),
         "o_orderpriority", to_date(col("o_orderdate")),
         round(col("o_totalprice") * 100).cast(LongType))),
+
+    // table statistics: per-column null count, exact cardinality, numeric
+    // and lexical ranges — one pruned single-column scan per branch
+    "op_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "lineitem"))),
+
+    // BM25 keyword relevance over the corpus for a fixed query-term set
+    // (rational-idf variant for cross-engine bit parity — see Bm25 scaladoc)
+    "op_bm25" -> ((s, dir) =>
+      graft.text.Bm25.score(t(s, dir, "documents"), Bm25Terms)),
+
+    // blocked fuzzy join: dirty part names (one deterministic mid-char
+    // deletion planted per name, as with the PII corpus) matched back to
+    // the clean catalog within levenshtein ≤ 2 via lossless length-band
+    // blocking; best match = min (dist, name)
+    "op_fuzzy_join" -> ((s, dir) => {
+      val clean = t(s, dir, "part").select("p_name").distinct()
+      val dirty = clean.select(expr(
+        """concat(substr(p_name, 1, (length(p_name) div 2) - 1),
+                  substr(p_name, (length(p_name) div 2) + 1))""")
+        .as("dirty_name")).distinct()
+      graft.ops.FuzzyJoin.bestMatch(dirty, clean, "dirty_name", "p_name",
+        maxDist = 2)
+    }),
 
     "op_period_gen" -> ((s, dir) => {
       val months = t(s, dir, "nation").select("n_nationkey")

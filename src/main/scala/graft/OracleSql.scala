@@ -671,6 +671,99 @@ object OracleSql {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged""",
 
+    // per-column table statistics over lineitem: one UNION ALL block per
+    // column (the Spark side's per-branch pruned scans, spelled out)
+    "op_profile" -> {
+      val num = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val str = Seq("l_returnflag", "l_linestatus")
+      val ts = Seq("l_shipdate")
+      def block(c: String, minNum: String, maxNum: String, isStr: Boolean) = {
+        val (minS, maxS) =
+          if (isStr) (s"min($c)", s"max($c)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        s"""
+        SELECT '$c' AS col_name,
+          CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          $minNum AS min_num, $maxNum AS max_num,
+          $minS AS min_str, $maxS AS max_str
+        FROM lineitem"""
+      }
+      (num.map(c => block(c, s"CAST(min($c) AS DOUBLE)",
+          s"CAST(max($c) AS DOUBLE)", isStr = false)) ++
+        str.map(c => block(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          isStr = true)) ++
+        ts.map(c => block(c, s"CAST(min(epoch_us($c)) AS DOUBLE)",
+          s"CAST(max(epoch_us($c)) AS DOUBLE)", isStr = false)))
+        .mkString(" UNION ALL ")
+    },
+
+    // BM25 (rational-idf variant): the score expression is interpolated
+    // from the SAME term Seq and constants as the Spark side, with
+    // identical parenthesization — every +,-,*,/ is IEEE-correctly
+    // rounded in both engines, so the doubles are bit-identical
+    "op_bm25" -> {
+      val terms = graft.Catalog.Bm25Terms
+      val (k1, b) = (1.2, 0.75)
+      val tfCols = terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf_$t")
+        .mkString(",\n          ")
+      val dfCols = terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n          ")
+      // every literal is CAST(... AS DOUBLE): a bare DuckDB numeric
+      // literal is DECIMAL and would switch the whole tree to decimal
+      // arithmetic (found as a 2-ulp score divergence); decimal→double
+      // casts are correctly rounded, so the constants still match Spark's
+      def d(v: Double) = s"CAST($v AS DOUBLE)"
+      def contrib(t: String) =
+        s"((s.n_docs - s.df_$t + ${d(0.5)}) / (s.df_$t + ${d(0.5)})) * " +
+          s"(b.tf_$t * ${d(k1 + 1.0)}) / (b.tf_$t + ${d(k1)} * " +
+          s"(${d(1.0)} - ${d(b)} + ${d(b)} * b.dl / " +
+          s"(CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+          $tfCols
+        FROM toks),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS sum_dl,
+          $dfCols
+        FROM base)
+      SELECT b.doc_id, b.dl, ${terms.map(t => s"b.tf_$t").mkString(", ")},
+        ${terms.map(contrib).mkString(" + ")} AS score
+      FROM base b CROSS JOIN s
+      WHERE ${terms.map(t => s"b.tf_$t > 0").mkString(" OR ")}"""
+    },
+
+    // blocked fuzzy join: the oracle skips the (lossless) length-band
+    // blocking and verifies against the full cross product — identical
+    // matches because levenshtein >= |len(a) - len(b)| bounds the block
+    "op_fuzzy_join" -> """
+      WITH clean AS (SELECT DISTINCT p_name FROM part),
+      dirty AS (
+        SELECT DISTINCT
+          concat(substr(p_name, 1, (length(p_name) // 2) - 1),
+                 substr(p_name, (length(p_name) // 2) + 1)) AS dirty_name
+        FROM clean),
+      cand AS (
+        SELECT d.dirty_name, c.p_name,
+          CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
+        FROM dirty d CROSS JOIN clean c
+        WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
+      SELECT dirty_name, p_name AS match_name, dist
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY dirty_name ORDER BY dist, p_name) AS rn
+            FROM cand)
+      WHERE rn = 1""",
+
     // ordered funnel: stage i's first event must be STRICTLY after stage
     // i-1's first event for the same user; µs-long timestamps both sides
     // (DuckDB reads the nanos fixture at µs precision — the Spark side

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{FuzzyJoin, Profile}
+import graft.text.Bm25
+
+class SearchOpsSpec extends SparkSpec {
+
+  test("profile: nulls, cardinality, numeric and lexical ranges per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), Some("b")), (2L, None, Some("a")),
+      (3L, Some(7.5), None)).toDF("id", "x", "s")
+    val out = Profile.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getLong(1) == 0 && out("id").getLong(2) == 3)
+    assert(out("x").getLong(1) == 1 && out("x").getLong(2) == 2)
+    assert(out("x").getDouble(3) == 2.5 && out("x").getDouble(4) == 7.5)
+    assert(out("s").getString(5) == "a" && out("s").getString(6) == "b")
+    assert(out("id").isNullAt(5) && out("x").isNullAt(6))
+  }
+
+  test("bm25: tf counting, df/idf monotonicity, and length normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cats like cats"),     // tf(cats)=2, dl=3
+      (2L, "cats sleep a lot more than dogs do here"), // tf(cats)=1, dl=9
+      (3L, "dogs bark"),          // rare term
+      (4L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val out = Bm25.score(docs, Seq("cats", "dogs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 matches nothing
+    assert(out(1L)._2 == 2 && out(2L)._2 == 1)
+    // higher tf in a shorter doc must outrank lower tf in a longer doc
+    assert(out(1L)._4 > out(2L)._4)
+    // 'dogs' (df=2) contributes less idf than a doc would get from the
+    // rarer configuration — sanity: doc 3 (tf_dogs=1, tiny dl) scores > 0
+    assert(out(3L)._4 > 0)
+  }
+
+  test("fuzzyJoin: length-band blocking finds all matches a cross join finds") {
+    import spark.implicits._
+    val clean = Seq("small ring", "red widget", "blue bolt").toDF("name")
+    val dirty = Seq("smal ring", "red wdget", "bluebolt", "zzzzzz")
+      .toDF("q")
+    val all = FuzzyJoin.matches(dirty, clean, "q", "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val brute = (for {
+      d <- Seq("smal ring", "red wdget", "bluebolt", "zzzzzz")
+      c <- Seq("small ring", "red widget", "blue bolt")
+      dist = {
+        // classic DP levenshtein
+        val (a, b) = (d, c)
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if dist <= 2
+    } yield (d, c, dist)).toSet
+    assert(all == brute)
+    assert(!all.exists(_._1 == "zzzzzz"))
+  }
+
+  test("fuzzyJoin bestMatch: min dist wins, lexical tie-break deterministic") {
+    import spark.implicits._
+    val clean = Seq("aaab", "aaac").toDF("name")
+    val dirty = Seq("aaaa").toDF("q")
+    val out = FuzzyJoin.bestMatch(dirty, clean, "q", "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("aaaa", "aaab", 1))) // tie on dist=1 -> lexical min
+  }
+}
