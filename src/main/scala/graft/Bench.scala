@@ -26,11 +26,11 @@ object Bench {
     "topk_asc_filtered" -> "topk_af", "stratified_sample" -> "strat",
     "neardup_survivors" -> "neardup", "curation_pipeline" -> "curation",
     "states_exempting" -> "st_exempt", "refund_by_reason" -> "rf_reason",
-    "filing_deadlines" -> "deadlines", "display_truncate" -> "disp_trunc",
+    "filing_deadlines" -> "deadl", "display_truncate" -> "dtrunc",
     "state_quantiles" -> "st_qtl", "state_breakdown" -> "st_brk",
     "refund_by_state" -> "rf_state", "label_centroids" -> "centroids",
     "doc_fingerprint" -> "doc_fp", "video_features" -> "vid_ft",
-    "stream_windows" -> "strm_win", "refund_summary" -> "rf_sum",
+    "stream_windows" -> "s_win", "refund_summary" -> "rf_sum",
     "media_features" -> "med_ft", "json_roundtrip" -> "json_rt",
     "image_features" -> "img_ft", "hist_quantiles" -> "hist_qtl",
     "filter_project" -> "filt_proj", "filed_semijoin" -> "filed_semi",
@@ -41,7 +41,7 @@ object Bench {
     "dedup_exact" -> "dd_exact", "minhash_pairs" -> "mh_pairs",
     "token_jaccard" -> "jaccard", "passage_dups" -> "psg_dups",
     "csv_roundtrip" -> "csv_rt", "orc_roundtrip" -> "orc_rt",
-    "stream_nexus" -> "strm_nexus", "quality_score" -> "quality",
+    "stream_nexus" -> "s_nexus", "quality_score" -> "quality",
     "text_quality" -> "txt_qual", "token_count" -> "tok_cnt",
     "subword_count" -> "subword", "hash_sample" -> "hash_smp",
     "split_assign" -> "split", "kmv_distinct" -> "kmv",
@@ -55,8 +55,8 @@ object Bench {
     "incl_backout" -> "backout", "txn_details" -> "txn_det",
     "text_report" -> "txt_rpt", "sort_duedate" -> "duedate",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
-    "stream_dedup" -> "strm_dedup", "top_ngrams" -> "ngrams",
-    "stream_sessions" -> "strm_sess", "compact_latest" -> "compact",
+    "stream_dedup" -> "s_dedup", "top_ngrams" -> "ngrams",
+    "stream_sessions" -> "s_sess", "compact_latest" -> "compact",
     "phash_pairs" -> "ph_pairs", "salted_join" -> "salt_j",
     "salted_agg" -> "salt_a", "rolling_fp" -> "roll_fp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
@@ -67,6 +67,12 @@ object Bench {
     "fuzzy_join" -> "fuzzy", "period_gen" -> "periods",
     "repetition" -> "repeat", "source_mix" -> "src_mix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
+    "stream_join" -> "s_join", "json_extract" -> "json_ex",
+    "batch_agg" -> "batch", "pq_encode" -> "pq_enc",
+    "rate_join" -> "rate_j", "topk_desc" -> "topk_d",
+    "ann_topk" -> "ann_tk", "distinct" -> "dist",
+    "smj_join" -> "smj", "temp_mix" -> "tmix",
+    "ivf_ann" -> "ivf", "resample" -> "resmpl",
     "image_phash" -> "img_phash", "image_resize" -> "img_resize")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */

@@ -546,6 +546,57 @@ object Catalog {
           .select("text_hash"))
     }),
 
+    // stream-stream interval join on the REAL Structured Streaming path:
+    // purchases ⋈ clicks within the prior 10 minutes per user, both sides
+    // watermarked (1 h) so join state is evicted as event time advances —
+    // the attribution-join shape. Inner matches emit eagerly; the batch
+    // SQL oracle proves stream/batch equivalence. ms precision end to end.
+    "op_stream_join" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema // ts = long nanos (nanosAsLong)
+      graft.streaming.Replay.replayJoin2(s, stagedEvents(s, dir), schema,
+        (l, r) => {
+          val p = l.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id"),
+              timestamp_millis(expr("ts div 1000000")).as("ts_p"))
+            .withWatermark("ts_p", "1 hour")
+          val c = r.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"),
+              col("user_id").as("c_user"),
+              timestamp_millis(expr("ts div 1000000")).as("ts_c"))
+            .withWatermark("ts_c", "1 hour")
+          p.join(c, col("user_id") === col("c_user") &&
+              col("ts_c") >= col("ts_p") - expr("interval 10 minutes") &&
+              col("ts_c") <= col("ts_p"))
+            .select(col("purchase_id"), col("click_id"), col("user_id"),
+              unix_millis(col("ts_p")).as("ts_p_ms"),
+              unix_millis(col("ts_c")).as("ts_c_ms"))
+        })
+    }),
+
+    // JSON field extraction + typed aggregation over the events props
+    // column — get_json_object stays a narrow codegen projection, so the
+    // parse rides the scan (no shuffle before the bounded per-type agg)
+    "op_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
+    // full CUBE over (state, exemption): all four grouping levels in one
+    // pass (Expand keeps it a single shuffle; same null-level conventions
+    // as op_rollup)
+    "op_cube" -> ((s, dir) =>
+      taxed(s, dir).select("state", "is_exempt", "tax_amount")
+        .cube(expr("state"), expr("is_exempt"))
+        .agg(dbl(sum(col("tax_amount"))).as("tax_total"),
+          count(lit(1)).as("n"))
+        .select(col("state"),
+          coalesce(col("is_exempt").cast(StringType), lit("all"))
+            .as("exempt_level"),
+          col("tax_total"), col("n"))),
+
     "op_nexus_check" -> ((s, dir) =>
       Compliance.checkNexus(
         Compliance.stateActivity(TaxCalc.normalize(SyntheticTxns.txns(s, dir))))

@@ -1276,6 +1276,36 @@ object OracleSql {
         count(*) AS n
       FROM taxcalc GROUP BY ROLLUP (state, is_exempt)""",
 
+    // full CUBE: same conventions as op_rollup, all four grouping levels
+    "op_cube" -> s"""
+      WITH $taxCte
+      SELECT state,
+        coalesce(CAST(is_exempt AS VARCHAR), 'all') AS exempt_level,
+        CAST(coalesce(sum(tax_amount), 0) AS DOUBLE) AS tax_total,
+        count(*) AS n
+      FROM taxcalc GROUP BY CUBE (state, is_exempt)""",
+
+    // stream-stream interval join, batch-equivalence form: every
+    // (purchase, click-in-prior-10-min) pair per user, ms precision
+    "op_stream_join" -> """
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        epoch_ns(p.ts) // 1000000 AS ts_p_ms,
+        epoch_ns(c.ts) // 1000000 AS ts_c_ms
+      FROM events p JOIN events c ON p.user_id = c.user_id
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        AND epoch_ns(c.ts) // 1000000
+              BETWEEN epoch_ns(p.ts) // 1000000 - 600000
+                  AND epoch_ns(p.ts) // 1000000""",
+
+    // JSON field extraction + typed per-type aggregation
+    "op_json_extract" -> """
+      SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY 1""",
+
     // Pivot mirrored as conditional aggregation (engine-portable).
     "op_pivot" -> s"""
       WITH $taxCte

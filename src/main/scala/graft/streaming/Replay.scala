@@ -42,6 +42,26 @@ object Replay {
       transform: DataFrame => DataFrame): DataFrame =
     replay(spark, srcDir, schema, transform, "append")
 
+  /** Two-stream sibling: reads `srcDir` as TWO independent file-source
+    * streams (each with its own offsets/state) and runs a binary streaming
+    * transform — the stream-stream join replay path. Append mode: joined
+    * rows are emitted as the watermark proves them complete. */
+  def replayJoin2(spark: SparkSession, srcDir: String, schema: StructType,
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val name = s"graft_replay_${nameCounter.incrementAndGet()}"
+    val left = spark.readStream.schema(schema).parquet(srcDir)
+    val right = spark.readStream.schema(schema).parquet(srcDir)
+    val q = transform(left, right).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
+  }
+
   private def replay(spark: SparkSession, srcDir: String, schema: StructType,
       transform: DataFrame => DataFrame, mode: String): DataFrame = {
     // unique sink name per replay: Bench re-runs each query and memory

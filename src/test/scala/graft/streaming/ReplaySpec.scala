@@ -74,4 +74,40 @@ class ReplaySpec extends SparkSpec {
       rm(dir.toFile)
     }
   }
+
+  test("two-stream interval join replays to its batch join equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_join")
+    try {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      ev.write.mode("overwrite").parquet(dir.toString)
+      def pairs(l: org.apache.spark.sql.DataFrame,
+          r: org.apache.spark.sql.DataFrame) = {
+        val p = l.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            timestamp_millis(expr("ts div 1000000")).as("ts_p"))
+          .withWatermark("ts_p", "1 hour")
+        val c = r.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            timestamp_millis(expr("ts div 1000000")).as("ts_c"))
+          .withWatermark("ts_c", "1 hour")
+        p.join(c, col("user_id") === col("c_user") &&
+            col("ts_c") >= col("ts_p") - expr("interval 10 minutes") &&
+            col("ts_c") <= col("ts_p"))
+          .select("purchase_id", "click_id")
+      }
+      val streamed = Replay.replayJoin2(spark, dir.toString, ev.schema, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch equivalent: the same transform on the static frame twice
+      // (withWatermark is a no-op on batch frames)
+      val batch = pairs(ev, ev)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
 }
