@@ -55,9 +55,37 @@ COPY (
   FROM read_parquet('{SRC}/embeddings.parquet'), range({N}) t(i)
 ) TO '{OUT}/embeddings.parquet' (FORMAT parquet)
 """)
-for t in ["region", "nation", "customer", "supplier", "part", "orders", "events"]:
+# events: new user universe per replica (same time window — more CONCURRENT
+# activity, the way a growing product scales) so funnel/retention/compaction
+# key counts grow with the data; TIMESTAMP_NS cast keeps the nanos physical
+# type Spark's nanosAsLong path expects
+# (pyarrow, not duckdb: duckdb's parquet writer downgrades TIMESTAMP_NS
+# to microseconds; pyarrow round-trips the nanos unit)
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+_ev = pq.read_table(f"{SRC}/events.parquet")
+_reps = [pa.table({
+    "event_id": pc.add(_ev["event_id"], i * 100000000),
+    "ts": _ev["ts"],
+    "user_id": pc.add(_ev["user_id"], i * 100000),
+    "event_type": _ev["event_type"],
+    "value": _ev["value"],
+    "props": _ev["props"]}) for i in range(N)]
+pq.write_table(pa.concat_tables(_reps), f"{OUT}/events.parquet")
+# orders: new order/customer keys per replica, dates unchanged (denser
+# calendar, same horizon — gap-fill grids stay calendar-bounded)
+con.sql(f"""
+COPY (
+  SELECT o_orderkey + i * 100000000 AS o_orderkey,
+         o_custkey + i * 1000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet'), range({N}) t(i)
+) TO '{OUT}/orders.parquet' (FORMAT parquet)
+""")
+for t in ["region", "nation", "customer", "supplier", "part"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 print(f"wrote x{N} testdata to {OUT} in {time.time() - t0:.1f}s")
-for t in ["lineitem", "documents", "embeddings"]:
+for t in ["lineitem", "documents", "embeddings", "events", "orders"]:
     n = con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"  {t}: {n}")
