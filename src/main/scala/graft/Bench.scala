@@ -73,7 +73,8 @@ object Bench {
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
     "ivf_ann" -> "ivf", "resample" -> "resmpl",
-    "image_phash" -> "img_phash", "image_resize" -> "img_resize")
+    "image_phash" -> "img_phash", "image_resize" -> "img_resize",
+    "bpe_pairs" -> "bpe", "oov_rate" -> "oov")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

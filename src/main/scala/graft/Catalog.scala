@@ -785,6 +785,18 @@ object Catalog {
         .orderBy(col("cnt").desc, col("ngram"))
         .limit(50)),
 
+    // BPE tokenizer-training merge step: adjacent-symbol-pair counts over
+    // the distinct-word vocab weighted by word frequency (pair work scales
+    // with vocab, not corpus rows — the standard BPE-trainer reduction)
+    "op_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
+
+    // out-of-vocabulary stats per doc against the corpus' own top-500 word
+    // vocab: the tokenizer-coverage measurement (explode + broadcast mark
+    // join + per-doc aggregate; empty docs drop — no tokens)
+    "op_oov_rate" -> ((s, dir) =>
+      TextOps.oovStats(t(s, dir, "documents"), "text", vocabSize = 500)),
+
     // deterministic hash-threshold sample: a pure filter, reproducible
     // across reruns/partitionings/engines (no RNG)
     "op_hash_sample" -> ((s, dir) =>

@@ -1370,6 +1370,39 @@ object OracleSql {
       SELECT ngram, count(*) AS cnt FROM bg
       GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
 
+    // BPE merge-step pair counts: distinct-word vocab weighted by word
+    // frequency; '_' is the one-char end-of-word sentinel, so every
+    // adjacent symbol pair is a 2-char substring of word || '_'.
+    "op_bpe_pairs" -> """
+      WITH words AS (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+          t -> length(t) > 0)) AS word
+        FROM documents),
+      vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+      pairs AS (
+        SELECT freq, unnest(list_transform(generate_series(1, length(word)),
+          i -> substr(word || '_', i, 2))) AS pair
+        FROM vocab)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pairs
+      GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 50""",
+
+    // Per-doc OOV stats vs the corpus' own top-500 vocab (freq desc, word
+    // asc — the same deterministic total order as the Spark side).
+    "op_oov_rate" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok AS vword FROM tok GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 500)
+      SELECT doc_id, count(*) AS n_tokens,
+        count(CASE WHEN vword IS NULL THEN 1 END) AS n_oov
+      FROM tok LEFT JOIN vocab ON tok = vword
+      GROUP BY doc_id""",
+
     // Deterministic hash-threshold sample (no RNG — pure function of data).
     "op_hash_sample" -> """
       SELECT count(*) AS n_sampled,

@@ -330,6 +330,64 @@ object TextOps {
           .cast(BinaryType)).as("chunk_hash"))
   }
 
+  /** BPE merge-step pair statistics: the adjacent-symbol-pair counts that
+    * drive byte-pair-encoding tokenizer training (each training round
+    * merges the most frequent pair; this op computes that round's
+    * frequency table from the initial character alphabet). Words are
+    * lower-cased alphanumeric runs (the [[subwordCount]] segmentation);
+    * each word carries a `_` end-of-word sentinel (Sennrich-style `</w>`,
+    * one char so every pair is a 2-char substring), so word-final pairs
+    * stay distinct from word-internal ones and a merged vocab can
+    * reconstruct word boundaries.
+    *
+    * Scale: the pair explode runs over the DISTINCT-WORD vocab weighted by
+    * word frequency — the standard BPE-trainer reduction. The corpus-sized
+    * stage is one tokenize + hash aggregate (map-side partials); pair
+    * counting then costs O(vocab · avg word length) regardless of corpus
+    * row count, and the final aggregate is bounded by the symbol-pair
+    * alphabet. Top-k via a total order (count desc, pair asc) keeps the
+    * result deterministic under ties. */
+  def bpePairs(docs: DataFrame, textCol: String = "text",
+      topK: Int = 50): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val vocab = docs
+      .select(explode(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(word)), " +
+          "i -> substr(concat(word, '_'), i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair")).limit(topK)
+  }
+
+  /** Per-document out-of-vocabulary statistics against the corpus' own
+    * top-`vocabSize` word list (by total occurrences, ties to the
+    * lexicographically smaller word — deterministic): token total and the
+    * count NOT covered by the vocab. The coverage measurement behind
+    * "train the tokenizer on N words" decisions; also the cheap
+    * quality signal for corpus drift (rising OOV = domain shift).
+    *
+    * Scale: vocab = one corpus-wide hash aggregate + bounded top-k
+    * (TopK-sized, broadcastable); coverage = explode + broadcast LEFT
+    * SEMI-shaped mark join + per-doc aggregate — the wide shuffle carries
+    * (doc, token) pairs only. */
+  def oovStats(docs: DataFrame, textCol: String, vocabSize: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("tok")).limit(vocabSize)
+      .select(col("tok").as("vword"))
+    toks
+      .join(broadcast(vocab), col("tok") === col("vword"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vword").isNull, 1)).as("n_oov"))
+  }
+
   /** Gopher-style repetition signals per document: token total, distinct
     * types, and the most-frequent token's count — the inputs to
     * type-token-ratio and top-token-share repetition filters. Empty

@@ -245,6 +245,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpePairs: overlapping in-word pairs, end-of-word sentinel, freq weighting") {
+    import spark.implicits._
+    // vocab: aa (freq 2 — once per doc), ab (1), aaa (1)
+    val docs = Seq((1L, "aa AB!"), (2L, "aa aaa"), (3L, "   ")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.bpePairs(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // aa: 'aa'(1)+'a_'(1) per occurrence ×2; aaa: 'aa'×2 (overlap) + 'a_';
+    // ab: 'ab' + 'b_'  (case-folded; blank doc contributes nothing)
+    assert(out.toMap == Map("aa" -> 4L, "a_" -> 3L, "ab" -> 1L, "b_" -> 1L))
+    // deterministic order: count desc, then pair asc ('_' < letters)
+    assert(out.map(_._1).toSeq == Seq("aa", "a_", "ab", "b_"))
+  }
+
+  test("oovStats: top-k vocab with lexical tie-break; empty docs drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y z"), (2L, "x q"), (3L, "")).toDF("doc_id", "text")
+    // freqs: x=3, then ties q/y/z=1 -> vocab(2) = {x, q} (lex smallest tie)
+    val out = graft.text.TextOps.oovStats(docs, "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((4L, 2L)), 2L -> ((2L, 0L))))
+  }
+
   test("op_embed_quantize: scale saturates int8, error bounded by half a step") {
     val rows = SparkEntry.queries("op_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
