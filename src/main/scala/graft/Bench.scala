@@ -24,40 +24,40 @@ object Bench {
     * source is a declared query. */
   val alias: Map[String, String] = Map(
     "topk_asc_filtered" -> "topk_af", "stratified_sample" -> "strat",
-    "neardup_survivors" -> "neardup", "curation_pipeline" -> "curation",
-    "states_exempting" -> "st_exempt", "refund_by_reason" -> "rf_reason",
+    "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
+    "states_exempting" -> "st_ex", "refund_by_reason" -> "rf_rsn",
     "filing_deadlines" -> "deadl", "display_truncate" -> "dtrunc",
     "state_quantiles" -> "st_qtl", "state_breakdown" -> "st_brk",
-    "refund_by_state" -> "rf_state", "label_centroids" -> "centroids",
+    "refund_by_state" -> "rf_state", "label_centroids" -> "cent",
     "doc_fingerprint" -> "doc_fp", "video_features" -> "vid_ft",
     "stream_windows" -> "s_win", "refund_summary" -> "rf_sum",
     "media_features" -> "med_ft", "json_roundtrip" -> "json_rt",
-    "image_features" -> "img_ft", "hist_quantiles" -> "hist_qtl",
-    "filter_project" -> "filt_proj", "filed_semijoin" -> "filed_semi",
-    "embed_quantize" -> "quantize", "effective_rate" -> "eff_rate",
+    "image_features" -> "img_ft", "hist_quantiles" -> "h_qtl",
+    "filter_project" -> "f_proj", "filed_semijoin" -> "f_semi",
+    "embed_quantize" -> "quant", "effective_rate" -> "eff_rate",
     "dedup_clusters" -> "dd_clust", "audio_features" -> "aud_ft",
-    "contamination" -> "contam", "dedup_recall" -> "dd_recall",
+    "contamination" -> "contam", "dedup_recall" -> "dd_rec",
     "bigram_score" -> "bg_score", "unigram_score" -> "ug_score",
-    "dedup_exact" -> "dd_exact", "minhash_pairs" -> "mh_pairs",
-    "token_jaccard" -> "jaccard", "passage_dups" -> "psg_dups",
+    "dedup_exact" -> "dd_exact", "minhash_pairs" -> "mh_p",
+    "token_jaccard" -> "jac", "passage_dups" -> "psg",
     "csv_roundtrip" -> "csv_rt", "orc_roundtrip" -> "orc_rt",
-    "stream_nexus" -> "s_nexus", "quality_score" -> "quality",
-    "text_quality" -> "txt_qual", "token_count" -> "tok_cnt",
-    "subword_count" -> "subword", "hash_sample" -> "hash_smp",
+    "stream_nexus" -> "s_nx", "quality_score" -> "qual",
+    "text_quality" -> "t_qual", "token_count" -> "tok_cnt",
+    "subword_count" -> "subword", "hash_sample" -> "h_smp",
     "split_assign" -> "split", "kmv_distinct" -> "kmv",
     "embed_neardup" -> "emb_near", "topk_per_key" -> "topk_key",
-    "window_rank" -> "win_rank", "events_window" -> "ev_window",
-    "rates_listing" -> "rates", "refund_claims" -> "rf_claims",
-    "refund_scan" -> "rf_scan", "refund_report" -> "rf_report",
+    "window_rank" -> "w_rank", "events_window" -> "ev_win",
+    "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
+    "refund_scan" -> "rf_scan", "refund_report" -> "rf_rpt",
     "claims_nested" -> "claims", "nexus_check" -> "nexus",
     "tax_report" -> "tax_rpt", "tax_summary" -> "tax_sum",
-    "case_bucket" -> "case_bkt", "unknown_state" -> "unk_state",
+    "case_bucket" -> "c_bkt", "unknown_state" -> "unk_st",
     "incl_backout" -> "backout", "txn_details" -> "txn_det",
     "text_report" -> "txt_rpt", "sort_duedate" -> "duedate",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
     "stream_dedup" -> "s_dedup", "top_ngrams" -> "ngrams",
     "stream_sessions" -> "s_sess", "compact_latest" -> "compact",
-    "phash_pairs" -> "ph_pairs", "salted_join" -> "salt_j",
+    "phash_pairs" -> "ph_p", "salted_join" -> "salt_j",
     "salted_agg" -> "salt_a", "rolling_fp" -> "roll_fp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
@@ -73,8 +73,9 @@ object Bench {
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
     "ivf_ann" -> "ivf", "resample" -> "resmpl",
-    "image_phash" -> "img_phash", "image_resize" -> "img_resize",
-    "bpe_pairs" -> "bpe", "oov_rate" -> "oov")
+    "image_phash" -> "i_ph", "image_resize" -> "i_rs",
+    "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
+    "kmeans_step" -> "kmeans")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

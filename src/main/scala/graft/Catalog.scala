@@ -1303,6 +1303,24 @@ object Catalog {
           .as("sum_milli"),
           count(lit(1)).as("n"))),
 
+    // one distributed k-means Lloyd iteration over the embedding corpus
+    // from the fixed IVF centroids: nearest-centroid assignment (narrow
+    // map — C cosines per row against broadcast literals) then the update
+    // step's per-(cell, dim) sums as quantized integers (map-side partials;
+    // n = cell size, repeated per dim by construction). Output is bounded
+    // at C × dim rows however large the corpus — exactly the
+    // assign + aggregate shape distributed k-means (e.g. MLlib) runs at
+    // scale; iterate by feeding sum_milli / n back in as new centroids
+    "op_kmeans_step" -> ((s, dir) => {
+      val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
+      graft.text.Ivf.assign(t(s, dir, "embeddings"), model)
+        .select(col("ivf_cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("ivf_cell", "dim")
+        .agg(sum(floor(col("x").cast(DoubleType) * 1000).cast(LongType))
+          .as("sum_milli"),
+          count(lit(1)).as("n"))
+    }),
+
     // end-to-end training-data curation pipeline — the flagship composition
     // of the LLM-data ops: quality-filter ('ok' bucket only) → exact dedup
     // (min-doc_id survivor per identical text, a windowed min keyed on the

@@ -1968,6 +1968,22 @@ object OracleSql {
 
     "op_ivf_ann" -> annIvfSql,
 
+    // One k-means Lloyd iteration from the fixed IVF centroids: nearest-
+    // centroid assignment (the shared `assigned` CTE), then per-(cell, dim)
+    // quantized sums + cell sizes — the update step's sufficient statistics.
+    "op_kmeans_step" -> s"""
+      WITH $ivfCtesSql,
+      m AS (
+        SELECT a.ivf_cell, emb.embedding
+        FROM assigned a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+      x AS (
+        SELECT ivf_cell, t.i - 1 AS dim,
+          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM m, unnest(generate_series(1, len(embedding))) AS t(i))
+      SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
+        count(*) AS n
+      FROM x GROUP BY ivf_cell, dim""",
+
     // PQ codes: every embedding's 8 subvector codewords (argmax dot,
     // first-max ties) against the closed-form codebook.
     "op_pq_encode" -> s"""

@@ -57,4 +57,35 @@ class IvfSpec extends SparkSpec {
     assert(rows("lsh") >= 0.10,
       s"LSH recall@5 ${rows("lsh")} fell below the 0.10 floor")
   }
+
+  test("op_kmeans_step: sufficient statistics reproduce a driver-side Lloyd update") {
+    val rows = graft.SparkEntry.queries("op_kmeans_step")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Int]("ivf_cell"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Long]("sum_milli"), r.getAs[Long]("n")))).toMap
+    // n is the cell size: constant across every dim of a cell, and the
+    // per-cell sizes sum to the corpus
+    val cellN = rows.groupBy(_._1._1).map { case (c, g) =>
+      val ns = g.values.map(_._2).toSet
+      assert(ns.size == 1, s"cell $c has inconsistent n $ns")
+      c -> ns.head
+    }
+    assert(cellN.values.sum == emb.count())
+    // recompute one cell's dim-0 statistic directly from the raw vectors
+    val model = Ivf.fixedModel(c = 16, dim = 64)
+    val direct = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val sims = model.centroids.map(cv =>
+        cv.zip(v).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble) /
+          (math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)) *
+            math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))))
+      val cell = sims.indexOf(sims.max)
+      (cell, math.floor(v(0).toDouble * 1000).toLong)
+    }
+    val byCell = direct.groupBy(_._1)
+    byCell.foreach { case (c, vs) =>
+      assert(rows((c, 0)) == ((vs.map(_._2).sum, vs.size.toLong)),
+        s"cell $c dim 0")
+    }
+  }
 }
