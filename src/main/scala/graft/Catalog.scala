@@ -255,6 +255,23 @@ object Catalog {
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")),
 
+    // Bloom-prefiltered semi join: the selective order subset's keys
+    // become a serialized Bloom filter probed by a native codegen
+    // expression ON THE LINEITEM SCAN — non-matching rows die before the
+    // exchange/join; the exact semi join then settles false positives, so
+    // the result is identical to the plain semi join the oracle runs
+    "op_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000.0)
+      graft.ops.BloomJoin.semiJoin(t(s, dir, "lineitem"), urgent,
+          col("l_orderkey"), col("o_orderkey"),
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(col("l_quantity").cast(M2))).as("sum_qty"))
+    }),
+
     "op_semi_join" -> ((s, dir) => t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_mktsegment")

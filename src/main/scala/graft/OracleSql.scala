@@ -599,6 +599,17 @@ object OracleSql {
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY c.c_mktsegment""",
 
+    // Bloom-prefiltered semi join: the Bloom probe is a Spark-side
+    // physical optimization with no false negatives, so the oracle is the
+    // plain exact semi join.
+    "op_bloom_join" -> """
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000)
+      GROUP BY l_returnflag""",
+
     "op_key_union" -> """
       WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
                   FROM customer GROUP BY c_nationkey),
