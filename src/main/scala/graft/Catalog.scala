@@ -255,6 +255,18 @@ object Catalog {
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")),
 
+    // Morton z-value computation over (l_partkey, l_suppkey), summarized
+    // per curve segment: the integer bit-interleave behind the 2-D
+    // clustered layout (ZOrder.writeZOrdered; LayoutSpec proves the file
+    // skipping) — the aggregate pins the curve math itself cross-engine
+    "op_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("z",
+          graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")))
+        .groupBy(expr("z div 65536").as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"),
+          max("z").as("max_z"))),
+
     // Bloom-prefiltered semi join: the selective order subset's keys
     // become a serialized Bloom filter probed by a native codegen
     // expression ON THE LINEITEM SCAN — non-matching rows die before the

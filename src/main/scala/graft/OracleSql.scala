@@ -599,6 +599,26 @@ object OracleSql {
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY c.c_mktsegment""",
 
+    // Morton z-values via the shift-or-mask spread ladder — pure int64
+    // bit ops, textually mirrored from ZOrder.spread16.
+    "op_zorder" -> """
+      WITH z0 AS (
+        SELECT (CAST(l_partkey AS BIGINT) & 65535) AS xa,
+               (CAST(l_suppkey AS BIGINT) & 65535) AS ya
+        FROM lineitem),
+      z1 AS (SELECT ((xa | (xa << 8)) & 16711935) AS xa,
+                    ((ya | (ya << 8)) & 16711935) AS ya FROM z0),
+      z2 AS (SELECT ((xa | (xa << 4)) & 252645135) AS xa,
+                    ((ya | (ya << 4)) & 252645135) AS ya FROM z1),
+      z3 AS (SELECT ((xa | (xa << 2)) & 858993459) AS xa,
+                    ((ya | (ya << 2)) & 858993459) AS ya FROM z2),
+      z4 AS (SELECT ((xa | (xa << 1)) & 1431655765) AS xa,
+                    ((ya | (ya << 1)) & 1431655765) AS ya FROM z3),
+      zz AS (SELECT (xa | (ya << 1)) AS z FROM z4)
+      SELECT z // 65536 AS z_bucket, count(*) AS n,
+        min(z) AS min_z, max(z) AS max_z
+      FROM zz GROUP BY z // 65536""",
+
     // Bloom-prefiltered semi join: the Bloom probe is a Spark-side
     // physical optimization with no false negatives, so the oracle is the
     // plain exact semi join.

@@ -121,4 +121,47 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("zValue interleaves bits (known vectors)") {
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y").as("z"))
+    // interleave(3=0b11, 5=0b101) = 0b100111 = 39; x fills even bits,
+    // y odd bits; 16 ones spread to alternating bits of a 32-bit value
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL))
+  }
+
+  test("z-ordered files carry 2-D bounding boxes: a suppkey filter skips files a partkey sort cannot") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val zdir = Files.createTempDirectory("graft_zord").toString
+    val sdir = Files.createTempDirectory("graft_sort").toString
+    ZOrder.writeZOrdered(li, s"$zdir/t",
+      ZOrder.quantize16($"l_partkey", 199L),
+      ZOrder.quantize16($"l_suppkey", 9L), files = 8)
+    li.repartitionByRange(8, $"l_partkey").sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$sdir/t")
+    // per-file suppkey bounding ranges — the stats a parquet reader skips
+    // on; count files whose [min,max] intersects the filter supp IN [8,9]
+    def intersecting(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_suppkey"), max("l_suppkey")).head()
+        r.getLong(0) <= 9L && 8L <= r.getLong(1)
+      }
+      (hit, files.length)
+    }
+    val (zHit, zN) = intersecting(s"$zdir/t")
+    val (sHit, sN) = intersecting(s"$sdir/t")
+    assert(zN >= 6 && sN >= 6, s"want ~8 files, got z=$zN sorted=$sN")
+    // partkey-sorted files all span the full suppkey domain; z-ordered
+    // files cover curve segments = (part, supp) boxes, so most exclude
+    // supp 8-9 entirely
+    assert(sHit == sN, s"partkey sort should prune nothing: $sHit/$sN")
+    assert(zHit * 2 <= zN, s"z-order should skip >= half the files: $zHit/$zN")
+    // layout changes never change data
+    assert(spark.read.parquet(s"$zdir/t").count() == li.count())
+  }
 }
