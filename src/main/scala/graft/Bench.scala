@@ -75,7 +75,8 @@ object Bench {
     "ivf_ann" -> "ivf", "resample" -> "resmpl",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
-    "kmeans_step" -> "kmeans")
+    "kmeans_step" -> "kmeans", "grouping_sets" -> "gsets",
+    "bloom_join" -> "bloom", "rank_stats" -> "rk_stat")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

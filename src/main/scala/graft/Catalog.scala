@@ -732,6 +732,32 @@ object Catalog {
     }),
 
     // hierarchical totals: (state, is_exempt) -> state -> grand via rollup
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // two independent one-column breakdowns + the grand total in ONE
+    // Expand pass — one shuffle instead of three separate aggregates;
+    // grouping() flags disambiguate real NULL keys from subtotal rows
+    "op_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
+          count(lit(1)).as("n"),
+          dbl(sum(col("o_totalprice").cast(M2))).as("revenue"))),
+
+    // percent_rank + cume_dist over the per-flag quantity distribution:
+    // both are (exact-integer rank) / (exact-integer count) doubles, so
+    // the values are bit-identical cross-engine; distinct bounds the
+    // output by the distinct (flag, quantity) pairs
+    "op_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), dbl(col("l_quantity")).as("quantity"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .distinct()
+    }),
+
     "op_rollup" -> ((s, dir) =>
       // expr()-based grouping columns: rollup(String*) resolves names via
       // Dataset.col, which trips the ambiguous-self-join check on the
@@ -825,6 +851,14 @@ object Catalog {
     // join + per-doc aggregate; empty docs drop — no tokens)
     "op_oov_rate" -> ((s, dir) =>
       TextOps.oovStats(t(s, dir, "documents"), "text", vocabSize = 500)),
+
+    // Count-Min-Sketch heavy hitters with exact settle: candidates from
+    // the sketch probe (never undercounts → superset), exact recount
+    // keeps tokens with true count >= 300 — result == the plain
+    // aggregate the oracle runs, but the wide shuffle carries only
+    // candidate tokens
+    "op_cms_topk" -> ((s, dir) =>
+      TextOps.heavyHitters(t(s, dir, "documents"), "text", threshold = 300L)),
 
     // deterministic hash-threshold sample: a pure filter, reproducible
     // across reruns/partitionings/engines (no RNG)

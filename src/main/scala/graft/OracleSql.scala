@@ -1299,6 +1299,27 @@ object OracleSql {
     // Rollup: same grouping-sets rows (NULL keys for subtotal levels) in
     // both engines; neither grouping column is data-nullable, so there is
     // no grouping-null vs data-null ambiguity.
+    // Explicit GROUPING SETS with grouping() flags (cast to INT both
+    // sides; DuckDB GROUPING returns BIGINT-ish, Spark BYTE).
+    "op_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    // percent_rank/cume_dist: exact-int rank ratios — bit-stable doubles.
+    "op_rank_stats" -> """
+      SELECT DISTINCT l_returnflag,
+        CAST(l_quantity AS DOUBLE) AS quantity,
+        percent_rank() OVER
+          (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr,
+        cume_dist() OVER
+          (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+      FROM lineitem""",
+
     "op_rollup" -> s"""
       WITH $taxCte
       SELECT state,
@@ -1433,6 +1454,16 @@ object OracleSql {
         count(CASE WHEN vword IS NULL THEN 1 END) AS n_oov
       FROM tok LEFT JOIN vocab ON tok = vword
       GROUP BY doc_id""",
+
+    // CMS-prefiltered heavy hitters settle to the exact aggregate.
+    "op_cms_topk" -> """
+      WITH tok AS (
+        SELECT unnest(
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END) AS tok
+        FROM documents)
+      SELECT tok, count(*) AS n FROM tok
+      GROUP BY tok HAVING count(*) >= 300""",
 
     // Deterministic hash-threshold sample (no RNG — pure function of data).
     "op_hash_sample" -> """

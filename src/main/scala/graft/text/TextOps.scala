@@ -388,6 +388,30 @@ object TextOps {
         count(when(col("vword").isNull, 1)).as("n_oov"))
   }
 
+  /** Heavy hitters (tokens with true count ≥ `threshold`) via a
+    * Count-Min-Sketch prefilter + exact settle. Pass 1 builds the sketch
+    * (one pass, mergeable counters, KB-scale result); pass 2 keeps only
+    * tokens whose ESTIMATE reaches the threshold — since CMS never
+    * undercounts, that set is a superset of the true heavy hitters — and
+    * the exact recount of the survivors discards the over-counted rest.
+    *
+    * Scale: the full-corpus aggregation this replaces shuffles every
+    * distinct (token, partial-count) pair; here the wide shuffle carries
+    * only candidate-token rows (heavy hitters are few by definition —
+    * `eps` tunes how few false candidates leak: overestimate ≤ eps · N
+    * with prob `confidence`). The same two-pass sketch-then-settle shape
+    * as [[graft.ops.BloomJoin]]. */
+  def heavyHitters(docs: DataFrame, textCol: String, threshold: Long,
+      eps: Double = 0.0005, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    toks
+      .filter(graft.functions.CmsEstimate(col("tok"), sketch) >= threshold)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
   /** Gopher-style repetition signals per document: token total, distinct
     * types, and the most-frequent token's count — the inputs to
     * type-token-ratio and top-token-share repetition filters. Empty

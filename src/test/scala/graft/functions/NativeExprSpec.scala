@@ -130,6 +130,30 @@ class NativeExprSpec extends SparkSpec {
     assert(interp == codegen)
   }
 
+  test("CmsEstimate never undercounts, and heavyHitters settles to the exact aggregate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(
+      explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+    val sketch = toks.stat.countMinSketch("tok", 0.0005, 0.99, 42)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    // the CMS one-sided error guarantee on every distinct token
+    val under = exact
+      .withColumn("est", graft.functions.CmsEstimate(col("tok"), sketch))
+      .filter(col("est") < col("n")).count()
+    assert(under == 0, s"$under tokens undercounted")
+    // sketch-prefiltered heavy hitters == direct HAVING aggregate
+    val hh = graft.text.TextOps.heavyHitters(docs, "text", threshold = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = exact.filter(col("n") >= 300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == direct)
+    assert(hh.nonEmpty)
+    // non-string items rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(graft.functions.CmsEstimate(col("doc_id"), sketch)).collect()
+    }
+  }
+
   test("SQL builders reject non-literal size parameters with a clear error") {
     GraftFunctions.register(spark)
     Seq("doc").toDF("t").createOrReplaceTempView("nes_docs")
