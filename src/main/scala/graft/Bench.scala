@@ -27,15 +27,15 @@ object Bench {
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
     "states_exempting" -> "st_ex", "refund_by_reason" -> "rf_rsn",
     "filing_deadlines" -> "deadl", "display_truncate" -> "dtrunc",
-    "state_quantiles" -> "st_qtl", "state_breakdown" -> "st_brk",
-    "refund_by_state" -> "rf_state", "label_centroids" -> "cent",
+    "state_quantiles" -> "st_qtl", "state_breakdown" -> "stbrk",
+    "refund_by_state" -> "rf_st", "label_centroids" -> "cent",
     "doc_fingerprint" -> "doc_fp", "video_features" -> "vid_ft",
     "stream_windows" -> "s_win", "refund_summary" -> "rf_sum",
     "media_features" -> "med_ft", "json_roundtrip" -> "json_rt",
     "image_features" -> "img_ft", "hist_quantiles" -> "h_qtl",
     "filter_project" -> "f_proj", "filed_semijoin" -> "f_semi",
-    "embed_quantize" -> "quant", "effective_rate" -> "eff_rate",
-    "dedup_clusters" -> "dd_clust", "audio_features" -> "aud_ft",
+    "embed_quantize" -> "quant", "effective_rate" -> "eff",
+    "dedup_clusters" -> "dd_cl", "audio_features" -> "aud_ft",
     "contamination" -> "contam", "dedup_recall" -> "dd_rec",
     "bigram_score" -> "bg_score", "unigram_score" -> "ug_score",
     "dedup_exact" -> "dd_exact", "minhash_pairs" -> "mh_p",
@@ -43,28 +43,28 @@ object Bench {
     "csv_roundtrip" -> "csv_rt", "orc_roundtrip" -> "orc_rt",
     "stream_nexus" -> "s_nx", "quality_score" -> "qual",
     "text_quality" -> "t_qual", "token_count" -> "tok_cnt",
-    "subword_count" -> "subword", "hash_sample" -> "h_smp",
+    "subword_count" -> "subw", "hash_sample" -> "h_smp",
     "split_assign" -> "split", "kmv_distinct" -> "kmv",
-    "embed_neardup" -> "emb_near", "topk_per_key" -> "topk_key",
+    "embed_neardup" -> "e_near", "topk_per_key" -> "tk_key",
     "window_rank" -> "w_rank", "events_window" -> "ev_win",
     "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
     "refund_scan" -> "rf_scan", "refund_report" -> "rf_rpt",
     "claims_nested" -> "claims", "nexus_check" -> "nexus",
     "tax_report" -> "tax_rpt", "tax_summary" -> "tax_sum",
     "case_bucket" -> "c_bkt", "unknown_state" -> "unk_st",
-    "incl_backout" -> "backout", "txn_details" -> "txn_det",
-    "text_report" -> "txt_rpt", "sort_duedate" -> "duedate",
+    "incl_backout" -> "bko", "txn_details" -> "t_det",
+    "text_report" -> "txt_rpt", "sort_duedate" -> "due",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
     "stream_dedup" -> "s_dedup", "top_ngrams" -> "ngrams",
-    "stream_sessions" -> "s_sess", "compact_latest" -> "compact",
+    "stream_sessions" -> "s_sess", "compact_latest" -> "cpt",
     "phash_pairs" -> "ph_p", "salted_join" -> "salt_j",
     "salted_agg" -> "salt_a", "rolling_fp" -> "roll_fp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
-    "key_union" -> "key_un", "retention" -> "retain",
+    "key_union" -> "key_un", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "ann_rec",
-    "fuzzy_join" -> "fuzzy", "period_gen" -> "periods",
+    "fuzzy_join" -> "fuzzy", "period_gen" -> "per",
     "repetition" -> "repeat", "source_mix" -> "src_mix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
     "stream_join" -> "s_join", "json_extract" -> "json_ex",
@@ -76,7 +76,8 @@ object Bench {
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "kmeans_step" -> "kmeans", "grouping_sets" -> "gsets",
-    "bloom_join" -> "bloom", "rank_stats" -> "rk_stat")
+    "bloom_join" -> "bloom", "rank_stats" -> "rk_stat",
+    "triangles" -> "tri", "corr_stats" -> "corr")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

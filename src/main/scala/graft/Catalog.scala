@@ -255,6 +255,44 @@ object Catalog {
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")),
 
+    // triangle count on the co-purchase graph (parts co-occurring in an
+    // order): canonical x<y edges, wedge join on the middle vertex,
+    // close on (x, z) — graph analytics as plain relational ops
+    "op_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(
+        graft.ops.Graph.cooccurrenceEdges(t(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey")))),
+
+    // Pearson correlation + OLS slope/intercept of extended price vs
+    // quantity per return flag, computed from EXACT integer sufficient
+    // statistics (decimal sums of int products — map-side partials, no
+    // order-dependent double accumulation anywhere); the finishing
+    // arithmetic runs on identical doubles in both engines, so even the
+    // correlation value is bit-stable cross-engine
+    "op_corr_stats" -> ((s, dir) => {
+      val d18 = DecimalType(18, 0)
+      val stats = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(d18).as("qx"),
+          round(col("l_extendedprice") * 100).cast(d18).as("cy"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"), sum(col("cy")).as("sy"),
+          sum(col("qx") * col("qx")).as("sxx"),
+          sum(col("cy") * col("cy")).as("syy"),
+          sum(col("qx") * col("cy")).as("sxy"))
+      val n = col("n").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType); val syy = col("syy").cast(DoubleType)
+      val sxy = col("sxy").cast(DoubleType)
+      stats.select(col("l_returnflag"), col("n"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_cents"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope_cents_per_qty"),
+        ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+          .as("intercept_cents"))
+    }),
+
     // Morton z-value computation over (l_partkey, l_suppkey), summarized
     // per curve segment: the integer bit-interleave behind the 2-D
     // clustered layout (ZOrder.writeZOrdered; LayoutSpec proves the file

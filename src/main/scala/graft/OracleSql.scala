@@ -599,6 +599,49 @@ object OracleSql {
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY c.c_mktsegment""",
 
+    // Triangle count on the co-purchase graph (mirrors Graph.triangleCount
+    // over Graph.cooccurrenceEdges: canonical x<y edges, wedge join,
+    // close on (x, z)).
+    "op_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS v
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.v AS x, b.v AS y
+            FROM li a JOIN li b ON a.g = b.g AND a.v < b.v),
+      w AS (SELECT e1.x, e2.y AS z FROM e e1 JOIN e e2 ON e1.y = e2.x),
+      t AS (SELECT count(*) AS n FROM w JOIN e ON e.x = w.x AND e.y = w.z)
+      SELECT (SELECT count(*) FROM e) AS n_edges,
+             (SELECT n FROM t) AS n_triangles""",
+
+    // Correlation/OLS from exact integer sufficient statistics: HUGEINT
+    // sums mirror Spark's DECIMAL(38,0) sums exactly; the finishing
+    // double arithmetic is textually identical to the Spark expressions.
+    "op_corr_stats" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS sx,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+          sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+          sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+            * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+          sum(CAST(l_quantity AS HUGEINT)
+            * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n,
+          CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+          CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+          CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        FROM s)
+      SELECT l_returnflag, n,
+        (nd * sxyd - sxd * syd)
+          / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+          AS corr_qty_cents,
+        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+          AS slope_cents_per_qty,
+        (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd
+          AS intercept_cents
+      FROM d""",
+
     // Morton z-values via the shift-or-mask spread ladder — pure int64
     // bit ops, textually mirrored from ZOrder.spread16.
     "op_zorder" -> """

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the edge-list graph ops and the exact-sufficient-
+  * statistics correlation query. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCount: K4 plus a pendant edge = 4 triangles, counted once each") {
+    // K4 on {1,2,3,4} (4 triangles) + disconnected edge (8,9)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (8L, 9L)).toDF("x", "y")
+    val r = Graph.triangleCount(edges).head()
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+  }
+
+  test("cooccurrenceEdges: canonical, distinct, per-group cliques") {
+    val df = Seq((10L, 3L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (20L, 2L)).toDF("g", "v") // duplicate (20,2) must not duplicate edges
+    val e = Graph.cooccurrenceEdges(df, col("g"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("op_corr_stats matches a direct driver-side Pearson/OLS computation") {
+    val rows = graft.SparkEntry.queries("op_corr_stats")(
+      spark, "/root/testdata/sf0.001").collect()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val xs = li(flag).map(_.getDouble(1))
+      val ys = li(flag).map(v => math.round(v.getDouble(2) * 100).toDouble)
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("corr_qty_cents") - corr) < 1e-9,
+        s"$flag corr")
+      assert(math.abs(r.getAs[Double]("slope_cents_per_qty") - slope)
+        < math.abs(slope) * 1e-9, s"$flag slope")
+      // intercept satisfies the normal equation mean(y) = slope*mean(x) + b
+      val b = r.getAs[Double]("intercept_cents")
+      assert(math.abs((sy / n) - (slope * (sx / n) + b)) < 1e-6, s"$flag b")
+    }
+  }
+}
