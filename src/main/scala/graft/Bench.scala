@@ -25,22 +25,22 @@ object Bench {
   val alias: Map[String, String] = Map(
     "topk_asc_filtered" -> "topk_af", "stratified_sample" -> "strat",
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
-    "states_exempting" -> "st_ex", "refund_by_reason" -> "rf_rsn",
-    "filing_deadlines" -> "deadl", "display_truncate" -> "dtrunc",
+    "states_exempting" -> "st_ex", "refund_by_reason" -> "rfr",
+    "filing_deadlines" -> "ddl", "display_truncate" -> "dtrunc",
     "state_quantiles" -> "st_qtl", "state_breakdown" -> "stbrk",
     "refund_by_state" -> "rf_st", "label_centroids" -> "cent",
     "doc_fingerprint" -> "doc_fp", "video_features" -> "vid_ft",
-    "stream_windows" -> "s_win", "refund_summary" -> "rf_sum",
-    "media_features" -> "med_ft", "json_roundtrip" -> "json_rt",
+    "stream_windows" -> "s_win", "refund_summary" -> "rfs",
+    "media_features" -> "med_ft", "json_roundtrip" -> "jsrt",
     "image_features" -> "img_ft", "hist_quantiles" -> "h_qtl",
     "filter_project" -> "f_proj", "filed_semijoin" -> "f_semi",
     "embed_quantize" -> "quant", "effective_rate" -> "eff",
     "dedup_clusters" -> "dd_cl", "audio_features" -> "aud_ft",
-    "contamination" -> "contam", "dedup_recall" -> "dd_rec",
-    "bigram_score" -> "bg_score", "unigram_score" -> "ug_score",
-    "dedup_exact" -> "dd_exact", "minhash_pairs" -> "mh_p",
+    "contamination" -> "ctm", "dedup_recall" -> "dd_rec",
+    "bigram_score" -> "bgs", "unigram_score" -> "ugs",
+    "dedup_exact" -> "ddx", "minhash_pairs" -> "mh_p",
     "token_jaccard" -> "jac", "passage_dups" -> "psg",
-    "csv_roundtrip" -> "csv_rt", "orc_roundtrip" -> "orc_rt",
+    "csv_roundtrip" -> "csvr", "orc_roundtrip" -> "orcr",
     "stream_nexus" -> "s_nx", "quality_score" -> "qual",
     "text_quality" -> "t_qual", "token_count" -> "tok_cnt",
     "subword_count" -> "subw", "hash_sample" -> "h_smp",
@@ -48,26 +48,26 @@ object Bench {
     "embed_neardup" -> "e_near", "topk_per_key" -> "tk_key",
     "window_rank" -> "w_rank", "events_window" -> "ev_win",
     "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
-    "refund_scan" -> "rf_scan", "refund_report" -> "rf_rpt",
+    "refund_scan" -> "rfsc", "refund_report" -> "rf_rpt",
     "claims_nested" -> "claims", "nexus_check" -> "nexus",
-    "tax_report" -> "tax_rpt", "tax_summary" -> "tax_sum",
+    "tax_report" -> "txr", "tax_summary" -> "txs",
     "case_bucket" -> "c_bkt", "unknown_state" -> "unk_st",
     "incl_backout" -> "bko", "txn_details" -> "t_det",
-    "text_report" -> "txt_rpt", "sort_duedate" -> "due",
+    "text_report" -> "ttr", "sort_duedate" -> "due",
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
-    "stream_dedup" -> "s_dedup", "top_ngrams" -> "ngrams",
+    "stream_dedup" -> "sdd", "top_ngrams" -> "ngrams",
     "stream_sessions" -> "s_sess", "compact_latest" -> "cpt",
     "phash_pairs" -> "ph_p", "salted_join" -> "salt_j",
-    "salted_agg" -> "salt_a", "rolling_fp" -> "roll_fp",
+    "salted_agg" -> "salt_a", "rolling_fp" -> "rfp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "key_un", "retention" -> "ret",
-    "pii_scrub" -> "pii", "ann_recall" -> "ann_rec",
+    "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fuzzy", "period_gen" -> "per",
     "repetition" -> "repeat", "source_mix" -> "src_mix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
-    "stream_join" -> "s_join", "json_extract" -> "json_ex",
+    "stream_join" -> "s_join", "json_extract" -> "jsx",
     "batch_agg" -> "batch", "pq_encode" -> "pq_enc",
     "rate_join" -> "rate_j", "topk_desc" -> "topk_d",
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
@@ -77,7 +77,9 @@ object Bench {
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "kmeans_step" -> "kmeans", "grouping_sets" -> "gsets",
     "bloom_join" -> "bloom", "rank_stats" -> "rk_stat",
-    "triangles" -> "tri", "corr_stats" -> "corr")
+    "triangles" -> "tri", "corr_stats" -> "corr",
+    "pagerank" -> "pgr", "cooccur" -> "cooc",
+    "moments" -> "mom", "rolling_avg" -> "ravg")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

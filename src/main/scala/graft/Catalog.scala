@@ -293,6 +293,33 @@ object Catalog {
           .as("intercept_cents"))
     }),
 
+    // higher central moments (variance / skewness / excess kurtosis) per
+    // return flag from EXACT integer power sums S1..S4 (op_corr_stats'
+    // discipline extended to 4th order): decimal sums of integer powers,
+    // then a finishing formula of +,−,×,÷,sqrt only — every op correctly
+    // rounded IEEE, so the moments are bit-stable cross-engine
+    "op_moments" -> ((s, dir) => {
+      val d18 = DecimalType(18, 0)
+      val stats = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast(d18).as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("rs1"),
+          sum(col("q") * col("q")).as("rs2"),
+          sum(col("q") * col("q") * col("q")).as("rs3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("rs4"))
+      val n = col("n").cast(DoubleType)
+      val s1 = col("rs1").cast(DoubleType); val s2 = col("rs2").cast(DoubleType)
+      val s3 = col("rs3").cast(DoubleType); val s4 = col("rs4").cast(DoubleType)
+      val m2 = (s2 - s1 * s1 / n) / n
+      val m3 = (s3 - lit(3.0d) * s1 * s2 / n + lit(2.0d) * s1 * s1 * s1 / (n * n)) / n
+      val m4 = (s4 - lit(4.0d) * s1 * s3 / n + lit(6.0d) * s1 * s1 * s2 / (n * n) -
+        lit(3.0d) * s1 * s1 * s1 * s1 / (n * n * n)) / n
+      stats.select(col("l_returnflag"), col("n"),
+        m2.as("variance"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0d)).as("kurtosis_ex"))
+    }),
+
     // Morton z-value computation over (l_partkey, l_suppkey), summarized
     // per curve segment: the integer bit-interleave behind the 2-D
     // clustered layout (ZOrder.writeZOrdered; LayoutSpec proves the file
@@ -321,6 +348,17 @@ object Catalog {
         .agg(count(lit(1)).as("n"),
           dbl(sum(col("l_quantity").cast(M2))).as("sum_qty"))
     }),
+
+    // fixed-point integer PageRank (2 iterations) over the co-purchase
+    // graph: rank mass lives in scaled longs, every update is floor
+    // division + order-independent integer sums — deterministic and
+    // cross-engine exact with NO float accumulation; per iteration one
+    // source-keyed join + one destination-keyed aggregate (Graph.pageRank)
+    "op_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.cooccurrenceEdges(t(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey")),
+        iterations = 2, topK = 20)),
 
     "op_semi_join" -> ((s, dir) => t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -433,6 +471,28 @@ object Catalog {
       graft.ops.EventOps.gapFillDaily(t(s, dir, "orders"),
         "o_orderpriority", to_date(col("o_orderdate")),
         round(col("o_totalprice") * 100).cast(LongType))),
+
+    // SCD Type-2 dimension build from the event change log: per user,
+    // no-change records dropped, half-open validity intervals in exact
+    // epoch micros (ts div 1000: DuckDB reads the nanos fixture at µs
+    // precision), version numbers, is_current flag — CDC feed → point-
+    // in-time joinable history (EventOps.scd2; (ts, event_id) total order)
+    "op_scd2" -> ((s, dir) =>
+      graft.ops.EventOps.scd2(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        "user_id", expr("ts div 1000"), col("event_id"), Seq("event_type"))
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "version", "is_current")),
+
+    // trailing 7-day revenue per order priority: RANGE-frame window on
+    // the integer epoch-day over the DAILY pre-aggregate (keys × days,
+    // not the fact table); missing days shrink the frame — ROWS would
+    // silently widen it (EventOps.rollingDaily)
+    "op_rolling_avg" -> ((s, dir) =>
+      graft.ops.EventOps.rollingDaily(t(s, dir, "orders"),
+        "o_orderpriority",
+        unix_date(to_date(col("o_orderdate"))).cast(LongType),
+        round(col("o_totalprice") * 100).cast(LongType), windowDays = 7)),
 
     // table statistics: per-column null count, exact cardinality, numeric
     // and lexical ranges — one pruned single-column scan per branch
@@ -897,6 +957,20 @@ object Catalog {
     // candidate tokens
     "op_cms_topk" -> ((s, dir) =>
       TextOps.heavyHitters(t(s, dir, "documents"), "text", threshold = 300L)),
+
+    // GloVe-style token co-occurrence pairs within a ±2 position window,
+    // with independence lift from exact counts: pair generation is
+    // POSITION-keyed (O(window) per token — hub words cannot explode it),
+    // the aggregate is pair-keyed with map-side partials
+    "op_cooccur" -> ((s, dir) =>
+      TextOps.cooccurPairs(t(s, dir, "documents"), "text",
+        window = 2, topK = 50)),
+
+    // top-3 TF-IDF terms per document (rational add-one idf — every float
+    // op IEEE-exact cross-engine); per-doc selection via the bounded-heap
+    // TopKPerKey operator, never a corpus-wide window sort
+    "op_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "text", k = 3)),
 
     // deterministic hash-threshold sample: a pure filter, reproducible
     // across reruns/partitionings/engines (no RNG)

@@ -612,6 +612,33 @@ object OracleSql {
       SELECT (SELECT count(*) FROM e) AS n_edges,
              (SELECT n FROM t) AS n_triangles""",
 
+    // Fixed-point integer PageRank, 2 unrolled iterations: floor division
+    // and integer sums only, so both engines compute identical longs.
+    "op_pagerank" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS v
+                  FROM lineitem),
+      e0 AS (SELECT DISTINCT a.v AS x, b.v AS y
+             FROM li a JOIN li b ON a.g = b.g AND a.v < b.v),
+      sym AS (SELECT x AS s, y AS d FROM e0
+              UNION ALL SELECT y AS s, x AS d FROM e0),
+      deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+      nv AS (SELECT count(*) AS c FROM deg),
+      r0 AS (SELECT s AS v, 1000000000000 // (SELECT c FROM nv) AS r
+             FROM deg),
+      i1 AS (
+        SELECT sym.d AS v,
+          (150000000000 // (SELECT c FROM nv))
+            + (85 * CAST(sum(r0.r // deg.dg) AS BIGINT)) // 100 AS r
+        FROM sym JOIN r0 ON sym.s = r0.v JOIN deg ON sym.s = deg.s
+        GROUP BY sym.d),
+      i2 AS (
+        SELECT sym.d AS v,
+          (150000000000 // (SELECT c FROM nv))
+            + (85 * CAST(sum(i1.r // deg.dg) AS BIGINT)) // 100 AS r
+        FROM sym JOIN i1 ON sym.s = i1.v JOIN deg ON sym.s = deg.s
+        GROUP BY sym.d)
+      SELECT v, r AS rank_fp FROM i2 ORDER BY r DESC, v LIMIT 20""",
+
     // Correlation/OLS from exact integer sufficient statistics: HUGEINT
     // sums mirror Spark's DECIMAL(38,0) sums exactly; the finishing
     // double arithmetic is textually identical to the Spark expressions.
@@ -641,6 +668,39 @@ object OracleSql {
         (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd
           AS intercept_cents
       FROM d""",
+
+    // Central moments to 4th order from exact integer power sums; the
+    // finishing double math (+,-,*,/,sqrt only — all correctly rounded)
+    // is textually identical to the Spark expressions.
+    "op_moments" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS rs1,
+          sum(CAST(l_quantity AS HUGEINT)
+            * CAST(l_quantity AS HUGEINT)) AS rs2,
+          sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+            * CAST(l_quantity AS HUGEINT)) AS rs3,
+          sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+            * CAST(l_quantity AS HUGEINT)
+            * CAST(l_quantity AS HUGEINT)) AS rs4
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          CAST(rs1 AS DOUBLE) AS s1, CAST(rs2 AS DOUBLE) AS s2,
+          CAST(rs3 AS DOUBLE) AS s3, CAST(rs4 AS DOUBLE) AS s4
+        FROM s),
+      m AS (
+        SELECT l_returnflag, n,
+          (s2 - s1 * s1 / nd) / nd AS m2,
+          (s3 - 3.0 * s1 * s2 / nd + 2.0 * s1 * s1 * s1 / (nd * nd)) / nd
+            AS m3,
+          (s4 - 4.0 * s1 * s3 / nd + 6.0 * s1 * s1 * s2 / (nd * nd)
+            - 3.0 * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd AS m4
+        FROM d)
+      SELECT l_returnflag, n, m2 AS variance,
+        m3 / (m2 * sqrt(m2)) AS skewness,
+        m4 / (m2 * m2) - 3.0 AS kurtosis_ex
+      FROM m""",
 
     // Morton z-values via the shift-or-mask spread ladder — pure int64
     // bit ops, textually mirrored from ZOrder.spread16.
@@ -910,6 +970,42 @@ object OracleSql {
           AS cum_cents
       FROM grid g LEFT JOIN daily d
         ON g.o_orderpriority = d.o_orderpriority AND g.day = d.day""",
+
+    // SCD2 interval build: first-row-or-changed filter (null-safe), then
+    // half-open validity windows over the surviving changes.
+    "op_scd2" -> """
+      WITH c AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tns,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS prev,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS rn0
+        FROM events),
+      ch AS (SELECT user_id, event_type, tns, event_id FROM c
+             WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_type, tns AS valid_from,
+        lead(tns) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INTEGER) AS version,
+        (lead(tns) OVER w IS NULL) AS is_current
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)""",
+
+    // Trailing 7-day RANGE window over the daily pre-aggregate; the
+    // average is one division of exact integers.
+    "op_rolling_avg" -> """
+      WITH daily AS (
+        SELECT o_orderpriority,
+          CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, day_num, CAST(cents AS BIGINT) AS cents,
+        CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+        count(*) OVER w AS roll_days,
+        CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+          / CAST(count(*) OVER w AS DOUBLE) AS roll_avg_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_num
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
     "op_period_gen" -> """
       SELECT n.n_nationkey,
@@ -1507,6 +1603,56 @@ object OracleSql {
         FROM documents)
       SELECT tok, count(*) AS n FROM tok
       GROUP BY tok HAVING count(*) >= 300""",
+
+    // Position-keyed co-occurrence pairs (±2 window) with independence
+    // lift from exact counts; the double math is textually pinned.
+    "op_cooccur" -> """
+      WITH tokr AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      pr AS (
+        SELECT unnest(flatten(list_transform(generate_series(1, 2), d ->
+          list_transform(generate_series(1, len(toks) - d),
+            i -> {'x': least(toks[i], toks[i + d]),
+                  'y': greatest(toks[i], toks[i + d])})))) AS p
+        FROM tokr),
+      pc AS (SELECT p.x AS x, p.y AS y, count(*) AS n_pair
+             FROM pr GROUP BY 1, 2),
+      uni AS (SELECT unnest(toks) AS tok FROM tokr),
+      uc AS (SELECT tok, count(*) AS n_tok FROM uni GROUP BY tok),
+      tot AS (SELECT (SELECT count(*) FROM uni) AS t_toks,
+                     (SELECT count(*) FROM pr) AS t_pairs)
+      SELECT pc.x, pc.y, pc.n_pair, ux.n_tok AS n_x, uy.n_tok AS n_y,
+        (CAST(pc.n_pair AS DOUBLE) / CAST(t.t_pairs AS DOUBLE)) /
+          ((CAST(ux.n_tok AS DOUBLE) / CAST(t.t_toks AS DOUBLE))
+            * (CAST(uy.n_tok AS DOUBLE) / CAST(t.t_toks AS DOUBLE))) AS lift
+      FROM pc JOIN uc ux ON pc.x = ux.tok JOIN uc uy ON pc.y = uy.tok
+      CROSS JOIN tot t
+      ORDER BY pc.n_pair DESC, pc.x, pc.y LIMIT 50""",
+
+    // Rational add-one idf TF-IDF; the TopKPerKey boundary tie-break
+    // (max struct(score, term)) is row_number ORDER BY score DESC,
+    // term DESC.
+    "op_tfidf" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+          CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0)
+            / (CAST(dfq.df AS DOUBLE) + 1.0)) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN nd n),
+      rk AS (SELECT sc.*, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rn
+        FROM sc)
+      SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3""",
 
     // Deterministic hash-threshold sample (no RNG — pure function of data).
     "op_hash_sample" -> """

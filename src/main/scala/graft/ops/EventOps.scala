@@ -149,4 +149,67 @@ object EventOps {
       .withColumn("cum_cents",
         sum("cents").over(Window.partitionBy(keyCol).orderBy("day")))
   }
+
+  /** Slowly-changing-dimension Type-2 build from a change log: per key,
+    * drop no-change records (the tracked attributes null-safe-equal the
+    * previous record's), then emit one VERSION row per surviving change
+    * with a half-open validity interval — `valid_from` = the change's
+    * order value, `valid_to` = the NEXT change's (exclusive), NULL while
+    * current — plus a per-key version number and an `is_current` flag.
+    * The warehouse dimension-versioning primitive that turns a CDC feed
+    * into point-in-time joinable history (the as-of join's natural input).
+    *
+    * Determinism: `tieCol` must make (tsCol, tieCol) unique per key
+    * (callers pass the record id — the sort family's total-order
+    * discipline). Both window passes partition on the same key, so
+    * Catalyst reuses one exchange; per-group sort is bounded by a key's
+    * change count, never the table.
+    *
+    * `tsCol` may be any orderable integer column (epoch nanos here —
+    * exact long arithmetic, no timestamp/timezone conversion). */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: Column, tieCol: Column,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = changes
+      .withColumn("_ts", tsCol)
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(not(attrs <=> col("_prev")))
+    val w2 = Window.partitionBy(keyCol).orderBy(col("_ts"), tieCol)
+    changed
+      .withColumn("valid_from", col("_ts"))
+      .withColumn("valid_to", lead(col("_ts"), 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_ts", "_prev")
+  }
+
+  /** Rolling `windowDays`-day aggregate via a RANGE-frame window over the
+    * DAILY pre-aggregate: per key and calendar day, the day's exact-cents
+    * total plus the trailing-window sum, days-present count, and their
+    * double average (one division of exact integers — bit-stable
+    * cross-engine). The time-series smoothing primitive (7-day revenue,
+    * 28-day actives, ...).
+    *
+    * Scale: the daily pre-aggregate collapses the fact table to
+    * keys × days BEFORE any window runs (same move as [[gapFillDaily]]),
+    * so the range frame sorts bounded calendar-sized groups. RANGE on the
+    * integer epoch-day — not ROWS — so missing days correctly shrink the
+    * window instead of silently widening it to older rows. */
+  def rollingDaily(rows: DataFrame, keyCol: String, dayNum: Column,
+      centsExpr: Column, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val daily = rows
+      .groupBy(col(keyCol), dayNum.as("day_num"))
+      .agg(sum(centsExpr).as("cents"))
+    val w = Window.partitionBy(keyCol).orderBy("day_num")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("roll_cents", sum("cents").over(w))
+      .withColumn("roll_days", count(lit(1)).over(w))
+      .withColumn("roll_avg_cents",
+        col("roll_cents").cast(org.apache.spark.sql.types.DoubleType) /
+          col("roll_days").cast(org.apache.spark.sql.types.DoubleType))
+  }
 }

@@ -412,6 +412,83 @@ object TextOps {
       .filter(col("n") >= threshold)
   }
 
+  /** Token co-occurrence pair counts within a ±`window` POSITION window
+    * (the GloVe/word2vec co-occurrence-matrix builder), with the
+    * independence lift `p(x,y) / (p(x)·p(y))` from exact counts. Pairs
+    * are unordered canonical (least, greatest); a repeated adjacent word
+    * pairs with itself (that IS data — "very very").
+    *
+    * Scale: pair GENERATION is position-keyed — each token joins only the
+    * `window` positions after it via exact (doc, pos+d) equi-joins — so
+    * per-token work is O(window) and hub words cannot blow up generation
+    * (unlike similarity self-joins keyed on the token). The aggregate is
+    * keyed on pairs with map-side partials; marginals ride one more hash
+    * aggregate; the two scalar totals broadcast as single rows. Top-k by
+    * (count desc, x asc, y asc) — deterministic under ties.
+    *
+    * Lift arithmetic: all counts are exact longs; the double math is the
+    * textually-pinned `(nxy/P) / ((nx/T)·(ny/T))` — divisions and one
+    * multiply of correctly-rounded doubles, bit-stable cross-engine. */
+  def cooccurPairs(docs: DataFrame, textCol: String, window: Int = 2,
+      topK: Int = 50, idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && window <= 16, "window must be in [1, 16]")
+    require(topK > 0, "topK must be positive")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val b = toks.select(col("id").as("idb"), col("pos").as("posb"),
+      col("tok").as("tokb"))
+    val pairs = (1 to window).map { d =>
+      toks.join(b, col("id") === col("idb") && col("posb") === col("pos") + d)
+        .select(least(col("tok"), col("tokb")).as("x"),
+          greatest(col("tok"), col("tokb")).as("y"))
+    }.reduce(_ unionByName _)
+    val pairCounts = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_pair"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val totals = toks.agg(count(lit(1)).as("t_toks"))
+      .crossJoin(pairs.agg(count(lit(1)).as("t_pairs")))
+    pairCounts
+      .join(uni.select(col("tok").as("x"), col("n_tok").as("n_x")), "x")
+      .join(uni.select(col("tok").as("y"), col("n_tok").as("n_y")), "y")
+      .crossJoin(totals)
+      .select(col("x"), col("y"), col("n_pair"), col("n_x"), col("n_y"),
+        ((col("n_pair").cast(DoubleType) / col("t_pairs").cast(DoubleType)) /
+          ((col("n_x").cast(DoubleType) / col("t_toks").cast(DoubleType)) *
+            (col("n_y").cast(DoubleType) / col("t_toks").cast(DoubleType))))
+          .as("lift"))
+      .orderBy(desc("n_pair"), asc("x"), asc("y")).limit(topK)
+  }
+
+  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
+    * retrieval-feature primitive. Rational idf `(N+1)/(df+1)` (the add-one
+    * variant, no log) keeps every float op IEEE-exact cross-engine while
+    * preserving the df-monotone ranking log-idf gives; score =
+    * `tf · (N+1)/(df+1)` with the division FIRST (textually pinned both
+    * engines).
+    *
+    * Scale: tf = one hash aggregate keyed (doc, term) — the shuffle
+    * carries distinct pairs, never positions; df rides a second aggregate
+    * keyed on term (tf rows are already doc-distinct, so `count(*)` IS
+    * document frequency — no count-distinct expansion); N broadcasts as a
+    * single row. Per-doc selection goes through the bounded-heap
+    * [[graft.ops.TopK]] operator — no corpus-wide window sort; ties at
+    * the k boundary are broken by the (score, term) struct order. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, k: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast(DoubleType) *
+          ((col("n_docs").cast(DoubleType) + lit(1.0d)) /
+            (col("df").cast(DoubleType) + lit(1.0d)))).as("score"))
+    graft.ops.TopK.perKey(scored, Seq(idCol),
+      struct(col("score"), col("term")), k, descending = true)
+  }
+
   /** Gopher-style repetition signals per document: token total, distinct
     * types, and the most-frequent token's count — the inputs to
     * type-token-ratio and top-token-share repetition filters. Empty

@@ -267,6 +267,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, 2L)), 2L -> ((2L, 0L))))
   }
 
+  test("cooccurPairs: position-window pairs, canonical order, exact lift") {
+    import spark.implicits._
+    // doc 1 "a b a": d=1 pairs {a,b},{a,b}; d=2 pair {a,a}
+    // doc 2 "c a":   d=1 pair {a,c}
+    val docs = Seq((1L, "a b a"), (2L, "c a"), (3L, " ")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.cooccurPairs(docs, "text", window = 2,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // T=5 tokens, P=4 pair instances; unigrams a=3, b=1, c=1
+    assert(out.keySet == Set(("a", "b"), ("a", "a"), ("a", "c")))
+    assert(out(("a", "b"))._1 == 2L && out(("a", "a"))._1 == 1L)
+    val (n, nx, ny, lift) = out(("a", "c"))
+    assert((n, nx, ny) == ((1L, 3L, 1L)))
+    assert(math.abs(lift - (1.0 / 4.0) / ((3.0 / 5.0) * (1.0 / 5.0))) < 1e-12)
+  }
+
+  test("tfidfTopTerms: rational idf, k bound, (score, term) tie-break") {
+    import spark.implicits._
+    // 3 docs; "z" appears in all (df=3), "q" only in doc 1 (df=1)
+    val docs = Seq((1L, "z q q"), (2L, "z z z w"), (3L, "z")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.tfidfTopTerms(docs, "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: q tf=2 df=1 -> 2*(4/2)=4.0 ; z tf=1 df=3 -> 1*(4/4)=1.0
+    assert(out((1L, "q")) == ((2L, 1L, 4.0)))
+    assert(out((1L, "z")) == ((1L, 3L, 1.0)))
+    // doc 2: z tf=3 -> 3.0 ; w tf=1 df=1 -> 2.0 (both kept, k=2)
+    assert(out((2L, "z")) == ((3L, 3L, 3.0)))
+    assert(out((2L, "w")) == ((1L, 1L, 2.0)))
+    // doc 3: only z
+    assert(out.keySet.count(_._1 == 3L) == 1)
+  }
+
   test("op_embed_quantize: scale saturates int8, error bounded by half a step") {
     val rows = SparkEntry.queries("op_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -79,4 +79,66 @@ class EventOpsSpec extends SparkSpec {
     assert(out(("B", "2024-01-02")) == ((7L, 7L)))
     assert(out(("B", "2024-01-03")) == ((0L, 7L)))
   }
+
+  test("scd2: no-change rows collapse; half-open intervals; version order") {
+    import spark.implicits._
+    // user 1: gold -> gold (no change, drops) -> silver -> gold
+    // user 2: single record, current from the start
+    val ch = Seq(
+      (1L, 1L, 100L, "gold"), (1L, 2L, 200L, "gold"),
+      (1L, 3L, 300L, "silver"), (1L, 4L, 400L, "gold"),
+      (2L, 5L, 150L, "basic"))
+      .toDF("user_id", "rec_id", "ts", "tier")
+    val out = EventOps.scd2(ch, "user_id", col("ts"), col("rec_id"),
+        Seq("tier"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        ((r.getAs[String]("tier"), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(out.size == 4) // the ts=200 no-change record produced no version
+    assert(out((1L, 1)) == (("gold", 100L, Some(300L), false)))
+    assert(out((1L, 2)) == (("silver", 300L, Some(400L), false)))
+    assert(out((1L, 3)) == (("gold", 400L, None, true)))
+    assert(out((2L, 1)) == (("basic", 150L, None, true)))
+  }
+
+  test("scd2: equal timestamps break ties on the id column") {
+    import spark.implicits._
+    val ch = Seq((1L, 1L, 100L, "a"), (1L, 2L, 100L, "b"))
+      .toDF("user_id", "rec_id", "ts", "attr")
+    val out = EventOps.scd2(ch, "user_id", col("ts"), col("rec_id"),
+        Seq("attr"))
+      .collect().map(r => r.getAs[Int]("version") -> r.getAs[String]("attr"))
+      .toMap
+    assert(out == Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("rollingDaily: RANGE frame shrinks over missing days (not ROWS)") {
+    import spark.implicits._
+    // days 0,1,2 then a gap to day 10: the day-10 window must NOT reach
+    // back to the older rows the way a ROWS frame would
+    val rows = Seq(("A", 0L, 10L), ("A", 1L, 20L), ("A", 2L, 30L),
+      ("A", 10L, 40L), ("B", 0L, 5L))
+      .toDF("k", "day", "cents")
+    val out = EventOps.rollingDaily(rows, "k", col("day"), col("cents"),
+        windowDays = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("A", 0L)) == ((10L, 1L, 10.0)))
+    assert(out(("A", 1L)) == ((30L, 2L, 15.0)))
+    assert(out(("A", 2L)) == ((60L, 3L, 20.0)))
+    assert(out(("A", 10L)) == ((40L, 1L, 40.0))) // gap: frame is just day 10
+    assert(out(("B", 0L)) == ((5L, 1L, 5.0)))
+  }
+
+  test("rollingDaily: same-day rows pre-aggregate before the window") {
+    import spark.implicits._
+    val rows = Seq(("A", 0L, 1L), ("A", 0L, 2L), ("A", 1L, 4L))
+      .toDF("k", "day", "cents")
+    val out = EventOps.rollingDaily(rows, "k", col("day"), col("cents"),
+        windowDays = 7)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(0L -> ((3L, 3L)), 1L -> ((4L, 7L))))
+  }
 }

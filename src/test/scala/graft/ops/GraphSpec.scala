@@ -25,6 +25,58 @@ class GraphSpec extends SparkSpec {
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("pageRank: fixed-point integer math matches a driver-side reference") {
+    // path graph 1-2-3: degree(2)=2, endpoints 1; symmetric by construction
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    val got = Graph.pageRank(edges, iterations = 2, topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side reference of the same integer recurrence
+    val S = 1000000000000L; val n = 3L
+    val base = (S * 15L / 100L) / n
+    var r = Map(1L -> S / n, 2L -> S / n, 3L -> S / n)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    for (_ <- 1 to 2) {
+      val contrib = out.toSeq.flatMap { case (v, ds) =>
+        ds.map(d => d -> r(v) / ds.length) }
+      r = contrib.groupBy(_._1).map { case (v, cs) =>
+        v -> (base + 85L * cs.map(_._2).sum / 100L) }
+    }
+    assert(got == r, s"got $got want $r")
+    // the middle vertex must outrank the endpoints
+    assert(got(2L) > got(1L) && got(1L) == got(3L))
+  }
+
+  test("pageRank: topK selection is deterministic under rank ties") {
+    // two disjoint edges — all four vertices end with identical rank, so
+    // topK=2 must pick the two smallest vertex ids
+    val edges = Seq((4L, 9L), (2L, 7L)).toDF("x", "y")
+    val got = Graph.pageRank(edges, iterations = 1, topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L))
+  }
+
+  test("op_moments matches a direct driver-side moment computation") {
+    val rows = graft.SparkEntry.queries("op_moments")(
+      spark, "/root/testdata/sf0.001").collect()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = li(r.getString(0)).map(_.getDouble(1))
+      val n = qs.length.toDouble
+      val mean = qs.sum / n
+      val m2 = qs.map(q => (q - mean) * (q - mean)).sum / n
+      val m3 = qs.map(q => math.pow(q - mean, 3)).sum / n
+      val m4 = qs.map(q => math.pow(q - mean, 4)).sum / n
+      assert(math.abs(r.getAs[Double]("variance") - m2) < m2 * 1e-9)
+      assert(math.abs(r.getAs[Double]("skewness") - m3 / (m2 * math.sqrt(m2)))
+        < 1e-6)
+      assert(math.abs(r.getAs[Double]("kurtosis_ex") - (m4 / (m2 * m2) - 3.0))
+        < 1e-6)
+    }
+  }
+
   test("op_corr_stats matches a direct driver-side Pearson/OLS computation") {
     val rows = graft.SparkEntry.queries("op_corr_stats")(
       spark, "/root/testdata/sf0.001").collect()
