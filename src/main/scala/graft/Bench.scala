@@ -57,6 +57,10 @@ object Bench {
     "para_dedup" -> "para_dd", "sql_surface" -> "sql",
     "stream_dedup" -> "sdd", "top_ngrams" -> "ngrams",
     "stream_sessions" -> "s_sess", "compact_latest" -> "cpt",
+    "boilerplate" -> "boil", "shard_shuffle" -> "shard",
+    "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
+    "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
+    "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
     "phash_pairs" -> "ph_p", "salted_join" -> "salt_j",
     "salted_agg" -> "salt_a", "rolling_fp" -> "rfp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",

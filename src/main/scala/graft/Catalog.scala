@@ -124,7 +124,16 @@ object Catalog {
     // would otherwise regenerate the synthetic-transaction join from
     // lineitem
     Seq(TaxCalc.normalize(SyntheticTxns.txns(s, dir)),
-      taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir), embCorpus(s, dir))
+      taxed(s, dir), refunds(s, dir), dedupCorpus(s, dir), embCorpus(s, dir),
+      copurchaseEdges(s, dir))
+
+  /** Canonical co-purchase edge list (parts co-occurring in an order) —
+    * the shared input of op_triangles and op_pagerank. Listed in
+    * [[sharedFrames]] so runners materialize the edge build (distinct +
+    * self-join on the order key) once for both graph queries. */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.cooccurrenceEdges(t(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_partkey"))
 
   /** Documents plus deterministically perturbed copies of every 10th doc —
     * seeds true near-duplicates so dedup ops have non-trivial output at
@@ -258,10 +267,10 @@ object Catalog {
     // triangle count on the co-purchase graph (parts co-occurring in an
     // order): canonical x<y edges, wedge join on the middle vertex,
     // close on (x, z) — graph analytics as plain relational ops
+    // default shuffle-hash close: broadcastClose was MEASURED SLOWER here
+    // (12 s vs 7.6 s warm at sf0.1) — see the triangleCount scaladoc
     "op_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangleCount(
-        graft.ops.Graph.cooccurrenceEdges(t(s, dir, "lineitem"),
-          col("l_orderkey"), col("l_partkey")))),
+      graft.ops.Graph.triangleCount(copurchaseEdges(s, dir))),
 
     // Pearson correlation + OLS slope/intercept of extended price vs
     // quantity per return flag, computed from EXACT integer sufficient
@@ -291,6 +300,28 @@ object Catalog {
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope_cents_per_qty"),
         ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
           .as("intercept_cents"))
+    }),
+
+    // daily-revenue anomaly z-scores from EXACT sufficient statistics
+    // (op_corr_stats' discipline): integer cent sums per day, population
+    // mean/stddev from decimal S1/S2, finishing math all
+    // correctly-rounded IEEE doubles — bit-stable cross-engine; the
+    // 1-row stats frame joins back as a broadcast
+    "op_zscore" -> ((s, dir) => {
+      val d18 = DecimalType(18, 0)
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(d18)).as("cents"))
+      val stats = daily.agg(count(lit(1)).as("nd"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      val n = col("nd").cast(DoubleType)
+      val s1 = col("s1").cast(DoubleType); val s2 = col("s2").cast(DoubleType)
+      val c = col("cents").cast(DoubleType)
+      daily.crossJoin(stats)
+        .select(col("day"), col("cents").cast(LongType).as("day_cents"),
+          ((c - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))).as("z"))
+        .withColumn("is_outlier", abs(col("z")) > 2.0d)
     }),
 
     // higher central moments (variance / skewness / excess kurtosis) per
@@ -355,9 +386,7 @@ object Catalog {
     // cross-engine exact with NO float accumulation; per iteration one
     // source-keyed join + one destination-keyed aggregate (Graph.pageRank)
     "op_pagerank" -> ((s, dir) =>
-      graft.ops.Graph.pageRank(
-        graft.ops.Graph.cooccurrenceEdges(t(s, dir, "lineitem"),
-          col("l_orderkey"), col("l_partkey")),
+      graft.ops.Graph.pageRank(copurchaseEdges(s, dir),
         iterations = 2, topK = 20)),
 
     "op_semi_join" -> ((s, dir) => t(s, dir, "customer")
@@ -1081,6 +1110,23 @@ object Catalog {
     // paragraph count (survivor = lowest doc id owning the paragraph)
     "op_para_dedup" -> ((s, dir) =>
       Dedup.paraDedup(paraCorpus(s, dir))),
+
+    // C4-style boilerplate STRIP over the planted corpus: paragraphs in
+    // >= 10 distinct docs are dropped, the cleaned doc is re-joined in
+    // original paragraph order (hash-summarized; the text itself never
+    // leaves the executors)
+    "op_boilerplate" -> ((s, dir) =>
+      Dedup.stripBoilerplate(paraCorpus(s, dir), minDf = 10)),
+
+    // deterministic global training shuffle: shard = hash mod 16 (one
+    // shard = one output file), shard_pos = position in hash order inside
+    // the shard — a reproducible corpus-wide random order with no RNG and
+    // no corpus-wide sort (parallelism = shard count)
+    "op_shard_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.shardShuffle(
+        t(s, dir, "documents").select("doc_id"),
+        Dedup.portableHash(col("doc_id").cast(StringType)),
+        col("doc_id"), shards = 16)),
 
     // GPT-style sequence packing: per-source concat-then-chunk into
     // 512-token training sequences — one per-shard window cumsum (never a

@@ -669,6 +669,28 @@ object OracleSql {
           AS intercept_cents
       FROM d""",
 
+    // Daily-revenue anomaly z-scores from exact integer cent sums; the
+    // finishing double math mirrors the Spark expression op-for-op.
+    "op_zscore" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+      st AS (
+        SELECT count(*) AS nd, sum(CAST(cents AS HUGEINT)) AS s1,
+          sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
+        FROM daily),
+      d AS (
+        SELECT day, cents, CAST(st.nd AS DOUBLE) AS n,
+          CAST(st.s1 AS DOUBLE) AS s1d, CAST(st.s2 AS DOUBLE) AS s2d,
+          CAST(cents AS DOUBLE) AS c
+        FROM daily CROSS JOIN st)
+      SELECT day, CAST(cents AS BIGINT) AS day_cents,
+        (c - s1d / n) / sqrt(s2d / n - (s1d / n) * (s1d / n)) AS z,
+        abs((c - s1d / n) / sqrt(s2d / n - (s1d / n) * (s1d / n))) > 2.0
+          AS is_outlier
+      FROM d""",
+
     // Central moments to 4th order from exact integer power sums; the
     // finishing double math (+,-,*,/,sqrt only — all correctly rounded)
     // is textually identical to the Spark expressions.
@@ -2692,6 +2714,48 @@ object OracleSql {
         count(CASE WHEN o.keep_doc = d.doc_id THEN 1 END) AS n_kept
       FROM perdoc d JOIN owner o USING (ph)
       GROUP BY d.doc_id""",
+
+    // C4-style boilerplate strip over the planted corpus: drop paragraphs
+    // appearing in >= 10 distinct docs, clean_hash = md5 of the kept
+    // paragraphs re-joined in original order (empty docs hash '').
+    "op_boilerplate" -> """
+      WITH pc AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+            'shared boilerplate license paragraph repeated across documents'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+            'subscribe to the newsletter for updates and announcements'
+            ELSE '' END AS text
+        FROM documents),
+      paras AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS para
+        FROM (SELECT doc_id,
+          string_split(text, chr(10) || chr(10)) AS l FROM pc) s),
+      pf AS (
+        SELECT doc_id, pos, para, md5(para) AS ph FROM paras
+        WHERE length(trim(para)) > 0),
+      dfreq AS (
+        SELECT ph, count(DISTINCT doc_id) AS df FROM pf GROUP BY ph)
+      SELECT p.doc_id, count(*) AS n_paras,
+        count(CASE WHEN f.df >= 10 THEN 1 END) AS n_dropped,
+        md5(coalesce(string_agg(CASE WHEN f.df < 10 THEN p.para END,
+          chr(10) || chr(10) ORDER BY p.pos), '')) AS clean_hash
+      FROM pf p JOIN dfreq f USING (ph)
+      GROUP BY p.doc_id""",
+
+    // Deterministic global training shuffle: shard = md5-60 hash mod 16,
+    // shard_pos = row_number in (hash, doc_id) order within the shard.
+    "op_shard_shuffle" -> """
+      WITH h AS (
+        SELECT doc_id,
+          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+        row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+          AS shard_pos
+      FROM h""",
 
     // Per-doc Rabin-Karp rolling-hash fingerprint summary (w = 8 token
     // windows); docs shorter than 8 tokens drop.

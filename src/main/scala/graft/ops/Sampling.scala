@@ -106,4 +106,30 @@ object Sampling {
     }
     df.withColumn(outCol, label)
   }
+
+  /** Deterministic global shuffle for training-order assignment: every row
+    * gets a `shard` (hash mod `shards` — one shard = one output file /
+    * reader stream) and a dense `shard_pos` (its position within the shard
+    * in hash order, ties broken by `tieCol`). Together they define a
+    * reproducible corpus-wide random order without any RNG: reruns,
+    * retries, and engines agree row-for-row, which is what makes a
+    * 100 TB training shuffle auditable.
+    *
+    * Scale: the per-shard `row_number` window is the write path itself —
+    * each shard is sorted and written by one task, so parallelism = shard
+    * count. Size `shards` so a shard fits one writer (thousands at real
+    * scale); the global order is recovered by readers interleaving shards.
+    * Nothing here is a corpus-wide single-reducer sort. */
+  def shardShuffle(df: DataFrame, hash: Column, tieCol: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    require(!df.columns.contains("__h"),
+      "shardShuffle: input must not contain reserved column __h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), tieCol)
+    df.withColumn("__h", hash)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__h")
+  }
 }

@@ -75,6 +75,44 @@ object Dedup {
         count(when(col("keep_doc") === col("doc_id"), 1)).as("n_kept"))
   }
 
+  /** C4-style boilerplate STRIP (the deliverable [[paraDedup]] only
+    * reports stats for): a paragraph is boilerplate when it appears in at
+    * least `minDf` distinct documents (licenses, navigation chrome,
+    * subscribe banners), and the cleaned document is the remaining
+    * paragraphs re-joined in their original order. Output per doc:
+    * `n_paras`, `n_dropped`, and `clean_hash` (md5 of the re-joined
+    * cleaned text — the full text stays distributed; callers wanting the
+    * cleaned string swap the final md5 for the join).
+    *
+    * Scale: explode is narrow; the document-frequency aggregate keys on
+    * the paragraph hash with map-side partials and its join back moves
+    * only (hash, df) pairs; re-assembly is ONE shuffle keyed on doc_id
+    * whose per-group state is the document's own paragraphs — nothing
+    * corpus-wide ever sits in one task. */
+  def stripBoilerplate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minDf: Int = 10,
+      sepRegex: String = "\\n\\n", sep: String = "\n\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every paragraph")
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col("doc_id"), col("pos"), col("para"),
+        md5(col("para").cast(BinaryType)).as("ph"))
+    val docFreq = paras.select("ph", "doc_id").distinct()
+      .groupBy("ph").agg(count(lit(1)).as("df"))
+    paras.join(docFreq, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("df") >= minDf, 1)).as("n_dropped"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df") < minDf, struct(col("pos"), col("para"))))),
+            p => p.getField("para")),
+          sep).cast(BinaryType)).as("clean_hash"))
+  }
+
   /** Word 3-gram shingles (distinct); short docs fall back to the whole
     * token array joined.
     *

@@ -77,6 +77,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("op_zscore matches a direct driver-side computation") {
+    val rows = graft.SparkEntry.queries("op_zscore")(
+      spark, "/root/testdata/sf0.001").collect()
+    val daily = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderdate", "o_totalprice").collect()
+      .groupBy(_.getAs[java.time.LocalDateTime](0).toLocalDate)
+      .map { case (d, rs) =>
+        d -> rs.map(r => math.round(r.getDouble(1) * 100)).sum }
+    val n = daily.size.toDouble
+    val s1 = daily.values.map(BigInt(_)).sum
+    val s2 = daily.values.map(v => BigInt(v) * BigInt(v)).sum
+    val mean = s1.toDouble / n
+    val sd = math.sqrt(s2.toDouble / n - mean * mean)
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val cents = r.getAs[Long]("day_cents")
+      assert(daily(d) == cents, s"day $d cents")
+      assert(math.abs(r.getAs[Double]("z") - (cents - mean) / sd) < 1e-9,
+        s"day $d z")
+      assert(r.getAs[Boolean]("is_outlier") ==
+        (math.abs(r.getAs[Double]("z")) > 2.0))
+    }
+  }
+
   test("op_corr_stats matches a direct driver-side Pearson/OLS computation") {
     val rows = graft.SparkEntry.queries("op_corr_stats")(
       spark, "/root/testdata/sf0.001").collect()

@@ -72,6 +72,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardShuffle: full cover, contiguous positions, repartition-invariant") {
+    def run(parts: Int): Array[(Long, Int, Int)] =
+      Sampling.shardShuffle(docs.repartition(parts).select("doc_id"),
+        Dedup.portableHash($"doc_id".cast(StringType)), $"doc_id", shards = 16)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+          r.getAs[Int]("shard_pos")))
+        .sortBy(_._1)
+    val one = run(1)
+    assert(one.toSeq == run(8).toSeq) // partitioning-invariant
+    assert(one.length == docs.count())
+    assert(one.forall(t => t._2 >= 0 && t._2 < 16))
+    // every shard's positions are exactly 1..n — a valid write order
+    one.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+  }
+
   test("hash-threshold sample rate lands near permille/1000") {
     val n = docs.count()
     val sampled = Sampling.byHash(docs,

@@ -207,6 +207,31 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) == ((1L, 1L, 1L)))
   }
 
+  test("stripBoilerplate: drops high-df paragraphs, keeps original order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bp = "all rights reserved license text"
+    val rows = (1 to 10).map(i =>
+      (i.toLong, s"unique opening $i\n\n$bp\n\nunique closing $i")) :+
+      (11L, "a single unique paragraph")
+    val out = Dedup.stripBoilerplate(rows.toDF("doc_id", "text"), minDf = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 11)
+    assert(out(1L).getAs[Long]("n_paras") == 3L)
+    assert(out(1L).getAs[Long]("n_dropped") == 1L)
+    // cleaned text is the kept paragraphs re-joined in original order
+    assert(out(3L).getAs[String]("clean_hash") ==
+      md5hex("unique opening 3\n\nunique closing 3"))
+    assert(out(11L).getAs[Long]("n_dropped") == 0L)
+    assert(out(11L).getAs[String]("clean_hash") ==
+      md5hex("a single unique paragraph"))
+    // df = 9 stays below the threshold: nothing dropped at minDf = 10
+    val under = Dedup.stripBoilerplate(
+      rows.take(9).toDF("doc_id", "text"), minDf = 10).collect()
+    assert(under.forall(_.getAs[Long]("n_dropped") == 0L))
+  }
+
   test("lshTopK queries restriction: identical answers for the query set") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter($"vec_id" % 25 === 0)
