@@ -23,13 +23,13 @@ object Bench {
     * SURVEY §9.2; BenchAliasSpec pins uniqueness and that every alias
     * source is a declared query. */
   val alias: Map[String, String] = Map(
-    "topk_asc_filtered" -> "topk_af", "stratified_sample" -> "strat",
+    "topk_asc_filtered" -> "tka", "stratified_sample" -> "strat",
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
     "states_exempting" -> "st_ex", "refund_by_reason" -> "rfr",
     "filing_deadlines" -> "ddl", "display_truncate" -> "dtrunc",
-    "state_quantiles" -> "st_qtl", "state_breakdown" -> "stbrk",
+    "state_quantiles" -> "stq", "state_breakdown" -> "stbrk",
     "refund_by_state" -> "rf_st", "label_centroids" -> "cent",
-    "doc_fingerprint" -> "doc_fp", "video_features" -> "vid_ft",
+    "doc_fingerprint" -> "doc_fp", "video_features" -> "vft",
     "stream_windows" -> "s_win", "refund_summary" -> "rfs",
     "media_features" -> "med_ft", "json_roundtrip" -> "jsrt",
     "image_features" -> "img_ft", "hist_quantiles" -> "h_qtl",
@@ -42,45 +42,48 @@ object Bench {
     "token_jaccard" -> "jac", "passage_dups" -> "psg",
     "csv_roundtrip" -> "csvr", "orc_roundtrip" -> "orcr",
     "stream_nexus" -> "s_nx", "quality_score" -> "qual",
-    "text_quality" -> "t_qual", "token_count" -> "tok_cnt",
+    "text_quality" -> "tq", "token_count" -> "tokc",
     "subword_count" -> "subw", "hash_sample" -> "h_smp",
     "split_assign" -> "split", "kmv_distinct" -> "kmv",
-    "embed_neardup" -> "e_near", "topk_per_key" -> "tk_key",
-    "window_rank" -> "w_rank", "events_window" -> "ev_win",
+    "embed_neardup" -> "e_near", "topk_per_key" -> "tkk",
+    "window_rank" -> "wrnk", "events_window" -> "ev_win",
     "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
     "refund_scan" -> "rfsc", "refund_report" -> "rf_rpt",
     "claims_nested" -> "claims", "nexus_check" -> "nexus",
     "tax_report" -> "txr", "tax_summary" -> "txs",
-    "case_bucket" -> "c_bkt", "unknown_state" -> "unk_st",
+    "case_bucket" -> "c_bkt", "unknown_state" -> "unks",
     "incl_backout" -> "bko", "txn_details" -> "t_det",
     "text_report" -> "ttr", "sort_duedate" -> "due",
-    "para_dedup" -> "para_dd", "sql_surface" -> "sql",
-    "stream_dedup" -> "sdd", "top_ngrams" -> "ngrams",
-    "stream_sessions" -> "s_sess", "compact_latest" -> "cpt",
+    "para_dedup" -> "padd", "sql_surface" -> "sql",
+    "stream_dedup" -> "sdd", "top_ngrams" -> "ngr",
+    "stream_sessions" -> "sses", "compact_latest" -> "cpt",
     "boilerplate" -> "boil", "shard_shuffle" -> "shard",
+    "zscore" -> "zsc", "zorder" -> "zord", "winnow" -> "winw",
+    "gopher_rules" -> "goph", "vocab_coverage" -> "vcov",
+    "hard_negatives" -> "hneg", "embed_norm" -> "enorm",
     "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
     "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
     "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
-    "phash_pairs" -> "ph_p", "salted_join" -> "salt_j",
-    "salted_agg" -> "salt_a", "rolling_fp" -> "rfp",
+    "phash_pairs" -> "ph_p", "salted_join" -> "sltj",
+    "salted_agg" -> "slta", "rolling_fp" -> "rfp",
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "key_un", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fuzzy", "period_gen" -> "per",
-    "repetition" -> "repeat", "source_mix" -> "src_mix",
+    "repetition" -> "repeat", "source_mix" -> "smix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
-    "stream_join" -> "s_join", "json_extract" -> "jsx",
+    "stream_join" -> "sjn", "json_extract" -> "jsx",
     "batch_agg" -> "batch", "pq_encode" -> "pq_enc",
-    "rate_join" -> "rate_j", "topk_desc" -> "topk_d",
+    "rate_join" -> "rate_j", "topk_desc" -> "tkd",
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
     "ivf_ann" -> "ivf", "resample" -> "resmpl",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "kmeans_step" -> "kmeans", "grouping_sets" -> "gsets",
-    "bloom_join" -> "bloom", "rank_stats" -> "rk_stat",
+    "bloom_join" -> "bloom", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
     "pagerank" -> "pgr", "cooccur" -> "cooc",
     "moments" -> "mom", "rolling_avg" -> "ravg")

@@ -1156,6 +1156,15 @@ object Catalog {
       graft.text.Embeddings.quantizeInt8(t(s, dir, "embeddings"))
         .select("vec_id", "max_abs", "scale", "q_sum", "max_err")),
 
+    // per-dimension z-standardization from exact quantized-integer
+    // sufficient stats (bit-stable cross-engine); stats over the WHOLE
+    // corpus, normalized rows emitted for the %25 query subset
+    "op_embed_norm" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Embeddings.standardize(
+        emb, emb.filter(col("vec_id") % 25 === 0))
+    }),
+
     // KMV distinct sketch: k smallest portable-hash minima of l_partkey —
     // a mergeable fixed-memory distinct estimate whose minima (and thus
     // estimate) are EXACTLY engine-reproducible, unlike HLL
@@ -1269,6 +1278,16 @@ object Catalog {
         .select("doc_id", "n_chars", "n_tokens", "n_upper", "n_digit",
           "n_punct", "n_stopword", "quality_bucket")),
 
+    // Gopher-style composite quality filter: NAMED per-rule flags (why a
+    // doc was dropped) + the keep conjunction, all integer-only predicates
+    "op_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents"))),
+
+    // tokenizer-vocab coverage curve: top-50 tokens with the cumulative
+    // share of all token occurrences they cover
+    "op_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), topN = 50)),
+
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
 
@@ -1318,6 +1337,13 @@ object Catalog {
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
+    }),
+
+    // hard-negative mining for contrastive training: per query, the top-5
+    // most-similar vectors with a DIFFERENT label (near-miss examples)
+    "op_hard_negatives" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0), 5)
     }),
 
     // Dedup/similarity families hash with the engine-portable md5-prefix

@@ -1986,6 +1986,62 @@ object OracleSql {
              ELSE 'ok' END AS quality_bucket
       FROM sig""",
 
+    // Gopher-style composite quality filter: every flag is an integer-only
+    // predicate mirrored op-for-op from TextOps.gopherRules.
+    "op_gopher_rules" -> s"""
+      WITH padded AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),
+      sig AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+          $stopwordSumSql AS n_stopword
+        FROM padded),
+      rep AS (
+        SELECT doc_id, max(c) AS top_tok_n FROM (
+          SELECT doc_id, t, count(*) AS c FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0) u
+          GROUP BY doc_id, t) g
+        GROUP BY doc_id),
+      fl AS (
+        SELECT s.doc_id, s.n_tokens, s.n_word_chars,
+          coalesce(r.top_tok_n, 0) AS top_tok_n,
+          s.n_tokens < 25 AS fail_short,
+          s.n_tokens > 10000 AS fail_long,
+          (s.n_word_chars < s.n_tokens * 3
+            OR s.n_word_chars > s.n_tokens * 10) AS fail_word_len,
+          s.n_digit * 5 > s.n_word_chars AS fail_digit,
+          s.n_stopword * 20 < s.n_tokens AS fail_stopword,
+          coalesce(r.top_tok_n, 0) * 8 > s.n_tokens AS fail_repeat
+        FROM sig s LEFT JOIN rep r USING (doc_id))
+      SELECT doc_id, n_tokens, n_word_chars, top_tok_n,
+        fail_short, fail_long, fail_word_len, fail_digit, fail_stopword,
+        fail_repeat,
+        NOT (fail_short OR fail_long OR fail_word_len OR fail_digit
+          OR fail_stopword OR fail_repeat) AS keep
+      FROM fl""",
+
+    // Tokenizer-vocab coverage curve: top-50 tokens by (count desc, token)
+    // with cumulative share of all occurrences (exact-integer division).
+    "op_vocab_coverage" -> """
+      WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0),
+      c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+      top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50)
+      SELECT CAST(row_number() OVER w AS BIGINT) AS rank, token, cnt,
+        CAST(sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+        CAST(CAST(sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS DOUBLE)
+          / CAST((SELECT n_total FROM tot) AS DOUBLE) AS cum_share
+      FROM top
+      WINDOW w AS (ORDER BY cnt DESC, token)""",
+
     // Deterministic source-weighted mixing: per-lang hash thresholds.
     "op_source_mix" -> """
       SELECT lang, count(*) AS n_kept FROM documents
@@ -2410,6 +2466,58 @@ object OracleSql {
       SELECT * FROM nexus_alerts UNION ALL SELECT * FROM overdue_alerts""",
 
     "op_ann_topk" -> annBruteSql,
+
+    // Hard-negative mining (mirrors Similarity.hardNegatives): exact
+    // cosine top-5 per query among DIFFERENT-label vectors only.
+    "op_hard_negatives" -> """
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / sqrt(
+              list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * list_sum(list_transform(q.q_emb,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored) r
+      WHERE rank <= 5""",
+
+    // Per-dimension z-standardization from exact quantized-integer sums
+    // (mirrors Embeddings.standardize): q = round(x·10000) longs, HUGEINT
+    // S1/S2, double finishing math identical op-for-op.
+    "op_embed_norm" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, dim,
+          CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q
+        FROM e),
+      st AS (
+        SELECT dim, count(*) AS n, sum(CAST(q AS HUGEINT)) AS s1,
+          sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+        FROM q GROUP BY dim),
+      sd AS (
+        SELECT dim, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+        FROM st)
+      SELECT q.vec_id, q.dim, q.q,
+        CASE WHEN sd.sd > 0
+          THEN (CAST(q.q AS DOUBLE) - sd.mean) / sd.sd END AS z
+      FROM q JOIN sd USING (dim)
+      WHERE q.vec_id % 25 = 0""",
 
     // Recall@5 of each approximate ANN path against the exact baseline:
     // intersection on (q_id, neighbor_id), denominator = baseline pairs.

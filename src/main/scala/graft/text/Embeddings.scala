@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Embedding-column storage transforms for training-data pipelines.
   *
@@ -51,4 +52,42 @@ object Embeddings {
       scaleCol: String = "scale", outCol: String = "emb_hat"): DataFrame =
     df.withColumn(outCol, expr(
       s"transform($qCol, v -> cast(v as double) / $scaleCol)"))
+
+  /** Per-dimension z-standardization from EXACT integer sufficient
+    * statistics — the deterministic distributed preprocessing for
+    * clustering/ANN: components are quantized to `round(x · 10000)` longs,
+    * per-dim n/S1/S2 accumulate as decimals (order-independent integer
+    * sums — no float accumulation anywhere), and
+    * `z = (q − mean) / stddev` finishes in correctly-rounded IEEE doubles,
+    * so the result is bit-stable across engines and partitionings (the
+    * op_corr_stats discipline applied to vectors).
+    *
+    * Stats come from the WHOLE `corpus`; normalized rows are emitted for
+    * `subset` only (pass `corpus` itself to normalize everything). Scale:
+    * one posexplode (narrow) + one dim-keyed aggregate bounded at the
+    * dimensionality, whose tiny result broadcast-joins back onto the
+    * subset stream. Zero-variance dims yield NULL z (0/0 guard), never a
+    * fake 0. */
+  def standardize(corpus: DataFrame, subset: DataFrame,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    def qrows(df: DataFrame): DataFrame = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim"),
+        round(col("x").cast(DoubleType) * 10000).cast(LongType).as("q"))
+    val stats = qrows(corpus).groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(d18)).as("s1"),
+        sum((col("q") * col("q")).cast(d18)).as("s2"))
+      .select(col("dim"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        sqrt(col("s2").cast(DoubleType) / col("n").cast(DoubleType)
+          - (col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+          * (col("s1").cast(DoubleType) / col("n").cast(DoubleType)))
+          .as("sd"))
+    qrows(subset).join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"), col("q"),
+        when(col("sd") > 0.0,
+          (col("q").cast(DoubleType) - col("mean")) / col("sd")).as("z"))
+  }
 }

@@ -75,6 +75,24 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most cosine-similar corpus vectors with a DIFFERENT label — the
+    * near-miss examples a retrieval/embedding model learns the most from.
+    * Same plan shape as [[bruteForceTopK]] (queries broadcast, bounded-heap
+    * per-query top-k, deterministic ties); the label inequality rides the
+    * scored stream as a codegen filter and subsumes the self-match check.
+    * At index scale the same label filter composes with the IVF/LSH
+    * candidate paths — brute force is the oracle-exact baseline. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topKRanked(scored, k)
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
     * parity of a splitmix-style integer mix — data-independent, seedable,
     * and exactly reproducible in ANSI SQL (the DuckDB oracle mirrors it). */

@@ -502,4 +502,75 @@ object TextOps {
       .groupBy(idCol)
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
         max("c").as("top_tok_n"))
+
+  /** Gopher-style composite quality filter (the Rae et al. 2021 rule
+    * family re-expressed as integer-only predicates): each rule is a
+    * NAMED boolean column so a curation pipeline can report WHY a
+    * document was dropped, not just that it was; `keep` is the
+    * conjunction. All thresholds are multiplicative (division-free) so
+    * the DuckDB oracle reproduces every flag exactly:
+    *   - fail_short / fail_long — token count outside [minTokens, maxTokens]
+    *   - fail_word_len — mean word length outside [3, 10] chars
+    *     (`n_word_chars` vs `3·n_tokens` / `10·n_tokens`)
+    *   - fail_digit — digits exceed 20% of word chars
+    *   - fail_stopword — stopwords under 5% of tokens
+    *   - fail_repeat — the single most frequent token exceeds 1/8 of
+    *     all tokens (repetition-loop detector)
+    *
+    * Scale: [[qualitySignals]] is a narrow map over the scan;
+    * [[repetitionSignals]] adds the one (doc, token)-keyed aggregate —
+    * the join back is doc-keyed with map-side partials everywhere. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minTokens: Int = 25,
+      maxTokens: Int = 10000): DataFrame = {
+    require(minTokens < maxTokens, "minTokens must be below maxTokens")
+    val sig = qualitySignals(docs.select(col(idCol), col(textCol)), textCol)
+      .withColumn("n_word_chars",
+        length(regexp_replace(col(textCol), "\\s", "")))
+    val rep = repetitionSignals(docs, textCol, idCol)
+      .select(col(idCol), col("top_tok_n"))
+    sig.join(rep, Seq(idCol), "left") // token-less docs have no rep row
+      .select(col(idCol), col("n_tokens"), col("n_word_chars"),
+        coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+        (col("n_tokens") < minTokens).as("fail_short"),
+        (col("n_tokens") > maxTokens).as("fail_long"),
+        (col("n_word_chars") < col("n_tokens") * 3 ||
+          col("n_word_chars") > col("n_tokens") * 10).as("fail_word_len"),
+        (col("n_digit") * 5 > col("n_word_chars")).as("fail_digit"),
+        (col("n_stopword") * 20 < col("n_tokens")).as("fail_stopword"),
+        (coalesce(col("top_tok_n"), lit(0L)) * 8 > col("n_tokens"))
+          .as("fail_repeat"))
+      .withColumn("keep", !(col("fail_short") || col("fail_long") ||
+        col("fail_word_len") || col("fail_digit") ||
+        col("fail_stopword") || col("fail_repeat")))
+  }
+
+  /** Tokenizer-vocabulary coverage curve: the `topN` corpus tokens by
+    * frequency with rank, count, and the cumulative share of ALL token
+    * occurrences they cover — the measurement behind "how big must the
+    * vocab be to cover X% of the corpus". Shares are single divisions of
+    * exact integer counts (bit-stable cross-engine); ties break lexically.
+    *
+    * Scale: the token-count aggregate is (token)-keyed with map-side
+    * partials; top-N selection is TakeOrderedAndProject (never a global
+    * sort); the cumulative window then runs over ≤ topN rows — a
+    * deliberately bounded single-partition frame, like the reference's
+    * report tails. */
+  def vocabCoverage(docs: DataFrame, topN: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum("cnt").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(total)
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("cum_share"))
+  }
 }

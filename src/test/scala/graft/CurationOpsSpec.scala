@@ -313,4 +313,112 @@ class CurationOpsSpec extends SparkSpec {
       assert(maxErr <= 0.5 / scale * (1 + 1e-12), s"err $maxErr step ${1 / scale}")
     }
   }
+
+  test("gopherRules: each named rule fires on its crafted doc; the clean doc keeps") {
+    import spark.implicits._
+    val clean = ((0 until 40).map(i => // 40 distinct digit-free words
+      "al" + ('a' + i / 26).toChar + ('a' + i % 26).toChar + "pha") ++
+      Seq("the", "the", "the", "and", "and", "of")).mkString(" ")
+    val docs = Seq(
+      1L -> clean,                              // passes every rule
+      2L -> "one two three",                    // fail_short
+      3L -> Array.fill(30)("spam").mkString(" "),       // fail_repeat
+      4L -> (1 to 30).map(_ => "12345").mkString(" "),  // fail_digit (+repeat)
+      5L -> Array.tabulate(30)(i => s"superlongword$i" * 2).mkString(" ")
+    ).toDF("doc_id", "text")                    // 5: fail_word_len (>10 chars)
+    val out = graft.text.TextOps.gopherRules(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"),
+      out(1L).toString) // the clean doc survives every rule
+    assert(!out(1L).getAs[Boolean]("fail_repeat"))
+    assert(out(2L).getAs[Boolean]("fail_short") && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("fail_repeat") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("fail_digit"))
+    assert(out(5L).getAs[Boolean]("fail_word_len"))
+    // fixture sanity: both outcomes occur on real documents
+    val real = SparkEntry.queries("op_gopher_rules")(spark, sf)
+      .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(real.keySet == Set(true, false), s"degenerate keep split: $real")
+  }
+
+  test("vocabCoverage: ranks, counts, and cumulative shares on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a a a b b c", 2L -> "b a").toDF("doc_id", "text")
+    val out = graft.text.TextOps.vocabCoverage(docs, topN = 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("token") == "a" && out(0).getAs[Long]("cnt") == 4L)
+    assert(out(0).getAs[Long]("cum_cnt") == 4L)
+    assert(math.abs(out(0).getAs[Double]("cum_share") - 0.5) < 1e-15)
+    assert(out(1).getAs[String]("token") == "b" && out(1).getAs[Long]("cnt") == 3L)
+    assert(math.abs(out(1).getAs[Double]("cum_share") - 0.875) < 1e-15)
+  }
+
+  test("hardNegatives: never same-label, exact top-5 vs a driver-side recompute") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // index order matches the fused native loop
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val labels = emb.map(e => e._1 -> e._3).toMap
+    val out = SparkEntry.queries("op_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, n, _) =>
+      assert(labels(q) != labels(n), s"same-label pair $q -> $n") }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val qv = emb.find(_._1 == q).get
+      val expected = emb.filter(_._3 != qv._3)
+        .map(e => (e._1, cos(qv._2, e._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val got = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got.map(_._1).toSeq == expected.map(_._1).toSeq, s"query $q ids")
+      got.zip(expected).foreach { case ((_, gc), (_, ec)) =>
+        assert(math.abs(gc - ec) < 1e-12, s"query $q cos $gc vs $ec") }
+    }
+  }
+
+  test("standardize: z matches exact driver-side stats; constant dims yield NULL") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val qs = emb.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000)) }
+    val dims = qs.head._2.length
+    val stats = (0 until dims).map { d =>
+      val col = qs.map(_._2(d))
+      val n = col.length.toDouble
+      val s1 = col.map(BigInt(_)).sum
+      val s2 = col.map(v => BigInt(v) * BigInt(v)).sum
+      val mean = s1.toDouble / n
+      d -> ((mean, math.sqrt(s2.toDouble / n - mean * mean)))
+    }.toMap
+    val out = SparkEntry.queries("op_embed_norm")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, d, q) = (r.getAs[Long]("vec_id"), r.getAs[Int]("dim"),
+        r.getAs[Long]("q"))
+      assert(id % 25 == 0)
+      assert(q == qs.find(_._1 == id).get._2(d), s"quantized $id/$d")
+      val (mean, sd) = stats(d)
+      assert(math.abs(r.getAs[Double]("z") - (q - mean) / sd) < 1e-12)
+    }
+    // a constant dimension has no z (0/0 guard), never a fake zero
+    val const = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val z = graft.text.Embeddings.standardize(const, const)
+      .filter(org.apache.spark.sql.functions.col("dim") === 0).collect()
+    assert(z.forall(_.isNullAt(3)), "constant dim should yield NULL z")
+  }
 }
