@@ -36,6 +36,21 @@ object Catalog {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `ts` normalized to epoch-long NANOS whatever the fixture's physical
+    * unit: a TIMESTAMP(NANOS) parquet arrives as LongType under
+    * `nanosAsLong` and passes through untouched; a TIMESTAMP(MICROS)
+    * fixture (the round-7 regeneration — the 9-op bench failure) arrives
+    * as an (NTZ) timestamp and converts exactly, unix_micros × 1000 under
+    * the session's pinned UTC zone. Downstream operators keep exact
+    * integer-nanos arithmetic either way; the DuckDB oracle side is
+    * already unit-agnostic (epoch_ns/epoch_us/INTERVAL on TIMESTAMP). */
+  private[graft] def tsAsNanos(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df
+      case _ => df.withColumn(c,
+        unix_micros(col(c).cast(TimestampType)) * lit(1000L))
+    }
+
   /** Temp dir for the sink round-trip queries, removed at JVM exit — the
     * returned frame reads the files lazily, so eager cleanup inside the op
     * is impossible, but repeated Bench/Verify runs must not accumulate
@@ -457,11 +472,11 @@ object Catalog {
 
     "op_sessionize" -> ((s, dir) => {
       // gap-based sessionization: a new session starts after > 30 min of
-      // inactivity per user. ts arrives as long nanos (nanosAsLong); the
-      // oracle compares the same ns arithmetic on TIMESTAMP_NS.
+      // inactivity per user. ts is normalized to long nanos (tsAsNanos);
+      // the oracle compares the same gap arithmetic on TIMESTAMP.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val gapNs = 30L * 60 * 1000 * 1000 * 1000
-      t(s, dir, "events")
+      tsAsNanos(t(s, dir, "events"))
         .withColumn("new_sess",
           when(lag(col("ts"), 1).over(w).isNull ||
             col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
@@ -477,20 +492,20 @@ object Catalog {
     // on both sides or a same-µs event pair could order differently
     "op_funnel" -> ((s, dir) =>
       graft.ops.EventOps.funnel(
-        t(s, dir, "events").withColumn("ts", expr("ts div 1000L")),
+        tsAsNanos(t(s, dir, "events")).withColumn("ts", expr("ts div 1000L")),
         Seq("view", "click", "purchase"))),
 
     // cohort retention triangle at day granularity over the event log —
     // (first-activity day, day offset) → active cohort members
     "op_retention" -> ((s, dir) =>
-      graft.ops.EventOps.retention(t(s, dir, "events"))),
+      graft.ops.EventOps.retention(tsAsNanos(t(s, dir, "events")))),
 
     // CDC-style latest-record compaction: one row per (user, event_type)
     // via a max_by aggregate (O(keys) shuffle, not a per-group sort; the
     // oracle's row_number window proves the same result)
     "op_compact_latest" -> ((s, dir) =>
       graft.ops.EventOps.compactLatest(
-        t(s, dir, "events").withColumn("ts", expr("ts div 1000L")),
+        tsAsNanos(t(s, dir, "events")).withColumn("ts", expr("ts div 1000L")),
         keys = Seq("user_id", "event_type"),
         orderCols = Seq("ts", "event_id"), payload = Seq("value"))),
 
@@ -508,7 +523,8 @@ object Catalog {
     // in-time joinable history (EventOps.scd2; (ts, event_id) total order)
     "op_scd2" -> ((s, dir) =>
       graft.ops.EventOps.scd2(
-        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        tsAsNanos(t(s, dir, "events"))
+          .select("user_id", "event_id", "ts", "event_type"),
         "user_id", expr("ts div 1000"), col("event_id"), Seq("event_type"))
         .select("user_id", "event_type", "valid_from", "valid_to",
           "version", "is_current")),
@@ -658,7 +674,8 @@ object Catalog {
     "op_stream_windows" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       graft.streaming.Replay.replayComplete(s, stagedEvents(s, dir), ev.schema,
-        st => graft.streaming.NexusMonitor.eventDailyTotals(st, Dims.stateRates(s)))
+        st => graft.streaming.NexusMonitor.eventDailyTotals(
+          tsAsNanos(st), Dims.stateRates(s)))
     }),
 
     // streaming gap-sessionization, replayed and batch-checked: events
@@ -671,9 +688,10 @@ object Catalog {
     // ms-truncated on BOTH sides (Timestamp state math is ms; the oracle
     // mirrors with integer ms), bounds emitted as epoch-ms BIGINT.
     "op_stream_sessions" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema // ts = long nanos (nanosAsLong)
+      val schema = t(s, dir, "events").schema // unit handled by tsAsNanos
       graft.streaming.Replay.replayAppend(s, stagedEvents(s, dir), schema,
-        st => {
+        st0 => {
+          val st = tsAsNanos(st0)
           import st.sparkSession.implicits._
           val evs = st.select(col("event_id"), col("user_id"),
               timestamp_millis(expr("ts div 1000000")).as("ts"))
@@ -708,9 +726,10 @@ object Catalog {
     // the attribution-join shape. Inner matches emit eagerly; the batch
     // SQL oracle proves stream/batch equivalence. ms precision end to end.
     "op_stream_join" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema // ts = long nanos (nanosAsLong)
+      val schema = t(s, dir, "events").schema // unit handled by tsAsNanos
       graft.streaming.Replay.replayJoin2(s, stagedEvents(s, dir), schema,
-        (l, r) => {
+        (l0, r0) => {
+          val (l, r) = (tsAsNanos(l0), tsAsNanos(r0))
           val p = l.filter(col("event_type") === "purchase")
             .select(col("event_id").as("purchase_id"), col("user_id"),
               timestamp_millis(expr("ts div 1000000")).as("ts_p"))
@@ -1185,7 +1204,7 @@ object Catalog {
     // same user — bucketized equi-join + exact range filter, never a
     // per-key cross product
     "op_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = tsAsNanos(t(s, dir, "events"))
       val hourNs = 3600L * 1000000000L
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),

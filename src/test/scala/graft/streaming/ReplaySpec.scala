@@ -12,7 +12,10 @@ class ReplaySpec extends SparkSpec {
   test("file-source replay of eventStateTotals equals the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay_spec")
     try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      // normalize ts to long nanos BEFORE staging: the staged stream then
+      // replays with the same long-ns schema whatever the fixture's unit
+      val ev = graft.Catalog.tsAsNanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       ev.write.mode("overwrite").parquet(dir.toString)
       val dim = graft.tax.Dims.stateRates(spark)
       val streamed = Replay.replayComplete(spark, dir.toString, ev.schema,
@@ -78,7 +81,8 @@ class ReplaySpec extends SparkSpec {
   test("two-stream interval join replays to its batch join equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay_join")
     try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val ev = graft.Catalog.tsAsNanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       ev.write.mode("overwrite").parquet(dir.toString)
       def pairs(l: org.apache.spark.sql.DataFrame,
           r: org.apache.spark.sql.DataFrame) = {
