@@ -55,7 +55,8 @@ object Graph {
     * clusters, wedge volume ≫ CPU budget); on a single node CPU wins.
     * Default false = partitioned shuffle-hash, which also holds for
     * billion-edge graphs where no side fits memory. */
-  def triangleCount(edges: DataFrame, broadcastClose: Boolean = false): DataFrame = {
+  def triangleCount(edges: DataFrame, broadcastClose: Boolean = false,
+      scope: CacheScope = CacheScope.Session): DataFrame = {
     val e = edges.select("x", "y")
     val deg = e.select(col("x").as("v")).unionByName(e.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -69,9 +70,15 @@ object Graph {
       .join(deg.select(col("v").as("y"), col("dg").as("dgy")), "y")
       .select(key(col("dgx"), col("x")).as("kx"),
         key(col("dgy"), col("y")).as("ky"))
-    val oriented = keyed.select(
+    // the oriented edge list feeds THREE join sides (both wedge legs and
+    // the close probe) — without a persist barrier the whole build chain
+    // (degree count + two degree joins + orient) runs three times per
+    // action. Two longs per edge: trivially cacheable at any graph size
+    // that fits a cluster at all. Same CacheScope contract as the dedup
+    // families (Session default; pass a scope to release eagerly).
+    val oriented = scope.persist(keyed.select(
       least(col("kx"), col("ky")).as("u"),
-      greatest(col("kx"), col("ky")).as("w"))
+      greatest(col("kx"), col("ky")).as("w")))
     val wedges = oriented.select(col("u"), col("w").as("b"))
       .join(oriented.select(col("u"), col("w").as("c")), "u")
       .filter(col("b") < col("c"))
@@ -112,13 +119,19 @@ object Graph {
     *
     * Returns the `topK` vertices by (rank desc, vertex asc) as
     * `(v, rank_fp)` — TakeOrderedAndProject, never a global sort. */
-  def pageRank(edges: DataFrame, iterations: Int = 2, topK: Int = 20): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 2, topK: Int = 20,
+      scope: CacheScope = CacheScope.Session): DataFrame = {
     require(iterations >= 1 && iterations <= 10, "iterations must be in [1, 10]")
     val Scale = 1000000000000L
     val sym = edges.select(col("x").as("s"), col("y").as("d"))
       .unionByName(edges.select(col("y").as("s"), col("x").as("d")))
     val deg = sym.groupBy("s").agg(count(lit(1)).as("dg"))
-    val adj = sym.join(deg, "s")
+    // the degree-annotated adjacency appears once PER UNROLLED ITERATION
+    // in the final lazy plan (iteration i's plan nests iteration i-1's) —
+    // persist it so the symmetrize + degree join runs once, not
+    // `iterations` times. Three longs per directed edge; this is the
+    // frame a production deployment would checkpoint anyway.
+    val adj = scope.persist(sym.join(deg, "s"))
     val n = deg.count() // one bounded action: the vertex count scalar
     require(n > 0, "pageRank needs a non-empty edge list")
     val base = (Scale * 15L / 100L) / n
