@@ -86,7 +86,10 @@ object Bench {
     "bloom_join" -> "bloom", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
     "pagerank" -> "pgr", "cooccur" -> "cooc",
-    "moments" -> "mom", "rolling_avg" -> "ravg")
+    "moments" -> "mom", "rolling_avg" -> "ravg",
+    "transitions" -> "trans", "dataset_card" -> "dcard",
+    "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
+    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

@@ -509,6 +509,13 @@ object Catalog {
         keys = Seq("user_id", "event_type"),
         orderCols = Seq("ts", "event_id"), payload = Seq("value"))),
 
+    // first-order Markov transition matrix over the event log: per-user
+    // (ts, event_id)-ordered prev→next pairs, counts + row-normalized
+    // probability (one division of exact integers). ts is ordering-only,
+    // so the op is fixture-unit-agnostic with no normalization needed.
+    "op_transitions" -> ((s, dir) =>
+      graft.ops.EventOps.transitions(t(s, dir, "events"))),
+
     // calendar gap-fill + running total per order priority: dense daily
     // grid, zero-filled revenue in exact cents, cumulative sum
     "op_resample" -> ((s, dir) =>
@@ -1099,6 +1106,12 @@ object Catalog {
     // filter core): sum of each doc's tokens' corpus-wide counts
     "op_unigram_score" -> ((s, dir) =>
       TextOps.unigramScore(t(s, dir, "documents"), "text")),
+
+    // one-row corpus datasheet over the planted-dup corpus: doc/token/
+    // char totals, language count, exact-dup doc count, mean tokens per
+    // doc — the dataset-card summary block as a single aggregate
+    "op_dataset_card" -> ((s, dir) =>
+      TextOps.datasetCard(dedupCorpus(s, dir))),
 
     // token-level Rabin-Karp rolling-hash fingerprints (the brief's
     // "document fingerprinting (rolling hash)" verbatim): per-doc window

@@ -960,6 +960,22 @@ object OracleSql {
       FROM active a JOIN cohort c ON a.user_id = c.user_id
       GROUP BY 1, 2""",
 
+    // first-order Markov transitions: lag window in per-user total order,
+    // pair counts, probability = one division of exact integer counts
+    "op_transitions" -> """
+      WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events),
+      c AS (SELECT prev_type, next_type, count(*) AS n
+            FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM c GROUP BY 1)
+      SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+        CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      FROM c JOIN t ON c.prev_type = t.prev_type""",
+
     // latest-record compaction: the window formulation (deterministic
     // (ts, event_id) tie-break) proves the Spark max_by aggregate's result
     "op_compact_latest" -> """
@@ -2942,6 +2958,25 @@ object OracleSql {
         CAST(sum(c.corpus_n) AS BIGINT) AS freq_sum
       FROM tok t JOIN cnt c USING (tok)
       GROUP BY t.doc_id""",
+
+    // One-row corpus datasheet over the planted-dup corpus: totals are
+    // exact integers; the mean is one division of exact integers.
+    "op_dataset_card" -> s"""
+      WITH $corpusCte,
+      tok AS (
+        SELECT doc_id, text, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+          END AS n_toks
+        FROM corpus)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS mean_doc_tokens
+      FROM tok""",
 
     // Per-source concat-then-chunk packing at budget 512: start offset =
     // per-shard cumsum of token counts, chunk ids by integer division.

@@ -185,6 +185,37 @@ object EventOps {
       .drop("_ts", "_prev")
   }
 
+  /** Event-type transition matrix — the first-order Markov view of the
+    * event log: for every (prev → next) pair observed inside some user's
+    * (tsCol, tieCol)-ordered stream, the transition count and the
+    * row-normalized probability `p = n / Σ n(prev → *)`.
+    *
+    * Determinism: `tieCol` must make (tsCol, tieCol) unique per user (the
+    * record id — the sort family's total-order discipline); `tsCol` is
+    * used for ORDERING ONLY, so any orderable representation (timestamp
+    * of either precision, epoch long) works unmodified. The probability
+    * is ONE division of exact integer counts — bit-stable cross-engine.
+    *
+    * Scale: the lag window sorts each user's events (bounded per-user,
+    * never the table), the count aggregate is pair-keyed with map-side
+    * partials, and the totals side is ≤ |event types| rows — broadcast
+    * back over the counts. Output bounded at |types|², independent of
+    * event volume. */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("n_from"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
+  }
+
   /** Rolling `windowDays`-day aggregate via a RANGE-frame window over the
     * DAILY pre-aggregate: per key and calendar day, the day's exact-cents
     * total plus the trailing-window sum, days-present count, and their

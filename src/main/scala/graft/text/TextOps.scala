@@ -71,6 +71,28 @@ object TextOps {
         .map(w => size(split(t, s"\\s${w}\\s")) - 1).reduce(_ + _)
     })
 
+  /** One-row corpus datasheet (the summary block of a dataset card):
+    * document / token / char totals, distinct language count, exact-
+    * duplicate document count (docs beyond the first carrying an
+    * identical md5 of the text), and mean tokens per document (one
+    * division of exact integers — bit-stable cross-engine).
+    *
+    * Scale: a single corpus-wide aggregate with map-side partials. The
+    * two COUNT(DISTINCT) expansions are the exact path — right for a
+    * datasheet run that already reads every byte; when an estimate
+    * suffices at 100 TB, swap in the mergeable KMV sketch
+    * ([[graft.functions.KmvSketch]], op_kmv_distinct) instead. */
+  def datasetCard(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast(LongType)).as("n_tokens"),
+      sum(length(col(textCol)).cast(LongType)).as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("n_dup_docs"))
+    .withColumn("mean_doc_tokens",
+      col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+
   /** Coarse quality bucket — multiplicative threshold checks only. */
   def qualityBucket(df: DataFrame): DataFrame = df.withColumn("quality_bucket",
     when(col("n_chars") < 30, "too_short")

@@ -421,4 +421,20 @@ class CurationOpsSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("dim") === 0).collect()
     assert(z.forall(_.isNullAt(3)), "constant dim should yield NULL z")
   }
+
+  test("datasetCard: totals, languages, exact-dup count, mean tokens") {
+    import spark.implicits._
+    // 4 docs: two share identical text (1 dup), two languages
+    val docs = Seq(
+      (1L, "hello world", "en"), (2L, "hello world", "en"),
+      (3L, "bonjour", "fr"), (4L, "one two three", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.text.TextOps.datasetCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 8L)   // 2 + 2 + 1 + 3
+    assert(r.getAs[Long]("n_chars") == (11 + 11 + 7 + 13).toLong)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_dup_docs") == 1L)
+    assert(r.getAs[Double]("mean_doc_tokens") == 2.0)
+  }
 }

@@ -141,4 +141,29 @@ class EventOpsSpec extends SparkSpec {
       .toMap
     assert(out == Map(0L -> ((3L, 3L)), 1L -> ((4L, 7L))))
   }
+
+  test("transitions: per-user ordered pairs, row-normalized probabilities") {
+    import spark.implicits._
+    // user 1: a->b->a ; user 2: a->c — transitions from 'a': b once,
+    // c once (p = 0.5 each); from 'b': a once (p = 1.0)
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.transitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transitions: ties at the same ts break on the event id") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 20L, 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.transitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c")))
+  }
 }
