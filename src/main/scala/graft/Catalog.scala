@@ -280,12 +280,13 @@ object Catalog {
       .select("c_custkey", "c_name", "c_mktsegment")),
 
     // triangle count on the co-purchase graph (parts co-occurring in an
-    // order): canonical x<y edges, wedge join on the middle vertex,
-    // close on (x, z) — graph analytics as plain relational ops
-    // default shuffle-hash close: broadcastClose was MEASURED SLOWER here
-    // (12 s vs 7.6 s warm at sf0.1) — see the triangleCount scaladoc
+    // order) via per-edge sorted-adjacency intersection — the wedge
+    // enumeration runs inside array_intersect instead of materializing
+    // Σ C(outdeg,2) rows through a shuffle (measured ~3× faster than the
+    // wedge join at sf0.1 AND at ×10; both formulations kept in Graph,
+    // equivalence pinned by GraphSpec)
     "op_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangleCount(copurchaseEdges(s, dir))),
+      graft.ops.Graph.triangleCountAdj(copurchaseEdges(s, dir))),
 
     // Pearson correlation + OLS slope/intercept of extended price vs
     // quantity per return flag, computed from EXACT integer sufficient

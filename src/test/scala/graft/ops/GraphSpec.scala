@@ -17,6 +17,21 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 4L)
   }
 
+  test("triangleCountAdj: identical counts to the wedge join, K4 and co-purchase slice") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (8L, 9L)).toDF("x", "y")
+    val r = Graph.triangleCountAdj(edges).head()
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // agreement on a real co-occurrence graph (non-trivial degrees)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val co = Graph.cooccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
+    val a = Graph.triangleCountAdj(co).head()
+    val b = Graph.triangleCount(co).head()
+    assert(a.getAs[Long]("n_triangles") == b.getAs[Long]("n_triangles"))
+    assert(a.getAs[Long]("n_edges") == b.getAs[Long]("n_edges"))
+  }
+
   test("cooccurrenceEdges: canonical, distinct, per-group cliques") {
     val df = Seq((10L, 3L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
       (20L, 2L)).toDF("g", "v") // duplicate (20,2) must not duplicate edges
