@@ -197,9 +197,13 @@ object EventOps {
     * is ONE division of exact integer counts — bit-stable cross-engine.
     *
     * Scale: the lag window sorts each user's events (bounded per-user,
-    * never the table), the count aggregate is pair-keyed with map-side
-    * partials, and the totals side is ≤ |event types| rows — broadcast
-    * back over the counts. Output bounded at |types|², independent of
+    * never the table) and the count aggregate is pair-keyed with map-side
+    * partials. Row normalization is a WINDOW over the ≤ |types|²-row
+    * counts frame, not a self-join against a totals aggregate: Spark has
+    * no common-subtree elimination, so the join formulation would run
+    * the full event-log window+count lineage twice (seen in the plan
+    * audit) — the window form is one pass, with the normalizing exchange
+    * touching only the bounded counts. Output ≤ |types|², independent of
     * event volume. */
   def transitions(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type",
@@ -210,10 +214,11 @@ object EventOps {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("prev_type").agg(sum("n").as("n_from"))
-    counts.join(totals, "prev_type")
+    val wTot = Window.partitionBy("prev_type")
+    counts
       .select(col("prev_type"), col("next_type"), col("n"),
-        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
+        (col("n").cast(DoubleType) /
+          sum("n").over(wTot).cast(DoubleType)).as("p"))
   }
 
   /** Rolling `windowDays`-day aggregate via a RANGE-frame window over the

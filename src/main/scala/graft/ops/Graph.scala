@@ -172,7 +172,10 @@ object Graph {
     val Scale = 1000000000000L
     val sym = edges.select(col("x").as("s"), col("y").as("d"))
       .unionByName(edges.select(col("y").as("s"), col("x").as("d")))
-    val deg = sym.groupBy("s").agg(count(lit(1)).as("dg"))
+    // deg feeds the vertex-count action AND the adjacency join — persist
+    // (vertex-count-bounded, two longs per vertex) so the count action
+    // reads cache instead of re-aggregating the edge list
+    val deg = scope.persist(sym.groupBy("s").agg(count(lit(1)).as("dg")))
     // the degree-annotated adjacency appears once PER UNROLLED ITERATION
     // in the final lazy plan (iteration i's plan nests iteration i-1's) —
     // persist it so the symmetrize + degree join runs once, not
