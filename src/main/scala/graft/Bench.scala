@@ -71,25 +71,27 @@ object Bench {
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "key_un", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
-    "fuzzy_join" -> "fuzzy", "period_gen" -> "per",
+    "fuzzy_join" -> "fzy", "period_gen" -> "per",
     "repetition" -> "repeat", "source_mix" -> "smix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
     "stream_join" -> "sjn", "json_extract" -> "jsx",
-    "batch_agg" -> "batch", "pq_encode" -> "pq_enc",
+    "batch_agg" -> "bat", "pq_encode" -> "pq_enc",
     "rate_join" -> "rate_j", "topk_desc" -> "tkd",
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
     "ivf_ann" -> "ivf", "resample" -> "resmpl",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
-    "kmeans_step" -> "kmeans", "grouping_sets" -> "gsets",
-    "bloom_join" -> "bloom", "rank_stats" -> "rkst",
+    "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
+    "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
     "pagerank" -> "pgr", "cooccur" -> "cooc",
     "moments" -> "mom", "rolling_avg" -> "ravg",
     "transitions" -> "trans", "dataset_card" -> "dcard",
     "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
-    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk")
+    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
+    "rolling_actives" -> "ract", "degree_hist" -> "dgh",
+    "union" -> "uni")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

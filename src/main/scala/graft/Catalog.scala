@@ -510,6 +510,18 @@ object Catalog {
         keys = Seq("user_id", "event_type"),
         orderCols = Seq("ts", "event_id"), payload = Seq("value"))),
 
+    // daily + 7-day rolling DISTINCT actives (DAU/WAU): rolling count-
+    // distinct is not window-decomposable, so each (user, day) covers its
+    // 7 window-end days (bounded ×7 explode) and a plain count finishes —
+    // the scalable exact formulation (EventOps.rollingActives)
+    "op_rolling_actives" -> ((s, dir) =>
+      graft.ops.EventOps.rollingActives(tsAsNanos(t(s, dir, "events")))),
+
+    // degree distribution of the co-purchase graph — the hub/skew
+    // diagnostic that sizes caps like maxDf; two bounded hash aggregates
+    "op_degree_hist" -> ((s, dir) =>
+      graft.ops.Graph.degreeHistogram(copurchaseEdges(s, dir))),
+
     // first-order Markov transition matrix over the event log: per-user
     // (ts, event_id)-ordered prev→next pairs, counts + row-normalized
     // probability (one division of exact integers). ts is ordering-only,

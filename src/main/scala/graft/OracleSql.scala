@@ -960,6 +960,38 @@ object OracleSql {
       FROM active a JOIN cohort c ON a.user_id = c.user_id
       GROUP BY 1, 2""",
 
+    // DAU + trailing 7-day rolling distinct actives via the cover-explode
+    // formulation (rolling count-distinct is not window-decomposable);
+    // integer epoch-day arithmetic mirrors the Spark side exactly
+    "op_rolling_actives" -> """
+      WITH active AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events),
+      cover AS (
+        SELECT DISTINCT user_id, day + o AS day2
+        FROM active CROSS JOIN unnest(generate_series(0, 6)) AS t(o)),
+      wau AS (
+        SELECT day2 AS day, count(*) AS wau7 FROM cover
+        WHERE day2 <= (SELECT max(day) FROM active) GROUP BY 1),
+      dau AS (SELECT day, count(*) AS dau FROM active GROUP BY 1)
+      SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+        CAST(w.wau7 AS BIGINT) AS wau7
+      FROM wau w LEFT JOIN dau d ON w.day = d.day""",
+
+    // degree histogram of the co-purchase graph: vertex degrees over the
+    // canonical x<y edge list, then vertices per degree
+    "op_degree_hist" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS v
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.v AS x, b.v AS y
+            FROM li a JOIN li b ON a.g = b.g AND a.v < b.v),
+      deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+        GROUP BY v)
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+      FROM deg GROUP BY degree""",
+
     // first-order Markov transitions: lag window in per-user total order,
     // pair counts, probability = one division of exact integer counts
     "op_transitions" -> """

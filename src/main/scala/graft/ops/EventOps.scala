@@ -185,6 +185,51 @@ object EventOps {
       .drop("_ts", "_prev")
   }
 
+  /** Daily + trailing `windowDays`-day rolling DISTINCT active users
+    * (DAU / WAU) over the event log. Rolling COUNT(DISTINCT) is NOT
+    * window-decomposable — per-day distinct counts cannot be merged, and
+    * a RANGE-frame `count(distinct)` window is unsupported — so this uses
+    * the scalable exact formulation: each (user, active-day) row explodes
+    * into the `windowDays` window-end days it covers (a BOUNDED ×W
+    * multiplier, nothing data-dependent), a distinct collapses multi-day
+    * activity inside one window, and a plain count per window-end day
+    * finishes it.
+    *
+    * Day arithmetic stays in integer epoch-day space (`ts div 86400e9`
+    * on long-nanos ts — [[retention]]'s discipline). Window-end days past
+    * the last active day are clipped (a 1-row bounds frame broadcast into
+    * a non-equi join); days with rolling-but-no-daily activity report
+    * `dau = 0`.
+    *
+    * Scale: the (user, day) distinct collapses event volume FIRST (at
+    * most users × active-days rows); the cover explode multiplies that by
+    * exactly W; both distincts and the final counts are hash aggregates
+    * with map-side partials; output is bounded by the calendar span. The
+    * active frame feeds three consumers (cover, bounds, daily) — persisted
+    * via [[graft.ops.CacheScope]], Spark plans having no common-subtree
+    * elimination. */
+  def rollingActives(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", windowDays: Int = 7,
+      scope: CacheScope = CacheScope.Session): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    val active = scope.persist(events
+      .select(col(userCol).as("user_id"),
+        expr(s"`$tsCol` div ${dayNs}L").as("day"))
+      .distinct())
+    val cover = active
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + lit((windowDays - 1).toLong))).as("day"))
+      .distinct()
+    val bounds = active.agg(max(col("day")).as("d1"))
+    val wau = cover.join(broadcast(bounds), col("day") <= col("d1"))
+      .groupBy("day").agg(count(lit(1)).as(s"wau$windowDays"))
+    val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col(s"wau$windowDays"))
+  }
+
   /** Event-type transition matrix — the first-order Markov view of the
     * event log: for every (prev → next) pair observed inside some user's
     * (tsCol, tieCol)-ordered stream, the transition count and the

@@ -95,6 +95,19 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
+  /** Degree distribution of the undirected graph: for each observed
+    * degree, how many vertices carry it — the first diagnostic anyone
+    * runs on a graph (skew, hubs, connectivity shape), and the input to
+    * hub-cap parameter choices like the dedup family's maxDf.
+    *
+    * Scale: two hash aggregates with map-side partials (vertex degree,
+    * then degree histogram); output is bounded by the number of DISTINCT
+    * degrees (≤ max degree), independent of graph size. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("x").as("v")).unionByName(edges.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+
   /** Triangle count by per-edge ADJACENCY INTERSECTION over the same
     * degree-ordered orientation as [[triangleCount]]: build each low
     * vertex's sorted out-neighbor array once, then for every oriented

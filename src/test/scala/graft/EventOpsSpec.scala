@@ -142,6 +142,31 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(0L -> ((3L, 3L)), 1L -> ((4L, 7L))))
   }
 
+  test("rollingActives: rolling distinct is a true distinct, not a sum of DAUs") {
+    import spark.implicits._
+    val d = 86400L * 1000L * 1000L * 1000L
+    // user 1 active days 0 and 2 (counts ONCE in any window covering both);
+    // user 2 active day 2 only; last active day = 2 clips the cover
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 2 * d), (2L, 2 * d + 5))
+      .toDF("user_id", "ts")
+    val out = EventOps.rollingActives(ev, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // day 0: dau 1 (u1), wau 1; day 1: dau 0, wau 1 (u1 carried);
+    // day 2: dau 2, wau 2 (u1 counted once despite two active days)
+    assert(out == Map(0L -> ((1L, 1L)), 1L -> ((0L, 1L)), 2L -> ((2L, 2L))))
+  }
+
+  test("rollingActives: window shorter than the gap drops carried users") {
+    import spark.implicits._
+    val d = 86400L * 1000L * 1000L * 1000L
+    val ev = Seq((1L, 0L), (1L, 3 * d)).toDF("user_id", "ts")
+    val out = EventOps.rollingActives(ev, windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // u1's day-0 activity covers window-ends 0,1 only; day-3 covers 3,4→3
+    assert(out == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("transitions: per-user ordered pairs, row-normalized probabilities") {
     import spark.implicits._
     // user 1: a->b->a ; user 2: a->c — transitions from 'a': b once,

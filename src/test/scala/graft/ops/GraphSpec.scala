@@ -32,6 +32,15 @@ class GraphSpec extends SparkSpec {
     assert(a.getAs[Long]("n_edges") == b.getAs[Long]("n_edges"))
   }
 
+  test("degreeHistogram: star graph degrees") {
+    // star: center 1 connected to 2,3,4 — one degree-3 vertex, three
+    // degree-1 vertices
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("x", "y")
+    val out = Graph.degreeHistogram(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 1L, 1L -> 3L))
+  }
+
   test("cooccurrenceEdges: canonical, distinct, per-group cliques") {
     val df = Seq((10L, 3L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
       (20L, 2L)).toDF("g", "v") // duplicate (20,2) must not duplicate edges
