@@ -26,7 +26,7 @@ object Bench {
     "topk_asc_filtered" -> "tka", "stratified_sample" -> "strat",
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
     "states_exempting" -> "st_ex", "refund_by_reason" -> "rfr",
-    "filing_deadlines" -> "ddl", "display_truncate" -> "dtrunc",
+    "filing_deadlines" -> "ddl", "display_truncate" -> "dtr",
     "state_quantiles" -> "stq", "state_breakdown" -> "stbrk",
     "refund_by_state" -> "rf_st", "label_centroids" -> "cent",
     "doc_fingerprint" -> "doc_fp", "video_features" -> "vft",
@@ -49,7 +49,7 @@ object Bench {
     "window_rank" -> "wrnk", "events_window" -> "ev_win",
     "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
     "refund_scan" -> "rfsc", "refund_report" -> "rf_rpt",
-    "claims_nested" -> "claims", "nexus_check" -> "nexus",
+    "claims_nested" -> "clm", "nexus_check" -> "nx",
     "tax_report" -> "txr", "tax_summary" -> "txs",
     "case_bucket" -> "c_bkt", "unknown_state" -> "unks",
     "incl_backout" -> "bko", "txn_details" -> "t_det",
@@ -79,7 +79,7 @@ object Bench {
     "rate_join" -> "rate_j", "topk_desc" -> "tkd",
     "ann_topk" -> "ann_tk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
-    "ivf_ann" -> "ivf", "resample" -> "resmpl",
+    "ivf_ann" -> "ivf", "resample" -> "rsm",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
@@ -91,7 +91,7 @@ object Bench {
     "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
     "rolling_actives" -> "ract", "degree_hist" -> "dgh",
-    "union" -> "uni")
+    "union" -> "uni", "pit_join" -> "pit")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

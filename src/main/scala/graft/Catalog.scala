@@ -522,6 +522,18 @@ object Catalog {
     "op_degree_hist" -> ((s, dir) =>
       graft.ops.Graph.degreeHistogram(copurchaseEdges(s, dir))),
 
+    // point-in-time join against the SCD2 dimension built from the same
+    // log — THE warehouse pattern SCD2 exists for. Spark side: the
+    // one-Exchange backward-inclusive AS-OF join on (user, valid_from),
+    // which never explodes intervals; the oracle proves it equal to the
+    // half-open INTERVAL-join formulation (valid_from <= t < valid_to).
+    // Changes pre-collapse to one state row per (user, µs) so version
+    // boundaries are unique and both formulations agree at µs ties.
+    "op_pit_join" -> ((s, dir) =>
+      graft.ops.EventOps.pitJoin(
+        tsAsNanos(t(s, dir, "events"))
+          .withColumn("tus", expr("ts div 1000L")))),
+
     // first-order Markov transition matrix over the event log: per-user
     // (ts, event_id)-ordered prev→next pairs, counts + row-normalized
     // probability (one division of exact integers). ts is ordering-only,

@@ -992,6 +992,36 @@ object OracleSql {
       SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
       FROM deg GROUP BY degree""",
 
+    // Point-in-time join: the INTERVAL formulation (valid_from <= t <
+    // valid_to, NULL = current) — the Spark side computes the same rows
+    // with a backward-inclusive as-of join, so this oracle certifies the
+    // cross-formulation equivalence, not just the numbers.
+    "op_pit_join" -> """
+      WITH ch0 AS (
+        SELECT user_id, tus, event_id, event_type FROM (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+              ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      c AS (
+        SELECT user_id, event_type, tus,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY tus) AS prev,
+          row_number() OVER (PARTITION BY user_id ORDER BY tus) AS rn0
+        FROM ch0),
+      ch AS (SELECT user_id, event_type, tus FROM c
+             WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type),
+      dim AS (
+        SELECT user_id, event_type AS dim_type, tus AS valid_from,
+          lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY tus)
+            AS INTEGER) AS version
+        FROM ch)
+      SELECT e.event_id, e.user_id, d.dim_type, d.version
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events) e
+      JOIN dim d ON e.user_id = d.user_id
+        AND e.tus >= d.valid_from
+        AND (d.valid_to IS NULL OR e.tus < d.valid_to)""",
+
     // first-order Markov transitions: lag window in per-user total order,
     // pair counts, probability = one division of exact integer counts
     "op_transitions" -> """

@@ -266,6 +266,43 @@ object EventOps {
           sum("n").over(wTot).cast(DoubleType)).as("p"))
   }
 
+  /** Point-in-time join of a record stream against the SCD2 dimension
+    * built from its own change log — the lookup SCD2 exists for: each
+    * record gets the dimension attributes that were CURRENT at its
+    * timestamp. Executed as the backward-inclusive AS-OF join on
+    * (key, valid_from) — one sorted union + window pass
+    * ([[AsOfJoin.asOf]]), which never explodes validity intervals into a
+    * range join — while remaining row-identical to the half-open
+    * interval formulation `valid_from <= t < valid_to` (the DuckDB
+    * oracle checks exactly that cross-formulation equivalence).
+    *
+    * Changes pre-collapse to ONE state row per (key, tsCol) via
+    * [[compactLatest]] (last record by `tieCol` wins) so version
+    * boundaries are unique and both formulations agree when several
+    * change records share a timestamp.
+    *
+    * Returns the left records with `dim_type`-style attribute columns
+    * (`attrCols` values as-of the record's time) and `version`. */
+  def pitJoin(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "tus", tieCol: String = "event_id",
+      attrCol: String = "event_type"): DataFrame = {
+    val changes = compactLatest(
+      events.select(userCol, tsCol, tieCol, attrCol),
+      keys = Seq(userCol, tsCol), orderCols = Seq(tieCol),
+      payload = Seq(attrCol))
+    val dim = scd2(changes, userCol, col(tsCol), col(tieCol), Seq(attrCol))
+      .select(col(userCol), col(attrCol).as("dim_type"),
+        col("valid_from").as(tsCol), col("version"))
+    AsOfJoin.asOf(
+      left = events.select(tieCol, userCol, tsCol),
+      right = dim,
+      keys = Seq(userCol), leftTs = tsCol, rightTs = tsCol,
+      valueCols = Seq("dim_type", "version"),
+      rightIdCol = Some("version"))
+      .filter(col("dim_type").isNotNull)
+      .select(tieCol, userCol, "dim_type", "version")
+  }
+
   /** Rolling `windowDays`-day aggregate via a RANGE-frame window over the
     * DAILY pre-aggregate: per key and calendar day, the day's exact-cents
     * total plus the trailing-window sum, days-present count, and their

@@ -167,6 +167,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
   }
 
+  test("pitJoin: each event sees the dimension state current at its time") {
+    import spark.implicits._
+    // user 1: a@10 (v1), a@20 no-change, b@30 (v2), b@35 reads v2
+    // user 2: two change records share t=10 (ids 5,6 — last wins: y),
+    //         y@15 no-change reads v1
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 35L, 4L, "b"),
+      (2L, 10L, 5L, "x"), (2L, 10L, 6L, "y"), (2L, 15L, 7L, "y"))
+      .toDF("user_id", "tus", "event_id", "event_type")
+    val out = EventOps.pitJoin(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(out == Map(
+      1L -> (("a", 1)), 2L -> (("a", 1)), 3L -> (("b", 2)), 4L -> (("b", 2)),
+      5L -> (("y", 1)), 6L -> (("y", 1)), 7L -> (("y", 1))))
+  }
+
   test("transitions: per-user ordered pairs, row-normalized probabilities") {
     import spark.implicits._
     // user 1: a->b->a ; user 2: a->c — transitions from 'a': b once,
