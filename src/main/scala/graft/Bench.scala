@@ -17,11 +17,11 @@ object Bench {
   /** Short metric-line aliases for the longest query keys, applied AFTER
     * the "op_" strip. The driver keeps only the last 2000 chars of stdout;
     * at 111 queries the full stripped keys measured 2040 chars (mid-JSON
-    * truncation — the r1/r2 unparsed-bench failure), while this map emits
-    * 1652 with ~300 chars of headroom for future queries. Aliases are
-    * STABLE from round 6 on and documented with their full names in
-    * SURVEY §9.2; BenchAliasSpec pins uniqueness and that every alias
-    * source is a declared query. */
+    * truncation — the r1/r2 unparsed-bench failure). Most aliases are
+    * stable from round 6; round 8's five new queries forced fifteen keys
+    * shorter (each renames noted in SURVEY §9.2's regenerated table, the
+    * cross-round trend key). BenchAliasSpec pins uniqueness, no stale
+    * sources, and the worst-case line fit. */
   val alias: Map[String, String] = Map(
     "topk_asc_filtered" -> "tka", "stratified_sample" -> "strat",
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
