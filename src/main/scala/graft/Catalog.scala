@@ -1024,6 +1024,15 @@ object Catalog {
     "op_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    // batch-BPE APPLY — the middle of the op_bpe_pairs -> op_oov_rate
+    // tokenizer loop: 2 rounds x 16 learned merges applied in priority
+    // order over the distinct-word vocab (merge work scales with vocab,
+    // not corpus rows; each round's merge list is a bounded 16-row pin),
+    // emitting the top-100 subword pieces of the tokenized corpus
+    "op_bpe_apply" -> ((s, dir) =>
+      TextOps.bpeApply(t(s, dir, "documents"), "text",
+        mergesPerRound = 16, rounds = 2, topK = 100)),
+
     // out-of-vocabulary stats per doc against the corpus' own top-500 word
     // vocab: the tokenizer-coverage measurement (explode + broadcast mark
     // join + per-doc aggregate; empty docs drop — no tokens)

@@ -1678,6 +1678,75 @@ object OracleSql {
       SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pairs
       GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 50""",
 
+    // Batch-BPE apply: 2 rounds x 16 ranked merges over the distinct-word
+    // vocab. Symbols live in a '||'-guarded string; one merge = one
+    // literal replace('|x||y|' -> '|xy|') — left-to-right non-overlapping
+    // in DuckDB exactly as in Spark. Each recursive CTE steps through one
+    // round's rank-ordered merge list (rnk = step + 1); recursion stops
+    // when no rank matches, and the max-step filter keeps the fully-merged
+    // state even if fewer than 16 distinct pairs exist. Tie order
+    // (cnt DESC, x, y) is total, so the merge lists are identical
+    // cross-engine.
+    "op_bpe_apply" -> """
+      WITH RECURSIVE
+      words AS (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+          t -> length(t) > 0)) AS word
+        FROM documents),
+      vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+      init AS (
+        SELECT word, freq,
+          '||' || array_to_string(list_transform(
+            generate_series(1, length(word) + 1),
+            i -> substr(word || '_', i, 1)), '||') || '||' AS s
+        FROM vocab),
+      m1 AS (
+        SELECT x, y, row_number() OVER (ORDER BY cnt DESC, x, y) AS rnk
+        FROM (
+          SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
+            SELECT freq, unnest(list_transform(
+              generate_series(1, len(a) - 1),
+              i -> {'x': a[i], 'y': a[i + 1]})) AS p
+            FROM (SELECT freq, list_filter(string_split(s, '||'),
+                    t -> length(t) > 0) AS a FROM init)
+            WHERE len(a) >= 2)
+          GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 16)),
+      ap1 AS (
+        SELECT 0 AS step, word, freq, s FROM init
+        UNION ALL
+        SELECT a.step + 1, a.word, a.freq,
+          replace(a.s, '|' || m.x || '||' || m.y || '|',
+            '|' || m.x || m.y || '|')
+        FROM ap1 a JOIN m1 m ON m.rnk = a.step + 1),
+      r1 AS (SELECT word, freq, s FROM ap1
+             WHERE step = (SELECT max(step) FROM ap1)),
+      m2 AS (
+        SELECT x, y, row_number() OVER (ORDER BY cnt DESC, x, y) AS rnk
+        FROM (
+          SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
+            SELECT freq, unnest(list_transform(
+              generate_series(1, len(a) - 1),
+              i -> {'x': a[i], 'y': a[i + 1]})) AS p
+            FROM (SELECT freq, list_filter(string_split(s, '||'),
+                    t -> length(t) > 0) AS a FROM r1)
+            WHERE len(a) >= 2)
+          GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 16)),
+      ap2 AS (
+        SELECT 0 AS step, word, freq, s FROM r1
+        UNION ALL
+        SELECT a.step + 1, a.word, a.freq,
+          replace(a.s, '|' || m.x || '||' || m.y || '|',
+            '|' || m.x || m.y || '|')
+        FROM ap2 a JOIN m2 m ON m.rnk = a.step + 1),
+      r2 AS (SELECT word, freq, s FROM ap2
+             WHERE step = (SELECT max(step) FROM ap2))
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count FROM (
+        SELECT freq, unnest(list_filter(string_split(s, '||'),
+          t -> length(t) > 0)) AS piece
+        FROM r2)
+      GROUP BY piece ORDER BY piece_count DESC, piece LIMIT 100""",
+
     // Per-doc OOV stats vs the corpus' own top-500 vocab (freq desc, word
     // asc — the same deterministic total order as the Spark side).
     "op_oov_rate" -> """

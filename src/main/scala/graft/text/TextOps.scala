@@ -410,6 +410,90 @@ object TextOps {
         count(when(col("vword").isNull, 1)).as("n_oov"))
   }
 
+  /** Batch-BPE tokenization — the APPLY side of the tokenizer loop that
+    * [[bpePairs]] (train pair stats) and [[oovStats]] (coverage) bracket:
+    * learn `mergesPerRound` ranked merges per round from the corpus' own
+    * distinct-word vocab, apply them sequentially in priority order, then
+    * recount pairs on the merged symbols and repeat. Returns the top
+    * `topK` subword pieces by total occurrence (count desc, piece asc —
+    * deterministic), i.e. the piece-frequency table of the learned
+    * tokenizer applied to the whole corpus. With `rounds` ≥ 2 the merges
+    * compose (round 2 merges pairs of round-1 pieces), so pieces grow
+    * beyond 2 chars exactly as sequential BPE's do.
+    *
+    * Representation: each word's symbol sequence is a guarded string
+    * `||s1||s2||…||sn||` (symbols are lower-case alphanumerics plus the
+    * '_' end-of-word sentinel, so '|' never occurs inside a symbol).
+    * Applying merge (x, y) is then ONE literal
+    * `replace(s, "|x||y|", "|xy|")`: the doubled separator means the
+    * pattern consumes just one '|' from each boundary, so back-to-back
+    * occurrences all merge in a single left-to-right pass — the standard
+    * BPE apply semantics — and a false match spanning a symbol boundary
+    * is impossible (inside a symbol no char is adjacent to a bare '|').
+    * Literal `replace` is left-to-right non-overlapping in both Spark
+    * (UTF8String.replace) and DuckDB, so the oracle's recursive-CTE
+    * mirror of this pass is bit-identical.
+    *
+    * Scale: the only corpus-sized stage is one tokenize + hash aggregate
+    * down to the (word, freq) vocab (map-side partials); every merge
+    * round after that is O(vocab · word length) narrow work regardless of
+    * corpus row count — the same trainer reduction as [[bpePairs]]. Each
+    * round's learned merge list is a bounded `mergesPerRound`-row driver
+    * collect folded back in as literal expressions (the bounded-pin
+    * pattern of [[Pq]]'s codebooks). Pair-count ties break on
+    * (x asc, y asc) — a total order, so the merge list (and therefore
+    * every downstream byte) is deterministic cross-engine. */
+  def bpeApply(docs: DataFrame, textCol: String = "text",
+      mergesPerRound: Int = 16, rounds: Int = 2, topK: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session)
+      : DataFrame = {
+    require(mergesPerRound > 0, "mergesPerRound must be positive")
+    require(rounds > 0, "rounds must be positive")
+    require(topK > 0, "topK must be positive")
+    // (word, freq) vocab — read by every round's pair count AND the final
+    // piece aggregate, so it persists under the caller's scope
+    val vocab = scope.persist(docs
+      .select(explode(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+    // initial symbol string: chars of word || '_', '||'-guarded
+    val sym0 = concat(lit("||"),
+      array_join(transform(sequence(lit(1), length(col("word")) + 1),
+        i => concat(col("word"), lit("_")).substr(i, lit(1))), "||"),
+      lit("||"))
+    var cur = vocab.select(col("word"), col("freq"), sym0.as("s"))
+    for (_ <- 1 to rounds) {
+      // adjacent-symbol pairs of the CURRENT segmentation, freq-weighted;
+      // single-symbol words have no pairs (and sequence(1, 0) would count
+      // DOWN — the filter keeps the generator total)
+      val ranked = cur
+        .select(col("freq"),
+          filter(split(col("s"), "\\|\\|"), t => length(t) > 0).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("a")) - 1),
+            i => struct(element_at(col("a"), i).as("x"),
+              element_at(col("a"), i + 1).as("y")))).as("p"))
+        .select(col("freq"), col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("x"), asc("y"))
+        .limit(mergesPerRound)
+        .collect() // bounded: ≤ mergesPerRound rows
+        .map(r => (r.getString(0), r.getString(1)))
+      cur = cur.withColumn("s", ranked.foldLeft(col("s")) {
+        case (c, (x, y)) =>
+          replace(c, lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|"))
+      })
+    }
+    cur
+      .select(col("freq"), explode(
+        filter(split(col("s"), "\\|\\|"), t => length(t) > 0)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("piece_count"))
+      .orderBy(desc("piece_count"), asc("piece"))
+      .limit(topK)
+  }
+
   /** Heavy hitters (tokens with true count ≥ `threshold`) via a
     * Count-Min-Sketch prefilter + exact settle. Pass 1 builds the sketch
     * (one pass, mergeable counters, KB-scale result); pass 2 keeps only

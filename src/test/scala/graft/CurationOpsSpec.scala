@@ -258,6 +258,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq("aa", "a_", "ab", "b_"))
   }
 
+  test("bpeApply: guarded merges, adjacent occurrences, 2-round composition, tie order") {
+    import spark.implicits._
+    // vocab: abab freq 3 (case-folded), cd freq 1; blank doc contributes 0
+    val docs = Seq((1L, "abab ABab"), (2L, "abab cd"), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.bpeApply(docs, "text",
+        mergesPerRound = 2, rounds = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // round 1 pairs: (a,b)=6, (b,a)=3, (b,_)=3, (c,d)=1, (d,_)=1
+    //   -> merges [(a,b), (b,_)] ('_' < 'a' on the y tie)
+    //   abab: ONE left-to-right pass merges BOTH ab occurrences;
+    //   (b,_) must NOT fire inside the new "ab" symbol (the '|' guard)
+    // round 2 pairs: (ab,ab)=3, (ab,_)=3, (c,d)=1, (d,_)=1
+    //   -> merges [(ab,_), (ab,ab)]; (ab,_) consumes the tail first so
+    //   (ab,ab) finds nothing — order-dependence exercised
+    // final: abab -> [ab, ab_] ×3; cd -> [c, d, _] ×1
+    assert(out == Seq("ab" -> 3L, "ab_" -> 3L, "_" -> 1L, "c" -> 1L,
+      "d" -> 1L))
+  }
+
   test("oovStats: top-k vocab with lexical tie-break; empty docs drop") {
     import spark.implicits._
     val docs = Seq((1L, "x x y z"), (2L, "x q"), (3L, "")).toDF("doc_id", "text")
