@@ -69,10 +69,10 @@ object Bench {
     "range_join" -> "rng_j", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
-    "key_union" -> "key_un", "retention" -> "ret",
+    "key_union" -> "kun", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fzy", "period_gen" -> "per",
-    "repetition" -> "repeat", "source_mix" -> "smix",
+    "repetition" -> "rep", "source_mix" -> "smix",
     "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
     "stream_join" -> "sjn", "json_extract" -> "jsx",
     "batch_agg" -> "bat", "pq_encode" -> "pq_enc",
@@ -82,6 +82,7 @@ object Bench {
     "ivf_ann" -> "ivf", "resample" -> "rsm",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
+    "bpe_apply" -> "bpea",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
@@ -92,6 +93,24 @@ object Bench {
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
     "rolling_actives" -> "ract", "degree_hist" -> "dgh",
     "union" -> "uni", "pit_join" -> "pit")
+
+  /** Machine-readable metric-line key RENAMES (old key → current key),
+    * cumulative since the round-6 "stable" §9.2 table: apply to the
+    * per-query map of a historical BENCH_r{N}.json to rekey it into the
+    * current encoding before trending across rounds. Round 8: nine alias
+    * shortenings plus six formerly-unaliased keys that gained aliases;
+    * round 9: two shortenings (op_bpe_apply's new key forced headroom).
+    * BenchAliasSpec pins every value to a live metric key and every old
+    * key to NOT be one (a rename can't silently alias a live query). */
+  val aliasRenames: Map[String, String] = Map(
+    // round 8
+    "batch" -> "bat", "bloom" -> "blm", "claims" -> "clm",
+    "dtrunc" -> "dtr", "fuzzy" -> "fzy", "gsets" -> "gst",
+    "kmeans" -> "kmn", "nexus" -> "nx", "resmpl" -> "rsm",
+    "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
+    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
+    // round 9
+    "repeat" -> "rep", "key_un" -> "kun")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

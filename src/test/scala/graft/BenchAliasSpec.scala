@@ -22,6 +22,16 @@ class BenchAliasSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"aliases without a declared query: ${stale.mkString(", ")}")
   }
 
+  test("aliasRenames maps dead keys to live ones (historical rekey stays valid)") {
+    val live = declared.map(Bench.metricKey)
+    val badTargets = Bench.aliasRenames.values.toSet.diff(live)
+    assert(badTargets.isEmpty,
+      s"rename targets that are not current metric keys: ${badTargets.mkString(", ")}")
+    val liveOld = Bench.aliasRenames.keySet.intersect(live)
+    assert(liveOld.isEmpty,
+      s"rename sources that still ARE current metric keys: ${liveOld.mkString(", ")}")
+  }
+
   test("worst-case slim-3 metric line fits the 1960-char guard with headroom") {
     // 4-digit centiseconds for every query (99.99 s each — far beyond any
     // healthy run) still has to fit, so a merely slow round cannot push
