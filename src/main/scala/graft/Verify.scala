@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Write each query's result to `outDir/<name>` parquet. A query that
+    * THROWS still produces a frame — a one-row `__verify_error` marker —
+    * so the driver's oracle compare records a loud schema/hash failure
+    * for that key instead of omitting it (round 7 silently dropped 9
+    * broken ops because nothing was written). Extracted from [[main]] so
+    * VerifySpec can pin the marker path with an injected throwing query. */
+  def dump(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      sfDir: String, outDir: String): Unit =
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
+        }
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local iteration;
     // the driver always passes exactly two)
@@ -27,28 +52,9 @@ object Verify {
     // the same subtree reuses them via the CacheManager
     val shared = Catalog.sharedFrames(spark, sfDir)
     shared.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A failed query must stay VISIBLE in the driver's correctness
-        // report (round 7 silently dropped 9 broken ops because nothing
-        // was written): emit a one-row error-marker frame under the same
-        // name — the oracle compare then records a loud schema/hash
-        // failure for this key instead of omitting it.
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        try {
-          import spark.implicits._
-          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
-            .toDF("__verify_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
-        }
-      }
-    }
+    dump(spark,
+      SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) },
+      sfDir, outDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
