@@ -82,7 +82,7 @@ object Bench {
     "ivf_ann" -> "ivf", "resample" -> "rsm",
     "image_phash" -> "i_ph", "image_resize" -> "i_rs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
-    "bpe_apply" -> "bpea",
+    "bpe_apply" -> "bpea", "line_dups" -> "lnd",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",

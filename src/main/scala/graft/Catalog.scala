@@ -46,7 +46,23 @@ object Catalog {
     * already unit-agnostic (epoch_ns/epoch_us/INTERVAL on TIMESTAMP). */
   private[graft] def tsAsNanos(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema(c).dataType match {
-      case LongType => df
+      case LongType => df.withColumn(c,
+        // A plain BIGINT ts is ASSUMED to be epoch-nanos (the
+        // TIMESTAMP(NANOS)-under-`nanosAsLong` representation). The
+        // fixture unit is driver-owned and has changed once already
+        // (ns → µs between rounds 6 and 7); if it ever ships epoch-µs/ms/s
+        // as a bare long, silently passing it through would leave every
+        // downstream op off by 1000×+ on the Spark side only — so fail
+        // LOUDLY on magnitude instead: post-1973 nanos are ≥ 1e17, while a
+        // 2020s-era µs epoch is ~1.7e15, ms ~1.7e12, s ~1.7e9. One long
+        // compare per row, codegen-friendly.
+        when(col(c).isNotNull && col(c) < lit(100000000000000000L),
+          raise_error(concat(
+            lit(s"tsAsNanos: long column '$c' holds "), col(c).cast(StringType),
+            lit(" — too small for epoch-nanos (>= 1e17); the fixture's ts " +
+              "unit likely changed to micros/millis/seconds as a bare " +
+              "BIGINT. Normalize it here before any downstream op runs."))))
+          .otherwise(col(c)))
       case _ => df.withColumn(c,
         unix_micros(col(c).cast(TimestampType)) * lit(1000L))
     }
@@ -188,6 +204,21 @@ object Catalog {
           .otherwise(lit("")),
         when(col("doc_id") % 3 === 0,
           lit("\n\nsubscribe to the newsletter for updates and announcements"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Documents with planted repeated LINES — the fixture texts are
+    * single-line, so the duplicate-line query appends identical extra
+    * lines (2× for every 4th doc, 3× for every 6th) in-plan; mirrored in
+    * OracleSql. */
+  def lineCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nrepeated footer line instance\nrepeated footer line instance"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\nrepeated legal notice line\nrepeated legal notice line" +
+            "\nrepeated legal notice line"))
           .otherwise(lit(""))).as("text"))
 
   /** Documents with deterministically planted PII — the fixture texts
@@ -1176,6 +1207,12 @@ object Catalog {
     // paragraph count (survivor = lowest doc id owning the paragraph)
     "op_para_dedup" -> ((s, dir) =>
       Dedup.paraDedup(paraCorpus(s, dir))),
+
+    // Gopher duplicate-LINE fraction per document over the planted
+    // repeated-line corpus — the within-doc repetition signal; fully
+    // narrow HOF pass, no (doc, line) explode, zero shuffles
+    "op_line_dups" -> ((s, dir) =>
+      TextOps.lineDups(lineCorpus(s, dir))),
 
     // C4-style boilerplate STRIP over the planted corpus: paragraphs in
     // >= 10 distinct docs are dropped, the cleaned doc is re-joined in

@@ -2970,6 +2970,40 @@ object OracleSql {
       FROM perdoc d JOIN owner o USING (ph)
       GROUP BY d.doc_id""",
 
+    // Gopher duplicate-line stats over the planted repeated-line corpus:
+    // trimmed non-empty newline splits, dup count = occurrences beyond
+    // each line's first, dup_char_frac from exact integer char sums (one
+    // int-to-double division — bit-stable cross-engine).
+    "op_line_dups" -> """
+      WITH lc AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN
+            chr(10) || 'repeated footer line instance' ||
+            chr(10) || 'repeated footer line instance'
+            ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN
+            chr(10) || 'repeated legal notice line' ||
+            chr(10) || 'repeated legal notice line' ||
+            chr(10) || 'repeated legal notice line'
+            ELSE '' END AS text
+        FROM documents),
+      arr AS (
+        SELECT doc_id, list_filter(
+          list_transform(string_split(text, chr(10)), l -> trim(l)),
+          l -> length(l) > 0) AS ls
+        FROM lc)
+      SELECT doc_id,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+        CAST(list_aggregate(list_transform(ls, l -> length(l)), 'sum')
+          AS BIGINT) AS chars_total,
+        CAST(list_aggregate(list_transform(ls, l -> length(l)), 'sum')
+            - list_aggregate(list_transform(list_distinct(ls),
+                l -> length(l)), 'sum') AS DOUBLE)
+          / CAST(list_aggregate(list_transform(ls, l -> length(l)), 'sum')
+            AS DOUBLE) AS dup_char_frac
+      FROM arr WHERE len(ls) > 0""",
+
     // C4-style boilerplate strip over the planted corpus: drop paragraphs
     // appearing in >= 10 distinct docs, clean_hash = md5 of the kept
     // paragraphs re-joined in original order (empty docs hash '').

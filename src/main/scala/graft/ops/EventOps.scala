@@ -282,12 +282,24 @@ object EventOps {
     * change records share a timestamp.
     *
     * Returns the left records with `dim_type`-style attribute columns
-    * (`attrCols` values as-of the record's time) and `version`. */
+    * (`attrCols` values as-of the record's time) and `version`.
+    *
+    * Match semantics: the default `keepUnmatched = false` DROPS left
+    * records with no as-of dimension state — inner-join-like. With the
+    * dimension built from the events' own change log (this method's
+    * shape) a state always exists at each record's timestamp, so the
+    * filter is a no-op; reusing the join against an INDEPENDENT dimension
+    * whose history starts later than the records is where the choice
+    * bites — pass the external log as `dimEvents` with
+    * `keepUnmatched = true` to surface unmatched records with null
+    * `dim_type`/`version` instead of hiding them. */
   def pitJoin(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "tus", tieCol: String = "event_id",
-      attrCol: String = "event_type"): DataFrame = {
+      attrCol: String = "event_type",
+      dimEvents: Option[DataFrame] = None,
+      keepUnmatched: Boolean = false): DataFrame = {
     val changes = compactLatest(
-      events.select(userCol, tsCol, tieCol, attrCol),
+      dimEvents.getOrElse(events).select(userCol, tsCol, tieCol, attrCol),
       keys = Seq(userCol, tsCol), orderCols = Seq(tieCol),
       payload = Seq(attrCol))
     val dim = scd2(changes, userCol, col(tsCol), col(tieCol), Seq(attrCol))
@@ -299,7 +311,7 @@ object EventOps {
       keys = Seq(userCol), leftTs = tsCol, rightTs = tsCol,
       valueCols = Seq("dim_type", "version"),
       rightIdCol = Some("version"))
-      .filter(col("dim_type").isNotNull)
+      .filter(lit(keepUnmatched) || col("dim_type").isNotNull)
       .select(tieCol, userCol, "dim_type", "version")
   }
 

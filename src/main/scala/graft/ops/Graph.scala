@@ -178,7 +178,16 @@ object Graph {
     * driver program owns the iteration loop.
     *
     * Returns the `topK` vertices by (rank desc, vertex asc) as
-    * `(v, rank_fp)` — TakeOrderedAndProject, never a global sort. */
+    * `(v, rank_fp)` — TakeOrderedAndProject, never a global sort.
+    *
+    * Caching: the degree and adjacency persists (two longs per vertex +
+    * three longs per directed edge) live for the session under the
+    * default [[CacheScope.Session]] — the documented library trade, and
+    * measured harmless at the catalog's own budget (PLANS.md round-9
+    * audit: all session persists together are ~0.2% of the heap). A
+    * caller sweeping MANY DISTINCT graphs in one long-lived session
+    * should pass its own scope and `unpersistAll()` between graphs, as
+    * the triangle ops' scaladoc prescribes. */
   def pageRank(edges: DataFrame, iterations: Int = 2, topK: Int = 20,
       scope: CacheScope = CacheScope.Session): DataFrame = {
     require(iterations >= 1 && iterations <= 10, "iterations must be in [1, 10]")

@@ -494,6 +494,39 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Gopher-style duplicate-LINE statistics per document: line count,
+    * duplicate-line count (occurrences beyond each line's first), and the
+    * duplicate-character fraction — the within-document repetition signal
+    * the line-level C4/Gopher filters threshold on. Lines are trimmed
+    * newline splits; empty lines don't count.
+    *
+    * Scale: fully NARROW — the line array, its distinct form, and both
+    * character sums are per-row HOF expressions riding the corpus scan;
+    * there is no (doc, line) explode and no shuffle anywhere (contrast
+    * [[graft.text.Dedup.paraDedup]], whose cross-document ownership
+    * genuinely needs one). The one division per doc is exact-int-to-double
+    * — bit-stable cross-engine. */
+  def lineDups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ls = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val charSum = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    docs
+      .select(col(idCol), ls.as("ls"))
+      .filter(size(col("ls")) > 0)
+      .select(col(idCol),
+        size(col("ls")).cast(LongType).as("n_lines"),
+        (size(col("ls")) - size(array_distinct(col("ls"))))
+          .cast(LongType).as("n_dup_lines"),
+        charSum(col("ls")).as("chars_total"),
+        charSum(array_distinct(col("ls"))).as("chars_distinct"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        col("chars_total"),
+        ((col("chars_total") - col("chars_distinct")).cast(DoubleType) /
+          col("chars_total").cast(DoubleType)).as("dup_char_frac"))
+  }
+
   /** Heavy hitters (tokens with true count ≥ `threshold`) via a
     * Count-Min-Sketch prefilter + exact settle. Pass 1 builds the sketch
     * (one pass, mergeable counters, KB-scale result); pass 2 keeps only

@@ -278,6 +278,22 @@ class CurationOpsSpec extends SparkSpec {
       "d" -> 1L))
   }
 
+  test("lineDups: trimmed non-empty lines, dup counts beyond first, char fraction") {
+    import spark.implicits._
+    // doc 1: lines [a, b, a, a] (blank + whitespace lines drop):
+    //   4 lines, 2 dups; chars total 1+1+1+1=4, distinct {a,b}=2 -> 0.5
+    // doc 2: all unique; doc 3: all blank -> dropped
+    val docs = Seq(
+      (1L, "a\nb\n\n  \na\na"), (2L, "xy\nz"), (3L, "\n  \n"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.lineDups(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 2L, 4L, 0.5)),
+      2L -> ((2L, 0L, 3L, 0.0))))
+  }
+
   test("oovStats: top-k vocab with lexical tie-break; empty docs drop") {
     import spark.implicits._
     val docs = Seq((1L, "x x y z"), (2L, "x q"), (3L, "")).toDF("doc_id", "text")

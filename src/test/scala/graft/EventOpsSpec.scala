@@ -5,6 +5,44 @@ import graft.ops.EventOps
 
 class EventOpsSpec extends SparkSpec {
 
+  test("tsAsNanos: plausible long nanos pass through; a micros-scale long fails loudly") {
+    import spark.implicits._
+    val nanos = Seq((1L, 1700000000L * 1000000000L)).toDF("event_id", "ts")
+    assert(Catalog.tsAsNanos(nanos).collect().head.getLong(1) ==
+      1700000000L * 1000000000L)
+    // the round-7 failure mode inverted: if the fixture ever ships
+    // epoch-MICROS as a bare BIGINT, the magnitude guard must throw, not
+    // silently leave every downstream op off by 1000x
+    val micros = Seq((1L, 1700000000L * 1000000L)).toDF("event_id", "ts")
+    val e = intercept[Exception] {
+      Catalog.tsAsNanos(micros).collect()
+    }
+    assert(e.getMessage.contains("too small for epoch-nanos") ||
+      Option(e.getCause).exists(_.getMessage.contains("too small for epoch-nanos")))
+    // null ts rows must not trip the guard
+    val withNull = Seq((1L, Some(1700000000L * 1000000000L)), (2L, None))
+      .toDF("event_id", "ts")
+    assert(Catalog.tsAsNanos(withNull).collect().length == 2)
+  }
+
+  test("pitJoin: keepUnmatched surfaces records before an independent dimension's history") {
+    import spark.implicits._
+    // user 1's dimension history starts at t=20; a record at t=10 has NO
+    // as-of state — the reuse case where the default drop-semantics bite
+    val ev = Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"))
+      .toDF("user_id", "tus", "event_id", "event_type")
+    val dimSrc = Some(ev.filter(col("tus") >= 20L))
+    // default: inner-join-like — the pre-history record is dropped
+    assert(EventOps.pitJoin(ev, dimEvents = dimSrc).count() == 1)
+    // keepUnmatched: the record surfaces with null dim state
+    val kept = EventOps.pitJoin(ev, dimEvents = dimSrc,
+        keepUnmatched = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(kept == Map(100L -> None, 101L -> Some("b")))
+    // self-dimension (the declared-query shape): the filter is a no-op
+    assert(EventOps.pitJoin(ev).count() == 2)
+  }
+
   test("funnel: stages must be strictly time-ordered per user") {
     import spark.implicits._
     // user 1: view(10) -> click(20) -> purchase(30)   = full funnel
