@@ -23,36 +23,36 @@ object Bench {
     * cross-round trend key). BenchAliasSpec pins uniqueness, no stale
     * sources, and the worst-case line fit. */
   val alias: Map[String, String] = Map(
-    "topk_asc_filtered" -> "tka", "stratified_sample" -> "strat",
+    "topk_asc_filtered" -> "tka", "stratified_sample" -> "str",
     "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
     "states_exempting" -> "st_ex", "refund_by_reason" -> "rfr",
     "filing_deadlines" -> "ddl", "display_truncate" -> "dtr",
-    "state_quantiles" -> "stq", "state_breakdown" -> "stbrk",
-    "refund_by_state" -> "rf_st", "label_centroids" -> "cent",
-    "doc_fingerprint" -> "doc_fp", "video_features" -> "vft",
-    "stream_windows" -> "s_win", "refund_summary" -> "rfs",
-    "media_features" -> "med_ft", "json_roundtrip" -> "jsrt",
-    "image_features" -> "img_ft", "hist_quantiles" -> "h_qtl",
-    "filter_project" -> "f_proj", "filed_semijoin" -> "f_semi",
-    "embed_quantize" -> "quant", "effective_rate" -> "eff",
-    "dedup_clusters" -> "dd_cl", "audio_features" -> "aud_ft",
-    "contamination" -> "ctm", "dedup_recall" -> "dd_rec",
+    "state_quantiles" -> "stq", "state_breakdown" -> "sbk",
+    "refund_by_state" -> "rst", "label_centroids" -> "cent",
+    "doc_fingerprint" -> "dfp", "video_features" -> "vft",
+    "stream_windows" -> "swn", "refund_summary" -> "rfs",
+    "media_features" -> "mft", "json_roundtrip" -> "jrt",
+    "image_features" -> "ift", "hist_quantiles" -> "hqt",
+    "filter_project" -> "fpj", "filed_semijoin" -> "fsm",
+    "embed_quantize" -> "qz", "effective_rate" -> "eff",
+    "dedup_clusters" -> "ddc", "audio_features" -> "aft",
+    "contamination" -> "ctm", "dedup_recall" -> "ddr",
     "bigram_score" -> "bgs", "unigram_score" -> "ugs",
-    "dedup_exact" -> "ddx", "minhash_pairs" -> "mh_p",
+    "dedup_exact" -> "ddx", "minhash_pairs" -> "mhp",
     "token_jaccard" -> "jac", "passage_dups" -> "psg",
     "csv_roundtrip" -> "csvr", "orc_roundtrip" -> "orcr",
-    "stream_nexus" -> "s_nx", "quality_score" -> "qual",
+    "stream_nexus" -> "snx", "quality_score" -> "qual",
     "text_quality" -> "tq", "token_count" -> "tokc",
-    "subword_count" -> "subw", "hash_sample" -> "h_smp",
+    "subword_count" -> "subw", "hash_sample" -> "hsm",
     "split_assign" -> "split", "kmv_distinct" -> "kmv",
-    "embed_neardup" -> "e_near", "topk_per_key" -> "tkk",
-    "window_rank" -> "wrnk", "events_window" -> "ev_win",
-    "rates_listing" -> "rates", "refund_claims" -> "rf_cl",
-    "refund_scan" -> "rfsc", "refund_report" -> "rf_rpt",
+    "embed_neardup" -> "enr", "topk_per_key" -> "tkk",
+    "window_rank" -> "wrnk", "events_window" -> "evw",
+    "rates_listing" -> "rates", "refund_claims" -> "rfc",
+    "refund_scan" -> "rfsc", "refund_report" -> "rrp",
     "claims_nested" -> "clm", "nexus_check" -> "nx",
     "tax_report" -> "txr", "tax_summary" -> "txs",
-    "case_bucket" -> "c_bkt", "unknown_state" -> "unks",
-    "incl_backout" -> "bko", "txn_details" -> "t_det",
+    "case_bucket" -> "cbk", "unknown_state" -> "unks",
+    "incl_backout" -> "bko", "txn_details" -> "tdt",
     "text_report" -> "ttr", "sort_duedate" -> "due",
     "para_dedup" -> "padd", "sql_surface" -> "sql",
     "stream_dedup" -> "sdd", "top_ngrams" -> "ngr",
@@ -64,23 +64,23 @@ object Bench {
     "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
     "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
     "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
-    "phash_pairs" -> "ph_p", "salted_join" -> "sltj",
+    "phash_pairs" -> "php", "salted_join" -> "sltj",
     "salted_agg" -> "slta", "rolling_fp" -> "rfp",
-    "range_join" -> "rng_j", "lead_ntile" -> "ntile",
+    "range_join" -> "rj", "lead_ntile" -> "ntile",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "kun", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fzy", "period_gen" -> "per",
     "repetition" -> "rep", "source_mix" -> "smix",
-    "ivfpq_ann" -> "ivfpq", "quickscan" -> "qscan",
+    "ivfpq_ann" -> "ipq", "quickscan" -> "qscan",
     "stream_join" -> "sjn", "json_extract" -> "jsx",
-    "batch_agg" -> "bat", "pq_encode" -> "pq_enc",
-    "rate_join" -> "rate_j", "topk_desc" -> "tkd",
-    "ann_topk" -> "ann_tk", "distinct" -> "dist",
+    "batch_agg" -> "bat", "pq_encode" -> "pqe",
+    "rate_join" -> "rtj", "topk_desc" -> "tkd",
+    "ann_topk" -> "atk", "distinct" -> "dist",
     "smj_join" -> "smj", "temp_mix" -> "tmix",
     "ivf_ann" -> "ivf", "resample" -> "rsm",
-    "image_phash" -> "i_ph", "image_resize" -> "i_rs",
+    "image_phash" -> "iph", "image_resize" -> "irs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "bpe_apply" -> "bpea", "line_dups" -> "lnd",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
@@ -99,7 +99,9 @@ object Bench {
     * per-query map of a historical BENCH_r{N}.json to rekey it into the
     * current encoding before trending across rounds. Round 8: nine alias
     * shortenings plus six formerly-unaliased keys that gained aliases;
-    * round 9: two shortenings (op_bpe_apply's new key forced headroom).
+    * round 9: two shortenings (op_bpe_apply's new key forced headroom);
+    * round 10: thirty-two shortenings freeing ~72 worst-case chars so the
+    * next several catalog additions don't re-trip the line-fit guard.
     * BenchAliasSpec pins every value to a live metric key and every old
     * key to NOT be one (a rename can't silently alias a live query). */
   val aliasRenames: Map[String, String] = Map(
@@ -110,12 +112,43 @@ object Bench {
     "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
     // round 9
-    "repeat" -> "rep", "key_un" -> "kun")
+    "repeat" -> "rep", "key_un" -> "kun",
+    // round 10
+    "ann_tk" -> "atk", "aud_ft" -> "aft", "doc_fp" -> "dfp",
+    "med_ft" -> "mft", "img_ft" -> "ift", "h_qtl" -> "hqt",
+    "e_near" -> "enr", "f_proj" -> "fpj", "f_semi" -> "fsm",
+    "rng_j" -> "rj", "rate_j" -> "rtj", "stbrk" -> "sbk",
+    "strat" -> "str", "s_win" -> "swn", "quant" -> "qz",
+    "pq_enc" -> "pqe", "ivfpq" -> "ipq", "rf_rpt" -> "rrp",
+    "rf_st" -> "rst", "rf_cl" -> "rfc", "t_det" -> "tdt",
+    "s_nx" -> "snx", "c_bkt" -> "cbk", "h_smp" -> "hsm",
+    "dd_rec" -> "ddr", "dd_cl" -> "ddc", "mh_p" -> "mhp",
+    "ph_p" -> "php", "i_ph" -> "iph", "i_rs" -> "irs",
+    "ev_win" -> "evw", "jsrt" -> "jrt")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {
     val s = name.stripPrefix("op_")
     alias.getOrElse(s, s)
+  }
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Full-fidelity sidecar JSON (round-10 headroom decision, SURVEY §9.2):
+    * unaliased query names, 3-decimal seconds, min-of-2 AND pass-1 values —
+    * the trend ledger that survives any stdout-line degradation. Pure so
+    * BenchSidecarSpec can pin the format without running a bench. */
+  def sidecarJson(total: Double, agg: String, warmSec: Double,
+      p1Total: Double, failed: Seq[String], sfDir: String,
+      results: Map[String, Double], p1: Map[String, Double]): String = {
+    def fullJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""agg":"$agg","warm_sec":${f3(warmSec)},"pass1_total":${f3(p1Total)},""" +
+      s""""failed":$failedJson,"sf":"$sfDir",""" +
+      s""""queries":${fullJson(results)},"pass1":${fullJson(p1)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,6 +252,19 @@ object Bench {
         }
         .find(_.length <= 1960)
         .getOrElse(line("{}", sorted.length, slim = 3)))
+    // Durable full-fidelity sidecar (round-10 headroom decision, SURVEY
+    // §9.2): the stdout line is the DRIVER contract and must fit its
+    // 2000-char tail, so it degrades (slim levels, then drop-cheapest with
+    // q_omitted). This file is the TREND ledger: full query names, 3-decimal
+    // seconds, both passes — so stdout degradation never loses per-query
+    // data; commit it with the round. Best-effort: a bench must never fail
+    // on a read-only working dir.
+    try {
+      val side = sidecarJson(total, agg, warmSec, p1Total, failed.toSeq,
+        sfDir, results, p1)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_LOCAL.json"),
+        (side + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
     println(out)
     System.out.flush()
     spark.stop()
