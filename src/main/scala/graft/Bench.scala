@@ -83,6 +83,7 @@ object Bench {
     "image_phash" -> "iph", "image_resize" -> "irs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "bpe_apply" -> "bpea", "line_dups" -> "lnd",
+    "incr_dedup" -> "incd", "sem_dedup" -> "semd",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",

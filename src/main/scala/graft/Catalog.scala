@@ -221,6 +221,48 @@ object Catalog {
             "\nrepeated legal notice line"))
           .otherwise(lit(""))).as("text"))
 
+  /** NEW ingest batch for the incremental-dedup query, constructed in-plan
+    * with ids offset ABOVE every historical id (IncrDedup's min-id
+    * survivorship contract; mirrored in OracleSql): near-dup copies of
+    * every 10th doc (drop against history), fresh reversed-text docs for
+    * every 13th (keep — reversed shingles match nothing), and a near-dup
+    * of that fresh doc for every 26th (an in-batch duplicate — drops
+    * against the batch itself, exercising the new×new path). Same
+    * HARNESS-ONLY repartition note as [[dedupCorpus]]. */
+  def ingestBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate copy suffix")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0).select(
+        (col("doc_id") + 2000000000L).as("doc_id"),
+        reverse(col("text")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 26 === 0).select(
+        (col("doc_id") + 3000000000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" ingest copy marker")).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Persistent MinHash band index over the HISTORICAL corpus (= raw
+    * documents) for the incremental-dedup query — written once per sfDir
+    * and reused across runs/passes (the [[stagedEvents]]
+    * memoize-and-revalidate contract): real ingest probes a standing
+    * index; rebuilding history per query would defeat the operator. */
+  private val incrIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def incrIndex(s: SparkSession, dir: String): String = {
+    incrIndexDirs.get(dir).filterNot(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach(_ => incrIndexDirs.remove(dir))
+    incrIndexDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_incr_idx")
+      graft.text.IncrDedup.writeIndex(
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism), out)
+      out
+    })
+  }
+
   /** Documents with deterministically planted PII — the fixture texts
     * carry no emails/phones/IPs, so the scrub query appends synthetic ones
     * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
@@ -1436,6 +1478,24 @@ object Catalog {
       Dedup.survivors(corpus,
         Dedup.components(Dedup.jaccardPairs(corpus)))
     }),
+
+    // incremental-corpus dedup — the recurring-ingest shape: the NEW batch
+    // probes the PERSISTED band index of the historical corpus (written
+    // once per sfDir, memoized); history never recomputes, and the keep
+    // flags equal a from-scratch dedup of the union restricted to the
+    // batch (the oracle computes exactly that; IncrDedupSpec proves the
+    // equality in-unit)
+    "op_incr_dedup" -> ((s, dir) =>
+      graft.text.IncrDedup.dedupAgainst(
+        s, ingestBatch(s, dir), incrIndex(s, dir)).decisions),
+
+    // SemDeDup-style semantic dedup: k-means/IVF cell assignment scopes
+    // the pairwise cosine work (per-cell occupancy bounds it — the IVF
+    // economics applied to dedup); within a cell, a vector with a >= 0.3
+    // cosine neighbor of smaller id drops
+    "op_sem_dedup" -> ((s, dir) =>
+      Similarity.semDedup(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3)),
 
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)

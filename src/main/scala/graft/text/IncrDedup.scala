@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental-corpus near-dup dedup — the recurring-ingest shape a real
+  * 100 TB pipeline runs daily: dedup a NEW batch (crawl snapshot) against
+  * the PERSISTED MinHash band index of the existing corpus without
+  * recomputing the historical side.
+  *
+  * Index layout (the [[Pq.writeCellStore]] write-time pattern applied to
+  * [[Dedup]]'s band tables): `path/bands` = (bk, id) where `bk` is the
+  * single-string band key "band:v1,v2,v3,v4" over the portable MinHash
+  * signature, and `path/sigs` = (id, sig). The index holds EVERY historical
+  * document's signature — kept AND dropped: a dropped doc's signature still
+  * witnesses its cluster, and without it a new doc near-dup'ing a dropped
+  * historical doc (but not that doc's surviving cluster min) would be
+  * wrongly kept. This is what makes incremental == from-scratch EXACT
+  * (IncrDedupSpec proves it), not an approximation that drifts per batch.
+  *
+  * Probe economics: signatures/banding for the new batch are the same
+  * narrow codegen maps as the batch path; the only joins are
+  * (new bands ⋈ stored bands) on `bk` — the stored side is a plain
+  * columnar scan, the new side is small by definition of an ingest batch,
+  * so the optimizer broadcasts it and the INDEX IS NEVER SHUFFLED — plus
+  * the bounded signature-verify joins and the within-batch self-join.
+  * History cost: zero recompute; O(index scan) I/O. At 100 TB, write the
+  * band table bucketed on `bk` ([[graft.ops.Layout.writeBucketed]]) and
+  * even repeated self-maintenance joins stay exchange-free.
+  *
+  * New-batch ids must be strictly greater than every historical id (ingest
+  * batches are id-monotone by construction — enforced with a loud check):
+  * survivor semantics are min-id, so a cluster containing any historical
+  * doc can never elect a new doc, which is exactly what makes the
+  * incremental keep flags equal the from-scratch-over-union flags
+  * restricted to the new batch.
+  */
+object IncrDedup {
+
+  /** Single-string band keys "band:v1,..,v4" for a signature column —
+    * [[Dedup.lshCandidatesFromSigs]]'s banding flattened to one join key
+    * (equality on the pair ⟺ equality on the string; ':' cannot occur in
+    * the comma-joined long values). */
+  def bandKeys(sig: Column): Column =
+    array((0 until Dedup.Bands).map(b =>
+      concat_ws(":", lit(b), concat_ws(",",
+        slice(sig, lit(b * Dedup.RowsPerBand + 1), lit(Dedup.RowsPerBand))))): _*)
+
+  /** (id, sig) with the engine-portable MinHash signature. */
+  def signatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("id"),
+      Dedup.minhashSignaturePortable(col(textCol)).as("sig"))
+
+  /** (bk, id) exploded band table of a signature frame. */
+  def bandTable(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select("bk", "id")
+
+  /** Write the persistent index for a historical corpus: `path/sigs` and
+    * `path/bands` (parquet). Call once; append [[Result.deltaSigs]] /
+    * [[Result.deltaBands]] after each ingest. */
+  def writeIndex(hist: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val sigs = signatures(hist, textCol, idCol)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    bandTable(sigs).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Incremental dedup result: per-new-doc decisions
+    * (doc_id, keep — keep ⟺ the doc is its combined-cluster min), and the
+    * index delta to append (ALL new docs' rows — see the class note on why
+    * dropped docs' signatures must enter the index too). */
+  final case class Result(decisions: DataFrame, deltaSigs: DataFrame,
+      deltaBands: DataFrame)
+
+  /** Signature-verified near-dup pairs from band-collision candidates:
+    * join both ids back to their signatures, count agreeing hash slots,
+    * keep pairs agreeing on ≥ `minAgree` of the 64. */
+  private def verify(cand: DataFrame, aSigs: DataFrame, bSigs: DataFrame,
+      minAgree: Int): DataFrame =
+    cand
+      .join(aSigs.select(col("id").as("a"), col("sig").as("sig_a")), "a")
+      .join(bSigs.select(col("id").as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("n_agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("n_agree") >= minAgree)
+      .select("a", "b")
+
+  /** Dedup `newBatch` against the index at `path`.
+    *
+    * Pair graph = (new ⋈ history band collisions) ∪ (new ⋈ new band
+    * collisions), both signature-verified at `minAgree`; decisions come
+    * from connected components over that graph (transitive chains through
+    * history or through other new docs must drop, exactly as a
+    * from-scratch run would) — `keep` ⟺ cluster min == own id. History
+    * never recomputes and history×history never joins.
+    */
+  def dedupAgainst(spark: SparkSession, newBatch: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minAgree: Int = 20,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): Result = {
+    val histSigs = spark.read.parquet(s"$path/sigs")
+    val histBands = spark.read.parquet(s"$path/bands")
+    // persisted: feeds its band explode, two verify joins, and the final
+    // decisions join — the expensive narrow stage must run once (the same
+    // contract as Dedup.minhashPairs' signature table)
+    val newSigs = scope.persist(signatures(newBatch, textCol, idCol))
+    val newBands = bandTable(newSigs)
+
+    // loud guard, not silent wrong answers: min-id survivor semantics need
+    // every new id above every historical id (1-row aggregates, trivial)
+    val maxHist = histSigs.agg(max("id")).head().getLong(0)
+    val minNew = newSigs.agg(min("id")).head().getLong(0)
+    require(minNew > maxHist,
+      s"IncrDedup: new-batch ids must exceed all historical ids " +
+        s"(min new = $minNew, max hist = $maxHist) — min-id survivorship " +
+        s"is undefined otherwise")
+
+    // new × history candidates: the stored side is a columnar scan keyed by
+    // bk; the new side is the small one — a < b with a = hist id always
+    val nhCand = histBands.select(col("bk"), col("id").as("a"))
+      .join(newBands.select(col("bk"), col("id").as("b")), "bk")
+      .select("a", "b").distinct()
+    // new × new candidates within the batch (an ingest batch can contain
+    // its own near-dups)
+    val nnCand = newBands.select(col("bk"), col("id").as("a"))
+      .join(newBands.select(col("bk"), col("id").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val pairs = verify(nhCand, histSigs, newSigs, minAgree)
+      .unionByName(verify(nnCand, newSigs, newSigs, minAgree))
+
+    val labels = Dedup.components(pairs)
+    val decisions = newSigs.select(col("id").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("keep"))
+    Result(decisions, newSigs, bandTable(newSigs))
+  }
+}

@@ -230,6 +230,39 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings into IVF/k-means cells, then within each cell
+    * drop every vector that has a ≥ `minCos` cosine neighbor with a
+    * SMALLER id — the paper's keep-one-representative rule made
+    * deterministic by min-id. Closes the gap between [[nearDupPairs]]
+    * (LSH pair REPORTING) and cluster-scoped corpus-level semantic
+    * PRUNING. Output: (vec_id, ivf_cell, keep).
+    *
+    * Scale — the IVF economics applied to dedup: pair work is bounded by
+    * per-cell occupancy (Σ n_c², never corpus n²); grow `model.c` with the
+    * corpus to hold occupancy constant. The self-join keys on the cell id,
+    * the drop set aggregates to distinct ids, and the final decision is
+    * one left anti-ish join — no windows, no driver collect. Cosine is the
+    * fused codegen [[graft.functions.CosineSim]], so the threshold compare
+    * is bit-stable cross-engine (the oracle mirrors the accumulation
+    * order). */
+  def semDedup(corpus: DataFrame, model: Ivf.Model,
+      minCos: Double): DataFrame = {
+    val assigned = Ivf.assign(corpus, model)
+      .select(col("vec_id"), col("ivf_cell"), col("embedding"))
+    val l = assigned.select(col("ivf_cell"), col("vec_id").as("a"),
+      col("embedding").as("a_emb"))
+    val r = assigned.select(col("ivf_cell"), col("vec_id").as("b"),
+      col("embedding").as("b_emb"))
+    val dropped = l.join(r, Seq("ivf_cell"))
+      .filter(col("a") < col("b"))
+      .filter(cosine(col("a_emb"), col("b_emb")) >= minCos)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.select("vec_id", "ivf_cell")
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ivf_cell"), col("is_dropped").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the multi-table LSH buckets (each unordered pair once). */
   def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,
