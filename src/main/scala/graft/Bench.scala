@@ -24,8 +24,8 @@ object Bench {
     * sources, and the worst-case line fit. */
   val alias: Map[String, String] = Map(
     "topk_asc_filtered" -> "tka", "stratified_sample" -> "str",
-    "neardup_survivors" -> "ndup", "curation_pipeline" -> "cur",
-    "states_exempting" -> "st_ex", "refund_by_reason" -> "rfr",
+    "neardup_survivors" -> "nd", "curation_pipeline" -> "cur",
+    "states_exempting" -> "sx", "refund_by_reason" -> "rfr",
     "filing_deadlines" -> "ddl", "display_truncate" -> "dtr",
     "state_quantiles" -> "stq", "state_breakdown" -> "sbk",
     "refund_by_state" -> "rst", "label_centroids" -> "cent",
@@ -40,14 +40,14 @@ object Bench {
     "bigram_score" -> "bgs", "unigram_score" -> "ugs",
     "dedup_exact" -> "ddx", "minhash_pairs" -> "mhp",
     "token_jaccard" -> "jac", "passage_dups" -> "psg",
-    "csv_roundtrip" -> "csvr", "orc_roundtrip" -> "orcr",
+    "csv_roundtrip" -> "cv", "orc_roundtrip" -> "oc",
     "stream_nexus" -> "snx", "quality_score" -> "qual",
     "text_quality" -> "tq", "token_count" -> "tokc",
     "subword_count" -> "subw", "hash_sample" -> "hsm",
-    "split_assign" -> "split", "kmv_distinct" -> "kmv",
+    "split_assign" -> "spl", "kmv_distinct" -> "kmv",
     "embed_neardup" -> "enr", "topk_per_key" -> "tkk",
     "window_rank" -> "wrnk", "events_window" -> "evw",
-    "rates_listing" -> "rates", "refund_claims" -> "rfc",
+    "rates_listing" -> "rl", "refund_claims" -> "rfc",
     "refund_scan" -> "rfsc", "refund_report" -> "rrp",
     "claims_nested" -> "clm", "nexus_check" -> "nx",
     "tax_report" -> "txr", "tax_summary" -> "txs",
@@ -56,24 +56,24 @@ object Bench {
     "text_report" -> "ttr", "sort_duedate" -> "due",
     "para_dedup" -> "padd", "sql_surface" -> "sql",
     "stream_dedup" -> "sdd", "top_ngrams" -> "ngr",
-    "stream_sessions" -> "sses", "compact_latest" -> "cpt",
-    "boilerplate" -> "boil", "shard_shuffle" -> "shard",
-    "zscore" -> "zsc", "zorder" -> "zord", "winnow" -> "winw",
-    "gopher_rules" -> "goph", "vocab_coverage" -> "vcov",
+    "stream_sessions" -> "ss", "compact_latest" -> "cpt",
+    "boilerplate" -> "boil", "shard_shuffle" -> "shd",
+    "zscore" -> "zsc", "zorder" -> "zord", "winnow" -> "ww",
+    "gopher_rules" -> "goph", "vocab_coverage" -> "vc",
     "hard_negatives" -> "hneg", "embed_norm" -> "enorm",
     "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
     "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
     "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
     "phash_pairs" -> "php", "salted_join" -> "sltj",
     "salted_agg" -> "slta", "rolling_fp" -> "rfp",
-    "range_join" -> "rj", "lead_ntile" -> "ntile",
+    "range_join" -> "rj", "lead_ntile" -> "nt",
     "sessionize" -> "sess", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "kun", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fzy", "period_gen" -> "per",
     "repetition" -> "rep", "source_mix" -> "smix",
-    "ivfpq_ann" -> "ipq", "quickscan" -> "qscan",
+    "ivfpq_ann" -> "ipq", "quickscan" -> "qs",
     "stream_join" -> "sjn", "json_extract" -> "jsx",
     "batch_agg" -> "bat", "pq_encode" -> "pqe",
     "rate_join" -> "rtj", "topk_desc" -> "tkd",
@@ -84,6 +84,9 @@ object Bench {
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "bpe_apply" -> "bpea", "line_dups" -> "lnd",
     "incr_dedup" -> "incd", "sem_dedup" -> "semd",
+    "c4_rules" -> "c4", "char_diversity" -> "chd",
+    "linear_score" -> "lin", "rand_proj" -> "rpj",
+    "containment" -> "ctn",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
@@ -125,7 +128,13 @@ object Bench {
     "s_nx" -> "snx", "c_bkt" -> "cbk", "h_smp" -> "hsm",
     "dd_rec" -> "ddr", "dd_cl" -> "ddc", "mh_p" -> "mhp",
     "ph_p" -> "php", "i_ph" -> "iph", "i_rs" -> "irs",
-    "ev_win" -> "evw", "jsrt" -> "jrt")
+    "ev_win" -> "evw", "jsrt" -> "jrt",
+    // round 10, second batch (the four new r10 query keys re-consumed
+    // the margin): twelve more shortenings, ~28 worst-case chars freed
+    "st_ex" -> "sx", "split" -> "spl", "shard" -> "shd",
+    "rates" -> "rl", "qscan" -> "qs", "ntile" -> "nt",
+    "sses" -> "ss", "ndup" -> "nd", "winw" -> "ww",
+    "csvr" -> "cv", "orcr" -> "oc", "vcov" -> "vc")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

@@ -221,6 +221,47 @@ object Catalog {
             "\nrepeated legal notice line"))
           .otherwise(lit(""))).as("text"))
 
+  /** Documents with planted C4-rule structure — the fixture texts are a
+    * single unpunctuated line, so the C4-filter query terminates the base
+    * line for every even doc and appends marker lines in-plan (a too-short
+    * punctuated line for all; a long kept sentence for doc_id % 3 ≠ 1;
+    * another for every 5th; `javascript` / `lorem ipsum` / `{` boilerplate
+    * for every 7th / 11th / 13th), exercising every flag; mirrored in
+    * OracleSql. */
+  def c4Corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+        lit("\nshort line here."),
+        when(col("doc_id") % 3 =!= 1,
+          lit("\nthis properly terminated sentence has enough words to pass!"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nanother well formed sentence appears right here today?"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nenable javascript to view this page")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nlorem ipsum dolor sit amet")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+        .as("text"))
+
+  /** Documents plus planted EXCERPTS — every 7th doc contributes a new
+    * doc (id + 2,000,000) holding its first max(⌊n/2⌋, 3) whitespace
+    * words. An excerpt's 3-gram shingles are a subset of its source's, so
+    * containment(excerpt, source) ≈ 1.0 while Jaccard sits near the
+    * excerpt/source size ratio — the asymmetric-dup fixture; mirrored in
+    * OracleSql. */
+  def contCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val k = greatest((size(toks) / lit(2)).cast(IntegerType), lit(3))
+    d.unionAll(d.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      array_join(slice(toks, lit(1), k), " ").as("text")))
+  }
+
   /** NEW ingest batch for the incremental-dedup query, constructed in-plan
     * with ids offset ABOVE every historical id (IncrDedup's min-id
     * survivorship contract; mirrored in OracleSql): near-dup copies of
@@ -1301,6 +1342,12 @@ object Catalog {
       graft.text.Embeddings.quantizeInt8(t(s, dir, "embeddings"))
         .select("vec_id", "max_abs", "scale", "q_sum", "max_err")),
 
+    // signed random projection (JL-style) over the int8-quantized
+    // vectors: deterministic ±1 signs from an (i, j) hash, integer-only
+    // sums — one narrow map stage, no stored projection matrix
+    "op_rand_proj" -> ((s, dir) =>
+      graft.text.Embeddings.randProj(t(s, dir, "embeddings"), outDims = 16)),
+
     // per-dimension z-standardization from exact quantized-integer
     // sufficient stats (bit-stable cross-engine); stats over the WHOLE
     // corpus, normalized rows emitted for the %25 query subset
@@ -1428,6 +1475,24 @@ object Catalog {
     "op_gopher_rules" -> ((s, dir) =>
       TextOps.gopherRules(t(s, dir, "documents"))),
 
+    // C4-style line-level filter over the planted structured corpus:
+    // kept-line count (terminal punctuation + ≥5 words), surviving-char
+    // fraction, boilerplate markers — all per-row HOFs, zero shuffles
+    "op_c4_rules" -> ((s, dir) =>
+      TextOps.c4Rules(c4Corpus(s, dir))),
+
+    // character-distribution diversity: Simpson index from exact integer
+    // char counts (log-free — Shannon entropy can't hash-match across
+    // engines), nested-HOF histogram riding the scan
+    "op_char_diversity" -> ((s, dir) =>
+      TextOps.charDiversity(t(s, dir, "documents"))),
+
+    // hashed bag-of-words linear classifier: portable md5-60 token →
+    // bucket, fixed integer weight table, per-doc score + threshold label
+    // — the fastText-style scoring pass as one narrow map stage
+    "op_linear_score" -> ((s, dir) =>
+      TextOps.linearScore(t(s, dir, "documents"))),
+
     // tokenizer-vocab coverage curve: top-50 tokens with the cumulative
     // share of all token occurrences they cover
     "op_vocab_coverage" -> ((s, dir) =>
@@ -1435,6 +1500,12 @@ object Catalog {
 
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
+
+    // asymmetric shingle containment over the planted-excerpt corpus: the
+    // near-dup signal Jaccard misses (excerpt ⊂ source ⇒ containment ≈ 1
+    // at Jaccard ≈ size ratio); same de-hubbed index + maxDf bound
+    "op_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(contCorpus(s, dir))),
 
     // text-dedup candidate quality, the dedup-side sibling of
     // op_ann_recall: how many exact (de-hubbed) jaccard near-dup pairs

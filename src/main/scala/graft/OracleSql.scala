@@ -2172,6 +2172,95 @@ object OracleSql {
           OR fail_stopword OR fail_repeat) AS keep
       FROM fl""",
 
+    // C4-style line-level filter over the planted structured corpus
+    // (Catalog.c4Corpus mirrored line-for-line): a line is kept when it
+    // ends in terminal punctuation and has >= 5 whitespace words; flags
+    // mirror TextOps.c4Rules exactly. kept_char_frac is a single
+    // exact-int division.
+    "op_c4_rules" -> """
+      WITH c AS (
+        SELECT doc_id,
+          text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+            || chr(10) || 'short line here.'
+            || CASE WHEN doc_id % 3 <> 1 THEN chr(10)
+                 || 'this properly terminated sentence has enough words to pass!'
+               ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+                 || 'another well formed sentence appears right here today?'
+               ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                 || 'enable javascript to view this page' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                 || 'lorem ipsum dolor sit amet' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                 || 'function f() { return 1; }' ELSE '' END
+          AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id, text, lower(text) AS low,
+          list_filter(list_transform(string_split(text, chr(10)),
+            x -> trim(x)), x -> length(x) > 0) AS ls
+        FROM c),
+      k AS (
+        SELECT doc_id, text, low, ls,
+          list_filter(ls, x -> right(x, 1) IN ('.', '!', '?', '"')
+            AND len(string_split_regex(x, '\s+')) >= 5) AS kept
+        FROM l)
+      SELECT doc_id,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+          THEN CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0)
+                 AS DOUBLE)
+             / CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE)
+        END AS kept_char_frac,
+        len(kept) < 3 AS fail_few_lines,
+        low LIKE '%lorem ipsum%' AS fail_lorem,
+        low LIKE '%javascript%' AS fail_js,
+        contains(text, '{') AS fail_brace,
+        NOT (len(kept) < 3 OR low LIKE '%lorem ipsum%'
+          OR low LIKE '%javascript%' OR contains(text, '{')) AS keep
+      FROM k""",
+
+    // Character-distribution diversity: Simpson index from exact integer
+    // char counts (TextOps.charDiversity's narrow nested-HOF histogram,
+    // re-expressed as the unnest-and-group formulation).
+    "op_char_diversity" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        WHERE length(text) > 0),
+      cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      a AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+          CAST(count(*) AS BIGINT) AS n_distinct_chars,
+          CAST(max(k) AS BIGINT) AS top_char_n,
+          CAST(sum(k * k) AS BIGINT) AS sum_sq
+        FROM cnt GROUP BY doc_id)
+      SELECT doc_id, n_chars, n_distinct_chars, top_char_n,
+        CAST(sum_sq AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE)
+          AS repeat_prob
+      FROM a""",
+
+    // Hashed bag-of-words linear classifier: portable md5-60 token hash
+    // into 64 feature buckets, fixed integer weight table
+    // w(b) = (b*37 mod 21) - 10, per-doc score + threshold label —
+    // TextOps.linearScore mirrored hash-for-hash.
+    "op_linear_score" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+          coalesce(list_sum(list_transform(toks,
+            t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
+                   * 37 % 21 - 10)), 0) AS score
+        FROM tok)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(score AS BIGINT) AS score, score > 0 AS label_positive
+      FROM s""",
+
     // Tokenizer-vocab coverage curve: top-50 tokens by (count desc, token)
     // with cumulative share of all occurrences (exact-integer division).
     "op_vocab_coverage" -> """
@@ -2296,6 +2385,47 @@ object OracleSql {
       SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 10""",
 
     "op_token_jaccard" -> jaccardPairsSql,
+
+    // Asymmetric shingle containment over the planted-excerpt corpus
+    // (Catalog.contCorpus mirrored): same de-hubbed index derivation as
+    // jaccardPairsSql, kept when inter/min(na, nb) >= 0.8 (multiplicative
+    // integer filter; the reported containment is ONE exact-int division).
+    "op_containment" -> """
+      WITH cont AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+          array_to_string(toks[1:greatest(len(toks)//2, 3)], ' ') AS text
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 7 = 0)),
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM cont),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT i.a, i.b, i.inter,
+        CAST(ca.n_sh AS BIGINT) AS na, CAST(cb.n_sh AS BIGINT) AS nb,
+        CAST(i.inter AS DOUBLE) / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE)
+          AS containment
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.a
+      JOIN counts cb ON cb.doc_id = i.b
+      WHERE i.inter * 1000 >= least(ca.n_sh, cb.n_sh) * 800""",
 
     // Near-dup clusters: the jaccard pair derivation, then exact connected
     // components via a recursive CTE (cluster id = min reachable doc_id —
@@ -3328,6 +3458,30 @@ object OracleSql {
                    - round(CAST(x AS DOUBLE) * (127.0 / max_abs))
                      / (127.0 / max_abs))), 'max') AS max_err
       FROM m WHERE max_abs > 0""",
+
+    // Signed random projection over the int8-quantized vectors: signs
+    // from the same (i, j) hash as Embeddings.randProj, integer-only
+    // sums — bit-exact cross-engine by construction.
+    "op_rand_proj" -> """
+      WITH m AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') AS max_abs
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT))
+          AS qa
+        FROM m WHERE max_abs > 0),
+      e AS (
+        SELECT vec_id, generate_subscripts(qa, 1) - 1 AS i, unnest(qa) AS qv
+        FROM q)
+      SELECT e.vec_id, j.dim,
+        CAST(sum(qv * CASE
+          WHEN (2654435761 * i + 1103515245 * j.dim) % 1000000007 % 2 = 0
+          THEN 1 ELSE -1 END) AS BIGINT) AS proj_q
+      FROM e CROSS JOIN range(0, 16) j(dim)
+      GROUP BY e.vec_id, j.dim""",
 
     // format_text printf-parity: every console line of the tax-liability
     // summary report rebuilt from exact cents (comma-grouped int + 2-digit

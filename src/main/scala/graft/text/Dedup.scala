@@ -299,7 +299,42 @@ object Dedup {
     * index trick; at 100 TB this is what keeps the op near-linear). */
   def jaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxDf: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame =
+    shingleIntersections(docs, textCol, idCol, maxDf, scope)
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("union_n"))
+      .select("a", "b", "inter", "union_n")
+
+  /** Asymmetric shingle CONTAINMENT pairs — the near-dup signal Jaccard
+    * misses: an excerpt/quote/subset doc shares nearly ALL of its own
+    * shingles with its source while the symmetric Jaccard can sit at ~0.5
+    * or below. Keeps pairs where `inter / min(n_a, n_b) ≥ minPermille/1000`
+    * (threshold multiplicative — integer-only; the reported containment is
+    * ONE exact-int division). Same de-hubbed inverted index, same maxDf
+    * cap, same O(collisions) bound as [[jaccardPairs]].
+    *
+    * Scale: identical posture to [[jaccardPairs]] — the two ops share the
+    * [[shingleIntersections]] core, so running both against the same
+    * corpus reuses the persisted index via plan-identity caching. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxDf: Int = 100, minPermille: Int = 800,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      "minPermille must be in [1, 1000]")
+    shingleIntersections(docs, textCol, idCol, maxDf, scope)
+      .filter(col("inter") * 1000 >= least(col("na"), col("nb")) * minPermille)
+      .select(col("a"), col("b"), col("inter"),
+        col("na").cast(LongType).as("na"), col("nb").cast(LongType).as("nb"),
+        (col("inter").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
+  }
+
+  /** Shared core of [[jaccardPairs]] / [[containmentPairs]]: de-hubbed
+    * inverted shingle index → per-pair intersection counts with both
+    * docs' distinct-shingle counts carried through the aggregation. */
+  private def shingleIntersections(docs: DataFrame, textCol: String,
+      idCol: String, maxDf: Int,
+      scope: graft.ops.CacheScope): DataFrame = {
     // Per-doc distinct-shingle count rides ALONG the exploded index (size
     // of the shingle array, same narrow map), so there is no per-doc counts
     // aggregation and no (a)/(b) count joins downstream — two fewer
@@ -327,9 +362,6 @@ object Dedup {
       // pair aggregation instead of re-joining per-doc counts
       .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
     inter
-      .withColumn("union_n", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * 2 >= col("union_n"))
-      .select("a", "b", "inter", "union_n")
   }
 
   /** Connected components over an undirected pair list — the clustering

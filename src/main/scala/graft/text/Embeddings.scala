@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,5 +89,38 @@ object Embeddings {
       .select(col(idCol), col("dim"), col("q"),
         when(col("sd") > 0.0,
           (col("q").cast(DoubleType) - col("mean")) / col("sd")).as("z"))
+  }
+
+  /** Signed random projection (Achlioptas/JL-style dimensionality
+    * reduction) to `outDims` components — the standard cheap pre-ANN
+    * compression: each output component is Σᵢ qᵢ·s(i,j) with s(i,j) ∈ {±1}
+    * drawn from a DETERMINISTIC hash of the (input-dim, output-dim) pair,
+    * over the int8-quantized vector ([[quantizeInt8]]) so the entire
+    * projection is integer math — bit-stable cross-engine, no projection
+    * MATRIX to store or broadcast (the "matrix" lives in the expression).
+    * Output is exploded flat as (id, dim, proj_q) — long per component.
+    * Vectors must have exactly `inDims` non-NULL components — anything
+    * else fails LOUDLY (the tsAsNanos discipline); all-zero vectors drop
+    * (no max-abs scale, the [[quantizeInt8]] contract).
+    *
+    * Scale: fully NARROW — quantization and all `outDims` signed sums are
+    * one fused native-expression loop riding the scan; the posexplode
+    * multiplies rows by `outDims` but stays pipeline-local (no shuffle).
+    * At 100 TB this is the one-pass map you'd run before building an ANN
+    * index at reduced dimensionality. */
+  def randProj(df: DataFrame, outDims: Int = 16, inDims: Int = 64,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(outDims >= 1 && inDims >= 1, "dims must be positive")
+    // One fused native expression ([[graft.functions.SignedProj]]):
+    // quantize + all outDims signed sums in a single primitive loop. The
+    // HOF formulations measured ~10× slower (an outer-column `scale`
+    // reference re-evaluates its subtree per element once CollapseProject
+    // inlines it), and a flat 1024-term element_at chain paid ≥1.5 s of
+    // fixed codegen-compilation per execution.
+    df.select(col(idCol),
+      graft.functions.SignedProj(col(embCol), outDims, inDims).as("proj"))
+      .filter(col("proj").isNotNull) // all-zero vectors drop (no scale)
+      .select(col(idCol), posexplode(col("proj")).as(Seq("dim", "proj_q")))
+      .select(col(idCol), col("dim").cast(LongType).as("dim"), col("proj_q"))
   }
 }

@@ -712,4 +712,124 @@ object TextOps {
         (col("cum_cnt").cast(DoubleType) / col("n_total").cast(DoubleType))
           .as("cum_share"))
   }
+
+  /** C4-style line-level quality filter (the Raffel et al. 2020 cleaning
+    * family re-expressed as per-doc NAMED flags, like [[gopherRules]]):
+    * a line is KEPT when it ends in terminal punctuation (`. ! ? "`) and
+    * has at least `minLineWords` whitespace words; a doc fails on
+    *   - fail_few_lines — fewer than `minKeptLines` kept lines
+    *   - fail_lorem / fail_js — boilerplate markers (`lorem ipsum`,
+    *     `javascript`) anywhere in the lower-cased text
+    *   - fail_brace — a `{` anywhere (code/templating leak)
+    * `kept_char_frac` reports how much of the doc's line text survives
+    * the line filter (exact-int single division; NULL for line-less
+    * docs). `keep` is the conjunction of no-fails.
+    *
+    * Scale: fully NARROW — the line split, the kept-line filter (a
+    * per-line HOF predicate), both char sums, and every marker test ride
+    * the corpus scan as one codegen stage; no explode, no shuffle
+    * (the same posture as [[lineDups]]). */
+  def c4Rules(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minKeptLines: Int = 3,
+      minLineWords: Int = 5): DataFrame = {
+    require(minKeptLines >= 1 && minLineWords >= 1,
+      "minKeptLines and minLineWords must be positive")
+    val ls = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val keptLine = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, "\\s+")) >= minLineWords
+    val charSum = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val low = lower(col(textCol))
+    docs
+      .select(col(idCol), col(textCol), ls.as("ls"))
+      .select(col(idCol), col(textCol), col("ls"),
+        filter(col("ls"), keptLine).as("kept"))
+      .select(col(idCol),
+        size(col("ls")).cast(LongType).as("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept_lines"),
+        charSum(col("ls")).as("chars_total"),
+        charSum(col("kept")).as("chars_kept"),
+        low.like("%lorem ipsum%").as("fail_lorem"),
+        low.like("%javascript%").as("fail_js"),
+        col(textCol).contains("{").as("fail_brace"))
+      .withColumn("fail_few_lines", col("n_kept_lines") < minKeptLines)
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        when(col("chars_total") > 0,
+          col("chars_kept").cast(DoubleType) /
+            col("chars_total").cast(DoubleType)).as("kept_char_frac"),
+        col("fail_few_lines"), col("fail_lorem"), col("fail_js"),
+        col("fail_brace"),
+        (!(col("fail_few_lines") || col("fail_lorem") || col("fail_js") ||
+          col("fail_brace"))).as("keep"))
+  }
+
+  /** Character-distribution diversity per document — the log-free quality
+    * signal family (a low-diversity doc is boilerplate, ASCII art, or a
+    * repetition loop): distinct-char count, the most frequent char's
+    * count, and `repeat_prob` = Σ cᵢ² / N² — the Simpson index
+    * (probability two uniformly drawn characters match; 1/N² granular,
+    * high for degenerate text). Shannon entropy is deliberately NOT
+    * computed: `log` is not correctly rounded IEEE (libm-specific), so it
+    * can't hash-match a foreign engine — Simpson's sum-of-squares needs
+    * only integer math plus ONE exact-int division, the op_corr_stats
+    * discipline. Empty docs are dropped (no distribution to measure).
+    *
+    * Scale: fully NARROW — the char histogram is a per-row nested-HOF
+    * computation (for each distinct char, count its occurrences) riding
+    * the corpus scan; O(distinct_chars · len) per doc with
+    * distinct_chars bounded by the alphabet, no explode, no shuffle.
+    * Contrast the oracle's unnest-and-group formulation, which moves
+    * every (doc, char) pair through an aggregate. */
+  def charDiversity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cs = filter(split(col(textCol), ""), c => length(c) === 1)
+    val cnt = (ch: Column, arr: Column) =>
+      size(filter(arr, c => c === ch)).cast(LongType)
+    docs
+      .select(col(idCol), cs.as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(col(idCol), col("cs"), array_distinct(col("cs")).as("d"))
+      .select(col(idCol),
+        size(col("cs")).cast(LongType).as("n_chars"),
+        size(col("d")).cast(LongType).as("n_distinct_chars"),
+        array_max(transform(col("d"), ch => cnt(ch, col("cs"))))
+          .as("top_char_n"),
+        aggregate(col("d"), lit(0L),
+          (acc, ch) => acc + cnt(ch, col("cs")) * cnt(ch, col("cs")))
+          .as("sum_sq"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        col("top_char_n"),
+        (col("sum_sq").cast(DoubleType) /
+          (col("n_chars") * col("n_chars")).cast(DoubleType))
+          .as("repeat_prob"))
+  }
+
+  /** Hashed bag-of-words linear classifier score — the fastText-style
+    * "apply a trained quality model to every document" plumbing: each
+    * token hashes into one of `buckets` feature slots via the
+    * engine-portable md5-60 ([[Dedup.portableHash]]), the slot's integer
+    * weight accumulates, and `label_positive` thresholds the total at 0.
+    * The weight TABLE here is a fixed deterministic stand-in
+    * (`w(b) = (b·37 mod 21) − 10`, integers in [−10, 10]) — swapping in
+    * trained weights is a literal-table change; the hashing, accumulation,
+    * and thresholding pipeline is the operator. Integer-only → bit-stable
+    * cross-engine.
+    *
+    * Scale: fully NARROW — tokenize, hash, weight-lookup, and sum are one
+    * per-row HOF chain riding the corpus scan (no vocabulary broadcast,
+    * no shuffle — the entire "model" lives in the expression), exactly
+    * how a hashed linear model scores 100 TB in one map stage. */
+  def linearScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val w = (t: Column) =>
+      pmod(Dedup.portableHash(t), lit(buckets.toLong)) * 37L % 21L - 10L
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + w(t)).as("score"))
+      .withColumn("label_positive", col("score") > 0)
+  }
 }

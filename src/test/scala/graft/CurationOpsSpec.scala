@@ -473,4 +473,107 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup_docs") == 1L)
     assert(r.getAs[Double]("mean_doc_tokens") == 2.0)
   }
+
+  test("c4Rules: kept-line predicate, every marker flag, keep conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 kept lines (the 2-word "short one." drops), no markers -> keep
+      (1L, "this sentence has at least five words.\nshort one.\n" +
+        "another full sentence with enough words here!\n" +
+        "a third proper sentence with many words today?"),
+      // no line terminated -> 0 kept -> fail_few_lines
+      (2L, "no punctuation line here at all\nsecond line also not terminated"),
+      // 3 kept lines but a javascript marker -> fail_js only
+      (3L, "enable javascript to view this content now please ok.\n" +
+        "good sentence with enough words to pass muster!\n" +
+        "third long sentence carrying plenty of words along?"),
+      // lorem ipsum marker
+      (4L, "lorem ipsum dolor sit amet something else.\n" +
+        "this sentence has at least five words!\n" +
+        "one more full sentence with ample words included?"),
+      // brace marker; the brace line itself is not kept (ends in '}')
+      (5L, "function f() { return 1; }\n" +
+        "this sentence has at least five words.\n" +
+        "another complete sentence with sufficient words there!\n" +
+        "final proper sentence with enough words present?"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.c4Rules(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    //                 n_lines n_kept few   lorem  js     brace  keep
+    assert(out(1L) == ((4L, 3L, false, false, false, false, true)))
+    assert(out(2L) == ((2L, 0L, true, false, false, false, false)))
+    assert(out(3L) == ((3L, 3L, false, false, true, false, false)))
+    assert(out(4L) == ((3L, 3L, false, true, false, false, false)))
+    assert(out(5L) == ((4L, 3L, false, false, false, true, false)))
+    // kept_char_frac: doc 1 drops exactly the 10-char "short one."
+    val r1 = graft.text.TextOps.c4Rules(docs)
+      .filter(col("doc_id") === 1L).collect().head
+    val total = "this sentence has at least five words.".length +
+      "short one.".length +
+      "another full sentence with enough words here!".length +
+      "a third proper sentence with many words today?".length
+    assert(r1.getAs[Double]("kept_char_frac") ==
+      (total - 10).toDouble / total)
+  }
+
+  test("charDiversity: exact char histogram stats and Simpson index") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "zzzz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.charDiversity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "aab": counts {a:2, b:1} -> sum_sq 5, repeat_prob 5/9
+    assert(out == Map(
+      1L -> ((3L, 2L, 2L, 5.0 / 9.0)),
+      2L -> ((4L, 1L, 4L, 1.0))))
+  }
+
+  test("linearScore: md5-60 bucket weights recompute exactly; empty doc scores 0") {
+    import spark.implicits._
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def w(t: String): Long = (md560(t) % 64) * 37 % 21 - 10
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "Alpha  ALPHA"), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.linearScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val s1 = w("alpha") + w("beta") + w("gamma")
+    val s2 = 2 * w("alpha") // lower-cased before hashing
+    assert(out == Map(
+      1L -> ((3L, s1, s1 > 0)),
+      2L -> ((2L, s2, s2 > 0)),
+      3L -> ((0L, 0L, false))))
+  }
+
+  test("randProj: signed integer projection recomputes from the quantized vector") {
+    import spark.implicits._
+    val vec = Seq(0.5f, -1.0f, 0.25f, 0.1f)
+    val docs = Seq((7L, vec), (8L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.text.Embeddings.randProj(docs, outDims = 4, inDims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // zero vector drops (no max-abs scale); 4 dims emitted for vec 7
+    assert(out.keys.map(_._1).toSet == Set(7L))
+    assert(out.size == 4)
+    val scale = 127.0 / 1.0
+    val q = vec.map(x => BigDecimal(x.toDouble * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def sign(i: Int, j: Int): Long =
+      if ((2654435761L * i + 1103515245L * j) % 1000000007L % 2 == 0) 1L
+      else -1L
+    (0 until 4).foreach { j =>
+      val expect = q.zipWithIndex.map { case (qv, i) => qv * sign(i, j) }.sum
+      assert(out((7L, j.toLong)) == expect, s"dim $j")
+    }
+    // signs are genuinely mixed (the hash does not collapse to parity)
+    val signs = for (i <- 0 until 4; j <- 0 until 4) yield sign(i, j)
+    assert(signs.toSet == Set(1L, -1L))
+  }
 }

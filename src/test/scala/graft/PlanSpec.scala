@@ -127,6 +127,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffleCount(df) == 0, "encode→decode→hash must not shuffle")
   }
 
+  test("round-10 HOF ops are fully narrow (zero shuffles, no joins)") {
+    // c4Rules / charDiversity / linearScore are per-row HOF chains over
+    // the documents scan; randProj is quantize + signed sums + posexplode
+    // over the embeddings scan — none may exchange or join
+    for (q <- Seq("op_c4_rules", "op_char_diversity", "op_linear_score",
+        "op_rand_proj")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(shuffleCount(df) == 0, s"$q must ride the scan")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
+
   test("op_pq_encode: one narrow map stage, no joins or exchanges") {
     val df = SparkEntry.queries("op_pq_encode")(spark, sf)
     assert(shuffleCount(df) == 0, "PQ encoding must ride the scan")

@@ -132,6 +132,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("containment pairs: excerpt ⊂ source at full containment; jaccard misses it") {
+    // doc 6 = the first 7 words of doc 1: every excerpt shingle (5 of
+    // them) appears in doc 1's 11 -> containment 1.0, jaccard 5/11 < 1/2
+    val withExcerpt = docs.unionAll(Seq(
+      (6L, "the quick brown fox jumps over the")).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(withExcerpt)
+      .select("a", "b", "inter", "na", "nb", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> ((p._3, p._4, p._5, p._6))).toMap
+    assert(cont((1L, 6L)) == ((5L, 11L, 5L, 1.0)))
+    assert(cont((4L, 6L)) == ((5L, 11L, 5L, 1.0))) // 4 is 1's exact dup
+    assert(cont((1L, 4L))._4 == 1.0) // identical docs contain each other
+    assert(!cont.contains((3L, 6L)))
+    val jac = Dedup.jaccardPairs(withExcerpt)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 6L)),
+      "the excerpt pair must be invisible to symmetric jaccard at 1/2")
+  }
+
   test("brute-force ANN: self-similar embeddings rank first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
