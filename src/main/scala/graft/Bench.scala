@@ -86,7 +86,7 @@ object Bench {
     "incr_dedup" -> "incd", "sem_dedup" -> "semd",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
-    "containment" -> "ctn",
+    "containment" -> "ctn", "knn_graph" -> "knn",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",

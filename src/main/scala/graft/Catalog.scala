@@ -1568,6 +1568,13 @@ object Catalog {
       Similarity.semDedup(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3)),
 
+    // corpus-wide k-NN graph, cell-scoped (the SemDeDup economics applied
+    // to graph construction): every vector's top-5 nearest cell-mates with
+    // rank — one cell-keyed self-join + a cell-bounded rank window
+    "op_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5)),
+
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)

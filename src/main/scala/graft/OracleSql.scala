@@ -2601,6 +2601,27 @@ object OracleSql {
       SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
       FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id""",
 
+    // Cell-scoped corpus k-NN graph: within-cell pairwise cosine (the
+    // sem_dedup derivation without the id ordering), rank window per
+    // query vector with the (cos DESC, neighbor) tie-break mirrored from
+    // Similarity.knnGraph.
+    "op_knn_graph" -> s"""
+      WITH $ivfCtesSql,
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, e.embedding
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+      p AS (
+        SELECT x.vec_id AS q, y.vec_id AS n,
+          ${cosSql("x.embedding", "y.embedding")} AS cos
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id <> y.vec_id),
+      r AS (
+        SELECT q, n, cos,
+          row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk
+        FROM p)
+      SELECT q AS vec_id, CAST(rk AS INT) AS rank, n AS neighbor_id, cos
+      FROM r WHERE rk <= 5""",
+
     "op_simhash" -> s"""
       WITH $shinglesCte,
       hsh AS (

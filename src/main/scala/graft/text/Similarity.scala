@@ -263,6 +263,50 @@ object Similarity {
       .select(col("vec_id"), col("ivf_cell"), col("is_dropped").isNull.as("keep"))
   }
 
+  /** Cell-scoped k-NN GRAPH over the whole corpus — every vector's top-k
+    * nearest cell-mates by cosine, with rank: the corpus×corpus sibling of
+    * [[bruteForceTopK]] (whose query side is a small broadcast set). The
+    * structure behind dedup-graph construction, curriculum mining, and
+    * diversity analysis. Neighbors come from the vector's OWN IVF cell
+    * ([[Ivf.assign]] — the SemDeDup economics): pair work is Σ n_c², never
+    * n², and grows C with the corpus to hold per-cell occupancy constant.
+    * Ties break (cos desc, neighbor_id asc) — deterministic, mirrored in
+    * the oracle.
+    *
+    * Scale: one cell-keyed self-join (the only corpus-sized exchange)
+    * feeding the fused-codegen [[cosine]], then a per-vector rank window
+    * whose partition is bounded by cell occupancy (NOT the corpus — this
+    * is what makes a window acceptable here where [[bruteForceTopK]]
+    * needed the bounded-heap TopK operator). Vectors alone in their cell
+    * emit no rows (no neighbors at nprobe=1 — widen C/probes to trade).
+    *
+    * The assigned frame is PERSISTED (`scope`): [[Ivf.assign]]'s HOF
+    * centroid scoring is CodegenFallback, and feeding it unmaterialized
+    * into the self-join poisons whole-stage codegen for the entire
+    * join+cosine+top-k stage — measured 4.1 s vs 0.6 s at sf0.1 (the
+    * filter-shaped [[semDedup]] tolerates interpreted eval because almost
+    * nothing survives its threshold; the rank path materializes every
+    * scored pair). Caching the tiny (id, cell, emb) frame restores
+    * codegen downstream AND halves the double assign evaluation. */
+  def knnGraph(corpus: DataFrame, model: Ivf.Model, k: Int,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val assigned = scope.persist(Ivf.assign(corpus, model)
+      .select(col("vec_id"), col("ivf_cell"), col("embedding")))
+    val l = assigned.select(col("ivf_cell"), col("vec_id").as("q"),
+      col("embedding").as("q_emb"))
+    val r = assigned.select(col("ivf_cell"), col("vec_id").as("n"),
+      col("embedding").as("n_emb"))
+    l.join(r, Seq("ivf_cell"))
+      .filter(col("q") =!= col("n"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q").orderBy(col("cos").desc, col("n"))))
+      .filter(col("rank") <= k)
+      .select(col("q").as("vec_id"), col("rank"),
+        col("n").as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the multi-table LSH buckets (each unordered pair once). */
   def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,

@@ -65,4 +65,35 @@ class SemDedupSpec extends SparkSpec {
     assert(cells(1L) != cells(3L),
       s"fixture vectors should land in different cells, got $cells")
   }
+
+  test("knnGraph == driver-side within-cell mirror on the fixture") {
+    val got = Similarity.knnGraph(emb, model, k = 5)
+      .select("vec_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(t => (t._3, t._4)).toSeq).toMap
+
+    val vecs = Ivf.assign(emb, model)
+      .select("vec_id", "ivf_cell", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("ivf_cell"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    val byCell = vecs.groupBy(_._2)
+    vecs.foreach { case (id, cell, v) =>
+      val mates = byCell(cell).filter(_._1 != id)
+        .map { case (id2, _, v2) => (id2, cos(v2, v)) }
+        .sortBy { case (id2, c) => (-c, id2) }.take(5).toSeq
+      if (mates.isEmpty) assert(!got.contains(id), s"lone vec $id")
+      else {
+        // the mirror's cosine accumulates in a different order than the
+        // fused expression only when floats differ; compare neighbor ids
+        // exactly and cosines to 1e-12
+        val g = got(id)
+        assert(g.map(_._1) == mates.map(_._1), s"neighbors of $id")
+        g.zip(mates).foreach { case ((_, gc), (_, mc)) =>
+          assert(math.abs(gc - mc) < 1e-12) }
+      }
+    }
+    assert(got.values.forall(_.size <= 5))
+    assert(got.nonEmpty)
+  }
 }
