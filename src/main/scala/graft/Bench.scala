@@ -41,9 +41,9 @@ object Bench {
     "dedup_exact" -> "ddx", "minhash_pairs" -> "mhp",
     "token_jaccard" -> "jac", "passage_dups" -> "psg",
     "csv_roundtrip" -> "cv", "orc_roundtrip" -> "oc",
-    "stream_nexus" -> "snx", "quality_score" -> "qual",
-    "text_quality" -> "tq", "token_count" -> "tokc",
-    "subword_count" -> "subw", "hash_sample" -> "hsm",
+    "stream_nexus" -> "snx", "quality_score" -> "ql",
+    "text_quality" -> "tq", "token_count" -> "tc",
+    "subword_count" -> "sw", "hash_sample" -> "hsm",
     "split_assign" -> "spl", "kmv_distinct" -> "kmv",
     "embed_neardup" -> "enr", "topk_per_key" -> "tkk",
     "window_rank" -> "wrnk", "events_window" -> "evw",
@@ -57,28 +57,28 @@ object Bench {
     "para_dedup" -> "padd", "sql_surface" -> "sql",
     "stream_dedup" -> "sdd", "top_ngrams" -> "ngr",
     "stream_sessions" -> "ss", "compact_latest" -> "cpt",
-    "boilerplate" -> "boil", "shard_shuffle" -> "shd",
+    "boilerplate" -> "bl", "shard_shuffle" -> "shd",
     "zscore" -> "zsc", "zorder" -> "zord", "winnow" -> "ww",
     "gopher_rules" -> "goph", "vocab_coverage" -> "vc",
-    "hard_negatives" -> "hneg", "embed_norm" -> "enorm",
+    "hard_negatives" -> "hn", "embed_norm" -> "en",
     "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
     "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
     "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
     "phash_pairs" -> "php", "salted_join" -> "sltj",
     "salted_agg" -> "slta", "rolling_fp" -> "rfp",
     "range_join" -> "rj", "lead_ntile" -> "nt",
-    "sessionize" -> "sess", "asof_join" -> "asof",
+    "sessionize" -> "se", "asof_join" -> "asof",
     "anti_join" -> "anti", "semi_join" -> "semi",
     "key_union" -> "kun", "retention" -> "ret",
     "pii_scrub" -> "pii", "ann_recall" -> "anr",
     "fuzzy_join" -> "fzy", "period_gen" -> "per",
-    "repetition" -> "rep", "source_mix" -> "smix",
+    "repetition" -> "rep", "source_mix" -> "sm",
     "ivfpq_ann" -> "ipq", "quickscan" -> "qs",
     "stream_join" -> "sjn", "json_extract" -> "jsx",
     "batch_agg" -> "bat", "pq_encode" -> "pqe",
     "rate_join" -> "rtj", "topk_desc" -> "tkd",
     "ann_topk" -> "atk", "distinct" -> "dist",
-    "smj_join" -> "smj", "temp_mix" -> "tmix",
+    "smj_join" -> "smj", "temp_mix" -> "tm",
     "ivf_ann" -> "ivf", "resample" -> "rsm",
     "image_phash" -> "iph", "image_resize" -> "irs",
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
@@ -87,12 +87,13 @@ object Bench {
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
+    "kmv_by_group" -> "kvg",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
-    "pagerank" -> "pgr", "cooccur" -> "cooc",
+    "pagerank" -> "pgr", "cooccur" -> "cc",
     "moments" -> "mom", "rolling_avg" -> "ravg",
-    "transitions" -> "trans", "dataset_card" -> "dcard",
+    "transitions" -> "tr", "dataset_card" -> "dc",
     "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
     "rolling_actives" -> "ract", "degree_hist" -> "dgh",
@@ -134,7 +135,12 @@ object Bench {
     "st_ex" -> "sx", "split" -> "spl", "shard" -> "shd",
     "rates" -> "rl", "qscan" -> "qs", "ntile" -> "nt",
     "sses" -> "ss", "ndup" -> "nd", "winw" -> "ww",
-    "csvr" -> "cv", "orcr" -> "oc", "vcov" -> "vc")
+    "csvr" -> "cv", "orcr" -> "oc", "vcov" -> "vc",
+    // round 10, third batch (ctn/knn/kvg consumed the margin again)
+    "tokc" -> "tc", "subw" -> "sw", "qual" -> "ql",
+    "dcard" -> "dc", "boil" -> "bl", "sess" -> "se",
+    "smix" -> "sm", "tmix" -> "tm", "hneg" -> "hn",
+    "enorm" -> "en", "cooc" -> "cc", "trans" -> "tr")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

@@ -1373,6 +1373,25 @@ object Catalog {
             .as("est_distinct"))
     }),
 
+    // the grouped form: one KMV sketch PER return flag — the mergeable
+    // fixed-memory distinct estimate under groupBy (map-side partial
+    // sketches merge per group), the per-segment profile a 100 TB job
+    // runs instead of count(DISTINCT) per group
+    "op_kmv_by_group" -> ((s, dir) => {
+      val k = 64
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          Dedup.portableHash(col("l_partkey").cast(StringType)).as("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch(col("h"), k).as("minima"))
+        .select(col("l_returnflag"),
+          size(col("minima")).as("n_minima"),
+          when(size(col("minima")) >= k, element_at(col("minima"), k))
+            .as("kth_min"),
+          graft.functions.KmvSketch.estimate(col("minima"), k)
+            .as("est_distinct"))
+    }),
+
     // interval join: events within 1 hour at/after each purchase of the
     // same user — bucketized equi-join + exact range filter, never a
     // per-key cross product

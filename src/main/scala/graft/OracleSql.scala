@@ -1861,6 +1861,25 @@ object OracleSql {
         END AS est_distinct
       FROM m""",
 
+    // Grouped KMV: the same k-minima derivation PER return flag (rank
+    // window inside each group), estimate formula unchanged.
+    "op_kmv_by_group" -> """
+      WITH h AS (
+        SELECT DISTINCT l_returnflag, CAST('0x' || substring(
+          md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, h,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        FROM h)
+      SELECT l_returnflag, count(*) AS n_minima,
+        CASE WHEN count(*) < 64 THEN NULL ELSE max(h) END AS kth_min,
+        CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        END AS est_distinct
+      FROM m WHERE rk <= 64
+      GROUP BY l_returnflag""",
+
     // Interval join: the oracle states the range predicate directly —
     // DuckDB's IEJoin handles it; the Spark side bucketizes (same rows).
     "op_range_join" -> """

@@ -62,4 +62,20 @@ class KmvSketchSpec extends SparkSpec {
     // KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
     assert(math.abs(est - truth) / truth < 0.25, s"est=$est truth=$truth")
   }
+
+  test("grouped sketches equal the per-group recompute (groupBy mergeability)") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_returnflag",
+        Dedup.portableHash($"l_partkey".cast(StringType)).as("h"))
+    val grouped = base.repartition(13).groupBy("l_returnflag")
+      .agg(KmvSketch($"h", 64).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val flags = grouped.keySet
+    assert(flags.size > 1, "fixture should have several return flags")
+    flags.foreach { f =>
+      val alone = base.filter($"l_returnflag" === f)
+        .agg(KmvSketch($"h", 64).as("m")).head().getSeq[Long](0)
+      assert(grouped(f) == alone, s"flag $f")
+    }
+  }
 }
