@@ -87,7 +87,7 @@ object Bench {
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
-    "kmv_by_group" -> "kvg",
+    "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",

@@ -1426,6 +1426,24 @@ object Catalog {
         .select("event_id", "user_id", "purchase_id", "purchase_value")
     }),
 
+    // staleness-bounded as-of: the feature-store "max lookback" contract —
+    // a match older than 1 day nulls the WHOLE feature row (a stale
+    // feature is worse than a missing one); integer-nanos ts math
+    "op_asof_stale" -> ((s, dir) => {
+      val ev = tsAsNanos(t(s, dir, "events"))
+      graft.ops.AsOfJoin.asOf(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("purchase_id", "purchase_value"),
+        rightIdCol = Some("purchase_id"),
+        maxStaleness = Some(86400L * 1000000000L))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    }),
+
     // unknown-state handling (op-unknown-state): deterministically corrupt
     // some state codes to 'ZZ' — unknown rows compute zero tax, are NOT
     // exempt, and carry exactly the unknown-state warning

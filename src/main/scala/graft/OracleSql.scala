@@ -1922,6 +1922,41 @@ object OracleSql {
       SELECT event_id, user_id, purchase_id, purchase_value
       FROM filled WHERE side = 1""",
 
+    // Staleness-bounded as-of: the op_asof_join derivation with the
+    // matched right ts carried alongside, then a 1-day lookback bound in
+    // exact integer nanos nulling the whole match.
+    "op_asof_stale" -> """
+      WITH r AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, event_id AS purchase_id,
+          value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tsn, 1 AS side,
+          CAST(NULL AS BIGINT) AS purchase_id,
+          CAST(NULL AS DOUBLE) AS purchase_value,
+          CAST(NULL AS BIGINT) AS rid,
+          CAST(NULL AS BIGINT) AS rts
+        FROM events
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), user_id, tsn, 0, purchase_id,
+          purchase_value, purchase_id, tsn
+        FROM r),
+      filled AS (
+        SELECT event_id, user_id, tsn, side,
+          last_value(purchase_id IGNORE NULLS) OVER w AS purchase_id,
+          last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value,
+          last_value(rts IGNORE NULLS) OVER w AS mts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY tsn ASC, side ASC, rid ASC NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id,
+        CASE WHEN mts >= tsn - 86400000000000 THEN purchase_id END
+          AS purchase_id,
+        CASE WHEN mts >= tsn - 86400000000000 THEN purchase_value END
+          AS purchase_value
+      FROM filled WHERE side = 1""",
+
     // Unknown-state handling: corrupt states where txn-id % 29 = 0 to 'ZZ'
     // (metadata NULLed — the synthetic generator embeds it at creation, so
     // this chain re-derives the joins the way TaxCalc.withTax does).

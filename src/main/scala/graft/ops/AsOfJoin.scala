@@ -28,14 +28,28 @@ import org.apache.spark.sql.types.LongType
   * a right row whose latest-match has NULL in some value column still
   * supplies that NULL (whole-row semantics), rather than falling back to an
   * older row's value per-column.
+  *
+  * `maxStaleness` (in the ts columns' own units — normalize both sides
+  * first, e.g. [[graft.Catalog.tsAsNanos]]) bounds the lookback: when the
+  * matched right row is older than `left.ts − maxStaleness`, every value
+  * column comes back NULL — the feature-store "max lookback" contract
+  * (a stale feature is worse than a missing one). The bound nulls the
+  * WHOLE match (any older row is staler still), and the plan is unchanged:
+  * the matched ts rides the same carried struct, one extra comparison per
+  * output row.
   */
 object AsOfJoin {
-  private val Reserved = Seq("_side", "_ats", "_rid", "_vals")
+  private val Reserved = Seq("_side", "_ats", "_rid", "_vals", "_mts")
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      rightIdCol: Option[String] = None): DataFrame = {
+      rightIdCol: Option[String] = None,
+      maxStaleness: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "asOf needs at least one right value column")
+    require(maxStaleness.isEmpty ||
+      left.schema(leftTs).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      "maxStaleness needs a NUMERIC ts (normalize first, e.g. tsAsNanos)")
     require(!valueCols.exists(left.columns.contains),
       s"left already contains ${valueCols.mkString(",")}")
     for (c <- Reserved) {
@@ -61,10 +75,18 @@ object AsOfJoin {
     // ignoreNulls), take the last non-null struct, then unpack.
     val filled = u
       .withColumn("_vals",
-        when(col("_side") === 0, struct(valueCols.map(col): _*)))
+        when(col("_side") === 0,
+          struct(col("_ats").as("_mts") +: valueCols.map(col): _*)))
       .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    val fresh = maxStaleness match {
+      case Some(tol) =>
+        (c: String) => when(
+          col("_vals").getField("_mts") >= col(leftTs) - lit(tol),
+          col("_vals").getField(c)).as(c)
+      case None => (c: String) => col("_vals").getField(c).as(c)
+    }
     filled.select(left.columns.toIndexedSeq.map(col) ++
-      valueCols.map(c => col("_vals").getField(c).as(c)): _*)
+      valueCols.map(fresh): _*)
   }
 }

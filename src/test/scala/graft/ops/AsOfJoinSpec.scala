@@ -76,4 +76,33 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("maxStaleness nulls the whole match when the latest right row is too old") {
+    // one right row at ts=200, tolerance 60: the event at 250 (age 50)
+    // keeps its match; the event at 290 (age 90) nulls BOTH value columns
+    val r = Seq((10L, 200L, 7L, 1.5))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val l = Seq((1L, 10L, 250L), (2L, 10L, 290L))
+      .toDF("event_id", "user_id", "ts")
+    val m = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value"), rightIdCol = Some("purchase_id"),
+      maxStaleness = Some(60L))
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(x.fieldIndex("purchase_id"))),
+          Option(x.get(x.fieldIndex("purchase_value"))))).toMap
+    assert(m(1L) == (Some(7L), Some(1.5)))  // age 50 <= 60
+    assert(m(2L) == (None, None))           // age 90 > 60: WHOLE row null
+  }
+
+  test("maxStaleness on a non-numeric ts is rejected loudly") {
+    val lTs = left.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros($"ts"))
+    val rTs = right.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros($"ts"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(lTs, rTs, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"), maxStaleness = Some(60L))
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
 }
