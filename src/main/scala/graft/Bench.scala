@@ -23,14 +23,14 @@ object Bench {
     * cross-round trend key). BenchAliasSpec pins uniqueness, no stale
     * sources, and the worst-case line fit. */
   val alias: Map[String, String] = Map(
-    "topk_asc_filtered" -> "tka", "stratified_sample" -> "str",
-    "neardup_survivors" -> "nd", "curation_pipeline" -> "cur",
-    "states_exempting" -> "sx", "refund_by_reason" -> "rfr",
-    "filing_deadlines" -> "ddl", "display_truncate" -> "dtr",
-    "state_quantiles" -> "stq", "state_breakdown" -> "sbk",
-    "refund_by_state" -> "rst", "label_centroids" -> "cent",
-    "doc_fingerprint" -> "dfp", "video_features" -> "vft",
-    "stream_windows" -> "swn", "refund_summary" -> "rfs",
+    "topk_asc_filtered" -> "tk", "stratified_sample" -> "sf",
+    "neardup_survivors" -> "nd", "curation_pipeline" -> "cp",
+    "states_exempting" -> "sx", "refund_by_reason" -> "rr",
+    "filing_deadlines" -> "fd", "display_truncate" -> "dt",
+    "state_quantiles" -> "sq", "state_breakdown" -> "sbk",
+    "refund_by_state" -> "rst", "label_centroids" -> "lc",
+    "doc_fingerprint" -> "dfp", "video_features" -> "vf",
+    "stream_windows" -> "swn", "refund_summary" -> "rf",
     "media_features" -> "mft", "json_roundtrip" -> "jrt",
     "image_features" -> "ift", "hist_quantiles" -> "hqt",
     "filter_project" -> "fpj", "filed_semijoin" -> "fsm",
@@ -46,12 +46,12 @@ object Bench {
     "subword_count" -> "sw", "hash_sample" -> "hsm",
     "split_assign" -> "spl", "kmv_distinct" -> "kmv",
     "embed_neardup" -> "enr", "topk_per_key" -> "tkk",
-    "window_rank" -> "wrnk", "events_window" -> "evw",
+    "window_rank" -> "wr", "events_window" -> "evw",
     "rates_listing" -> "rl", "refund_claims" -> "rfc",
     "refund_scan" -> "rfsc", "refund_report" -> "rrp",
     "claims_nested" -> "clm", "nexus_check" -> "nx",
     "tax_report" -> "txr", "tax_summary" -> "txs",
-    "case_bucket" -> "cbk", "unknown_state" -> "unks",
+    "case_bucket" -> "cbk", "unknown_state" -> "us",
     "incl_backout" -> "bko", "txn_details" -> "tdt",
     "text_report" -> "ttr", "sort_duedate" -> "due",
     "para_dedup" -> "padd", "sql_surface" -> "sql",
@@ -88,6 +88,7 @@ object Bench {
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
     "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
+    "ngram_lang_id" -> "nli",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
@@ -112,7 +113,7 @@ object Bench {
   val aliasRenames: Map[String, String] = Map(
     // round 8
     "batch" -> "bat", "bloom" -> "blm", "claims" -> "clm",
-    "dtrunc" -> "dtr", "fuzzy" -> "fzy", "gsets" -> "gst",
+    "dtrunc" -> "dt", "fuzzy" -> "fzy", "gsets" -> "gst",
     "kmeans" -> "kmn", "nexus" -> "nx", "resmpl" -> "rsm",
     "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
@@ -123,7 +124,7 @@ object Bench {
     "med_ft" -> "mft", "img_ft" -> "ift", "h_qtl" -> "hqt",
     "e_near" -> "enr", "f_proj" -> "fpj", "f_semi" -> "fsm",
     "rng_j" -> "rj", "rate_j" -> "rtj", "stbrk" -> "sbk",
-    "strat" -> "str", "s_win" -> "swn", "quant" -> "qz",
+    "strat" -> "sf", "s_win" -> "swn", "quant" -> "qz",
     "pq_enc" -> "pqe", "ivfpq" -> "ipq", "rf_rpt" -> "rrp",
     "rf_st" -> "rst", "rf_cl" -> "rfc", "t_det" -> "tdt",
     "s_nx" -> "snx", "c_bkt" -> "cbk", "h_smp" -> "hsm",
@@ -140,7 +141,12 @@ object Bench {
     "tokc" -> "tc", "subw" -> "sw", "qual" -> "ql",
     "dcard" -> "dc", "boil" -> "bl", "sess" -> "se",
     "smix" -> "sm", "tmix" -> "tm", "hneg" -> "hn",
-    "enorm" -> "en", "cooc" -> "cc", "trans" -> "tr")
+    "enorm" -> "en", "cooc" -> "cc", "trans" -> "tr",
+    // round 10, fourth batch (ast/nli consumed the margin)
+    "cur" -> "cp", "str" -> "sf", "tka" -> "tk",
+    "rfr" -> "rr", "ddl" -> "fd", "dtr" -> "dt",
+    "stq" -> "sq", "rfs" -> "rf", "cent" -> "lc",
+    "vft" -> "vf", "unks" -> "us", "wrnk" -> "wr")
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {

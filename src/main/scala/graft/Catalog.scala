@@ -262,6 +262,27 @@ object Catalog {
       array_join(slice(toks, lit(1), k), " ").as("text")))
   }
 
+  /** Documents with a planted per-language marker sentence — the fixture
+    * texts are the same English-ish word soup for every `lang` label, so
+    * the n-gram language-ID query appends one distinctive sentence per
+    * language in-plan (deterministic ASCII, pinyin for zh); the trigram
+    * profiles then genuinely differ per language and the classifier is
+    * testable; mirrored in OracleSql. Repartitioned because the fixture
+    * is one small parquet file → one input partition (the same
+    * HARNESS-ONLY note as [[dedupCorpus]] — a real corpus arrives in many
+    * splits). */
+  def langCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("lang") === "en", lit(" the quick brown fox and the lazy dog"))
+          .when(col("lang") === "es", lit(" el rapido zorro marron y el perro perezoso"))
+          .when(col("lang") === "de", lit(" der schnelle braune fuchs und der faule hund"))
+          .when(col("lang") === "fr", lit(" le renard brun rapide et le chien paresseux"))
+          .when(col("lang") === "zh", lit(" kuai su de zong se hu li he lan se gou"))
+          .otherwise(lit(""))).as("text"))
+
   /** NEW ingest batch for the incremental-dedup query, constructed in-plan
     * with ids offset ABOVE every historical id (IncrDedup's min-id
     * survivorship contract; mirrored in OracleSql): near-dup copies of
@@ -1500,6 +1521,12 @@ object Catalog {
 
     "op_subword_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))),
+
+    // Cavnar-Trenkle n-gram language ID, trained AND applied in one plan
+    // over the planted-marker corpus: per-lang top-300 trigram profiles
+    // (broadcast back), per-doc overlap argmax — integer-deterministic
+    "op_ngram_lang_id" -> ((s, dir) =>
+      TextOps.ngramLangId(langCorpus(s, dir))),
 
     "op_quality_score" -> ((s, dir) =>
       TextOps.qualityBucket(

@@ -2144,6 +2144,58 @@ object OracleSql {
       FROM documents""",
 
     // ---- training-data ops ----
+    // Cavnar-Trenkle n-gram language ID over the planted-marker corpus
+    // (Catalog.langCorpus mirrored): per-lang top-300 trigram profiles by
+    // (count DESC, trigram), per-doc distinct-trigram overlap argmax with
+    // (score DESC, lang) tie-break — TextOps.ngramLangId step for step.
+    "op_ngram_lang_id" -> """
+      WITH lc AS (
+        SELECT doc_id, lang, text || CASE lang
+          WHEN 'en' THEN ' the quick brown fox and the lazy dog'
+          WHEN 'es' THEN ' el rapido zorro marron y el perro perezoso'
+          WHEN 'de' THEN ' der schnelle braune fuchs und der faule hund'
+          WHEN 'fr' THEN ' le renard brun rapide et le chien paresseux'
+          WHEN 'zh' THEN ' kuai su de zong se hu li he lan se gou'
+          ELSE '' END AS text
+        FROM documents),
+      nrm AS (
+        SELECT doc_id, lang,
+          lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM lc),
+      tris AS (
+        SELECT doc_id, lang,
+          CASE WHEN length(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, length(t) - 2),
+              i -> substring(t, i, 3)))
+          ELSE CAST([] AS VARCHAR[]) END AS tris
+        FROM nrm),
+      cnt AS (
+        SELECT plang, tri, count(*) AS c FROM (
+          SELECT lang AS plang, unnest(tris) AS tri FROM tris)
+        GROUP BY plang, tri),
+      prof AS (
+        SELECT plang, tri FROM (
+          SELECT plang, tri,
+            row_number() OVER (PARTITION BY plang
+              ORDER BY c DESC, tri) AS rk
+          FROM cnt)
+        WHERE rk <= 300),
+      sc AS (
+        SELECT d.doc_id, d.lang, p.plang, count(*) AS score FROM (
+          SELECT doc_id, lang, unnest(tris) AS tri FROM tris) d
+        JOIN prof p ON p.tri = d.tri
+        GROUP BY d.doc_id, d.lang, p.plang),
+      best AS (
+        SELECT doc_id, plang, score FROM (
+          SELECT doc_id, plang, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, plang) AS rk
+          FROM sc)
+        WHERE rk = 1)
+      SELECT d.doc_id, d.lang, coalesce(b.plang, 'und') AS lang_pred,
+        CAST(coalesce(b.score, 0) AS BIGINT) AS score
+      FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""",
+
     "op_lang_id" -> s"""
       WITH padded AS (
         SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pad

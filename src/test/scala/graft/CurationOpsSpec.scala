@@ -552,6 +552,30 @@ class CurationOpsSpec extends SparkSpec {
       3L -> ((0L, 0L, false))))
   }
 
+  test("ngramLangId: profiles separate planted languages; unknown text maps to und") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "aa", "the quick brown fox naps under the old dog tree"),
+      (3L, "bb", "el zorro marron salta sobre el perro perezoso otra vez"),
+      (4L, "bb", "el zorro marron duerme bajo el arbol del perro"),
+      (5L, "aa", "xq")) // < 3 chars -> no trigrams -> und
+      .toDF("doc_id", "lang", "text")
+    val out = graft.text.TextOps.ngramLangId(docs, profileK = 300)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == "aa" && out(2L)._1 == "aa")
+    assert(out(3L)._1 == "bb" && out(4L)._1 == "bb")
+    assert(out(5L) == (("und", 0L)))
+    assert(out(1L)._2 > 0)
+  }
+
+  test("op_ngram_lang_id: planted-marker corpus classifies every language correctly") {
+    val rows = SparkEntry.queries("op_ngram_lang_id")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val acc = rows.count { case (t, p) => t == p }.toDouble / rows.length
+    assert(acc > 0.95, s"accuracy $acc over ${rows.length} docs")
+  }
+
   test("randProj: signed integer projection recomputes from the quantized vector") {
     import spark.implicits._
     val vec = Seq(0.5f, -1.0f, 0.25f, 0.1f)
