@@ -88,7 +88,7 @@ object Bench {
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
     "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
-    "ngram_lang_id" -> "nli",
+    "ngram_lang_id" -> "nli", "chi2_terms" -> "x2",
     "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",

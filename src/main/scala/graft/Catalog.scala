@@ -1528,6 +1528,12 @@ object Catalog {
     "op_ngram_lang_id" -> ((s, dir) =>
       TextOps.ngramLangId(langCorpus(s, dir))),
 
+    // chi-square discriminative terms per language over the planted-marker
+    // corpus — supervised feature selection: exact 2x2 contingency
+    // integers, fixed-order IEEE finishing math, top-10 per class
+    "op_chi2_terms" -> ((s, dir) =>
+      TextOps.chi2Terms(langCorpus(s, dir))),
+
     "op_quality_score" -> ((s, dir) =>
       TextOps.qualityBucket(
         TextOps.qualitySignals(t(s, dir, "documents"), "text"))

@@ -2144,6 +2144,53 @@ object OracleSql {
       FROM documents""",
 
     // ---- training-data ops ----
+    // Chi-square discriminative terms per language (TextOps.chi2Terms
+    // mirrored): exact 2x2 contingency integers over the planted-marker
+    // corpus, the same fixed-order double finishing math, top-10 per
+    // class by (chi2 DESC, token).
+    "op_chi2_terms" -> """
+      WITH lc AS (
+        SELECT doc_id, lang, text || CASE lang
+          WHEN 'en' THEN ' the quick brown fox and the lazy dog'
+          WHEN 'es' THEN ' el rapido zorro marron y el perro perezoso'
+          WHEN 'de' THEN ' der schnelle braune fuchs und der faule hund'
+          WHEN 'fr' THEN ' le renard brun rapide et le chien paresseux'
+          WHEN 'zh' THEN ' kuai su de zong se hu li he lan se gou'
+          ELSE '' END AS text
+        FROM documents),
+      dt AS (
+        SELECT cls, doc_id, unnest(toks) AS token FROM (
+          SELECT lang AS cls, doc_id, list_distinct(
+            string_split_regex(lower(trim(text)), '\s+')) AS toks
+          FROM lc WHERE length(trim(text)) > 0)),
+      nn AS (SELECT count(*) AS n FROM lc),
+      ct AS (SELECT lang AS cls, count(*) AS ncls FROM lc GROUP BY 1),
+      tt AS (SELECT token, count(*) AS ntok FROM dt GROUP BY 1),
+      at AS (SELECT cls, token, count(*) AS a FROM dt GROUP BY 1, 2),
+      j AS (
+        SELECT at.cls, at.token, at.a, tt.ntok, ct.ncls, nn.n
+        FROM at JOIN tt USING (token) JOIN ct USING (cls) CROSS JOIN nn
+        WHERE tt.ntok >= 5 AND tt.ntok <= nn.n - 5),
+      f AS (
+        SELECT cls, token, a, n,
+          a * (n - ncls - (ntok - a)) - (ncls - a) * (ntok - a) AS det,
+          ncls AS ab, n - ncls AS cd, ntok AS ac, n - ntok AS bd
+        FROM j),
+      r AS (
+        SELECT cls, token, a,
+          CAST(det AS DOUBLE) * CAST(det AS DOUBLE) * CAST(n AS DOUBLE)
+            / ((CAST(ab AS DOUBLE) * CAST(cd AS DOUBLE))
+               * (CAST(ac AS DOUBLE) * CAST(bd AS DOUBLE))) AS chi2
+        FROM f),
+      rk AS (
+        SELECT cls, token, a, chi2,
+          row_number() OVER (PARTITION BY cls
+            ORDER BY chi2 DESC, token) AS rank
+        FROM r)
+      SELECT cls AS lang, CAST(rank AS INT) AS rank, token,
+        CAST(a AS BIGINT) AS n_class_tok, chi2
+      FROM rk WHERE rank <= 10""",
+
     // Cavnar-Trenkle n-gram language ID over the planted-marker corpus
     // (Catalog.langCorpus mirrored): per-lang top-300 trigram profiles by
     // (count DESC, trigram), per-doc distinct-trigram overlap argmax with

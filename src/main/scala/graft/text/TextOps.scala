@@ -865,6 +865,58 @@ object TextOps {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Chi-square discriminative terms per class — supervised feature
+    * selection for classifier training: for each (class, token) observed
+    * pair, the 2×2 document-contingency chi² statistic
+    * `N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` where a = class docs with the
+    * token, b = class docs without, c = other docs with, d = the rest;
+    * top `k` tokens per class by (chi² desc, token). The counts are exact
+    * integers; `ad−bc` stays in long range (≤ N²), and the finishing
+    * math is multiplications/division of correctly-rounded doubles in a
+    * FIXED textual order — bit-stable cross-engine (the op_corr_stats
+    * discipline; a long-only formula would overflow at N ≥ ~50k since
+    * the denominator reaches N⁴). Tokens with document frequency below
+    * `minDf` or above `N − minDf` are excluded (ultra-rare terms are
+    * noise; near-universal terms zero the (b+d) margin).
+    *
+    * Scale: one (doc, token)-distinct explode feeds a (class, token)
+    * aggregate with map-side partials; the per-class and corpus totals
+    * are tiny broadcast frames; the top-k window partitions by class
+    * over its observed vocabulary. */
+  def chi2Terms(docs: DataFrame, k: Int = 10, minDf: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id",
+      classCol: String = "lang"): DataFrame = {
+    require(k >= 1 && minDf >= 1, "k and minDf must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val dt = docs.select(col(classCol).as("_cls"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val nTot = docs.agg(count(lit(1)).as("_n"))
+    val clsTot = docs.groupBy(col(classCol).as("_cls"))
+      .agg(count(lit(1)).as("_ncls"))
+    val tokTot = dt.groupBy("token").agg(count(lit(1)).as("_ntok"))
+    val aTab = dt.groupBy("_cls", "token").agg(count(lit(1)).as("_a"))
+    val joined = aTab
+      .join(tokTot, "token")
+      .join(broadcast(clsTot), "_cls")
+      .crossJoin(broadcast(nTot))
+      .filter(col("_ntok") >= minDf && col("_ntok") <= col("_n") - minDf)
+    val a = col("_a"); val b = col("_ncls") - col("_a")
+    val c = col("_ntok") - col("_a")
+    val d = col("_n") - col("_ncls") - c
+    val det = (a * d - b * c).cast(LongType)
+    val dbl = (x: Column) => x.cast(DoubleType)
+    val chi2 = dbl(det) * dbl(det) * dbl(col("_n")) /
+      ((dbl(a + b) * dbl(c + d)) * (dbl(a + c) * dbl(b + d)))
+    joined
+      .select(col("_cls"), col("token"), a.cast(LongType).as("n_class_tok"),
+        chi2.as("chi2"))
+      .withColumn("rank", row_number().over(w.partitionBy("_cls")
+        .orderBy(col("chi2").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("_cls").as(classCol), col("rank"), col("token"),
+        col("n_class_tok"), col("chi2"))
+  }
+
   /** Hashed bag-of-words linear classifier score — the fastText-style
     * "apply a trained quality model to every document" plumbing: each
     * token hashes into one of `buckets` feature slots via the

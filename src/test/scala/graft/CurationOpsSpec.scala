@@ -576,6 +576,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(acc > 0.95, s"accuracy $acc over ${rows.length} docs")
   }
 
+  test("chi2Terms: perfectly discriminative tokens rank first; exact value recompute") {
+    import spark.implicits._
+    // 12 docs, two classes; 'zebra' appears in ALL aa docs and NO bb docs
+    // (perfect discriminator); 'shared' in 10 of 12 docs (inside the
+    // [minDf, n-minDf] band); fillerN tokens have df=1 (excluded)
+    val docs = (1 to 6).map(i => (i.toLong, "aa", "zebra shared filler" + i)) ++
+      (7 to 10).map(i => (i.toLong, "bb", "yak shared filler" + i)) ++
+      (11 to 12).map(i => (i.toLong, "bb", "yak filler" + i))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = graft.text.TextOps.chi2Terms(df, k = 3, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // zebra in aa: a=6 b=0 c=0 d=6 -> chi2 = 12*36^2/(6*6*6*6) = 12
+    assert(out(("aa", 1)) == (("zebra", 6L, 12.0)))
+    assert(out(("bb", 1)) == (("yak", 6L, 12.0)))
+    // shared in aa: a=6 b=0 c=4 d=2 -> det=12, chi2 = 12*144/(36*20) = 2.4
+    assert(out(("aa", 2)) == (("shared", 6L, 2.4)))
+    // fillerN tokens (df=1 < minDf) are excluded entirely
+    assert(!out.contains(("aa", 3)))
+    // every chi2 is finite (the df margins are guarded)
+    assert(out.values.forall(v => !v._3.isNaN && !v._3.isInfinite))
+  }
+
+  test("op_chi2_terms: each planted marker token tops its own language") {
+    val rows = SparkEntry.queries("op_chi2_terms")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val top = rows.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val markers = Map(
+      "en" -> "the quick brown fox and the lazy dog",
+      "es" -> "el rapido zorro marron y el perro perezoso",
+      "de" -> "der schnelle braune fuchs und der faule hund",
+      "fr" -> "le renard brun rapide et le chien paresseux",
+      "zh" -> "kuai su de zong se hu li he lan se gou")
+      .view.mapValues(_.split(" ").toSet).toMap
+    markers.foreach { case (lang, ms) =>
+      assert(ms.contains(top(lang)),
+        s"$lang top term ${top(lang)} should be a planted marker")
+    }
+  }
+
   test("randProj: signed integer projection recomputes from the quantized vector") {
     import spark.implicits._
     val vec = Seq(0.5f, -1.0f, 0.25f, 0.1f)
