@@ -52,16 +52,34 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
 object CharNgrams {
   /** Shared by interpreted eval and codegen: distinct n-grams
-    * (codepoint windows), first occurrence first. */
+    * (codepoint windows), first occurrence first.
+    *
+    * The window's start/end BYTE offsets advance one codepoint per
+    * iteration (UTF-8 lead-byte widths), so the whole extraction is one
+    * O(bytes) pass — substringSQL per window would rescan the string
+    * from byte 0 to find each codepoint offset, O(len²) on MB-scale
+    * docs. Slicing by byte range is exactly substring(s, i+1, n):
+    * codepoint boundaries come from the same lead-byte table
+    * (numBytesForFirstByte) substringSQL uses. */
   def distinctNgrams(s: UTF8String, n: Int): Array[AnyRef] = {
     val chars = s.numChars()
     if (chars < n) return Array.empty
+    val bytes = s.getBytes
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    var start = 0
+    var end = 0
+    var j = 0
+    while (j < n) {
+      end += UTF8String.numBytesForFirstByte(bytes(end)); j += 1
+    }
     var i = 0
-    while (i <= chars - n) {
-      // substringSQL is 1-based and codepoint-aware — identical to SQL
-      // substring(s, i+1, n) in both engines
-      seen.add(s.substringSQL(i + 1, n))
+    val last = chars - n
+    while (i <= last) {
+      seen.add(UTF8String.fromBytes(bytes, start, end - start))
+      if (i < last) {
+        start += UTF8String.numBytesForFirstByte(bytes(start))
+        end += UTF8String.numBytesForFirstByte(bytes(end))
+      }
       i += 1
     }
     seen.toArray(new Array[AnyRef](seen.size))

@@ -46,10 +46,16 @@ object AsOfJoin {
       rightIdCol: Option[String] = None,
       maxStaleness: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "asOf needs at least one right value column")
+    // Both ts sides must be numeric: the matched RIGHT ts is carried into
+    // _mts and compared against leftTs − tol, so a timestamp-typed right
+    // side would hit an implicit cast (confusing error or wrong-unit
+    // comparison) rather than this loud failure.
     require(maxStaleness.isEmpty ||
-      left.schema(leftTs).dataType.isInstanceOf[
-        org.apache.spark.sql.types.NumericType],
-      "maxStaleness needs a NUMERIC ts (normalize first, e.g. tsAsNanos)")
+      (left.schema(leftTs).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType] &&
+       right.schema(rightTs).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType]),
+      "maxStaleness needs NUMERIC ts on BOTH sides (normalize first, e.g. tsAsNanos)")
     require(!valueCols.exists(left.columns.contains),
       s"left already contains ${valueCols.mkString(",")}")
     for (c <- Reserved) {

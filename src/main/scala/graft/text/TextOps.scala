@@ -780,8 +780,13 @@ object TextOps {
     * computation (for each distinct char, count its occurrences) riding
     * the corpus scan; O(distinct_chars · len) per doc with
     * distinct_chars bounded by the alphabet, no explode, no shuffle.
-    * Contrast the oracle's unnest-and-group formulation, which moves
-    * every (doc, char) pair through an aggregate. */
+    * The per-char count is materialized ONCE into a counts array (`cn`)
+    * and array_max / sum-of-squares read that — not three O(len) filter
+    * passes per distinct char, which would triple the constant and turn
+    * unicode-heavy docs (distinct chars not alphabet-bounded)
+    * effectively quadratic. Contrast the oracle's unnest-and-group
+    * formulation, which moves every (doc, char) pair through an
+    * aggregate. */
   def charDiversity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val cs = filter(split(col(textCol), ""), c => length(c) === 1)
@@ -791,13 +796,13 @@ object TextOps {
       .select(col(idCol), cs.as("cs"))
       .filter(size(col("cs")) > 0)
       .select(col(idCol), col("cs"), array_distinct(col("cs")).as("d"))
+      .select(col(idCol), col("cs"), col("d"),
+        transform(col("d"), ch => cnt(ch, col("cs"))).as("cn"))
       .select(col(idCol),
         size(col("cs")).cast(LongType).as("n_chars"),
         size(col("d")).cast(LongType).as("n_distinct_chars"),
-        array_max(transform(col("d"), ch => cnt(ch, col("cs"))))
-          .as("top_char_n"),
-        aggregate(col("d"), lit(0L),
-          (acc, ch) => acc + cnt(ch, col("cs")) * cnt(ch, col("cs")))
+        array_max(col("cn")).as("top_char_n"),
+        aggregate(col("cn"), lit(0L), (acc, c) => acc + c * c)
           .as("sum_sq"))
       .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
         col("top_char_n"),
@@ -877,17 +882,27 @@ object TextOps {
     * discipline; a long-only formula would overflow at N ≥ ~50k since
     * the denominator reaches N⁴). Tokens with document frequency below
     * `minDf` or above `N − minDf` are excluded (ultra-rare terms are
-    * noise; near-universal terms zero the (b+d) margin).
+    * noise; near-universal terms zero the (b+d) margin). A class that
+    * covers the WHOLE corpus zeroes the (c+d) margin (0/0 = NaN with no
+    * discriminative content to rank) — those rows drop too, so a
+    * single-class corpus yields an empty result rather than NaN scores.
     *
     * Scale: one (doc, token)-distinct explode feeds a (class, token)
     * aggregate with map-side partials; the per-class and corpus totals
-    * are tiny broadcast frames; the top-k window partitions by class
-    * over its observed vocabulary. */
+    * are tiny broadcast frames. Per-class top-k goes through the bounded
+    * heap ([[graft.ops.TopK.perKey]]) — NEVER a rank window over the
+    * class's whole vocabulary, which at corpus scale would sort 10⁷+ rows
+    * in one task per class. The heap's single-direction order is the
+    * ascending struct `(0.0 − chi2, token)`: chi² ≥ 0 always, and IEEE
+    * `0.0 − 0.0 = +0.0`, so negation introduces no −0.0/+0.0 ordering
+    * hazard, and the tie-break matches the declared (chi² desc, token
+    * asc) contract exactly. The rank column is then recovered WITHOUT any
+    * window: `sort_array(collect_list(...))` + `posexplode` over the ≤ k
+    * surviving rows per class (bounded memory by construction). */
   def chi2Terms(docs: DataFrame, k: Int = 10, minDf: Int = 5,
       textCol: String = "text", idCol: String = "doc_id",
       classCol: String = "lang"): DataFrame = {
     require(k >= 1 && minDf >= 1, "k and minDf must be positive")
-    val w = org.apache.spark.sql.expressions.Window
     val dt = docs.select(col(classCol).as("_cls"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
     val nTot = docs.agg(count(lit(1)).as("_n"))
@@ -899,7 +914,8 @@ object TextOps {
       .join(tokTot, "token")
       .join(broadcast(clsTot), "_cls")
       .crossJoin(broadcast(nTot))
-      .filter(col("_ntok") >= minDf && col("_ntok") <= col("_n") - minDf)
+      .filter(col("_ntok") >= minDf && col("_ntok") <= col("_n") - minDf &&
+        col("_ncls") < col("_n"))
     val a = col("_a"); val b = col("_ncls") - col("_a")
     val c = col("_ntok") - col("_a")
     val d = col("_n") - col("_ncls") - c
@@ -907,14 +923,20 @@ object TextOps {
     val dbl = (x: Column) => x.cast(DoubleType)
     val chi2 = dbl(det) * dbl(det) * dbl(col("_n")) /
       ((dbl(a + b) * dbl(c + d)) * (dbl(a + c) * dbl(b + d)))
-    joined
+    val scored = joined
       .select(col("_cls"), col("token"), a.cast(LongType).as("n_class_tok"),
         chi2.as("chi2"))
-      .withColumn("rank", row_number().over(w.partitionBy("_cls")
-        .orderBy(col("chi2").desc, col("token"))))
-      .filter(col("rank") <= k)
-      .select(col("_cls").as(classCol), col("rank"), col("token"),
-        col("n_class_tok"), col("chi2"))
+    val top = graft.ops.TopK.perKey(scored, Seq("_cls"),
+      struct((lit(0.0d) - col("chi2")).as("_nchi"), col("token")), k,
+      descending = false)
+    top.groupBy("_cls")
+      .agg(sort_array(collect_list(struct(
+        (lit(0.0d) - col("chi2")).as("_nchi"), col("token"),
+        col("n_class_tok"), col("chi2")))).as("_top"))
+      .select(col("_cls"), posexplode(col("_top")))
+      .select(col("_cls").as(classCol),
+        (col("pos") + 1).as("rank"), col("col.token").as("token"),
+        col("col.n_class_tok").as("n_class_tok"), col("col.chi2").as("chi2"))
   }
 
   /** Hashed bag-of-words linear classifier score — the fastText-style

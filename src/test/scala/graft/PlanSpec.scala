@@ -107,6 +107,18 @@ class PlanSpec extends SparkSpec {
       s"window must run above the histogram aggregate\n${p.take(1500)}")
   }
 
+  test("op_chi2_terms: per-class top-k via TopKPerKey, no vocabulary window") {
+    // the scored (class, token) frame is the class's WHOLE observed
+    // vocabulary — a rank window partitioned by class would sort it in one
+    // task per class. The bounded heap takes top-k; rank is recovered via
+    // sort_array+posexplode over <= k rows per class, so the plan must
+    // contain no Window node at all.
+    val p = plan("op_chi2_terms")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window"),
+      s"chi2 rank must come from sort_array+posexplode, not a window\n${p.take(1500)}")
+  }
+
   test("op_curation_pipeline: stratified sample via TopKPerKey, no global sort") {
     val p = plan("op_curation_pipeline")
     assert(p.contains("TopKPerKey"), p.take(1500))
