@@ -325,6 +325,46 @@ object Catalog {
     })
   }
 
+  /** NEW vector ingest batch for the incremental SEMANTIC dedup query —
+    * [[ingestBatch]]'s shape on the embeddings table, ids offset ABOVE
+    * every historical vec_id (IncrSemDedup's smaller-id survivorship
+    * contract; mirrored in OracleSql): exact copies of every 10th vector
+    * (cos = 1 against history — drop), reversed embeddings for every
+    * 13th (a fresh direction — mostly keep), and the SAME reversal for
+    * every 26th (an exact in-batch duplicate of the 13th's copy — drops
+    * against the batch itself, exercising the new×new path). Same
+    * HARNESS-ONLY repartition note as [[dedupCorpus]]. */
+  def vecIngestBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 13 === 0).select(
+        (col("vec_id") + 2000000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 26 === 0).select(
+        (col("vec_id") + 3000000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Persistent IVF cell store over the HISTORICAL vectors (= raw
+    * embeddings) for the incremental-semantic-dedup query — written once
+    * per sfDir and reused across runs/passes (the [[incrIndex]]
+    * contract): real ingest probes a standing store. */
+  private val semIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def semIndex(s: SparkSession, dir: String): String = {
+    semIndexDirs.get(dir).filterNot(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach(_ => semIndexDirs.remove(dir))
+    semIndexDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_sem_idx")
+      graft.text.IncrSemDedup.writeIndex(
+        embCorpus(s, dir), graft.text.Ivf.fixedModel(c = 16, dim = 64), out)
+      out
+    })
+  }
+
   /** Documents with deterministically planted PII — the fixture texts
     * carry no emails/phones/IPs, so the scrub query appends synthetic ones
     * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
@@ -1637,6 +1677,16 @@ object Catalog {
     "op_sem_dedup" -> ((s, dir) =>
       Similarity.semDedup(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3)),
+
+    // incremental semantic dedup: a NEW vector batch probed against the
+    // persisted IVF cell store (static partition pruning on the batch's
+    // touched cells), semDedup's smaller-id rule across history + batch —
+    // history never recomputes; oracle = from-scratch semDedup over the
+    // union, restricted to the new batch
+    "op_incr_sem_dedup" -> ((s, dir) =>
+      graft.text.IncrSemDedup.dedupAgainst(
+        s, vecIngestBatch(s, dir), semIndex(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3).decisions),
 
     // corpus-wide k-NN graph, cell-scoped (the SemDeDup economics applied
     // to graph construction): every vector's top-5 nearest cell-mates with

@@ -2754,6 +2754,46 @@ object OracleSql {
       SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
       FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id""",
 
+    // Incremental semantic dedup oracle = FROM-SCRATCH semDedup over
+    // (history ∪ new vector batch), restricted to the new batch: cell
+    // assignment over the union with the same fixed-centroid argmax, then
+    // the within-cell smaller-id ≥ 0.3 cosine drop rule. The Spark side
+    // never recomputes history (it probes the persisted partitioned cell
+    // store, pruned to the batch's touched cells) — this row certifies
+    // the incremental path is EXACTLY the batch answer.
+    "op_incr_sem_dedup" -> s"""
+      WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 13 = 0
+        UNION ALL
+        SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 26 = 0),
+      cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
+        FROM allv v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, v.embedding
+        FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
+      drp AS (
+        SELECT DISTINCT y.vec_id
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3)
+      SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
+      FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
+      WHERE m.vec_id >= 1000000000""",
+
     // Cell-scoped corpus k-NN graph: within-cell pairwise cosine (the
     // sem_dedup derivation without the id ordering), rank window per
     // query vector with the (cos DESC, neighbor) tie-break mirrored from

@@ -1,0 +1,98 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for incremental SEMANTIC dedup: the headline property is
+  * INCREMENTAL == FROM-SCRATCH — deduping a new vector batch against the
+  * persisted IVF cell store yields exactly the keep flags
+  * [[Similarity.semDedup]] over (history ∪ batch) would give the batch. */
+class IncrSemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // axis-aligned centroids: cell assignment is transparent (each vector
+  // goes to the axis it leans toward), so the planted cosine geometry
+  // below controls exactly which pairs meet in a cell
+  private val model = Ivf.Model(Array(
+    Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+    Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f)))
+  private val minCos = 0.9
+
+  private val hist = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    // near-dup of 1 (cos ≈ 0.995 — dropped historically, still stored)
+    (3L, Seq(0.99f, 0.1f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+  private val newBatch = Seq(
+    (10L, Seq(1f, 0.05f, 0f, 0f)),       // near-dup of history -> drop
+    (11L, Seq(0f, 0f, 1f, 0f)),          // fresh direction -> keep
+    // in-batch near-dup of 11 at 15° (cos ≈ 0.966) -> drop
+    (12L, Seq(0f, 0f, 0.966f, 0.259f)),
+    (13L, Seq(0f, 0f, 0f, 1f)))          // fresh direction -> keep
+    .toDF("vec_id", "embedding")
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_isd_spec").toString
+
+  test("incremental keep flags == from-scratch semDedup of the union, restricted to the batch") {
+    val path = tmp()
+    IncrSemDedup.writeIndex(hist, model, path)
+    val inc = IncrSemDedup.dedupAgainst(spark, newBatch, path, model, minCos)
+      .decisions.select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+
+    val scratch = Similarity.semDedup(hist.unionByName(newBatch), model, minCos)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+      .filter(_._1 >= 10L)
+
+    assert(inc == scratch, s"incremental $inc != from-scratch $scratch")
+    assert(inc == Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+  }
+
+  test("store delta covers EVERY batch vector (dropped vectors still witness neighborhoods)") {
+    val path = tmp()
+    IncrSemDedup.writeIndex(hist, model, path)
+    val r = IncrSemDedup.dedupAgainst(spark, newBatch, path, model, minCos)
+    assert(r.delta.select("vec_id").as[Long].collect().toSet ==
+      Set(10L, 11L, 12L, 13L))
+    // appending the delta then deduping a FURTHER batch against the grown
+    // store still equals from-scratch: vector 20 sits 30° from the kept 11
+    // (cos 0.866 < minCos) but 15° from the DROPPED 12 (cos ≈ 0.966) —
+    // it must still drop, which only works because 12's embedding entered
+    // the store despite being dropped
+    r.delta.write.mode("append").partitionBy("ivf_cell").parquet(path)
+    val batch2 = Seq((20L, Seq(0f, 0f, 0.866f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val d2 = IncrSemDedup.dedupAgainst(spark, batch2, path, model, minCos)
+      .decisions.select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(d2 == Map(20L -> false))
+  }
+
+  test("id-monotonicity guard is loud: a batch id at-or-below history fails fast") {
+    val path = tmp()
+    IncrSemDedup.writeIndex(hist, model, path)
+    val bad = Seq((2L, Seq(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IncrSemDedup.dedupAgainst(spark, bad, path, model, minCos)
+    }
+    assert(e.getMessage.contains("smaller-id survivorship"))
+  }
+
+  test("probe plan prunes the store to the batch's cells and never shuffles it") {
+    val path = tmp()
+    IncrSemDedup.writeIndex(hist, model, path)
+    // a batch touching ONLY cell 0: the store scan must carry a partition
+    // filter on ivf_cell (static directory pruning — cells 1-3's files
+    // are never read) and the batch side must broadcast
+    val batch = Seq((30L, Seq(1f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = IncrSemDedup.dedupAgainst(spark, batch, path, model, minCos)
+    val plan = r.decisions.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell#\\d+ (=|IN)".r
+      .findFirstIn(plan).isDefined, plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the store side must never be sort-merge-shuffled: its only path into
+    // the pair join is as the streamed side of a broadcast join
+    assert(!plan.contains("SortMergeJoin"),
+      s"store side must not shuffle through a sort-merge join\n${plan.take(1500)}")
+  }
+}
