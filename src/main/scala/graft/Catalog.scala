@@ -1600,8 +1600,15 @@ object Catalog {
     // hashed bag-of-words linear classifier: portable md5-60 token →
     // bucket, fixed integer weight table, per-doc score + threshold label
     // — the fastText-style scoring pass as one narrow map stage
-    "op_linear_score" -> ((s, dir) =>
-      TextOps.linearScore(t(s, dir, "documents"))),
+    // hashed linear model applied with a TABLE-DRIVEN weight vector (the
+    // "trained model" is the (bucket, weight) frame below — deterministic
+    // so the oracle can mirror it; literal-folded into the expression, so
+    // the plan stays the narrow one-pass map)
+    "op_linear_score" -> ((s, dir) => {
+      val w = s.range(64).select(col("id").cast(IntegerType).as("bucket"),
+        ((col("id") * 53) % 41 - 20).cast(LongType).as("weight"))
+      TextOps.linearScore(t(s, dir, "documents"), weights = Some(w))
+    }),
 
     // tokenizer-vocab coverage curve: top-50 tokens with the cumulative
     // share of all token occurrences they cover

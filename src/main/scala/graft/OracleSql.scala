@@ -2405,10 +2405,13 @@ object OracleSql {
                ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
         FROM documents),
       s AS (
+        -- the table-driven weight vector: bucket b -> (b*53) % 41 - 20,
+        -- mirroring the (bucket, weight) frame the Spark side folds into
+        -- the scoring expression
         SELECT doc_id, len(toks) AS n_tokens,
           coalesce(list_sum(list_transform(toks,
             t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
-                   * 37 % 21 - 10)), 0) AS score
+                   * 53 % 41 - 20)), 0) AS score
         FROM tok)
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         CAST(score AS BIGINT) AS score, score > 0 AS label_positive

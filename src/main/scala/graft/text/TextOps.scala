@@ -940,14 +940,21 @@ object TextOps {
   }
 
   /** Hashed bag-of-words linear classifier score — the fastText-style
-    * "apply a trained quality model to every document" plumbing: each
+    * "apply a trained quality model to every document" operator: each
     * token hashes into one of `buckets` feature slots via the
     * engine-portable md5-60 ([[Dedup.portableHash]]), the slot's integer
     * weight accumulates, and `label_positive` thresholds the total at 0.
-    * The weight TABLE here is a fixed deterministic stand-in
-    * (`w(b) = (b·37 mod 21) − 10`, integers in [−10, 10]) — swapping in
-    * trained weights is a literal-table change; the hashing, accumulation,
-    * and thresholding pipeline is the operator. Integer-only → bit-stable
+    *
+    * The weight table is a REAL parameter: pass the trained model as a
+    * (bucket, weight) DataFrame and it is LITERAL-FOLDED into the scoring
+    * expression — collected (bounded: a hashed linear model has exactly
+    * `buckets` weights, kilobytes by construction — that boundedness is
+    * the entire point of the hashing trick) and embedded as an array
+    * literal indexed by the token's bucket. No broadcast join, no
+    * shuffle: the plan with a trained table is IDENTICAL to the default's.
+    * Unlisted buckets weigh 0; out-of-range buckets fail loudly. With no
+    * table, a fixed deterministic stand-in (`w(b) = (b·37 mod 21) − 10`)
+    * keeps the operator runnable standalone. Integer-only → bit-stable
     * cross-engine.
     *
     * Scale: fully NARROW — tokenize, hash, weight-lookup, and sum are one
@@ -955,10 +962,27 @@ object TextOps {
     * no shuffle — the entire "model" lives in the expression), exactly
     * how a hashed linear model scores 100 TB in one map stage. */
   def linearScore(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
+      idCol: String = "doc_id", buckets: Int = 64,
+      weights: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2, "buckets must be at least 2")
-    val w = (t: Column) =>
-      pmod(Dedup.portableHash(t), lit(buckets.toLong)) * 37L % 21L - 10L
+    val table: Array[Long] = weights match {
+      case Some(w) =>
+        val rows = w.select(col("bucket").cast(IntegerType),
+          col("weight").cast(LongType)).collect()
+        val arr = Array.fill(buckets)(0L)
+        rows.foreach { r =>
+          val b = r.getInt(0)
+          require(b >= 0 && b < buckets,
+            s"linearScore: bucket $b outside [0, $buckets)")
+          arr(b) = r.getLong(1)
+        }
+        arr
+      case None => Array.tabulate(buckets)(b => (b.toLong * 37 % 21) - 10)
+    }
+    val tableLit = typedLit(table.toSeq)
+    val w = (t: Column) => element_at(tableLit,
+      (pmod(Dedup.portableHash(t), lit(buckets.toLong)) + 1L)
+        .cast(IntegerType))
     docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         size(col("toks")).cast(LongType).as("n_tokens"),

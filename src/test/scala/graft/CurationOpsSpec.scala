@@ -552,6 +552,41 @@ class CurationOpsSpec extends SparkSpec {
       3L -> ((0L, 0L, false))))
   }
 
+  test("linearScore: a table-driven weight vector changes scores and labels; plan stays narrow") {
+    import spark.implicits._
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    def scoreWith(wfn: Long => Long) = {
+      val tbl = spark.range(64).select(
+        col("id").cast("int").as("bucket"),
+        udf(wfn).apply(col("id")).cast("long").as("weight"))
+      graft.text.TextOps.linearScore(docs, weights = Some(tbl))
+        .collect().map(r => (r.getLong(2), r.getBoolean(3))).head
+    }
+    val allPlus = scoreWith(_ => 2L)      // every bucket +2 -> score 6, positive
+    val allMinus = scoreWith(_ => -2L)    // every bucket -2 -> score -6, negative
+    assert(allPlus == ((6L, true)) && allMinus == ((-6L, false)))
+    // a single targeted bucket: only alpha's slot weighted (beta/gamma may
+    // collide into it — the hashing trick's documented trade — so the
+    // expected score counts every token landing in that slot)
+    val alphaBucket = (md560("alpha") % 64).toInt
+    val inSlot = Seq("alpha", "beta", "gamma")
+      .count(t => (md560(t) % 64).toInt == alphaBucket)
+    val one = scoreWith(b => if (b == alphaBucket) 5L else 0L)
+    assert(one == ((5L * inSlot, true)))
+    // the trained table folds into the expression: no join, no exchange —
+    // same one-pass narrow plan as the default stand-in
+    val tbl = spark.range(64).select(col("id").cast("int").as("bucket"),
+      lit(1L).as("weight"))
+    val plan = graft.text.TextOps.linearScore(docs, weights = Some(tbl))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
+  }
+
   test("ngramLangId: profiles separate planted languages; unknown text maps to und") {
     import spark.implicits._
     val docs = Seq(
