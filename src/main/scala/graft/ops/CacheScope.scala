@@ -58,4 +58,30 @@ object CacheScope {
       df
     }
   }
+
+  /** Named per-corpus scopes — the multi-corpus session contract
+    * (round-11 decision): a session sweeping K corpora under the Session
+    * default accumulates K× the per-corpus index persists until executor
+    * storage evicts under pressure. Instead, route every call processing
+    * corpus `tag` through `CacheScope.corpus(tag)` (all family entry
+    * points take a `scope` parameter) and call [[releaseCorpus]] when
+    * that corpus's pipeline finishes — the audit stays bounded at ONE
+    * corpus's working set no matter how many flow through
+    * (CacheScopeSpec proves it across two synthetic corpora). The same
+    * tag returns the same scope, so a multi-stage pipeline over one
+    * corpus still shares its persisted indexes. */
+  private val named =
+    scala.collection.concurrent.TrieMap.empty[String, CacheScope]
+
+  /** The (shared, tracked) scope for corpus `tag` — created on first use. */
+  def corpus(tag: String): CacheScope =
+    named.getOrElseUpdate(tag, new CacheScope)
+
+  /** Release every persist taken under `tag`'s scope and forget the tag.
+    * Safe to call for an unknown tag (no-op). */
+  def releaseCorpus(tag: String, blocking: Boolean = false): Unit =
+    named.remove(tag).foreach(_.unpersistAll(blocking))
+
+  /** Tags with live (unreleased) scopes — for audits. */
+  def liveCorpora: Seq[String] = named.keys.toSeq.sorted
 }
