@@ -84,7 +84,8 @@ object Bench {
     "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
     "bpe_apply" -> "bpea", "line_dups" -> "lnd",
     "incr_dedup" -> "incd", "sem_dedup" -> "semd",
-    "incr_sem_dedup" -> "isd",
+    "incr_sem_dedup" -> "isd", "perceptron_step" -> "pst",
+    "bucketed_join" -> "bkj",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

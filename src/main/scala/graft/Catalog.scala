@@ -365,6 +365,42 @@ object Catalog {
     })
   }
 
+  /** Bucketed (lineitem, orders) table pair on the order key for the
+    * co-located-join query — written once per sfDir via
+    * [[graft.ops.Layout.writeBucketed]] (saveAsTable: bucketing metadata
+    * lives in the catalog; files land under spark-warehouse/). Real
+    * deployments pay this shuffle ONCE at ingest and amortize it over
+    * every subsequent join on the key — rebuilding per query would defeat
+    * the layout operator, hence the [[incrIndex]] memoize contract. */
+  private val bucketedPairs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  /** saveAsTable refuses a managed-table location left behind by a PRIOR
+    * JVM (the fresh in-memory catalog has no table entry to overwrite) —
+    * drop any stale registration AND sweep the leftover warehouse dir. */
+  private def freshTableSlot(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+    val dir = new java.io.File(whPath, name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    if (dir.exists) rm(dir)
+  }
+  private def bucketedPair(s: SparkSession, dir: String): (String, String) =
+    bucketedPairs.getOrElseUpdate(dir, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"li_bkt$tag"; val oT = s"ord_bkt$tag"
+      freshTableSlot(s, liT); freshTableSlot(s, oT)
+      graft.ops.Layout.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liT, "l_orderkey", 8)
+      graft.ops.Layout.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        oT, "o_orderkey", 8)
+      (liT, oT)
+    })
+
   /** Documents with deterministically planted PII — the fixture texts
     * carry no emails/phones/IPs, so the scrub query appends synthetic ones
     * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
@@ -1284,6 +1320,25 @@ object Catalog {
         .agg(count(lit(1)).as("n"), dbl(sum(col("qty"))).as("sum_qty"))
     }),
 
+    // co-located join over two tables BUCKETED on the join key
+    // (ops/Layout.writeBucketed): the SortMergeJoin plans with ZERO
+    // exchanges — at 100 TB this is the difference between shuffling the
+    // fact table per join and shuffling it ONCE at write time, amortized
+    // over every subsequent join on that key. The merge hint keeps the
+    // demonstration honest (without it the optimizer would broadcast the
+    // small test-scale dim and never exercise the bucket co-location the
+    // query exists to pin). PlanSpec asserts exchange-free-below-the-join;
+    // the oracle checks the result equals a plain join
+    "op_bucketed_join" -> ((s, dir) => {
+      val (liT, oT) = bucketedPair(s, dir)
+      s.table(liT)
+        .join(s.table(oT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+    }),
+
     // two-phase skew-safe aggregation (ops/Salting.saltedSum): partial
     // sums on (key, salt) then a final merge per key — oracle-verified
     // equal to the plain group-by (exact decimal addition commutes)
@@ -1609,6 +1664,16 @@ object Catalog {
         ((col("id") * 53) % 41 - 20).cast(LongType).as("weight"))
       TextOps.linearScore(t(s, dir, "documents"), weights = Some(w))
     }),
+
+    // one batch epoch of hashed-perceptron TRAINING over deterministic ±1
+    // labels (even doc_id -> +1) — the train-side of the linearScore
+    // pair: misclassified docs' tokens aggregate into a bucket-bounded
+    // gradient; output = the next (bucket, weight) table, feedable back
+    // into linearScore
+    "op_perceptron_step" -> ((s, dir) =>
+      TextOps.perceptronStep(
+        t(s, dir, "documents").withColumn("label",
+          when(col("doc_id") % 2 === 0, 1L).otherwise(-1L)), "label")),
 
     // tokenizer-vocab coverage curve: top-50 tokens with the cumulative
     // share of all token occurrences they cover

@@ -2417,6 +2417,36 @@ object OracleSql {
         CAST(score AS BIGINT) AS score, score > 0 AS label_positive
       FROM s""",
 
+    // One batch perceptron epoch: score each doc under the stand-in
+    // weight vector (TextOps.weightTable's default, mirrored inline),
+    // misclassified docs (lbl * score <= 0) contribute lbl per token
+    // occurrence into the token's bucket; output = all 64 buckets with
+    // w_old, grad, w_new = w_old + grad.
+    "op_perceptron_step" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS lbl, toks,
+          coalesce(list_sum(list_transform(toks,
+            t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
+                   * 37 % 21 - 10)), 0) AS score
+        FROM tok),
+      g AS (
+        SELECT (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
+                 AS bucket,
+               sum(lbl) AS grad
+        FROM (SELECT lbl, unnest(toks) AS t FROM sc WHERE lbl * score <= 0)
+        GROUP BY 1)
+      SELECT CAST(r.range AS INT) AS bucket,
+        CAST(r.range * 37 % 21 - 10 AS BIGINT) AS w_old,
+        CAST(coalesce(g.grad, 0) AS BIGINT) AS grad,
+        CAST(r.range * 37 % 21 - 10 + coalesce(g.grad, 0) AS BIGINT) AS w_new
+      FROM range(64) r LEFT JOIN g ON g.bucket = r.range""",
+
     // Tokenizer-vocab coverage curve: top-50 tokens by (count desc, token)
     // with cumulative share of all occurrences (exact-integer division).
     "op_vocab_coverage" -> """
@@ -3311,6 +3341,18 @@ object OracleSql {
       GROUP BY s.s_nationkey""",
 
     // Two-phase salted aggregation equals the plain group-by.
+    // Bucketed co-located join: the oracle is the PLAIN join+aggregate —
+    // bucketing is a physical layout (the Spark side's exchange-free plan
+    // is pinned by PlanSpec); the result must be layout-invariant.
+    // l_quantity is whole-valued in this data, so the BIGINT cast is
+    // exact in both engines and the sum is order-independent.
+    "op_bucketed_join" -> """
+      SELECT o.o_orderstatus,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1""",
+
     "op_salted_agg" -> """
       SELECT l_returnflag,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

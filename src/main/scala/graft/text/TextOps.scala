@@ -961,11 +961,13 @@ object TextOps {
     * per-row HOF chain riding the corpus scan (no vocabulary broadcast,
     * no shuffle — the entire "model" lives in the expression), exactly
     * how a hashed linear model scores 100 TB in one map stage. */
-  def linearScore(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", buckets: Int = 64,
-      weights: Option[DataFrame] = None): DataFrame = {
-    require(buckets >= 2, "buckets must be at least 2")
-    val table: Array[Long] = weights match {
+  /** The literal-folded weight vector shared by [[linearScore]] (apply)
+    * and [[perceptronStep]] (train): a (bucket, weight) frame collected
+    * into a `buckets`-long array (bounded by construction — that
+    * boundedness IS the hashing trick), or the fixed deterministic
+    * stand-in when no table is given. */
+  private def weightTable(buckets: Int, weights: Option[DataFrame]): Array[Long] =
+    weights match {
       case Some(w) =>
         val rows = w.select(col("bucket").cast(IntegerType),
           col("weight").cast(LongType)).collect()
@@ -973,13 +975,18 @@ object TextOps {
         rows.foreach { r =>
           val b = r.getInt(0)
           require(b >= 0 && b < buckets,
-            s"linearScore: bucket $b outside [0, $buckets)")
+            s"weight table: bucket $b outside [0, $buckets)")
           arr(b) = r.getLong(1)
         }
         arr
       case None => Array.tabulate(buckets)(b => (b.toLong * 37 % 21) - 10)
     }
-    val tableLit = typedLit(table.toSeq)
+
+  def linearScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 64,
+      weights: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val tableLit = typedLit(weightTable(buckets, weights).toSeq)
     val w = (t: Column) => element_at(tableLit,
       (pmod(Dedup.portableHash(t), lit(buckets.toLong)) + 1L)
         .cast(IntegerType))
@@ -988,5 +995,54 @@ object TextOps {
         size(col("toks")).cast(LongType).as("n_tokens"),
         aggregate(col("toks"), lit(0L), (acc, t) => acc + w(t)).as("score"))
       .withColumn("label_positive", col("score") > 0)
+  }
+
+  /** One BATCH EPOCH of hashed-perceptron training — the train-side
+    * counterpart of [[linearScore]]'s apply-side: score every labeled
+    * document under the current weight vector, and for each document the
+    * model misclassifies (label · score ≤ 0, zero-margin included), add
+    * `label × token-count` into every feature slot its tokens hash to.
+    * Output: one row per bucket — (bucket, w_old, grad, w_new) with
+    * `w_new = w_old + grad` (learning rate 1) — i.e. the NEXT weight
+    * table, feedable straight back into [[linearScore]]/[[perceptronStep]]
+    * as the `weights` frame: the train→apply loop closes over the same
+    * (bucket, weight) contract. Labels come from `labelCol` (±1).
+    * Integer-only throughout → bit-stable cross-engine.
+    *
+    * Scale — how a hashed linear model trains on 100 TB per epoch: the
+    * scoring pass is the SAME fully-narrow map as linearScore (the
+    * current model lives in the expression; no vocabulary broadcast);
+    * misclassified docs explode to (bucket, label) and aggregate with
+    * map-side partials into a `buckets`-bounded gradient (the only
+    * shuffle, kilobytes on the wire); the final frame is a broadcast
+    * join against the `buckets`-row id range. Compare a parameter-server
+    * design: the aggregation tree IS the parameter server here. */
+  def perceptronStep(docs: DataFrame, labelCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 64, weights: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val table = weightTable(buckets, weights)
+    val tableLit = typedLit(table.toSeq)
+    val bucketOf = (t: Column) =>
+      pmod(Dedup.portableHash(t), lit(buckets.toLong))
+    val w = (t: Column) =>
+      element_at(tableLit, (bucketOf(t) + 1L).cast(IntegerType))
+    val mis = docs
+      .select(col(labelCol).cast(LongType).as("_lbl"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("_score",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + w(t)))
+      .filter(col("_lbl") * col("_score") <= 0)
+    val grad = mis
+      .select(col("_lbl"), explode(col("toks")).as("tok"))
+      .groupBy(bucketOf(col("tok")).cast(IntegerType).as("bucket"))
+      .agg(sum(col("_lbl")).as("grad"))
+    docs.sparkSession.range(buckets)
+      .select(col("id").cast(IntegerType).as("bucket"))
+      .join(grad, Seq("bucket"), "left")
+      .select(col("bucket"),
+        element_at(tableLit, col("bucket") + 1).as("w_old"),
+        coalesce(col("grad"), lit(0L)).as("grad"))
+      .withColumn("w_new", col("w_old") + col("grad"))
   }
 }

@@ -587,6 +587,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
+  test("perceptronStep: misclassified docs update exactly their buckets; train feeds apply") {
+    import spark.implicits._
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def bkt(t: String): Int = (md560(t) % 64).toInt
+    def w0(b: Int): Long = (b.toLong * 37 % 21) - 10
+    val docs = Seq(
+      (2L, 1L, "alpha beta"),       // even -> +1
+      (3L, -1L, "gamma gamma"),     // odd  -> -1
+      (4L, 1L, ""))                 // empty: score 0 -> misclassified, no tokens
+      .toDF("doc_id", "label", "text")
+    val out = graft.text.TextOps.perceptronStep(docs, "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 64)
+    // recompute the expected gradient by hand
+    val grad = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for ((lbl, toks) <- Seq((1L, Seq("alpha", "beta")),
+        (-1L, Seq("gamma", "gamma")))) {
+      val score = toks.map(t => w0(bkt(t))).sum
+      if (lbl * score <= 0) toks.foreach(t => grad(bkt(t)) += lbl)
+    }
+    out.foreach { case (b, (wOld, g, wNew)) =>
+      assert(wOld == w0(b), s"bucket $b w_old")
+      assert(g == grad(b), s"bucket $b grad")
+      assert(wNew == wOld + g, s"bucket $b w_new")
+    }
+    // something must actually have been misclassified under the stand-in
+    assert(out.values.exists(_._2 != 0L), "degenerate fixture: no updates")
+    // the closure: the emitted table IS a weights frame for linearScore
+    val next = graft.text.TextOps.perceptronStep(docs, "label")
+      .select(col("bucket"), col("w_new").as("weight"))
+    val rescored = graft.text.TextOps.linearScore(
+      docs.select("doc_id", "text"), weights = Some(next))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = Seq(2L -> Seq("alpha", "beta"), 3L -> Seq("gamma", "gamma"),
+      4L -> Seq.empty[String]).toMap.map { case (id, toks) =>
+      id -> toks.map(t => w0(bkt(t)) + grad(bkt(t))).sum }
+    assert(rescored == expected)
+  }
+
   test("ngramLangId: profiles separate planted languages; unknown text maps to und") {
     import spark.implicits._
     val docs = Seq(

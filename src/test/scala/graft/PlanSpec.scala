@@ -107,6 +107,18 @@ class PlanSpec extends SparkSpec {
       s"window must run above the histogram aggregate\n${p.take(1500)}")
   }
 
+  test("op_bucketed_join: co-located scans, exchange-free below the join") {
+    val df = SparkEntry.queries("op_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // both sides bucketed on the key -> the SortMergeJoin needs no
+    // exchange; the only shuffle in the whole plan is the final
+    // status aggregate
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("Bucketed: true"), p.take(2000))
+    assert(shuffleCount(df) <= 1,
+      s"expected at most the aggregate's shuffle\n${p.take(2000)}")
+  }
+
   test("op_chi2_terms: per-class top-k via TopKPerKey, no vocabulary window") {
     // the scored (class, token) frame is the class's WHOLE observed
     // vocabulary — a rank window partitioned by class would sort it in one
