@@ -85,7 +85,8 @@ object Bench {
     "bpe_apply" -> "bpea", "line_dups" -> "lnd",
     "incr_dedup" -> "incd", "sem_dedup" -> "semd",
     "incr_sem_dedup" -> "isd", "perceptron_step" -> "pst",
-    "bucketed_join" -> "bkj",
+    "bucketed_join" -> "bkj", "best_survivors" -> "bsv",
+    "embed_outliers" -> "eol", "schema_merge" -> "scm",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -401,6 +401,29 @@ object Catalog {
       (liT, oT)
     })
 
+  /** Two parquet "crawl snapshots" with EVOLVED schemas for the
+    * schema-merge query — written once per sfDir (the [[incrIndex]]
+    * contract): snapshot 1 (even doc_ids) predates the `lang` column;
+    * snapshot 2 (odd doc_ids) carries it. A real pipeline adds columns
+    * without rewriting history — the mergeSchema read is a footer merge,
+    * not a 100 TB rewrite. */
+  private val schemaSnapDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def schemaSnapshots(s: SparkSession, dir: String): (String, String) = {
+    schemaSnapDirs.get(dir).filterNot { case (a, _) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(a)) }
+      .foreach(_ => schemaSnapDirs.remove(dir))
+    schemaSnapDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_schema_snap")
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/snap1")
+      d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$out/snap2")
+      (s"$out/snap1", s"$out/snap2")
+    })
+  }
+
   /** Documents with deterministically planted PII — the fixture texts
     * carry no emails/phones/IPs, so the scrub query appends synthetic ones
     * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
@@ -1726,6 +1749,38 @@ object Catalog {
     // the dedup DELIVERABLE: every corpus doc with its near-dup cluster id
     // and keep flag (pairs -> connected components -> left join back) —
     // filtering survivor = true materializes the deduplicated corpus
+    // quality-aware survivor choice: within each near-dup cluster keep
+    // the LONGEST member (ties -> smallest id) instead of the first-
+    // crawled — per-cluster argmax via the bounded heap (cluster sizes
+    // are unbounded in a crawl)
+    "op_best_survivors" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      Dedup.bestSurvivors(corpus,
+        Dedup.components(Dedup.jaccardPairs(corpus)),
+        length(col("text")))
+    }),
+
+    // centroid-distance outlier flagging over the embeddings: a vector
+    // weakly similar to EVERY fixed centroid (best cos < 0.13, ~the
+    // corpus's 10th percentile) sits in no cluster's core — the
+    // embedding-space garbage filter SemDeDup-style curation runs
+    // alongside its dedup pass; fully narrow
+    "op_embed_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.13)),
+
+    // schema evolution across crawl snapshots: snapshot 1 predates the
+    // lang column, snapshot 2 carries it; the mergeSchema read unions
+    // the footers (NO rewrite of historical files — the point at 100 TB)
+    // and pre-schema rows surface with a sentinel
+    "op_schema_merge" -> ((s, dir) => {
+      val (snap1, snap2) = schemaSnapshots(s, dir)
+      s.read.option("mergeSchema", "true").parquet(snap1, snap2)
+        .groupBy(coalesce(col("lang"), lit("pre_schema")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))
+    }),
+
     "op_neardup_survivors" -> ((s, dir) => {
       val corpus = dedupCorpus(s, dir)
       Dedup.survivors(corpus,

@@ -2697,6 +2697,85 @@ object OracleSql {
         (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS survivor
       FROM corpus c LEFT JOIN cc x USING (doc_id)""",
 
+    // Quality-aware survivors: the op_neardup_survivors clustering with
+    // keep-the-LONGEST (ties -> smallest id) instead of min-id. The rank
+    // window here is oracle-side only — the Spark plan takes the
+    // per-cluster argmax through the bounded heap.
+    "op_best_survivors" -> s"""
+      WITH RECURSIVE $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id),
+      asg AS (
+        SELECT c.doc_id, coalesce(x.cluster_id, c.doc_id) AS cluster_id,
+          length(c.text) AS q
+        FROM corpus c LEFT JOIN cc x USING (doc_id)),
+      best AS (
+        SELECT cluster_id, doc_id AS best_id FROM (
+          SELECT cluster_id, doc_id,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY q DESC, doc_id) AS rn
+          FROM asg) t WHERE rn = 1)
+      SELECT a.doc_id, a.cluster_id, (a.doc_id = b.best_id) AS survivor
+      FROM asg a JOIN best b USING (cluster_id)""",
+
+    // Centroid-distance outliers: best cosine against the fixed centroids
+    // (same per-vector max the assigned CTE ranks by), thresholded.
+    "op_embed_outliers" -> s"""
+      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ivf_cell, sim AS cos_centroid FROM (
+          SELECT vec_id, j AS ivf_cell, sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1)
+      SELECT vec_id, ivf_cell, cos_centroid,
+        cos_centroid < 0.13 AS is_outlier
+      FROM assigned""",
+
+    // Schema merge: the Spark side reads two physically-evolved parquet
+    // snapshots (snapshot 1 lacks lang) with mergeSchema; the oracle is
+    // the layout-invariant semantic answer over the fixture table.
+    "op_schema_merge" -> """
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_schema' ELSE lang END AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1""",
+
     // ---- portable-hash dedup / similarity families ----
     "op_minhash_pairs" -> minhashPairsSql,
 

@@ -455,6 +455,34 @@ object Dedup {
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
           .as("survivor"))
 
+  /** QUALITY-AWARE survivor selection — the production refinement of
+    * [[survivors]]' min-id rule: within each near-dup cluster keep the
+    * member with the highest `quality` value (ties → smallest id), e.g.
+    * keep-the-LONGEST-version of a page instead of
+    * keep-the-first-crawled. Output matches [[survivors]]:
+    * (doc_id, cluster_id, survivor).
+    *
+    * Scale: the per-cluster argmax goes through the bounded-heap
+    * [[graft.ops.TopK.perKey]] (k = 1) — never a rank window over the
+    * corpus (cluster sizes are unbounded in a crawl: a boilerplate
+    * cluster can hold millions of members); the winner list (one row per
+    * cluster) joins back hash-keyed on cluster_id. */
+  def bestSurvivors(corpus: DataFrame, labels: DataFrame, quality: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val lab = corpus
+      .select(col(idCol).as("doc_id"), quality.cast(LongType).as("_q"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("_q"))
+    val best = graft.ops.TopK.perKey(lab, Seq("cluster_id"),
+      struct(col("_q"), -col("doc_id")), 1)
+      .select(col("cluster_id"), col("doc_id").as("_best"))
+    lab.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("_best")).as("survivor"))
+  }
+
   /** Cross-corpus contamination check (train/benchmark decontamination):
     * for each benchmark doc, the train docs sharing at least `minOverlap`
     * distinct word 3-grams, with the overlap count and the benchmark's

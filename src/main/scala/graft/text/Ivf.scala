@@ -92,6 +92,17 @@ object Ivf {
       .withColumn("ivf_cell", argmaxCell(col("ivf_sims")))
       .drop("ivf_sims")
 
+  /** [[assign]] plus the WINNING cosine (`cos_centroid` = the vector's
+    * similarity to its own cell centroid) — the signal centroid-distance
+    * outlier flagging reads: a vector weakly similar to EVERY centroid
+    * sits in no cluster's core. Same narrow broadcast-literal map. */
+  def assignWithSim(corpus: DataFrame, model: Model): DataFrame =
+    corpus
+      .withColumn("ivf_sims", simArray(col("embedding"), model))
+      .withColumn("ivf_cell", argmaxCell(col("ivf_sims")))
+      .withColumn("cos_centroid", array_max(col("ivf_sims")))
+      .drop("ivf_sims")
+
   /** (q_id, q_emb, ivf_cell) rows: each query exploded into its `nprobe`
     * best cells — sort (sim, idx) structs descending, so ties break on
     * cell DESC (mirrored in the oracle). Shared by [[searchTopK]] and

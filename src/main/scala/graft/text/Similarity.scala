@@ -307,6 +307,23 @@ object Similarity {
         col("n").as("neighbor_id"), col("cos"))
   }
 
+  /** Centroid-distance OUTLIER flagging — the embedding-space quality
+    * filter SemDeDup-style curation pairs with its dedup pass: a vector
+    * whose best centroid cosine (`cos_centroid`, [[Ivf.assignWithSim]])
+    * falls below `minCos` sits in no cluster's core — noise, garbage
+    * embeddings, or genuinely novel content to route for review. Output:
+    * (vec_id, ivf_cell, cos_centroid, is_outlier).
+    *
+    * Scale: fully NARROW — C cosines + argmax + max per row against
+    * broadcast centroid literals riding the scan; no shuffle at all. The
+    * threshold compare is bit-stable (fused [[graft.functions.CosineSim]]
+    * accumulation order, mirrored in the oracle). */
+  def centroidOutliers(corpus: DataFrame, model: Ivf.Model,
+      minCos: Double): DataFrame =
+    Ivf.assignWithSim(corpus, model)
+      .select(col("vec_id"), col("ivf_cell"), col("cos_centroid"),
+        (col("cos_centroid") < minCos).as("is_outlier"))
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the multi-table LSH buckets (each unordered pair once). */
   def nearDupPairs(corpus: DataFrame, minCos: Double, nTables: Int = 4,

@@ -107,6 +107,24 @@ class PlanSpec extends SparkSpec {
       s"window must run above the histogram aggregate\n${p.take(1500)}")
   }
 
+  test("op_embed_outliers: fully narrow — the C-cosine max rides the scan") {
+    val df = SparkEntry.queries("op_embed_outliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange is embCorpus's HARNESS-ONLY round-robin spread of
+    // the single-file fixture; the operator itself never hash-partitions
+    // (no join, no aggregate — DedupSpec pins zero exchanges on a raw
+    // frame)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("op_schema_merge: one partial+final aggregate over the merged scan") {
+    val df = SparkEntry.queries("op_schema_merge")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(shuffleCount(df) <= 1, p.take(1500))
+  }
+
   test("op_bucketed_join: co-located scans, exchange-free below the join") {
     val df = SparkEntry.queries("op_bucketed_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

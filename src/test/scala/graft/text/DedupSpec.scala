@@ -276,6 +276,50 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.advisePlanes(500L, 8).isEmpty) // small corpus fine
   }
 
+  test("bestSurvivors: highest quality wins the cluster, ties to smallest id; bounded-heap plan") {
+    import org.apache.spark.sql.functions.length
+    // docs 1, 2, 4 cluster (near/exact dups); lengths: 1 = 4 (64 chars vs
+    // 2's 65) -> the longest member 2 must win, NOT the min-id 1
+    val labels = Dedup.components(Dedup.jaccardPairs(docs))
+    val out = Dedup.bestSurvivors(docs, labels, length(col("text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(2L)._2 && !out(1L)._2 && !out(4L)._2,
+      s"longest member must survive the cluster: $out")
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(4L)._1)
+    assert(out(3L)._2 && out(5L)._2) // singletons survive themselves
+    // equal quality (1 and 4 are exact dups): smallest id wins the tie
+    val tied = Dedup.bestSurvivors(
+      docs.filter(col("doc_id").isin(1L, 4L)), labels, length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(tied == Map(1L -> true, 4L -> false))
+    // the per-cluster argmax is the bounded heap, never a rank window
+    val plan = Dedup.bestSurvivors(docs, labels, length(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("centroidOutliers: best-centroid cosine recomputes; fully narrow plan") {
+    // axis-aligned centroids: v7 sits on centroid 0 (cos 1, inlier); v8
+    // is equidistant-far from every axis (cos 0.5 to each of the 4) —
+    // flag at minCos 0.6
+    val model = Ivf.Model(Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f)))
+    val vecs = Seq((7L, Seq(2f, 0f, 0f, 0f)), (8L, Seq(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(vecs, model, minCos = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(7L)._1 == 0 && math.abs(out(7L)._2 - 1.0) < 1e-12 && !out(7L)._3)
+    assert(math.abs(out(8L)._2 - 0.5) < 1e-12 && out(8L)._3)
+    // narrow: no exchange of any kind — the whole op rides the scan
+    val plan = Similarity.centroidOutliers(vecs, model, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
   test("CacheScope releases the dedup family's internal persists") {
     val scope = new graft.ops.CacheScope
     val pairs = Dedup.jaccardPairs(docs, scope = scope)
