@@ -1362,6 +1362,13 @@ object Catalog {
           sum(col("l_quantity").cast(LongType)).as("sum_qty"))
     }),
 
+    // join-key skew diagnosis (ops/Salting.skewStats): top-10 heaviest
+    // supplier keys with exact counts and shares — the measurement run
+    // BEFORE choosing AQE skew-join / salting / broadcast; the key-count
+    // shuffle moves distinct keys, the top-k is TakeOrderedAndProject
+    "op_skew_stats" -> ((s, dir) =>
+      graft.ops.Salting.skewStats(t(s, dir, "lineitem"), "l_suppkey")),
+
     // two-phase skew-safe aggregation (ops/Salting.saltedSum): partial
     // sums on (key, salt) then a final merge per key — oracle-verified
     // equal to the plain group-by (exact decimal addition commutes)

@@ -3432,6 +3432,23 @@ object OracleSql {
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1""",
 
+    // Skew diagnosis: per-key counts, top-10 by (count desc, key), each
+    // with its share (one exact-integer division) and the distinct-key
+    // total.
+    "op_skew_stats" -> """
+      WITH c AS (
+        SELECT l_suppkey AS key, count(*) AS key_rows
+        FROM lineitem GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(key_rows) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_keys FROM c),
+      top AS (
+        SELECT key, key_rows FROM c ORDER BY key_rows DESC, key LIMIT 10)
+      SELECT top.key, CAST(top.key_rows AS BIGINT) AS key_rows,
+        CAST(top.key_rows AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share,
+        t.n_keys
+      FROM top CROSS JOIN t""",
+
     "op_salted_agg" -> """
       SELECT l_returnflag,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

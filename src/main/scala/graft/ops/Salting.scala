@@ -34,6 +34,33 @@ object Salting {
     saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Join/aggregation-key SKEW DIAGNOSIS — the measurement you run
+    * BEFORE choosing a mitigation (AQE skew-join, [[saltedJoin]],
+    * broadcast): the top `k` heaviest keys with their exact row counts,
+    * each key's share of all rows (ONE division of exact integers —
+    * bit-stable cross-engine, the op_corr_stats discipline), and the
+    * total distinct-key count carried on every row for context.
+    *
+    * Scale: one key-count aggregate with map-side partials (the shuffle
+    * moves distinct keys, not rows), a 1-row totals aggregate, and the
+    * global top-k via orderBy+limit — TakeOrderedAndProject's bounded
+    * per-partition heaps, never a full sort of the key spectrum. */
+  def skewStats(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("key_rows"))
+    val tot = counts.agg(sum("key_rows").as("_tot"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .orderBy(col("key_rows").desc, col("key"))
+      .limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("key_rows"),
+        (col("key_rows").cast("double") / col("_tot").cast("double"))
+          .as("share"),
+        col("n_keys"))
+  }
+
   /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
     * then final aggregate on key. `partials` maps each source column to a
     * re-aggregatable (partialAgg, finalAgg) pair — e.g. sum/sum,

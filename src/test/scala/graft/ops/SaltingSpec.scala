@@ -70,4 +70,21 @@ class SaltingSpec extends SparkSpec {
         "FROM range(100))").head().getSeq[Long](0)
     assert(kmv == Seq(0L, 1L, 2L)) // 3 smallest distinct residues
   }
+
+  test("skewStats: heavy hitters, exact shares, bounded top-k plan") {
+    import spark.implicits._
+    // key 'hot' 6 rows, 'warm' 3, 'a'..'c' 1 each -> 12 rows, 5 keys
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("a", "b", "c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("key", "v")
+    val out = graft.ops.Salting.skewStats(df, "key", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 2)
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m("hot")._2 == 6L && m("warm")._2 == 3L)
+    assert(m("hot")._3 == 6.0 / 12.0 && m("hot")._4 == 5L)
+    // global top-k is the bounded TakeOrderedAndProject, never a full sort
+    val plan = graft.ops.Salting.skewStats(df, "key", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
 }
