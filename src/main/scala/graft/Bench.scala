@@ -87,7 +87,7 @@ object Bench {
     "incr_sem_dedup" -> "isd", "perceptron_step" -> "pst",
     "bucketed_join" -> "bkj", "best_survivors" -> "bsv",
     "embed_outliers" -> "eol", "schema_merge" -> "scm",
-    "skew_stats" -> "skw",
+    "skew_stats" -> "skw", "fk_audit" -> "fka",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

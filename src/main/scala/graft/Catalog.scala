@@ -1362,6 +1362,24 @@ object Catalog {
           sum(col("l_quantity").cast(LongType)).as("sum_qty"))
     }),
 
+    // referential-integrity audit over the star schema (ops/Audit): per
+    // FK edge the orphan-child and duplicate-parent-key counts — the
+    // data-quality gate an ingest runs before publishing a snapshot
+    "op_fk_audit" -> ((s, dir) => {
+      import graft.ops.Audit.FkEdge
+      graft.ops.Audit.fkAudit(Seq(
+        FkEdge("lineitem.orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        FkEdge("lineitem.partkey", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        FkEdge("lineitem.suppkey", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        FkEdge("orders.custkey", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        FkEdge("customer.nationkey", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey")))
+    }),
+
     // join-key skew diagnosis (ops/Salting.skewStats): top-10 heaviest
     // supplier keys with exact counts and shares — the measurement run
     // BEFORE choosing AQE skew-join / salting / broadcast; the key-count

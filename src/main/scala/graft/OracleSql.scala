@@ -3432,6 +3432,31 @@ object OracleSql {
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1""",
 
+    // FK audit: per edge the NOT-EXISTS orphan count (anti-join
+    // semantics) and duplicate-parent-key count.
+    "op_fk_audit" -> {
+      def edge(name: String, child: String, ck: String, parent: String,
+          pk: String): String = s"""
+        SELECT '$name' AS edge,
+          CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+          CAST((SELECT count(*) FROM $child c
+                WHERE NOT EXISTS (SELECT 1 FROM $parent p
+                                  WHERE p.$pk = c.$ck)) AS BIGINT)
+            AS n_orphan_child,
+          CAST((SELECT count(DISTINCT $pk) FROM $parent) AS BIGINT)
+            AS n_parent_keys,
+          CAST((SELECT count(*) FROM (
+                  SELECT $pk FROM $parent GROUP BY 1
+                  HAVING count(*) > 1) t) AS BIGINT) AS n_dup_parent_keys"""
+      Seq(
+        edge("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .mkString("", " UNION ALL ", "")
+    },
+
     // Skew diagnosis: per-key counts, top-10 by (count desc, key), each
     // with its share (one exact-integer division) and the distinct-key
     // total.
