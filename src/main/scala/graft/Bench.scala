@@ -88,6 +88,7 @@ object Bench {
     "bucketed_join" -> "bkj", "best_survivors" -> "bsv",
     "embed_outliers" -> "eol", "schema_merge" -> "scm",
     "skew_stats" -> "skw", "fk_audit" -> "fka",
+    "sample_quantiles" -> "sqt",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

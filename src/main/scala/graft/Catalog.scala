@@ -1362,6 +1362,32 @@ object Catalog {
           sum(col("l_quantity").cast(LongType)).as("sum_qty"))
     }),
 
+    // mergeable deterministic quantile estimation (functions/SampleSketch,
+    // KmvSketch's sibling): per return flag, the k=256 smallest-hash rows
+    // form a reproducible uniform sample whose sorted ranks estimate
+    // p50/p90/p99 — fixed memory, map-side partials, no full sort of the
+    // value column at any scale
+    "op_sample_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = col("l_quantity").cast(LongType)
+      val h = Dedup.portableHash(concat_ws(":",
+        col("l_orderkey").cast(StringType),
+        col("l_linenumber").cast(StringType),
+        col("l_partkey").cast(StringType),
+        col("l_suppkey").cast(StringType), qty.cast(StringType)))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.SampleSketch(h, qty, 256).as("_s"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          size(col("_s")).as("n_sample"),
+          graft.functions.SampleSketch.quantile(array_sort(col("_s")), 50)
+            .as("p50"),
+          graft.functions.SampleSketch.quantile(array_sort(col("_s")), 90)
+            .as("p90"),
+          graft.functions.SampleSketch.quantile(array_sort(col("_s")), 99)
+            .as("p99"))
+    }),
+
     // referential-integrity audit over the star schema (ops/Audit): per
     // FK edge the orphan-child and duplicate-parent-key counts — the
     // data-quality gate an ingest runs before publishing a snapshot

@@ -3432,6 +3432,36 @@ object OracleSql {
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1""",
 
+    // Sample-sketch quantiles: per flag the 256 smallest-hash rows
+    // (hash collisions keep min value, mirroring the sketch), sorted
+    // sample ranks at 50/90/99 with exact integer index math.
+    "op_sample_quantiles" -> """
+      WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST('0x' || substring(md5(
+            CAST(l_orderkey AS VARCHAR) || ':' ||
+            CAST(l_linenumber AS VARCHAR) || ':' ||
+            CAST(l_partkey AS VARCHAR) || ':' ||
+            CAST(l_suppkey AS VARCHAR) || ':' ||
+            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)
+            AS h,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem),
+      d AS (SELECT flag, h, min(v) AS v FROM b GROUP BY flag, h),
+      r AS (SELECT flag, v,
+              row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+            FROM d),
+      smp AS (SELECT flag, list(v ORDER BY v) AS s
+              FROM r WHERE rn <= 256 GROUP BY flag),
+      tot AS (SELECT l_returnflag AS flag, count(*) AS n_rows
+              FROM lineitem GROUP BY 1)
+      SELECT t.flag AS l_returnflag, CAST(t.n_rows AS BIGINT) AS n_rows,
+        CAST(len(s.s) AS INT) AS n_sample,
+        s.s[(len(s.s)-1)*50//100 + 1] AS p50,
+        s.s[(len(s.s)-1)*90//100 + 1] AS p90,
+        s.s[(len(s.s)-1)*99//100 + 1] AS p99
+      FROM tot t JOIN smp s USING (flag)""",
+
     // FK audit: per edge the NOT-EXISTS orphan count (anti-join
     // semantics) and duplicate-parent-key count.
     "op_fk_audit" -> {
