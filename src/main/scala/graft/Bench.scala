@@ -88,7 +88,8 @@ object Bench {
     "bucketed_join" -> "bkj", "best_survivors" -> "bsv",
     "embed_outliers" -> "eol", "schema_merge" -> "scm",
     "skew_stats" -> "skw", "fk_audit" -> "fka",
-    "sample_quantiles" -> "sqt",
+    "sample_quantiles" -> "sqt", "dup_ngram_frac" -> "dnf",
+    "ngram_novelty" -> "nnv",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

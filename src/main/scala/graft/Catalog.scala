@@ -1487,6 +1487,22 @@ object Catalog {
     "op_line_dups" -> ((s, dir) =>
       TextOps.lineDups(lineCorpus(s, dir))),
 
+    // Gopher duplicate-ngram-fraction repetition signal over the planted
+    // repeated-line corpus: fraction of each doc's word trigrams that
+    // repeat within the doc — fully narrow per-row HOF work (the
+    // repartition is the single-file-fixture HARNESS spread, the
+    // ngram_lang_id precedent — a real corpus arrives pre-partitioned)
+    "op_dup_ngram_frac" -> ((s, dir) =>
+      TextOps.dupNgramFrac(
+        lineCorpus(s, dir).repartition(s.sparkContext.defaultParallelism))),
+
+    // n-gram novelty of the ingest batch against the historical corpus —
+    // the data-SELECTION signal beside decontamination: near-dup copies
+    // score ~0, reversed-text docs ~1; reference side is one distinct
+    // shingle set (standing-index shape), probe explodes and left-joins
+    "op_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(ingestBatch(s, dir), t(s, dir, "documents"))),
+
     // C4-style boilerplate STRIP over the planted corpus: paragraphs in
     // >= 10 distinct docs are dropped, the cleaned doc is re-joined in
     // original paragraph order (hash-summarized; the text itself never

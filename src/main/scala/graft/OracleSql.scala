@@ -3601,6 +3601,85 @@ object OracleSql {
     // trimmed non-empty newline splits, dup count = occurrences beyond
     // each line's first, dup_char_frac from exact integer char sums (one
     // int-to-double division — bit-stable cross-engine).
+    // Duplicate-ngram fraction over the planted repeated-line corpus:
+    // per-doc trigram list (NON-distinct), repeats = total - distinct,
+    // one exact-integer division; docs under 3 tokens drop.
+    "op_dup_ngram_frac" -> """
+      WITH lc AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN
+            chr(10) || 'repeated footer line instance' ||
+            chr(10) || 'repeated footer line instance'
+            ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN
+            chr(10) || 'repeated legal notice line' ||
+            chr(10) || 'repeated legal notice line' ||
+            chr(10) || 'repeated legal notice line'
+            ELSE '' END AS text
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM lc),
+      tri AS (
+        SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+        FROM tok WHERE len(toks) >= 3)
+      SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_ngrams,
+        CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct,
+        CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+          / CAST(len(tg) AS DOUBLE) AS dup_frac
+      FROM tri""",
+
+    // N-gram novelty of the ingest batch vs the historical corpus:
+    // distinct probe shingles LEFT-join the reference's distinct shingle
+    // set; novelty = unseen/total (one exact-integer division).
+    "op_ngram_novelty" -> """
+      WITH nb AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+               text || ' near duplicate copy suffix' AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, reverse(text)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
+        FROM documents WHERE doc_id % 26 = 0),
+      tokp AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM nb),
+      shdp AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tokp)),
+      tokr AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      shdr AS (
+        SELECT DISTINCT s FROM (
+          SELECT unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tokr))
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unseen,
+        CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS novelty
+      FROM shdp p LEFT JOIN shdr r ON r.s = p.s
+      GROUP BY p.doc_id""",
+
     "op_line_dups" -> """
       WITH lc AS (
         SELECT doc_id, text ||

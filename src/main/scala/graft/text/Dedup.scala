@@ -519,4 +519,35 @@ object Dedup {
       .agg(count(lit(1)).as("overlap"), first("bench_n_sh").as("bench_n_sh"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  /** N-gram NOVELTY of each probe document against a reference corpus —
+    * the data-SELECTION signal beside [[contamination]]'s
+    * decontamination flag: the fraction of the doc's distinct word
+    * 3-grams never seen anywhere in the reference (near-dup of history →
+    * ≈ 0, genuinely fresh content → ≈ 1). Scoring an ingest batch's
+    * novelty is how a pipeline prioritizes what to keep when the crawl
+    * exceeds the training budget. Output: (doc_id, n_shingles, n_unseen,
+    * novelty) with ONE exact-integer division.
+    *
+    * Scale: the reference side collapses to its DISTINCT shingle set
+    * (one aggregate — no df cap needed: membership only, nothing can
+    * pair-explode); the probe's exploded shingles LEFT-join it on the
+    * shingle key and re-aggregate per doc. Both shuffles move (doc,
+    * shingle) / shingle rows with map-side partials — linear in corpus
+    * shingles, and the reference set is the same standing index shape a
+    * recurring ingest would maintain incrementally. */
+  def ngramNovelty(probe: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val refSet = reference
+      .select(explode(shingles(col(textCol))).as("s")).distinct()
+      .withColumn("_seen", lit(true))
+    probe
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("s"))
+      .join(refSet, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty",
+        col("n_unseen").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+  }
 }

@@ -587,6 +587,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
+  test("dupNgramFrac: repeated trigrams counted exactly; short docs drop; narrow plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // 6 trigrams: abc bca cab abc bca cab -> 3 distinct
+      (2L, "x y z w"),            // 2 trigrams, both distinct
+      (3L, "p q"))                // < 3 tokens -> dropped
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.dupNgramFrac(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((6L, 3L, 0.5)),
+      2L -> ((2L, 2L, 0.0))))
+    val plan = graft.text.TextOps.dupNgramFrac(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("perceptronStep: misclassified docs update exactly their buckets; train feeds apply") {
     import spark.implicits._
     def md560(s: String): Long = {

@@ -276,6 +276,22 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.advisePlanes(500L, 8).isEmpty) // small corpus fine
   }
 
+  test("ngramNovelty: unseen-shingle fraction against the reference; extremes hit 0 and 1") {
+    import spark.implicits._
+    val ref = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma delta epsilon"),    // every trigram seen -> 0
+      (11L, "zeta eta theta iota kappa"),         // nothing seen -> 1
+      (12L, "alpha beta gamma zeta eta"))         // 1 of 3 trigrams seen
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(probe, ref)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((3L, 0L, 0.0)))
+    assert(out(11L) == ((3L, 3L, 1.0)))
+    assert(out(12L) == ((3L, 2L, 2.0 / 3.0)))
+  }
+
   test("bestSurvivors: highest quality wins the cluster, ties to smallest id; bounded-heap plan") {
     import org.apache.spark.sql.functions.length
     // docs 1, 2, 4 cluster (near/exact dups); lengths: 1 = 4 (64 chars vs
