@@ -89,7 +89,7 @@ object Bench {
     "embed_outliers" -> "eol", "schema_merge" -> "scm",
     "skew_stats" -> "skw", "fk_audit" -> "fka",
     "sample_quantiles" -> "sqt", "dup_ngram_frac" -> "dnf",
-    "ngram_novelty" -> "nnv",
+    "ngram_novelty" -> "nnv", "stream_topk" -> "stk",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

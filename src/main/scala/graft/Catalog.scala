@@ -944,6 +944,21 @@ object Catalog {
           tsAsNanos(st), Dims.stateRates(s)))
     }),
 
+    // streaming trending event types: windowed (day, event_type) counts
+    // through the REAL streaming path (state bounded by days × types),
+    // then per-day top-3 via the bounded heap on the replayed result —
+    // tie-break (n_events desc, event_type asc) via the ascending
+    // (-n_events, event_type) struct, the chi2 pattern
+    "op_stream_topk" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = graft.streaming.Replay.replayComplete(
+        s, stagedEvents(s, dir), ev.schema,
+        st => graft.streaming.NexusMonitor.eventTypeDailyCounts(tsAsNanos(st)))
+      graft.ops.TopK.perKey(counts, Seq("day"),
+        struct((lit(0L) - col("n_events")).as("_neg"), col("event_type")),
+        3, descending = false)
+    }),
+
     // streaming gap-sessionization, replayed and batch-checked: events
     // stream through the REAL flatMapGroupsWithState path (custom session
     // state + event-time timeout). On a bounded AvailableNow replay the

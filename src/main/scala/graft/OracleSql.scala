@@ -1421,6 +1421,22 @@ object OracleSql {
       FROM events e JOIN states s ON s.state_idx = e.user_id % 51
       GROUP BY 1, 2""",
 
+    // Streaming trending types, batch-checked: daily (day, event_type)
+    // counts, per-day top-3 by (count desc, type asc) — the rank window
+    // is oracle-side; the Spark plan ranks through the bounded heap.
+    "op_stream_topk" -> """
+      WITH c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT day, event_type, n_events,
+          row_number() OVER (PARTITION BY day
+            ORDER BY n_events DESC, event_type) AS rn
+        FROM c)
+      SELECT day, event_type, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rn <= 3""",
+
     "op_filing_deadlines" -> s"""
       WITH reg AS (
         SELECT * FROM (VALUES

@@ -82,6 +82,22 @@ object NexusMonitor {
       .select(to_date(col("window.start")).as("day"), col("state"),
         col("revenue_cents"), col("transaction_count"))
 
+  /** Daily (day, event_type) counts over the events-stream shape — the
+    * STREAMING side of the trending-types query: a real event-time window
+    * aggregation whose state is bounded by days × event types (a handful
+    * of rows per day regardless of traffic), complete-mode friendly like
+    * [[eventDailyTotals]]. The per-day top-k selection runs AFTER the
+    * replay on the bounded aggregated result (the streaming engine has no
+    * rank operator; ranking days × types rows batch-side is free). */
+  def eventTypeDailyCounts(events: DataFrame): DataFrame =
+    events
+      .select(timestamp_micros(expr("ts div 1000")).as("event_ts"),
+        col("event_type"))
+      .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("window.start")).as("day"), col("event_type"),
+        col("n_events"))
+
   /** Watermarked daily revenue per state over event time; accepts data up
     * to `lateness` behind the max seen event time, drops later. */
   def windowedRevenue(txns: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -78,6 +78,36 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming daily type counts replay to the batch aggregate; top-k is heap-ranked") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_topk")
+    try {
+      val ev = graft.Catalog.tsAsNanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      ev.write.mode("overwrite").parquet(dir.toString)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)
+      val streamed = Replay.replayComplete(spark, dir.toString, ev.schema,
+        st => NexusMonitor.eventTypeDailyCounts(st)).collect().map(key).toMap
+      val batch = NexusMonitor.eventTypeDailyCounts(ev)
+        .collect().map(key).toMap
+      assert(streamed.nonEmpty && streamed == batch)
+      // the declared query's rank stage: bounded heap, no Window node
+      val counts = NexusMonitor.eventTypeDailyCounts(ev)
+      val top = graft.ops.TopK.perKey(counts, Seq("day"),
+        org.apache.spark.sql.functions.struct(
+          (org.apache.spark.sql.functions.lit(0L) - col("n_events")).as("_n"),
+          col("event_type")), 3, descending = false)
+      assert(!top.queryExecution.executedPlan.toString.contains("Window"))
+      val perDay = top.collect().groupBy(_.getDate(0).toString)
+      assert(perDay.values.forall(_.length <= 3))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("two-stream interval join replays to its batch join equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay_join")
     try {
