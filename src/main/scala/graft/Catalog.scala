@@ -424,6 +424,30 @@ object Catalog {
     })
   }
 
+  /** Fragmented + compacted copies of the documents table for the
+    * small-files compaction query — written once per sfDir (the
+    * [[incrIndex]] contract): 64 round-robin shards (the
+    * one-file-per-task ingest pathology), then the compaction pass
+    * reading the FRAGMENTED copy and rewriting as 4 range-partitioned
+    * files (fewer, larger files AND doc_id-clustered layout for min/max
+    * pruning — the two things compaction buys). */
+  private val compactDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def compactedDocs(s: SparkSession, dir: String): (String, String) = {
+    compactDirs.get(dir).filterNot { case (a, _) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(a)) }
+      .foreach(_ => compactDirs.remove(dir))
+    compactDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_compact")
+      t(s, dir, "documents").select("doc_id", "text")
+        .repartition(64).write.mode("overwrite").parquet(s"$out/frag")
+      s.read.parquet(s"$out/frag")
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$out/compact")
+      (s"$out/frag", s"$out/compact")
+    })
+  }
+
   /** Documents with deterministically planted PII — the fixture texts
     * carry no emails/phones/IPs, so the scrub query appends synthetic ones
     * in-plan (every 4th/6th/9th doc); mirrored in OracleSql. */
@@ -1850,6 +1874,31 @@ object Catalog {
     "op_embed_outliers" -> ((s, dir) =>
       Similarity.centroidOutliers(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.13)),
+
+    // small-files compaction: 64 ingest shards rewritten as 4
+    // range-partitioned files; the query MEASURES the layout (distinct
+    // input_file_name per side) and certifies content preservation via
+    // an order-independent bit_xor checksum — the oracle pins the
+    // expected file counts and the row total
+    "op_compact_files" -> ((s, dir) => {
+      val (fragDir, compDir) = compactedDocs(s, dir)
+      def stats(path: String, files: String, rows: String, sum: String) =
+        s.read.parquet(path)
+          // nondeterministic exprs can't sit inside an aggregate arg —
+          // project the file name to an attribute first
+          .select(col("doc_id"), col("text"), input_file_name().as("_f"))
+          .agg(
+            countDistinct(col("_f")).as(files),
+            count(lit(1)).as(rows),
+            expr("bit_xor(" +
+              "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+              "text)), 1, 15), 16, 10) as bigint))").as(sum))
+      stats(fragDir, "n_files_frag", "n_rows", "_cs_a")
+        .crossJoin(stats(compDir, "n_files_compact", "_nr_b", "_cs_b"))
+        .select(col("n_files_frag"), col("n_files_compact"), col("n_rows"),
+          (col("_cs_a") === col("_cs_b") && col("n_rows") === col("_nr_b"))
+            .as("content_preserved"))
+    }),
 
     // schema evolution across crawl snapshots: snapshot 1 predates the
     // lang column, snapshot 2 carries it; the mergeSchema read unions

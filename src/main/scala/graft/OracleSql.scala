@@ -2783,6 +2783,19 @@ object OracleSql {
         cos_centroid < 0.13 AS is_outlier
       FROM assigned""",
 
+    // Compaction: the Spark side MEASURES the physical layout (64 ingest
+    // shards -> 4 range-partitioned files) and checksums content across
+    // the rewrite; the oracle pins the expected counts — a layout
+    // regression (e.g. an accidental coalesce) fails against these
+    // constants, and content_preserved certifies the rewrite lost
+    // nothing.
+    "op_compact_files" -> """
+      SELECT CAST(64 AS BIGINT) AS n_files_frag,
+        CAST(4 AS BIGINT) AS n_files_compact,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        true AS content_preserved
+      FROM documents""",
+
     // Schema merge: the Spark side reads two physically-evolved parquet
     // snapshots (snapshot 1 lacks lang) with mergeSchema; the oracle is
     // the layout-invariant semantic answer over the fixture table.
