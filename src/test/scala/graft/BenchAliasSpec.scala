@@ -102,7 +102,11 @@ class BenchAliasSpec extends AnyFunSuite {
       Nil, "/root/testdata/sf0.1")
     val om = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(wLine)
       .map(_.group(1).toInt).getOrElse(0)
-    assert(om <= 8, s"worst-case line drops too many queries: $om")
+    // proportional, not a fixed count: the designed creep is a few keys
+    // per new query past the cliff; what this guards against is a BLOWUP
+    // (e.g. an alias map regression un-shortening half the keys)
+    assert(om <= declared.size / 10,
+      s"worst-case line drops too many queries: $om of ${declared.size}")
   }
 
   test("ladder: overflow drops only the cheapest queries and accounts for them") {
