@@ -859,9 +859,10 @@ object TextOps {
     *
     * Scale: trigram maps are narrow; the profile build is one
     * (lang, trigram)-keyed aggregate with map-side partials and a window
-    * bounded by each language's trigram vocabulary; the profile
-    * (≤ langs · profileK rows) BROADCASTS back onto the doc-trigram probe
-    * stream; the final argmax window is per doc over ≤ |langs| rows. */
+    * through the bounded-heap TopK (never a rank window over a
+    * language's whole trigram vocabulary); the profile (≤ langs ·
+    * profileK rows) BROADCASTS back onto the doc-trigram probe stream;
+    * the final argmax window is per doc over ≤ |langs| rows. */
   def ngramLangId(docs: DataFrame, profileK: Int = 300,
       textCol: String = "text", idCol: String = "doc_id",
       langCol: String = "lang",
@@ -877,10 +878,15 @@ object TextOps {
     val counts = docTris
       .select(col(langCol).as("_plang"), explode(col("_tris")).as("_tri"))
       .groupBy("_plang", "_tri").agg(count(lit(1)).as("_cnt"))
-    val profile = counts
-      .withColumn("_rk", row_number().over(w.partitionBy("_plang")
-        .orderBy(col("_cnt").desc, col("_tri"))))
-      .filter(col("_rk") <= profileK)
+    // top-profileK per language through the BOUNDED HEAP, not a rank
+    // window: the partition would be each language's whole observed
+    // trigram vocabulary (10⁶-10⁷ on a unicode corpus) sorted in one
+    // task per language — the op_chi2_terms lesson. The profile is a
+    // SET, so no rank needs recovering; tie-break (count desc, trigram
+    // asc) rides the ascending (−count, trigram) struct.
+    val profile = graft.ops.TopK.perKey(counts, Seq("_plang"),
+      struct((lit(0L) - col("_cnt")).as("_nc"), col("_tri")), profileK,
+      descending = false)
       .select("_plang", "_tri")
     val scored = docTris
       .select(col(idCol), col(langCol), explode(col("_tris")).as("_tri"))

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
       s"expected at most the aggregate's shuffle\n${p.take(2000)}")
   }
 
+  test("op_ngram_lang_id: profile via TopKPerKey; only the per-doc argmax window remains") {
+    // the profile's per-language top-K runs through the bounded heap (a
+    // rank window would sort each language's whole trigram vocabulary in
+    // one task); the single remaining Window is the per-doc argmax over
+    // <= |langs| rows
+    val p = plan("op_ngram_lang_id")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    // count Window EXEC nodes ("Window ["); WindowGroupLimit — the rank
+    // pushdown guarding the argmax — also contains the substring
+    assert("Window \\[".r.findAllIn(p).size <= 1,
+      s"only the per-doc argmax window may remain\n${p.take(1500)}")
+  }
+
   test("op_chi2_terms: per-class top-k via TopKPerKey, no vocabulary window") {
     // the scored (class, token) frame is the class's WHOLE observed
     // vocabulary — a rank window partitioned by class would sort it in one
