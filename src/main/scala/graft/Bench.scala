@@ -90,7 +90,7 @@ object Bench {
     "skew_stats" -> "skw", "fk_audit" -> "fka",
     "sample_quantiles" -> "sqt", "dup_ngram_frac" -> "dnf",
     "ngram_novelty" -> "nnv", "stream_topk" -> "stk",
-    "compact_files" -> "cpf",
+    "compact_files" -> "cpf", "winsorize" -> "wz",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

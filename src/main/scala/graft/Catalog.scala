@@ -1427,6 +1427,39 @@ object Catalog {
             .as("p99"))
     }),
 
+    // per-group winsorization driven by the deterministic sample sketch:
+    // clip quantities to the group's sampled [p5, p95] — two passes over
+    // the fact (bounded sketch aggregate, then broadcast-bounds clip +
+    // re-aggregate), the standard robust-feature recipe with zero full
+    // sorts; reproducible because the sample is (op_sample_quantiles)
+    "op_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = col("l_quantity").cast(LongType)
+      val h = Dedup.portableHash(concat_ws(":",
+        col("l_orderkey").cast(StringType),
+        col("l_linenumber").cast(StringType),
+        col("l_partkey").cast(StringType),
+        col("l_suppkey").cast(StringType), qty.cast(StringType)))
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.SampleSketch(h, qty, 256).as("_s"))
+        .select(col("l_returnflag"),
+          graft.functions.SampleSketch.quantile(array_sort(col("_s")), 5)
+            .as("lo"),
+          graft.functions.SampleSketch.quantile(array_sort(col("_s")), 95)
+            .as("hi"))
+      li.select(col("l_returnflag"), qty.as("v"))
+        .join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          sum(greatest(col("lo"), least(col("hi"), col("v"))))
+            .as("sum_winsorized"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    }),
+
     // referential-integrity audit over the star schema (ops/Audit): per
     // FK edge the orphan-child and duplicate-parent-key counts — the
     // data-quality gate an ingest runs before publishing a snapshot

@@ -3491,6 +3491,43 @@ object OracleSql {
         s.s[(len(s.s)-1)*99//100 + 1] AS p99
       FROM tot t JOIN smp s USING (flag)""",
 
+    // Winsorize: the op_sample_quantiles sketch sample per flag gives
+    // [p5, p95] bounds; values clip to them and re-aggregate.
+    "op_winsorize" -> """
+      WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST('0x' || substring(md5(
+            CAST(l_orderkey AS VARCHAR) || ':' ||
+            CAST(l_linenumber AS VARCHAR) || ':' ||
+            CAST(l_partkey AS VARCHAR) || ':' ||
+            CAST(l_suppkey AS VARCHAR) || ':' ||
+            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)
+            AS h,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem),
+      d AS (SELECT flag, h, min(v) AS v FROM b GROUP BY flag, h),
+      r AS (SELECT flag, v,
+              row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+            FROM d),
+      smp AS (SELECT flag, list(v ORDER BY v) AS s
+              FROM r WHERE rn <= 256 GROUP BY flag),
+      bounds AS (
+        SELECT flag, s[(len(s)-1)*5//100 + 1] AS lo,
+                     s[(len(s)-1)*95//100 + 1] AS hi
+        FROM smp)
+      SELECT l.l_returnflag,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN CAST(l.l_quantity AS BIGINT) < bo.lo
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        CAST(sum(CASE WHEN CAST(l.l_quantity AS BIGINT) > bo.hi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        CAST(sum(greatest(bo.lo,
+          least(bo.hi, CAST(l.l_quantity AS BIGINT)))) AS BIGINT)
+          AS sum_winsorized,
+        CAST(bo.lo AS BIGINT) AS lo, CAST(bo.hi AS BIGINT) AS hi
+      FROM lineitem l JOIN bounds bo ON bo.flag = l.l_returnflag
+      GROUP BY 1, bo.lo, bo.hi""",
+
     // FK audit: per edge the NOT-EXISTS orphan count (anti-join
     // semantics) and duplicate-parent-key count.
     "op_fk_audit" -> {
