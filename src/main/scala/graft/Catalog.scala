@@ -1485,6 +1485,22 @@ object Catalog {
     "op_skew_stats" -> ((s, dir) =>
       graft.ops.Salting.skewStats(t(s, dir, "lineitem"), "l_suppkey")),
 
+    // the other half of the bucketing story: a groupBy ON THE BUCKET KEY
+    // needs no exchange either (the scan already satisfies the required
+    // distribution), so per-order rollups over the bucketed fact are
+    // shuffle-FREE — the write-once shuffle amortizes over joins AND
+    // aggregations. Output re-aggregated to order-count-per-item-count
+    // (bounded rows) so the oracle compare stays small
+    "op_bucketed_agg" -> ((s, dir) => {
+      val (liT, _) = bucketedPair(s, dir)
+      s.table(liT)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(LongType)).as("qty"))
+        .groupBy(col("n_items"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("sum_qty"))
+    }),
+
     // two-phase skew-safe aggregation (ops/Salting.saltedSum): partial
     // sums on (key, salt) then a final merge per key — oracle-verified
     // equal to the plain group-by (exact decimal addition commutes)

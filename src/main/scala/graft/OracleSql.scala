@@ -3553,6 +3553,18 @@ object OracleSql {
         .mkString("", " UNION ALL ", "")
     },
 
+    // Bucketed aggregation: layout-invariant oracle (the bucketed-join
+    // convention) — per-order rollup re-aggregated by item count.
+    "op_bucketed_agg" -> """
+      WITH o AS (
+        SELECT l_orderkey, count(*) AS n_items,
+          sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(n_items AS BIGINT) AS n_items,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(qty) AS BIGINT) AS sum_qty
+      FROM o GROUP BY 1""",
+
     // Skew diagnosis: per-key counts, top-10 by (count desc, key), each
     // with its share (one exact-integer division) and the distinct-key
     // total.

@@ -150,6 +150,15 @@ class PlanSpec extends SparkSpec {
       s"only the per-doc argmax window may remain\n${p.take(1500)}")
   }
 
+  test("op_bucketed_agg: the per-order aggregate needs no exchange on the bucketed scan") {
+    val df = SparkEntry.queries("op_bucketed_agg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p.take(2000))
+    // the only shuffle is the tiny second-level rollup by item count —
+    // the order-keyed aggregate rides the bucket distribution
+    assert(shuffleCount(df) <= 1, p.take(2000))
+  }
+
   test("op_chi2_terms: per-class top-k via TopKPerKey, no vocabulary window") {
     // the scored (class, token) frame is the class's WHOLE observed
     // vocabulary — a rank window partitioned by class would sort it in one
