@@ -91,7 +91,7 @@ object Bench {
     "sample_quantiles" -> "sqt", "dup_ngram_frac" -> "dnf",
     "ngram_novelty" -> "nnv", "stream_topk" -> "stk",
     "compact_files" -> "cpf", "winsorize" -> "wz",
-    "bucketed_agg" -> "bka",
+    "bucketed_agg" -> "bka", "cdc_chunks" -> "cdc",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1542,6 +1542,13 @@ object Catalog {
     // token-level Rabin-Karp rolling-hash fingerprints (the brief's
     // "document fingerprinting (rolling hash)" verbatim): per-doc window
     // count, distinct windows, min window hash (winnowing anchor)
+    // content-defined chunking over the near-dup-planted corpus: the
+    // storage-dedup measurement — near-dup copies re-chunk to mostly
+    // identical chunks, so duplicate chunks appear exactly where a
+    // snapshot store would save space
+    "op_cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunks(dedupCorpus(s, dir))),
+
     "op_rolling_fp" -> ((s, dir) =>
       TextOps.rollingFingerprint(t(s, dir, "documents"), "text", w = 8)),
 

@@ -3832,6 +3832,36 @@ object OracleSql {
 
     // Per-doc Rabin-Karp rolling-hash fingerprint summary (w = 8 token
     // windows); docs shorter than 8 tokens drop.
+    // CDC chunking over the near-dup corpus: boundary after every window
+    // with wh % 16 = 0; chunk id = boundaries among strictly-preceding
+    // windows (O(n²) prefix sums — oracle-side only); chunk hash = the
+    // same Horner fold as the Spark side, list_reduce's first-element
+    // init being identical to Spark's fold-from-0 first step.
+    "op_cdc_chunks" -> s"""
+      WITH $corpusCte,
+      ${rollingWindowsCte("corpus", 8)},
+      r1 AS (
+        SELECT doc_id, wh, unnest(generate_series(1, len(wh))) AS i
+        FROM whs WHERE len(wh) > 0),
+      r2 AS (
+        SELECT doc_id, i, wh[i] AS whv,
+          CASE WHEN i = 1 THEN 0
+               ELSE list_sum(list_transform(list_slice(wh, 1, i - 1),
+                 x -> CASE WHEN x % 16 = 0 THEN 1 ELSE 0 END)) END AS cid
+        FROM r1),
+      ck AS (
+        SELECT doc_id, cid, count(*) AS n_windows,
+          list_reduce(list(whv ORDER BY i),
+            (a, x) -> (a * 31 + x) % 2147483647) AS chunk_hash
+        FROM r2 GROUP BY doc_id, cid)
+      SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+        CAST(count(*) - count(DISTINCT chunk_hash) AS BIGINT)
+          AS n_dup_chunks,
+        CAST(sum(n_windows) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS mean_chunk_windows
+      FROM ck""",
+
     "op_rolling_fp" -> s"""
       WITH ${rollingWindowsCte("documents", 8)}
       SELECT doc_id, len(wh) AS n_windows,

@@ -147,6 +147,56 @@ object TextOps {
       .filter(col("wh").isNotNull)
   }
 
+  /** Content-defined chunking (CDC) dedup stats — the STORAGE-dedup
+    * measurement for recurring crawl snapshots: a chunk boundary falls
+    * after every window whose rolling hash ≡ 0 mod 2^`maskBits`
+    * (expected chunk length 2^maskBits windows), so boundaries — unlike
+    * fixed-size blocks — survive insertions: a near-duplicate document
+    * re-chunks to MOSTLY IDENTICAL chunks and a snapshot store keeps
+    * only its delta. Chunk identity = the Horner fold of its window
+    * hashes in position order (exact integers, oracle-portable). Output:
+    * one corpus row — chunk total, distinct, duplicate count, and mean
+    * windows per chunk (one exact-int division).
+    *
+    * Production CDC adds min/max chunk-length clamps; those make
+    * boundary eligibility depend on the PREVIOUS boundary (sequential
+    * state), so the oracle-checked operator keeps the pure positional
+    * rule — the dedup economics are identical.
+    *
+    * Scale: rides [[rollingWindows]] (explode + per-doc
+    * doc-length-bounded window pass); the chunk build is one
+    * (doc, chunk)-keyed aggregate with map-side partials whose groups
+    * are ~2^maskBits windows; the summary is a second bounded
+    * aggregate. */
+  def cdcChunks(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8, maskBits: Int = 4): DataFrame = {
+    require(maskBits >= 1 && maskBits < 31, "maskBits must be in [1, 30]")
+    val P = 2147483647L
+    val modv = 1L << maskBits
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = rollingWindows(docs, textCol, idCol, w)
+      // chunk id = boundaries among STRICTLY PRECEDING windows, so a
+      // boundary window ENDS its chunk and the next one starts fresh
+      .withColumn("chunk_id", coalesce(
+        sum(when(col("wh") % modv === 0, 1L).otherwise(0L)).over(win),
+        lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("wh")))).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_windows"),
+        aggregate(col("ws"), lit(0L),
+          (acc, s) => (acc * 31 + s.getField("wh")) % P).as("chunk_hash"))
+    chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+      (count(lit(1)) - countDistinct(col("chunk_hash"))).as("n_dup_chunks"),
+      (sum("n_windows").cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("mean_chunk_windows"))
+  }
+
   /** Per-document rolling-hash fingerprint summary: window count, distinct
     * windows, and the minimum window hash (the 1-sketch winnowing anchor).
     * Docs with fewer than `w` tokens drop (they have no windows). */

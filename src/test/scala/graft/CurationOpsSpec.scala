@@ -605,6 +605,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("cdcChunks: duplicates chunk identically; a suffix edit shares all but the tail chunk") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => s"tok$i").mkString(" ")
+    def stats(rows: Seq[(Long, String)]) = graft.text.TextOps
+      .cdcChunks(rows.toDF("doc_id", "text"), w = 4, maskBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).head
+    // an exact duplicate: every chunk of doc 1 reappears — dup count ==
+    // one copy's chunk count, and mean·total == window total both runs
+    val one = stats(Seq((1L, base)))
+    val dup = stats(Seq((1L, base), (2L, base)))
+    assert(dup._1 == 2 * one._1 && dup._3 == one._1)
+    assert(math.round(one._1 * one._4) == 61) // 64 tokens, w=4 -> 61 windows
+    // a SUFFIX edit: boundaries are position-local, so every chunk of the
+    // original except (at most) its unterminated tail chunk recurs in the
+    // edited copy — the insertion-survival property fixed-size blocks lack
+    val edited = stats(Seq((1L, base), (2L, base + " extra trailing tokens here")))
+    assert(edited._3 >= one._1 - 1,
+      s"expected >= ${one._1 - 1} shared chunks, got ${edited._3}")
+  }
+
   test("perceptronStep: misclassified docs update exactly their buckets; train feeds apply") {
     import spark.implicits._
     def md560(s: String): Long = {
