@@ -150,6 +150,32 @@ class PlanSpec extends SparkSpec {
       s"only the per-doc argmax window may remain\n${p.take(1500)}")
   }
 
+  test("op_sample_quantiles: typed-imperative sketch aggregate, no sort of the fact") {
+    val df = SparkEntry.queries("op_sample_quantiles")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans through ObjectHashAggregate with a
+    // map-side partial — the sketch ships <= k pairs per partition
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("\nSort ") && !p.contains("Window"),
+      s"the value column must never sort\n${p.take(1500)}")
+  }
+
+  test("op_winsorize: sketch bounds broadcast back; no sort, no window") {
+    val df = SparkEntry.queries("op_winsorize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1500))
+  }
+
+  test("op_perceptron_step: narrow scoring, bucket-bounded gradient, no window or smj") {
+    val df = SparkEntry.queries("op_perceptron_step")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(1500))
+    // the model lives in the expression: no broadcast of a weight table
+    // on the scoring path, just the final 64-row bucket join
+    assert(shuffleCount(df) <= 2, p.take(2000))
+  }
+
   test("op_bucketed_agg: the per-order aggregate needs no exchange on the bucketed scan") {
     val df = SparkEntry.queries("op_bucketed_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
