@@ -1064,6 +1064,37 @@ object Catalog {
         .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))),
 
+    // corrupt-record JSON ingestion (the PERMISSIVE contract): props get
+    // deterministic in-plan corruption (every 7th event truncated, every
+    // 11th replaced with non-JSON); from_json QUARANTINES bad rows in the
+    // _corrupt_record column instead of failing the job (Spark 4's
+    // partial-results parsing still salvages fields from truncated rows,
+    // so struct-nullness alone is NOT the corrupt signal — the quarantine
+    // column is). k counts only clean rows, mirroring the oracle's
+    // json_valid gate. Fully narrow + one bounded agg
+    "op_json_corrupt" -> ((s, dir) => {
+      val p2 = when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, greatest(length(props) - 3, 0))"))
+        .when(col("event_id") % 11 === 0, lit("{broken"))
+        .otherwise(col("props"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", StringType)))
+      val corrupt = col("p").isNull || col("p._corrupt_record").isNotNull
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(p2, schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+        .select(col("event_type"),
+          corrupt.as("bad"),
+          when(!corrupt, col("p.k")).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_corrupt"),
+          count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"))
+    }),
+
     // full CUBE over (state, exemption): all four grouping levels in one
     // pass (Expand keeps it a single shuffle; same null-level conventions
     // as op_rollup)

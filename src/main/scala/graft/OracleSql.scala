@@ -1613,6 +1613,28 @@ object OracleSql {
             FROM events)
       GROUP BY 1""",
 
+    // Corrupt-JSON ingestion: same in-plan corruption; json_valid mirrors
+    // from_json's PERMISSIVE null-on-malformed (a valid object with a
+    // missing key stays a parsed row with NULL k, both engines).
+    "op_json_corrupt" -> """
+      WITH c AS (
+        SELECT event_type,
+          CASE WHEN event_id % 7 = 0
+                 THEN substring(props, 1, greatest(length(props) - 3, 0))
+               WHEN event_id % 11 = 0 THEN '{broken'
+               ELSE props END AS p2
+        FROM events),
+      p AS (
+        SELECT event_type, json_valid(p2) AS ok,
+          CASE WHEN json_valid(p2)
+               THEN CAST(json_extract_string(p2, '$.k') AS BIGINT) END AS k
+        FROM c)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+        CAST(count(k) AS BIGINT) AS n_k,
+        CAST(sum(k) AS BIGINT) AS sum_k
+      FROM p GROUP BY 1""",
+
     // Pivot mirrored as conditional aggregation (engine-portable).
     "op_pivot" -> s"""
       WITH $taxCte
