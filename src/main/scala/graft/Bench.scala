@@ -92,7 +92,7 @@ object Bench {
     "ngram_novelty" -> "nnv", "stream_topk" -> "stk",
     "compact_files" -> "cpf", "winsorize" -> "wz",
     "bucketed_agg" -> "bka", "cdc_chunks" -> "cdc",
-    "json_corrupt" -> "jc",
+    "json_corrupt" -> "jc", "cluster_sizes" -> "cls",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

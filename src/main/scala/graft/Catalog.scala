@@ -1946,6 +1946,20 @@ object Catalog {
     // the LONGEST member (ties -> smallest id) instead of the first-
     // crawled — per-cluster argmax via the bounded heap (cluster sizes
     // are unbounded in a crawl)
+    // dup-cluster size HISTOGRAM — the post-dedup diagnostic that pairs
+    // with op_skew_stats' pre-join one: how many clusters of each size
+    // (size 1 = unique docs), the boilerplate-mega-cluster detector; two
+    // bounded aggregates over the CC labels
+    "op_cluster_sizes" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      Dedup.survivors(corpus,
+          Dedup.components(Dedup.jaccardPairs(corpus)))
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"))
+    }),
+
     "op_best_survivors" -> ((s, dir) => {
       val corpus = dedupCorpus(s, dir)
       Dedup.bestSurvivors(corpus,

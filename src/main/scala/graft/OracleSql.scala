@@ -2735,6 +2735,54 @@ object OracleSql {
         (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS survivor
       FROM corpus c LEFT JOIN cc x USING (doc_id)""",
 
+    // Cluster-size histogram over the same jaccard CC labels as
+    // op_neardup_survivors.
+    "op_cluster_sizes" -> s"""
+      WITH RECURSIVE $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id),
+      asg AS (
+        SELECT c.doc_id, coalesce(x.cluster_id, c.doc_id) AS cluster_id
+        FROM corpus c LEFT JOIN cc x USING (doc_id)),
+      cs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1)
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM cs GROUP BY 1""",
+
     // Quality-aware survivors: the op_neardup_survivors clustering with
     // keep-the-LONGEST (ties -> smallest id) instead of min-id. The rank
     // window here is oracle-side only — the Spark plan takes the
