@@ -93,6 +93,7 @@ object Bench {
     "compact_files" -> "cpf", "winsorize" -> "wz",
     "bucketed_agg" -> "bka", "cdc_chunks" -> "cdc",
     "json_corrupt" -> "jc", "cluster_sizes" -> "cls",
+    "minhash_error" -> "mhe",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1946,6 +1946,33 @@ object Catalog {
     // the LONGEST member (ties -> smallest id) instead of the first-
     // crawled — per-cluster argmax via the bounded heap (cluster sizes
     // are unbounded in a crawl)
+    // MinHash CALIBRATION — completes the sketch-eval family beside
+    // op_ann_recall/op_dedup_recall: on the exact near-dup pairs, compare
+    // the 64-perm signature's Jaccard estimate (agreement/64, exact in
+    // ppm: ×15625) against true inter/union; all-integer error terms so
+    // the sum is order-independent, one final division for the mean.
+    // The measured answer to "are 64 permutations enough?"
+    "op_minhash_error" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val exact = Dedup.jaccardPairs(corpus)
+      val sigs = corpus.select(col("doc_id").as("id"),
+        Dedup.minhashSignaturePortable(col("text")).as("sig"))
+      val err = exact
+        .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+        .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+        .withColumn("n_agree", aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        .select((col("n_agree").cast(LongType) * 15625L).as("est_ppm"),
+          expr("inter * 1000000 div union_n").as("ex_ppm"))
+        .withColumn("err", abs(col("est_ppm") - col("ex_ppm")))
+      err.agg(count(lit(1)).as("n_pairs"),
+        (sum("err").cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("mean_abs_err_ppm"),
+        max("err").as("max_abs_err_ppm"),
+        sum(when(col("est_ppm") < col("ex_ppm"), 1L).otherwise(0L))
+          .as("n_underestimates"))
+    }),
+
     // dup-cluster size HISTOGRAM — the post-dedup diagnostic that pairs
     // with op_skew_stats' pre-join one: how many clusters of each size
     // (size 1 = unique docs), the boilerplate-mega-cluster detector; two

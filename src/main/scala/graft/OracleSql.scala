@@ -2735,6 +2735,64 @@ object OracleSql {
         (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS survivor
       FROM corpus c LEFT JOIN cc x USING (doc_id)""",
 
+    // MinHash calibration: exact jaccard pairs (the op_token_jaccard
+    // pipeline, union carried) joined to portable-signature agreement;
+    // est_ppm = n_agree·15625 (10⁶/64 exactly), ex_ppm = integer
+    // division — all-integer error so the sum is order-independent.
+    "op_minhash_error" -> s"""
+      WITH $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b, i.inter,
+          ca.n_sh + cb.n_sh - i.inter AS uni
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      e AS (
+        SELECT
+          CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+            * 15625 AS est_ppm,
+          p.inter * 1000000 // p.uni AS ex_ppm
+        FROM prs p
+        JOIN sig sa ON sa.doc_id = p.a
+        JOIN sig sb ON sb.doc_id = p.b)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(abs(est_ppm - ex_ppm)) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS mean_abs_err_ppm,
+        CAST(max(abs(est_ppm - ex_ppm)) AS BIGINT) AS max_abs_err_ppm,
+        CAST(sum(CASE WHEN est_ppm < ex_ppm THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_underestimates
+      FROM e""",
+
     // Cluster-size histogram over the same jaccard CC labels as
     // op_neardup_survivors.
     "op_cluster_sizes" -> s"""
