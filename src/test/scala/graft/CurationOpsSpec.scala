@@ -624,6 +624,13 @@ class CurationOpsSpec extends SparkSpec {
     val edited = stats(Seq((1L, base), (2L, base + " extra trailing tokens here")))
     assert(edited._3 >= one._1 - 1,
       s"expected >= ${one._1 - 1} shared chunks, got ${edited._3}")
+    // docs shorter than the window contribute nothing (no windows, no
+    // chunks) — and an all-short corpus yields an empty-input aggregate
+    val short = graft.text.TextOps
+      .cdcChunks(Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text"),
+        w = 4, maskBits = 2)
+      .collect().head
+    assert(short.getLong(0) == 0L && short.getLong(1) == 0L)
   }
 
   test("perceptronStep: misclassified docs update exactly their buckets; train feeds apply") {

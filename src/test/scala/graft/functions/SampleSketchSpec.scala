@@ -50,6 +50,20 @@ class SampleSketchSpec extends SparkSpec {
     assert(got == Seq(99L, 10L, 7L))
   }
 
+  test("serialize/deserialize round-trips the buffer exactly") {
+    val agg = SampleSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 4)
+    val b = agg.createAggregationBuffer()
+    Seq((9L, 90L), (1L, 10L), (5L, 50L), (3L, 30L), (7L, 70L))
+      .foreach { case (h, v) => b.put(h, v) }
+    while (b.size > 4) b.pollLastEntry() // what trim would keep: h 1,3,5,7
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back == b)
+    import scala.jdk.CollectionConverters._
+    assert(back.keySet().asScala.toSeq == Seq(1L, 3L, 5L, 7L))
+  }
+
   test("quantile: nearest-rank integer index math on the sorted sample") {
     val df = Seq(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L))
       .toDF("s")
