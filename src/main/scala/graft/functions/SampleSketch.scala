@@ -35,6 +35,18 @@ case class SampleSketch(hash: Expression, value: Expression, k: Int,
   require(k >= 1)
 
   override def children: Seq[Expression] = Seq(hash, value)
+
+  /** Analysis-time type gate: both children must be LongType — without it
+    * a mistyped hash/value column compiles and ClassCastExceptions at
+    * execution, deep inside a stage. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (hash.dataType == LongType && value.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SampleSketch requires (BIGINT hash, BIGINT value) children, got " +
+          s"(${hash.dataType.simpleString}, ${value.dataType.simpleString})")
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -123,11 +135,14 @@ object SampleSketch {
 
   /** Rank-`q`-percent element of the SORTED sample (nearest-rank with
     * exact integer index math: index = (size−1)·q/100, 0-based) — the
-    * quantile estimate the sample exists for. */
+    * quantile estimate the sample exists for. An EMPTY sample (a group
+    * whose hash/value inputs were all NULL) yields NULL instead of an
+    * invalid element_at index 0. */
   def quantile(sortedSample: Column, qPercent: Int): Column = {
     import org.apache.spark.sql.functions._
     require(qPercent >= 0 && qPercent <= 100)
-    element_at(sortedSample,
-      ((size(sortedSample) - 1) * qPercent / 100 + 1).cast(IntegerType))
+    when(size(sortedSample) > 0,
+      element_at(sortedSample,
+        ((size(sortedSample) - 1) * qPercent / 100 + 1).cast(IntegerType)))
   }
 }

@@ -459,8 +459,12 @@ object Dedup {
     * [[survivors]]' min-id rule: within each near-dup cluster keep the
     * member with the highest `quality` value (ties → smallest id), e.g.
     * keep-the-LONGEST-version of a page instead of
-    * keep-the-first-crawled. Output matches [[survivors]]:
-    * (doc_id, cluster_id, survivor).
+    * keep-the-first-crawled. `quality` must be numeric (required loudly
+    * — fractional model scores in [0, 1] such as `linearScore` output
+    * keep their full precision: no integral cast anywhere) and the id
+    * column may be any orderable type (string ids tie-break fine: the
+    * ordering is an ascending struct, never a unary negation). Output
+    * matches [[survivors]]: (doc_id, cluster_id, survivor).
     *
     * Scale: the per-cluster argmax goes through the bounded-heap
     * [[graft.ops.TopK.perKey]] (k = 1) — never a rank window over the
@@ -470,13 +474,20 @@ object Dedup {
   def bestSurvivors(corpus: DataFrame, labels: DataFrame, quality: Column,
       idCol: String = "doc_id"): DataFrame = {
     val lab = corpus
-      .select(col(idCol).as("doc_id"), quality.cast(LongType).as("_q"))
+      .select(col(idCol).as("doc_id"), quality.as("_q"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("_q"))
+    val qType = lab.schema("_q").dataType
+    require(qType.isInstanceOf[NumericType],
+      s"bestSurvivors: quality must be numeric (got ${qType.simpleString}) " +
+        "— a silent cast would truncate fractional scores to 0")
+    // ascending keep-1 on (-quality, id): smallest negated quality = the
+    // highest quality; ties fall to the smallest id under the struct's
+    // natural second-field ordering, which works for ANY orderable id type
     val best = graft.ops.TopK.perKey(lab, Seq("cluster_id"),
-      struct(col("_q"), -col("doc_id")), 1)
+      struct(negate(col("_q")), col("doc_id")), 1, descending = false)
       .select(col("cluster_id"), col("doc_id").as("_best"))
     lab.join(best, "cluster_id")
       .select(col("doc_id"), col("cluster_id"),

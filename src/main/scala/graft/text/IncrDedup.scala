@@ -112,8 +112,14 @@ object IncrDedup {
 
     // loud guard, not silent wrong answers: min-id survivor semantics need
     // every new id above every historical id (1-row aggregates, trivial)
-    val maxHist = histSigs.agg(max("id")).head().getLong(0)
-    val minNew = newSigs.agg(min("id")).head().getLong(0)
+    val maxHistRow = histSigs.agg(max("id")).head()
+    // empty index (first ingest): every batch id trivially exceeds history
+    val maxHist =
+      if (maxHistRow.isNullAt(0)) Long.MinValue else maxHistRow.getLong(0)
+    val minNewRow = newSigs.agg(min("id")).head()
+    require(!minNewRow.isNullAt(0),
+      "IncrDedup: new batch is empty — nothing to dedup")
+    val minNew = minNewRow.getLong(0)
     require(minNew > maxHist,
       s"IncrDedup: new-batch ids must exceed all historical ids " +
         s"(min new = $minNew, max hist = $maxHist) — min-id survivorship " +

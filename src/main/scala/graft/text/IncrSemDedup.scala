@@ -79,8 +79,14 @@ object IncrSemDedup {
     // loud guard, not silent wrong answers: smaller-id survivorship needs
     // every new id above every historical id (1-row aggregates — the
     // IncrDedup contract)
-    val maxHist = store.agg(max("vec_id")).head().getLong(0)
-    val minNew = assigned.agg(min("vec_id")).head().getLong(0)
+    val maxHistRow = store.agg(max("vec_id")).head()
+    // empty store (first ingest): every batch id trivially exceeds history
+    val maxHist =
+      if (maxHistRow.isNullAt(0)) Long.MinValue else maxHistRow.getLong(0)
+    val minNewRow = assigned.agg(min("vec_id")).head()
+    require(!minNewRow.isNullAt(0),
+      "IncrSemDedup: new batch is empty — nothing to dedup")
+    val minNew = minNewRow.getLong(0)
     require(minNew > maxHist,
       s"IncrSemDedup: new-batch ids must exceed all historical ids " +
         s"(min new = $minNew, max hist = $maxHist) — smaller-id " +

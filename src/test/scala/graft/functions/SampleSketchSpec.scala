@@ -77,4 +77,20 @@ class SampleSketchSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((10L, 50L, 90L, 100L)))
   }
+
+  test("quantile: empty sample yields NULL, not an invalid element_at index") {
+    // a group whose inputs were all NULL produces an empty sample array
+    val df = Seq((Option.empty[Long], Option.empty[Long])).toDF("h", "v")
+    val r = df.agg(SampleSketch($"h", $"v", 8).as("s"))
+      .select(SampleSketch.quantile(array_sort($"s"), 50).as("p50")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("misuse fails at analysis time: non-Long children are rejected") {
+    val df = Seq((1, 2)).toDF("h", "v") // IntegerType, not LongType
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(SampleSketch($"h", $"v", 8)).collect()
+    }
+    assert(e.getMessage.contains("SampleSketch requires"), e.getMessage)
+  }
 }

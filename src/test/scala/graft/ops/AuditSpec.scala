@@ -31,4 +31,40 @@ class AuditSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2)))
     assert(out.toSeq == Seq(("e1", 0L), ("e2", 1L)))
   }
+
+  test("fkAudit: NULL parent keys are not keys (count DISTINCT semantics) but dup NULLs still flag") {
+    val child = Seq((1L, 10L)).toDF("id", "fk")
+    // parent: key 10, plus TWO NULL-key rows — n_parent_keys must be 1
+    // (the oracle's count(DISTINCT pk) excludes NULL) while the repeated
+    // NULL group still counts as one duplicated key group
+    val parent = Seq((Option(10L), "a"), (Option.empty[Long], "b"),
+      (Option.empty[Long], "c")).toDF("pk", "v")
+    val out = Audit.fkAudit(Seq(
+      Audit.FkEdge("e", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 0L, 1L, 1L)))
+  }
+
+  test("fkAudit: duplicate parent keys cannot fan out the child scan, which runs once per edge") {
+    // parent key 10 appears twice — the orphan join must go against the
+    // DISTINCT key list or n_child would double-count
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq((10L, "a"), (10L, "b")).toDF("pk", "v")
+    val report = Audit.fkAudit(Seq(
+      Audit.FkEdge("e", child, "fk", parent, "pk")))
+    val out = report.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((3L, 1L, 1L, 1L)))
+    // single-scan shape: the child relation (the `fk` columns) appears
+    // exactly ONCE in the physical plan — at 100 TB the fact side is the
+    // scan cost, so orphan count and row count must share one pass
+    // (column pruning renames the child's projected key to _k before the
+    // scan; the parent-side scans surface as their raw pk column)
+    // AQE renders Final AND Initial plans — count in the final one only
+    val plan = report.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val childScans = "LocalTableScan \\[_k#".r.findAllIn(plan).size
+    assert(childScans == 1, s"expected 1 child scan, got $childScans\n$plan")
+  }
 }

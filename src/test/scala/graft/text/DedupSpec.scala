@@ -316,6 +316,40 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1200))
   }
 
+  test("bestSurvivors: fractional Double quality keeps full precision (no integral truncation)") {
+    import spark.implicits._
+    // model scores in [0, 1] — the linearScore pairing: doc 4 carries the
+    // highest score in the {1, 2, 4} cluster. A LongType cast would
+    // truncate every score to 0 and silently fall back to min-id (doc 1).
+    val labels = Dedup.components(Dedup.jaccardPairs(docs))
+    val score = when(col("doc_id") === 4L, 0.95)
+      .when(col("doc_id") === 2L, 0.60).otherwise(0.10)
+    val out = Dedup.bestSurvivors(docs, labels, score)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(4L) && !out(1L) && !out(2L),
+      s"highest fractional score must win, not min-id: $out")
+  }
+
+  test("bestSurvivors: non-numeric quality is rejected loudly") {
+    val labels = Dedup.components(Dedup.jaccardPairs(docs))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bestSurvivors(docs, labels, col("text"))
+    }
+    assert(e.getMessage.contains("quality must be numeric"))
+  }
+
+  test("bestSurvivors: string ids tie-break lexicographically (struct ordering, no negation)") {
+    import spark.implicits._
+    val corpus = Seq(("b", 1.0), ("a", 1.0), ("c", 0.5))
+      .toDF("doc_id", "q")
+    val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.bestSurvivors(corpus, labels, col("q"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    // equal top quality on a and b -> smallest id "a" survives
+    assert(out == Map("a" -> true, "b" -> false, "c" -> false))
+  }
+
   test("centroidOutliers: best-centroid cosine recomputes; fully narrow plan") {
     // axis-aligned centroids: v7 sits on centroid 0 (cos 1, inlier); v8
     // is equidistant-far from every axis (cos 0.5 to each of the 4) —

@@ -31,6 +31,16 @@ class IncrDedupSpec extends SparkSpec {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
 
+  test("empty index (first ingest): every fresh doc keeps, in-batch dups still drop") {
+    val path = tmp()
+    IncrDedup.writeIndex(hist.filter(col("doc_id") < 0L), path)
+    val out = IncrDedup.dedupAgainst(spark, newBatch, path)
+      .decisions.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // no history to collide with: 10 keeps now; 12 still drops against its
+    // in-batch near-dup 11
+    assert(out == Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+  }
+
   test("incremental keep flags == from-scratch dedup of the union, restricted to the batch") {
     val path = tmp()
     IncrDedup.writeIndex(hist, path)

@@ -35,6 +35,20 @@ class IncrSemDedupSpec extends SparkSpec {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("graft_isd_spec").toString
 
+  test("empty store (first ingest): no NPE — fresh vectors keep, in-batch dups still drop") {
+    val path = tmp()
+    // a zero-row store with the standard column layout (a first ingest's
+    // standing table before any delta lands)
+    Ivf.assign(hist.filter(col("vec_id") < 0L), model)
+      .select(col("ivf_cell"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(path)
+    val out = IncrSemDedup.dedupAgainst(spark, newBatch, path, model, minCos)
+      .decisions.select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    // no history: 10 keeps now; 12 still drops against its in-batch
+    // near-dup 11
+    assert(out == Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+  }
+
   test("incremental keep flags == from-scratch semDedup of the union, restricted to the batch") {
     val path = tmp()
     IncrSemDedup.writeIndex(hist, model, path)
