@@ -36,6 +36,16 @@ class CacheScope {
     df
   }
 
+  /** Track an ALREADY-persisted frame for release without re-persisting
+    * it (re-persisting an already-cached frame only logs a CacheManager
+    * warning) — for operators like [[graft.text.Dedup.components]] whose
+    * result frame is persisted internally as the last step of an
+    * iterative loop. */
+  def track(df: DataFrame): DataFrame = {
+    frames.synchronized { frames += df }
+    df
+  }
+
   /** Unpersist every frame this scope persisted, then forget them. */
   def unpersistAll(blocking: Boolean = false): Unit =
     frames.synchronized {
@@ -57,6 +67,7 @@ object CacheScope {
       df.persist(StorageLevel.MEMORY_AND_DISK)
       df
     }
+    override def track(df: DataFrame): DataFrame = df
   }
 
   /** Named per-corpus scopes — the multi-corpus session contract

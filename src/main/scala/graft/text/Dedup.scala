@@ -384,11 +384,19 @@ object Dedup {
     * synchronized jobs total — the standard trade for CC on DataFrames.
     *
     * Persistence contract: the returned labels frame is left persisted (it
-    * is the result; callers that only derive from it once may unpersist);
-    * all per-round intermediates and the edge list are unpersisted here. */
+    * is the result; callers that only derive from it once may unpersist) —
+    * pass a [[graft.ops.CacheScope]] to have it TRACKED for scoped release
+    * (`scope.unpersistAll()` / `CacheScope.releaseCorpus` then frees the
+    * labels with the rest of the corpus's working set; the per-corpus
+    * sweep pattern). All per-round intermediates and the edge list are
+    * unpersisted here. The fixpoint runs AT CALL TIME (driver-synchronized
+    * rounds), so callers deriving several reports from one clustering —
+    * survivors, cluster sizes, best-survivor argmax — should call this
+    * once and reuse the returned frame, not re-call per report. */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 20): DataFrame =
-    componentsWithStats(pairs, aCol, bCol, maxIters).labels
+      maxIters: Int = 20,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame =
+    componentsWithStats(pairs, aCol, bCol, maxIters, scope).labels
 
   /** Result of [[componentsWithStats]]: final labels + convergence info. */
   final case class ComponentsResult(labels: DataFrame, rounds: Int,
@@ -396,7 +404,8 @@ object Dedup {
 
   /** [[components]] with the round count and convergence flag exposed. */
   def componentsWithStats(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxIters: Int = 20): ComponentsResult = {
+      bCol: String = "b", maxIters: Int = 20,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): ComponentsResult = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -407,6 +416,11 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id")).agg(min("v").as("nv"))
       .select(col("id"), least(col("id"), col("nv")).as("label"))
       .persist(lvl)
+    // the handle that was ACTUALLY persisted each round — Dataset.unpersist
+    // only drops a cache entry whose plan matches the frame it's called on,
+    // so calling it on a frame DERIVED from the persisted one is a silent
+    // no-op and every intermediate round would leak a cache entry
+    var persistedHandle = labels
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -423,7 +437,9 @@ object Dedup {
         coalesce(sum("label"), lit(0L)).as("s_new"),
         coalesce(sum("old_label"), lit(0L)).as("s_old")).head()
       converged = sums.getLong(0) == sums.getLong(1)
-      labels.unpersist()
+      // `next` is materialized, so the previous round's cache can go
+      persistedHandle.unpersist()
+      persistedHandle = next
       labels = next.select("id", "label")
       iters += 1
     }
@@ -432,10 +448,15 @@ object Dedup {
       System.err.println(s"[graft] Dedup.components: label propagation did " +
         s"NOT converge within maxIters=$maxIters rounds; cluster labels may " +
         s"be split. Raise maxIters for long-chain graphs.")
+    // persist the RESULT frame itself (one cheap action off the final
+    // round's cache), then free the last round + edges — exactly one cache
+    // entry survives the call, and it is the frame handed to the caller
+    val result = scope.persist(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+    result.count()
+    persistedHandle.unpersist()
     edges.unpersist()
-    ComponentsResult(
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
-      iters, converged)
+    ComponentsResult(result, iters, converged)
   }
 
   /** Near-dup survivors — the dedup DELIVERABLE that [[components]]' labels

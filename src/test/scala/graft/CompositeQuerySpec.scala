@@ -8,6 +8,23 @@ import org.apache.spark.sql.functions._
 class CompositeQuerySpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("survivors family shares ONE CC fixpoint per sweep (ccLabels identity)") {
+    // components() runs its label-propagation rounds at call time, so the
+    // three cluster-derived queries re-clustering independently would run
+    // three identical fixpoints. The memoized frame is the proof: the
+    // SAME object comes back, so the fixpoint cannot re-run.
+    val a = Catalog.ccLabels(spark, sf)
+    val b = Catalog.ccLabels(spark, sf)
+    assert(a eq b, "ccLabels must memoize the labels frame per session+dir")
+    // and the derived queries agree with each other on the clustering
+    val surv = SparkEntry.queries("op_neardup_survivors")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = SparkEntry.queries("op_best_survivors")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv == best,
+      "survivors and best-survivors must see the same cluster assignment")
+  }
+
   test("hist-quantile bucket contains the exact quantile value") {
     // op_hist_quantiles picks the $5-wide cents bucket holding the same
     // rank position op_state_quantiles resolves exactly: for every

@@ -50,6 +50,20 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.releaseCorpus("never-registered")
   }
 
+  test("components routed through a scope: labels tracked and released with the corpus") {
+    spark.sharedState.cacheManager.clearCache()
+    val base = cachedRdds
+    val scope = new CacheScope
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val labels = graft.text.Dedup.components(pairs, scope = scope)
+    assert(labels.collect().length == 5)
+    assert(scope.size == 1, "the final labels frame must be tracked")
+    assert(cachedRdds > base, "labels should be persisted after the fixpoint")
+    scope.unpersistAll(blocking = true)
+    assert(cachedRdds == base,
+      s"scoped release must free the labels persist ($base), got $cachedRdds")
+  }
+
   test("the same tag returns the same scope (pipeline stages share indexes)") {
     val a = CacheScope.corpus("shared-tag")
     val b = CacheScope.corpus("shared-tag")
