@@ -94,6 +94,7 @@ object Bench {
     "bucketed_agg" -> "bka", "cdc_chunks" -> "cdc",
     "json_corrupt" -> "jc", "cluster_sizes" -> "cls",
     "minhash_error" -> "mhe",
+    "incr_compact" -> "icc", "incr_sem_compact" -> "isc",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

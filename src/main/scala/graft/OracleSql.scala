@@ -3005,6 +3005,76 @@ object OracleSql {
       FROM allcorp c LEFT JOIN cc x USING (doc_id)
       WHERE c.doc_id >= 1000000000""",
 
+    // Retention-compaction oracle = the op_incr_dedup pipeline with the
+    // HISTORY side restricted to the retained corpus (doc_id % 3 <> 0 —
+    // the Spark side compacted the standing index to exactly those docs'
+    // signatures), plus the store-size reduction pinned as constants.
+    // Batch docs that near-dup'ed only removed history must flip to keep.
+    "op_incr_compact" -> s"""
+      WITH RECURSIVE allcorp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000000, text || ' near duplicate copy suffix'
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, reverse(text)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
+        FROM documents WHERE doc_id % 26 = 0),
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM allcorp),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      prs AS (
+        SELECT c.a, c.b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id)
+      SELECT c.doc_id,
+        (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS keep,
+        CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_sigs_before,
+        CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <> 0) AS BIGINT)
+          AS n_sigs_after
+      FROM allcorp c LEFT JOIN cc x USING (doc_id)
+      WHERE c.doc_id >= 1000000000""",
+
     // SemDeDup: nearest-fixed-centroid cell assignment (the shared IVF
     // CTEs), then within-cell pairwise cosine — a vector drops when ANY
     // smaller-id cell-mate scores >= 0.3 (identical fused-loop
@@ -3060,6 +3130,46 @@ object OracleSql {
           ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
         WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3)
       SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
+      FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
+      WHERE m.vec_id >= 1000000000""",
+
+    // Retention-compaction oracle for the vector store: op_incr_sem_dedup
+    // with HISTORY restricted to the retained vectors (vec_id % 3 <> 0),
+    // plus the store-size reduction as constants — a batch vector whose
+    // only smaller-id neighbor left the corpus flips to keep.
+    "op_incr_sem_compact" -> s"""
+      WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 13 = 0
+        UNION ALL
+        SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 26 = 0),
+      cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
+        FROM allv v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, v.embedding
+        FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
+      drp AS (
+        SELECT DISTINCT y.vec_id
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3)
+      SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep,
+        CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs_before,
+        CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0) AS BIGINT)
+          AS n_vecs_after
       FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
       WHERE m.vec_id >= 1000000000""",
 

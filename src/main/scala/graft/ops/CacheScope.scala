@@ -38,23 +38,38 @@ class CacheScope {
 
   /** Track an ALREADY-persisted frame for release without re-persisting
     * it (re-persisting an already-cached frame only logs a CacheManager
-    * warning) — for operators like [[graft.text.Dedup.components]] whose
-    * result frame is persisted internally as the last step of an
-    * iterative loop. */
+    * warning). */
   def track(df: DataFrame): DataFrame = {
     frames.synchronized { frames += df }
     df
   }
 
-  /** Unpersist every frame this scope persisted, then forget them. */
-  def unpersistAll(blocking: Boolean = false): Unit =
+  private val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register a cleanup to run at [[unpersistAll]] — for storage a plain
+    * `Dataset.unpersist` cannot free, e.g. the localCheckpoint blocks
+    * behind [[graft.text.Dedup.components]]' labels (persisted RDD
+    * blocks, not CacheManager entries). */
+  def defer(f: () => Unit): Unit =
+    cleanups.synchronized { cleanups += f }
+
+  /** Unpersist every frame this scope persisted, run every deferred
+    * cleanup, then forget both. */
+  def unpersistAll(blocking: Boolean = false): Unit = {
     frames.synchronized {
       frames.foreach(_.unpersist(blocking))
       frames.clear()
     }
+    cleanups.synchronized {
+      cleanups.foreach(_.apply())
+      cleanups.clear()
+    }
+  }
 
-  /** Number of currently tracked (persisted, unreleased) frames. */
-  def size: Int = frames.synchronized(frames.size)
+  /** Number of currently tracked (persisted or deferred, unreleased)
+    * resources. */
+  def size: Int =
+    frames.synchronized(frames.size) + cleanups.synchronized(cleanups.size)
 }
 
 object CacheScope {
@@ -68,6 +83,7 @@ object CacheScope {
       df
     }
     override def track(df: DataFrame): DataFrame = df
+    override def defer(f: () => Unit): Unit = () // session-lifetime storage
   }
 
   /** Named per-corpus scopes — the multi-corpus session contract

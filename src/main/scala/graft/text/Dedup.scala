@@ -383,16 +383,18 @@ object Dedup {
     * no separate up-front sum, no per-round diff join. O(diameter) driver-
     * synchronized jobs total — the standard trade for CC on DataFrames.
     *
-    * Persistence contract: the returned labels frame is left persisted (it
-    * is the result; callers that only derive from it once may unpersist) —
-    * pass a [[graft.ops.CacheScope]] to have it TRACKED for scoped release
-    * (`scope.unpersistAll()` / `CacheScope.releaseCorpus` then frees the
-    * labels with the rest of the corpus's working set; the per-corpus
-    * sweep pattern). All per-round intermediates and the edge list are
-    * unpersisted here. The fixpoint runs AT CALL TIME (driver-synchronized
-    * rounds), so callers deriving several reports from one clustering —
-    * survivors, cluster sizes, best-survivor argmax — should call this
-    * once and reuse the returned frame, not re-call per report. */
+    * Persistence contract: the returned labels frame is backed by a LOCAL
+    * CHECKPOINT (lineage-free persisted RDD blocks — see the storage note
+    * in the body), so downstream actions scan materialized blocks without
+    * any recompute; pass a [[graft.ops.CacheScope]] to have the blocks
+    * released with the corpus's working set (`scope.unpersistAll()` /
+    * `CacheScope.releaseCorpus` — the per-corpus sweep pattern; under the
+    * default Session scope they live for the session). All per-round
+    * intermediates and the edge list are freed here. The fixpoint runs AT
+    * CALL TIME (driver-synchronized rounds), so callers deriving several
+    * reports from one clustering — survivors, cluster sizes,
+    * best-survivor argmax — should call this once and reuse the returned
+    * frame, not re-call per report. */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 20,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame =
@@ -406,6 +408,22 @@ object Dedup {
   def componentsWithStats(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIters: Int = 20,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): ComponentsResult = {
+    // ITERATION STORAGE: per-round LOCAL CHECKPOINTS, not cache entries.
+    // Spark's CacheManager re-compiles (and drops the materialized blocks
+    // of) every cached entry whose plan references an entry being
+    // unpersisted — so a persist-per-round loop can never free round k-1
+    // without invalidating round k, and the final labels cache dies with
+    // the last round's unpersist (measured: every downstream action then
+    // re-ran the fixpoint tail). localCheckpoint truncates lineage into
+    // plain persisted RDD blocks with NO CacheManager entry, so each
+    // round's blocks are freed explicitly ([[CheckpointBridge]]) the
+    // moment the next round is materialized, and the returned labels are
+    // lineage-free — nothing later can invalidate them. The standard
+    // iterative-graph trade (GraphFrames CC does the same): local
+    // checkpoints give up lineage-based recovery, so an executor loss
+    // mid-fixpoint fails the job (retry re-runs it) — acceptable for a
+    // bounded O(diameter)-round batch op.
+    import org.apache.spark.sql.graft.CheckpointBridge
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -413,33 +431,30 @@ object Dedup {
     // initialization fused with the first propagation round: every vertex
     // starts at min(self, neighbors) — one round fewer for the common
     // pair/clique components (bidirectional edges ⇒ every vertex is a `u`)
-    var labels = edges.groupBy(col("u").as("id")).agg(min("v").as("nv"))
+    var ck = edges.groupBy(col("u").as("id")).agg(min("v").as("nv"))
       .select(col("id"), least(col("id"), col("nv")).as("label"))
-      .persist(lvl)
-    // the handle that was ACTUALLY persisted each round — Dataset.unpersist
-    // only drops a cache entry whose plan matches the frame it's called on,
-    // so calling it on a frame DERIVED from the persisted one is a silent
-    // no-op and every intermediate round would leak a cache entry
-    var persistedHandle = labels
+      .localCheckpoint(true)
+    var labels = ck
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val nmin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min("vl").as("nmin"))
+      // eager checkpoint = the round's one heavy action; the convergence
+      // sums are a cheap second scan of the fresh checkpoint blocks.
+      // coalesce guards the empty-graph case (sum over zero rows is NULL).
       val next = labels.join(nmin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(lvl)
-      // one action per round: materializes `next` AND compares the sums.
-      // coalesce guards the empty-graph case (sum over zero rows is NULL).
+        .localCheckpoint(true)
       val sums = next.agg(
         coalesce(sum("label"), lit(0L)).as("s_new"),
         coalesce(sum("old_label"), lit(0L)).as("s_old")).head()
       converged = sums.getLong(0) == sums.getLong(1)
-      // `next` is materialized, so the previous round's cache can go
-      persistedHandle.unpersist()
-      persistedHandle = next
+      // `next` is self-contained — the previous round's blocks can go now
+      CheckpointBridge.release(ck)
+      ck = next
       labels = next.select("id", "label")
       iters += 1
     }
@@ -448,15 +463,15 @@ object Dedup {
       System.err.println(s"[graft] Dedup.components: label propagation did " +
         s"NOT converge within maxIters=$maxIters rounds; cluster labels may " +
         s"be split. Raise maxIters for long-chain graphs.")
-    // persist the RESULT frame itself (one cheap action off the final
-    // round's cache), then free the last round + edges — exactly one cache
-    // entry survives the call, and it is the frame handed to the caller
-    val result = scope.persist(
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
-    result.count()
-    persistedHandle.unpersist()
     edges.unpersist()
-    ComponentsResult(result, iters, converged)
+    // the result is a projection of the final checkpoint — lineage-free,
+    // so later unpersists can't invalidate it; the scope's deferred
+    // release frees the checkpoint blocks with the corpus's working set
+    val finalCk = ck
+    scope.defer(() => CheckpointBridge.release(finalCk))
+    ComponentsResult(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      iters, converged)
   }
 
   /** Near-dup survivors — the dedup DELIVERABLE that [[components]]' labels

@@ -68,6 +68,51 @@ object IncrDedup {
     bandTable(sigs).write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Compaction stats: store rows before/after the retention rewrite
+    * (bands are exactly 16× the signature rows on both sides). */
+  final case class CompactStats(nSigsBefore: Long, nSigsAfter: Long)
+
+  /** RETENTION COMPACTION of the keep-everything index — the maintenance
+    * operator a daily 100 TB ingest eventually needs: the standing index
+    * grows with GROSS ingest (every batch's signatures append, dropped
+    * docs' included), not with the net corpus, so a long-lived pipeline
+    * periodically rewrites it for the corpus it actually RETAINS.
+    *
+    * Contract (exact, not approximate): the compacted index at `dstPath`
+    * holds precisely the retained docs' signatures, so from then on
+    * [[dedupAgainst]] == from-scratch dedup over (RETAINED corpus ∪
+    * batch) restricted to the batch — the same equality [[writeIndex]]
+    * gives for full history, with the retained set as the new history
+    * (IncrDedupSpec proves it). Dropping a non-retained doc's signature
+    * is CORRECT under this contract, not just safe: a new doc that
+    * near-dups only a doc the corpus no longer retains IS novel relative
+    * to the retained corpus and must now be kept — ghost witnesses would
+    * wrongly drop it. (Retention means removed from the corpus: curation
+    * deletions, takedowns, TTL expiry. It is NOT the dedup keep flag —
+    * dedup-dropped docs of a retained crawl should stay retained here,
+    * exactly so they keep witnessing their clusters.)
+    *
+    * Scale: one key-keyed semi-join of the signature table against the
+    * retained-id set (linear shuffle of (id, sig) rows — never the 16×
+    * band table, which is REGENERATED from the kept signatures as a
+    * narrow map), then two columnar writes. Writes go to a NEW path:
+    * stores are immutable snapshots (a parquet dir cannot be rewritten
+    * while read), and the caller flips the pipeline's index pointer —
+    * the standard compact-then-swap. Counts are two bounded aggregates. */
+  def compactIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retainedIds: DataFrame, idCol: String = "doc_id"): CompactStats = {
+    val sigs = spark.read.parquet(s"$srcPath/sigs")
+    val keep = retainedIds.select(col(idCol).cast(LongType).as("id")).distinct()
+    val kept = sigs.join(keep, Seq("id"), "left_semi")
+    kept.write.mode("overwrite").parquet(s"$dstPath/sigs")
+    // bands: narrow regeneration from the kept signatures just written —
+    // reading them back avoids recomputing the semi-join for the second
+    // write and exactly equals filtering the old band table
+    val keptBack = spark.read.parquet(s"$dstPath/sigs")
+    bandTable(keptBack).write.mode("overwrite").parquet(s"$dstPath/bands")
+    CompactStats(sigs.count(), keptBack.count())
+  }
+
   /** Incremental dedup result: per-new-doc decisions
     * (doc_id, keep — keep ⟺ the doc is its combined-cluster min), and the
     * index delta to append (ALL new docs' rows — see the class note on why

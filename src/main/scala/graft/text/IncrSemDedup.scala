@@ -54,6 +54,38 @@ object IncrSemDedup {
         col("embedding")),
       path, Seq("ivf_cell"))
 
+  /** Compaction stats: store rows before/after the retention rewrite. */
+  final case class CompactStats(nVecsBefore: Long, nVecsAfter: Long)
+
+  /** RETENTION COMPACTION of the keep-everything cell store — the vector
+    * twin of [[IncrDedup.compactIndex]], same contract: the compacted
+    * store at `dstPath` holds precisely the retained vectors, so from
+    * then on [[dedupAgainst]] == from-scratch [[Similarity.semDedup]]
+    * over (RETAINED corpus ∪ batch) restricted to the batch
+    * (IncrSemDedupSpec proves it). A new vector near-duplicating only a
+    * vector the corpus no longer retains IS novel relative to the
+    * retained corpus — dropping the ghost embedding is what makes the
+    * incremental answer exact again. (Retention = removed from the
+    * corpus; dedup-dropped vectors of retained ingests stay, so they
+    * keep witnessing their neighborhoods.)
+    *
+    * Scale: one key-keyed semi-join against the retained-id set (linear
+    * in store rows), written back hive-partitioned by `ivf_cell` — the
+    * kept rows carry their cell, so the layout (and its static-pruning
+    * probe economics) survives compaction unchanged. New path + pointer
+    * swap, same immutable-snapshot convention as the text side. */
+  def compactIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      retainedIds: DataFrame, idCol: String = "vec_id"): CompactStats = {
+    val store = spark.read.parquet(srcPath)
+    val keep = retainedIds.select(col(idCol).cast("long").as("vec_id"))
+      .distinct()
+    val kept = store.join(keep, Seq("vec_id"), "left_semi")
+      .select(col("ivf_cell"), col("vec_id"), col("embedding"))
+    graft.ops.Layout.writePartitioned(kept, dstPath, Seq("ivf_cell"))
+    CompactStats(store.count(),
+      spark.read.parquet(dstPath).count())
+  }
+
   /** Incremental result: per-new-vector decisions
     * (vec_id, ivf_cell, keep) and the store delta to append — ALL new
     * rows, kept and dropped, in the store's (ivf_cell, vec_id, embedding)

@@ -21,3 +21,24 @@ object DatasetBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Bridge to the persisted RDD behind a `localCheckpoint`ed DataFrame —
+  * needed to RELEASE a checkpoint's storage explicitly: a checkpointed
+  * frame is backed by a `LogicalRDD` whose blocks are plain persisted RDD
+  * blocks (not CacheManager entries), so `Dataset.unpersist` cannot free
+  * them and they otherwise live until RDD GC. Iterative algorithms that
+  * checkpoint per round ([[graft.text.Dedup.components]]) free each
+  * round's blocks as soon as the next round is materialized. */
+object CheckpointBridge {
+  /** The underlying checkpointed RDD, if `df` is LogicalRDD-backed. */
+  def backingRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Unpersist the checkpoint blocks behind `df` (no-op otherwise). */
+  def release(df: org.apache.spark.sql.DataFrame, blocking: Boolean = false): Unit =
+    backingRdd(df).foreach(_.unpersist(blocking))
+}

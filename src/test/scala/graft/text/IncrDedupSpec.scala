@@ -78,6 +78,37 @@ class IncrDedupSpec extends SparkSpec {
     assert(d2 == Map(20L -> false))
   }
 
+  test("retention compaction: incremental over the compacted index == from-scratch over the RETAINED corpus") {
+    val path = tmp()
+    val dst = tmp()
+    IncrDedup.writeIndex(hist, path)
+    // the corpus drops docs 1 and 3 (takedown/TTL) and retains only 2 —
+    // compaction must remove their signatures from the standing index
+    val retained = Seq(2L).toDF("doc_id")
+    val stats = IncrDedup.compactIndex(spark, path, dst, retained)
+    assert(stats == IncrDedup.CompactStats(3L, 1L),
+      s"store must shrink to the retained corpus: $stats")
+    assert(spark.read.parquet(s"$dst/bands").count() == 1 * Dedup.Bands)
+
+    val inc = IncrDedup.dedupAgainst(spark, newBatch, dst)
+      .decisions.as[(Long, Boolean)].collect().toMap
+    // batch doc 10 near-dups ONLY the now-removed history — it is novel
+    // relative to the retained corpus and must now be KEPT; a ghost
+    // signature left behind would wrongly drop it
+    assert(inc == Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+    // and the full equality: incremental == from-scratch dedup over
+    // (retained corpus ∪ batch), restricted to the batch
+    val retainedCorpus = hist.filter(col("doc_id") === 2L)
+    val scratch = Dedup.survivors(
+      retainedCorpus.unionByName(newBatch),
+      Dedup.components(Dedup.minhashPairs(
+        retainedCorpus.unionByName(newBatch), minAgree = 20, portable = true)))
+      .select(col("doc_id"), col("survivor"))
+      .as[(Long, Boolean)].collect().toMap
+      .filter(_._1 >= 10L)
+    assert(inc == scratch, s"incremental $inc != from-scratch $scratch")
+  }
+
   test("id-monotonicity guard is loud: a batch id at-or-below history fails fast") {
     val path = tmp()
     IncrDedup.writeIndex(hist, path)

@@ -82,6 +82,34 @@ class IncrSemDedupSpec extends SparkSpec {
     assert(d2 == Map(20L -> false))
   }
 
+  test("retention compaction: incremental over the compacted store == from-scratch over the RETAINED corpus") {
+    val path = tmp()
+    val dst = tmp()
+    IncrSemDedup.writeIndex(hist, model, path)
+    // vectors 1 and 3 leave the corpus; only 2 is retained
+    val retained = Seq(2L).toDF("vec_id")
+    val stats = IncrSemDedup.compactIndex(spark, path, dst, retained)
+    assert(stats == IncrSemDedup.CompactStats(3L, 1L),
+      s"store must shrink to the retained corpus: $stats")
+    // the hive-partitioned cell layout must survive compaction (static
+    // pruning depends on it)
+    assert(new java.io.File(dst).listFiles()
+      .exists(_.getName.startsWith("ivf_cell=")))
+
+    val inc = IncrSemDedup.dedupAgainst(spark, newBatch, dst, model, minCos)
+      .decisions.select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    // vector 10 near-dup'ed ONLY the now-removed history — novel relative
+    // to the retained corpus, must now be kept
+    assert(inc == Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+    // full equality against from-scratch semDedup over (retained ∪ batch)
+    val retainedCorpus = hist.filter(col("vec_id") === 2L)
+    val scratch = Similarity.semDedup(
+      retainedCorpus.unionByName(newBatch), model, minCos)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+      .filter(_._1 >= 10L)
+    assert(inc == scratch, s"incremental $inc != from-scratch $scratch")
+  }
+
   test("id-monotonicity guard is loud: a batch id at-or-below history fails fast") {
     val path = tmp()
     IncrSemDedup.writeIndex(hist, model, path)
