@@ -95,6 +95,7 @@ object Bench {
     "json_corrupt" -> "jc", "cluster_sizes" -> "cls",
     "minhash_error" -> "mhe",
     "incr_compact" -> "icc", "incr_sem_compact" -> "isc",
+    "incr_pipeline" -> "ipl", "stream_neardup" -> "snd",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

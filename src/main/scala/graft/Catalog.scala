@@ -126,6 +126,30 @@ object Catalog {
     })
   }
 
+  /** Staged documents-with-planted-NEAR-duplicates for the streaming
+    * near-dup replay: every 9th doc (doc_id % 9 = 4) re-arrives later
+    * (+3e9 id) with a small tail appended — a band-collision near-dup,
+    * not an exact copy, so the streaming path must verify signatures,
+    * not hash text. Same memoize contract as [[stagedEvents]]. */
+  private val stagedDocNearDupDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDocNearDups(s: SparkSession, dir: String): String = {
+    stagedDocNearDupDirs.get(dir).filterNot(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach(_ => stagedDocNearDupDirs.remove(dir))
+    stagedDocNearDupDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_stream_neardup")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 9 === 4).select(
+          (col("doc_id") + 3000000000L).as("doc_id"),
+          concat(col("text"), lit(" streamed near duplicate tail")).as("text")))
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
   /** Pinned as-of for the refund pipeline — shipdates span 1995-2001, so a
     * 2004 reference date exercises both SOL outcomes. */
   val RefundAsOf: java.time.LocalDate = java.time.LocalDate.of(2004, 6, 15)
@@ -392,6 +416,48 @@ object Catalog {
         embCorpus(s, dir), graft.text.Ivf.fixedModel(c = 16, dim = 64), out)
       out
     })
+  }
+
+  /** Multimodal ingest batch for the END-TO-END incremental pipeline
+    * query — (doc_id, text, embedding) rows over the EMBEDDED subset of
+    * the corpus (documents ⋈ embeddings on doc_id = vec_id: at sf0.1 only
+    * the first 2 000 docs carry vectors — the realistic embeddings-lag-
+    * text shape), four deterministic classes so every pipeline stage
+    * gates someone (mirrored in OracleSql):
+    *  - +1e9 (doc_id % 10 = 0): text + suffix — passes quality, DROPS at
+    *    the text-dedup stage (near-dup of history);
+    *  - +2e9 (doc_id % 13 = 0): character-reversed text — DROPS at the
+    *    quality gate (reversed words destroy the stopword signal);
+    *  - +3e9 (doc_id % 7 = 3): TOKEN-ORDER-reversed text + the source's
+    *    EXACT embedding — passes quality (tokens preserved), passes text
+    *    dedup (every 3-gram shingle differs), DROPS at the SEMANTIC
+    *    stage (cos 1 vs its source vector) — the paraphrase-shaped dup
+    *    n-gram dedup cannot see, i.e. the reason the semantic stage
+    *    exists;
+    *  - +4e9 (doc_id % 11 = 5): token-order-reversed text + REVERSED
+    *    embedding (a fresh direction) — survives every stage and
+    *    PUBLISHES with a split assignment.
+    * Same HARNESS-ONLY repartition note as [[dedupCorpus]]. */
+  def pipeBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val e = t(s, dir, "embeddings")
+    val j = d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val tokRev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    j.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate copy suffix")).as("text"),
+        reverse(col("embedding")).as("embedding"))
+      .unionByName(j.filter(col("doc_id") % 13 === 0).select(
+        (col("doc_id") + 2000000000L).as("doc_id"),
+        reverse(col("text")).as("text"), col("embedding")))
+      .unionByName(j.filter(col("doc_id") % 7 === 3).select(
+        (col("doc_id") + 3000000000L).as("doc_id"),
+        tokRev.as("text"), col("embedding")))
+      .unionByName(j.filter(col("doc_id") % 11 === 5).select(
+        (col("doc_id") + 4000000000L).as("doc_id"),
+        tokRev.as("text"), reverse(col("embedding")).as("embedding")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** RETENTION-COMPACTED variant of [[incrIndex]] for the compaction
@@ -1093,6 +1159,25 @@ object Catalog {
         st => graft.streaming.Sessions
           .dedupByContent(st, "text", "ts", lateness = "3650 days")
           .select("text_hash"))
+    }),
+
+    // streaming MinHash NEAR-dup dedup, replayed and batch-checked: the
+    // missing streaming twin of the incremental batch dedup — signatures
+    // band per doc, each band's flatMapGroupsWithState flags arrivals
+    // verifying (>= 20/64 slots) against a smaller-id band-mate, with
+    // per-band state evicted by event-time timeout past the horizon; the
+    // per-doc keep flag ORs the 16 replayed band verdicts (batch context,
+    // the op_stream_topk pattern). Direct-neighbor smaller-id semantics
+    // (the IncrSemDedup rule) — decidable at arrival, and on the bounded
+    // replay exactly the batch band-collision dedup the oracle computes
+    "op_stream_neardup" -> ((s, dir) => {
+      val replayed = graft.streaming.Replay.replayAppend(
+        s, stagedDocNearDups(s, dir),
+        StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP"),
+        st => graft.streaming.NearDup.bandVerdicts(st,
+          horizonMs = 315360000000L).toDF()) // 3650 d — covers the replay
+      replayed.groupBy("doc_id")
+        .agg((max(when(col("band_dup"), 1L).otherwise(0L)) === 0L).as("keep"))
     }),
 
     // stream-stream interval join on the REAL Structured Streaming path:
@@ -2177,6 +2262,48 @@ object Catalog {
     // the batch dedups against the compacted store; oracle = from-scratch
     // semDedup over (retained ∪ batch) restricted to the batch + the
     // store-size reduction
+    // END-TO-END incremental ingest pipeline — the composition the
+    // incremental family exists for, in one declared query: a multimodal
+    // batch (text + embedding) flows quality gate (gopherRules) → incr
+    // TEXT dedup vs the standing band index → incr SEMANTIC dedup vs the
+    // standing cell store → deterministic split assignment; output is
+    // the per-doc ledger (which stage gated each doc, and the published
+    // survivors' splits). The class-3 docs are the showcase: token-order
+    // reversal defeats every n-gram shingle but not the embedding — the
+    // paraphrase-shaped duplicate ONLY the semantic stage catches.
+    // Oracle = the same pipeline from scratch (gopher CTEs → union CC
+    // dedup → union semDedup → split), restricted to the batch.
+    "op_incr_pipeline" -> ((s, dir) => memoFrame(s, s"ipl:$dir") {
+      val batch = pipeBatch(s, dir)
+      val q = TextOps.gopherRules(batch)
+        .select(col("doc_id"), col("keep").as("q_pass"))
+      val qb = batch.join(q.filter(col("q_pass")).select("doc_id"), "doc_id")
+      val td = graft.text.IncrDedup.dedupAgainst(s, qb, incrIndex(s, dir))
+        .decisions
+      val tb = qb.join(td.filter(col("keep")).select("doc_id"), "doc_id")
+      val sd = graft.text.IncrSemDedup.dedupAgainst(s,
+          tb.select(col("doc_id").as("vec_id"), col("embedding")),
+          semIndex(s, dir), graft.text.Ivf.fixedModel(c = 16, dim = 64),
+          minCos = 0.3).decisions
+      val bucket = pmod(Dedup.portableHash(col("doc_id").cast(StringType)),
+        lit(1000))
+      val split = when(bucket < 900, "train").when(bucket < 950, "val")
+        .otherwise("test")
+      batch.select("doc_id")
+        .join(q, Seq("doc_id"), "left")
+        .join(td.select(col("doc_id"), col("keep").as("_tk")),
+          Seq("doc_id"), "left")
+        .join(sd.select(col("vec_id").as("doc_id"), col("keep").as("_sk")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("q_pass"),
+          (col("q_pass") && coalesce(col("_tk"), lit(false))).as("text_keep"),
+          (col("q_pass") && coalesce(col("_tk"), lit(false)) &&
+            coalesce(col("_sk"), lit(false))).as("published"),
+          when(col("q_pass") && coalesce(col("_tk"), lit(false)) &&
+            coalesce(col("_sk"), lit(false)), split).as("split"))
+    }),
+
     "op_incr_sem_compact" -> ((s, dir) => memoFrame(s, s"isc:$dir") {
       val (idx, nb, na) = semCompactIndex(s, dir)
       graft.text.IncrSemDedup.dedupAgainst(s, vecIngestBatch(s, dir), idx,

@@ -1406,6 +1406,55 @@ object OracleSql {
     "op_stream_dedup" -> """
       SELECT DISTINCT md5(text) AS text_hash FROM documents""",
 
+    // Streaming near-dup dedup, batch-checked: the replayed per-band
+    // verdicts OR into exactly the batch DIRECT-NEIGHBOR band dedup —
+    // a doc drops iff some SMALLER-id doc shares a band key and the
+    // signatures agree on >= 20 of 64 slots (the same portable-MinHash
+    // banding as op_incr_dedup, without the CC step: streaming decides
+    // at arrival, and the drop set is identical — only cluster ids
+    // would differ).
+    "op_stream_neardup" -> s"""
+      WITH nd AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000000, text || ' streamed near duplicate tail'
+        FROM documents WHERE doc_id % 9 = 4),
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM nd),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      coll AS (
+        SELECT DISTINCT y.doc_id
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        JOIN sig sa ON sa.doc_id = x.doc_id
+        JOIN sig sb ON sb.doc_id = y.doc_id
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20)
+      SELECT n.doc_id, (c.doc_id IS NULL) AS keep
+      FROM nd n LEFT JOIN coll c USING (doc_id)""",
+
     // Streaming event-time daily windows, batch-checked: the Spark side
     // runs window() on the real streaming path; this is the batch daily
     // aggregate it must equal (UTC-aligned day boundaries both sides).
@@ -3132,6 +3181,166 @@ object OracleSql {
       SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
       FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
       WHERE m.vec_id >= 1000000000""",
+
+    // End-to-end incremental pipeline oracle = the whole chain from
+    // scratch: the four-class multimodal batch (documents ⋈ embeddings),
+    // the gopher quality gate over the batch, from-scratch union minhash
+    // dedup (exact CC) for the text stage, from-scratch union semDedup
+    // for the semantic stage, then the per-doc ledger with the published
+    // survivors' deterministic splits.
+    "op_incr_pipeline" -> s"""
+      WITH RECURSIVE j AS (
+        SELECT d.doc_id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      batch AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+          text || ' near duplicate copy suffix' AS text,
+          list_reverse(embedding) AS embedding
+        FROM j WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, reverse(text), embedding
+        FROM j WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000,
+          array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' '),
+          embedding
+        FROM j WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 4000000000,
+          array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' '),
+          list_reverse(embedding)
+        FROM j WHERE doc_id % 11 = 5),
+      padded AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM batch),
+      g_sig AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+          $stopwordSumSql AS n_stopword
+        FROM padded),
+      g_rep AS (
+        SELECT doc_id, max(c) AS top_tok_n FROM (
+          SELECT doc_id, t, count(*) AS c FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM batch WHERE length(trim(text)) > 0) u
+          GROUP BY doc_id, t) g
+        GROUP BY doc_id),
+      gp AS (
+        SELECT s.doc_id,
+          NOT (s.n_tokens < 25 OR s.n_tokens > 10000
+            OR s.n_word_chars < s.n_tokens * 3
+            OR s.n_word_chars > s.n_tokens * 10
+            OR s.n_digit * 5 > s.n_word_chars
+            OR s.n_stopword * 20 < s.n_tokens
+            OR coalesce(r.top_tok_n, 0) * 8 > s.n_tokens) AS q_pass
+        FROM g_sig s LEFT JOIN g_rep r USING (doc_id)),
+      qb AS (
+        SELECT b.doc_id, b.text, b.embedding
+        FROM batch b JOIN gp USING (doc_id) WHERE gp.q_pass),
+      allcorp AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id, text FROM qb),
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM allcorp),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      prs AS (
+        SELECT c.a, c.b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id),
+      tkeep AS (
+        SELECT c.doc_id,
+          (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS keep
+        FROM allcorp c LEFT JOIN cc x USING (doc_id)
+        WHERE c.doc_id >= 1000000000),
+      tb AS (
+        SELECT q.doc_id, q.embedding
+        FROM qb q JOIN tkeep k USING (doc_id) WHERE k.keep),
+      allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT doc_id AS vec_id, embedding FROM tb),
+      cents AS (SELECT j, cent FROM $ivfCentsSql),
+      sims AS (
+        SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
+        FROM allv v CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims) t WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, v.embedding
+        FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
+      drp AS (
+        SELECT DISTINCT y.vec_id
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3),
+      skeep AS (
+        SELECT m.vec_id AS doc_id, (d.vec_id IS NULL) AS keep
+        FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
+        WHERE m.vec_id >= 1000000000)
+      SELECT b.doc_id,
+        gp.q_pass,
+        (gp.q_pass AND coalesce(tk.keep, false)) AS text_keep,
+        (gp.q_pass AND coalesce(tk.keep, false)
+          AND coalesce(sk.keep, false)) AS published,
+        CASE WHEN gp.q_pass AND coalesce(tk.keep, false)
+               AND coalesce(sk.keep, false)
+          THEN CASE WHEN CAST('0x' || substring(
+                 md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1000 < 900 THEN 'train'
+               WHEN CAST('0x' || substring(
+                 md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1000 < 950 THEN 'val'
+               ELSE 'test' END
+        END AS split
+      FROM batch b
+      JOIN gp USING (doc_id)
+      LEFT JOIN tkeep tk USING (doc_id)
+      LEFT JOIN skeep sk USING (doc_id)""",
 
     // Retention-compaction oracle for the vector store: op_incr_sem_dedup
     // with HISTORY restricted to the retained vectors (vec_id % 3 <> 0),

@@ -25,6 +25,33 @@ class CompositeQuerySpec extends SparkSpec {
       "survivors and best-survivors must see the same cluster assignment")
   }
 
+  test("incr pipeline ledger: stages gate monotonically and each class lands where designed") {
+    val rows = SparkEntry.queries("op_incr_pipeline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), Option(r.getString(4))))
+    // monotone gating: published ⊆ text_keep ⊆ q_pass; split iff published
+    rows.foreach { case (id, q, t, p, s) =>
+      assert(!t || q, s"$id: text_keep without q_pass")
+      assert(!p || t, s"$id: published without text_keep")
+      assert(s.isDefined == p, s"$id: split must exist iff published")
+    }
+    def cls(lo: Long, hi: Long) = rows.filter(r => r._1 >= lo && r._1 < hi)
+    // A (near-dup text): quality-passers exist, NONE survive text dedup
+    val a = cls(1000000000L, 2000000000L)
+    assert(a.exists(_._2) && a.forall(!_._3))
+    // B (char-reversed): the stopword gate kills nearly all
+    val b = cls(2000000000L, 3000000000L)
+    assert(b.count(_._2) < b.length / 4)
+    // C (token-reversed text, SAME embedding): passes text dedup, NEVER
+    // publishes — the paraphrase-shaped dup only the semantic stage sees
+    val c = cls(3000000000L, 4000000000L)
+    assert(c.exists(_._3), "some C docs must reach the semantic stage")
+    assert(c.forall(!_._4), "no C doc may survive its own source vector")
+    // D (token-reversed text, fresh embedding): publishers exist
+    val d = cls(4000000000L, 5000000000L)
+    assert(d.exists(_._4), "class D must publish")
+  }
+
   test("hist-quantile bucket contains the exact quantile value") {
     // op_hist_quantiles picks the $5-wide cents bucket holding the same
     // rank position op_state_quantiles resolves exactly: for every
