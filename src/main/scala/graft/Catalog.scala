@@ -2090,9 +2090,10 @@ object Catalog {
 
     // near-dup CLUSTERS from jaccard pairs via DataFrame-only connected
     // components (min-label propagation) — cluster id = min member id;
-    // survivors are doc_id == cluster_id rows
-    "op_dedup_clusters" -> ((s, dir) =>
-      Dedup.components(Dedup.jaccardPairs(dedupCorpus(s, dir)))),
+    // survivors are doc_id == cluster_id rows. Shares the memoized
+    // [[ccLabels]] fixpoint with the survivors/cluster-size family: four
+    // queries, ONE label propagation per corpus per sweep
+    "op_dedup_clusters" -> ((s, dir) => ccLabels(s, dir)),
 
     // the dedup DELIVERABLE: every corpus doc with its near-dup cluster id
     // and keep flag (pairs -> connected components -> left join back) —
