@@ -96,6 +96,12 @@ object Bench {
     "minhash_error" -> "mhe",
     "incr_compact" -> "icc", "incr_sem_compact" -> "isc",
     "incr_pipeline" -> "ipl", "stream_neardup" -> "snd",
+    "cap_per_key" -> "cpk", "weighted_sample" -> "wsm",
+    "dup_attribution" -> "dat", "semdedup_sweep" -> "sds",
+    "dsir_weights" -> "dsw", "dsir_select" -> "dss",
+    "length_hist" -> "lh", "quality_floor" -> "qf",
+    "minhash_sweep" -> "mhs", "cross_source_overlap" -> "cso",
+    "knn_classify" -> "knc", "embed_drift" -> "edr",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
@@ -210,14 +216,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Per-query values as INTEGER CENTISECONDS keyed by [[metricKey]]
     // ("op_" stripped, long names aliased per [[alias]] — SURVEY §9.2 maps
-    // them back).
-    def qJson(m: Seq[(String, Double)]): String = m
+    // them back). The coarsened slim-4 level divides to DECISECONDS
+    // instead (marked `"qunit":"ds"` on the line).
+    def qJson(m: Seq[(String, Double)], div: Int): String = m
       .map { case (k, v) =>
-        "\"" + metricKey(k) + "\":" + math.round(v * 100).toString }
+        "\"" + metricKey(k) + "\":" + math.round(v * 100 / div).toString }
       .mkString("{", ",", "}")
     val sorted = results.sortBy(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def line(qs: String, omitted: Int, slim: Int): String = {
+    def line(qs: String, omitted: Int, slim: Int, unit: String): String = {
       val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
       // slim >= 1: drop the informational pass1_total and an EMPTY failed
       // list (never a non-empty one — failures must stay visible).
@@ -225,30 +232,41 @@ object Bench {
       // slim >= 3: also drop the qunit/qprefix self-documentation (the
       // encoding is stable across rounds and documented in SURVEY §9) —
       // per-query trend data for every query outranks all side fields.
+      // A non-default unit is ALWAYS marked, even at slim 3 (a silent
+      // unit change would corrupt the trend ledger).
       val p1 = if (slim >= 1) "" else s""","pass1_total":${f(p1Total)}"""
       val fl = if (slim >= 1 && failed.isEmpty) "" else s""","failed":$failedJson"""
       val ws = if (slim >= 2) "" else s""","warm_sec":${f(warmSec)}"""
       val sf = if (slim >= 2) new java.io.File(sfDir).getName else sfDir
-      val qu = if (slim >= 3) "" else
-        s""","qunit":"cs","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
+      val qu = if (slim >= 3) {
+        if (unit == "cs") "" else s""","qunit":"$unit""""
+      } else
+        s""","qunit":"$unit","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
       s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
     // tail. Degrade in steps, each keeping MORE per-query data than the
-    // next: full -> minus informational fields (3 levels) -> the MAXIMUM
-    // number of slowest queries that still fits (sorted by key for stable
-    // diffs, with how many were dropped) — dropping only the cheapest
-    // queries' trend data, typically a handful, never a fixed 50.
-    // 1960 leaves 40 chars of margin to the true window.
+    // next: full -> minus informational fields (3 levels) -> COARSEN the
+    // per-query values, keeping every key (deciseconds, then integer
+    // seconds — 0.1/1 s granularity on the expensive sweeps that hit
+    // these levels still trends fine, and all-keys-coarse beats
+    // some-keys-gone) -> only then the MAXIMUM number of slowest queries
+    // that fits (sorted by key for stable diffs, with how many were
+    // dropped; seconds encoding) — dropping only the cheapest queries'
+    // trend data, typically a handful, never a fixed 50. 1960 leaves 40
+    // chars of margin to the true window.
     val bySlow = sorted.sortBy(-_._2)
-    (0 to 3).map(s => line(qJson(sorted), 0, s))
+    ((0 to 3).map(s => line(qJson(sorted, 1), 0, s, "cs")) :+
+        line(qJson(sorted, 10), 0, 3, "ds") :+
+        line(qJson(sorted, 100), 0, 3, "s"))
       .find(_.length <= 1960)
       .getOrElse(Iterator.range(bySlow.length - 1, 0, -1)
         .map { n =>
-          line(qJson(bySlow.take(n).sortBy(_._1)), sorted.length - n, slim = 3)
+          line(qJson(bySlow.take(n).sortBy(_._1), 100), sorted.length - n,
+            slim = 3, unit = "s")
         }
         .find(_.length <= 1960)
-        .getOrElse(line("{}", sorted.length, slim = 3)))
+        .getOrElse(line("{}", sorted.length, slim = 3, unit = "s")))
   }
 
   def main(args: Array[String]): Unit = {

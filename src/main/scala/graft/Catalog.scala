@@ -1553,6 +1553,26 @@ object Catalog {
         Dedup.portableHash(col("doc_id").cast(StringType)))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
 
+    // per-group volume cap — "at most 3 pages per source", quality-aware:
+    // keep each source's 3 LONGEST docs (ties -> smallest id) through the
+    // bounded-heap TopKPerKey operator, never a per-group window sort
+    "op_cap_per_key" -> ((s, dir) =>
+      graft.ops.Sampling.capPerKey(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("text")),
+        Seq("source"), struct(-length(col("text")), col("doc_id")), k = 3)
+        .select(col("source"), col("doc_id"),
+          length(col("text")).cast(LongType).as("len"))),
+
+    // EXACT weighted sampling without replacement, RNG-free: w_i lottery
+    // tickets per row in integer hash space (the Efraimidis–Spirakis
+    // scheme as a pure function of the data), ticket list bounded in-row
+    // (narrow HOF pass), global winners via a bounded TakeOrdered
+    "op_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedByHash(t(s, dir, "documents"),
+        col("doc_id"), floor(col("n_chars") / lit(100)) + 1, k = 100)
+        .select(col("doc_id"), col("weight"), col("priority"))),
+
     // skew-safe salted equi-join (ops/Salting): the fact side salts into 8
     // buckets, the dim side replicates 8x, the shuffle key becomes
     // (key, salt) — and the RESULT is provably salt-independent, which is
@@ -1724,6 +1744,18 @@ object Catalog {
     // doc — the dataset-card summary block as a single aggregate
     "op_dataset_card" -> ((s, dir) =>
       TextOps.datasetCard(dedupCorpus(s, dir))),
+
+    // per-language token-length histogram in log2 buckets — the dataset
+    // card's companion plot (truncation spikes / boilerplate combs show
+    // here first); one narrow integer-math pass into a bounded aggregate
+    "op_length_hist" -> ((s, dir) =>
+      TextOps.lengthHist(t(s, dir, "documents"))),
+
+    // per-language quality floor: drop each language's shortest quartile,
+    // the P25 coming from the deterministic sample sketch — the
+    // "cut the worst X% per stratum" rule with zero full sorts
+    "op_quality_floor" -> ((s, dir) =>
+      TextOps.qualityFloor(t(s, dir, "documents"))),
 
     // token-level Rabin-Karp rolling-hash fingerprints (the brief's
     // "document fingerprinting (rolling hash)" verbatim): per-doc window
@@ -2046,6 +2078,22 @@ object Catalog {
         t(s, dir, "documents").withColumn("label",
           when(col("doc_id") % 2 === 0, 1L).otherwise(-1L)), "label")),
 
+    // DSIR-style importance weighting (Xie et al. 2023): hashed-token
+    // likelihood ratio of target-like-ness (target = the English subset
+    // standing in for a curated domain) — the classifier-free data
+    // selection signal; bucket model bounded at 2048 rows, broadcast back
+    // onto the token stream, weight = ONE exact-integer IEEE division
+    "op_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "text",
+        isTarget = col("lang") === "en", buckets = 2048)),
+
+    // the selection on top of op_dsir_weights: top-100 most target-like
+    // docs, weight desc / id asc — a bounded TakeOrdered, never a corpus
+    // sort
+    "op_dsir_select" -> ((s, dir) =>
+      TextOps.dsirSelect(t(s, dir, "documents"), "text",
+        isTarget = col("lang") === "en", n = 100, buckets = 2048)),
+
     // tokenizer-vocab coverage curve: top-50 tokens with the cumulative
     // share of all token occurrences they cover
     "op_vocab_coverage" -> ((s, dir) =>
@@ -2147,6 +2195,13 @@ object Catalog {
       Dedup.bestSurvivors(corpus, ccLabels(s, dir), length(col("text")))
     }),
 
+    // per-SOURCE near-duplication attribution — which feed contributes
+    // the duplicate mass (docs in size>1 clusters, survivorship losers,
+    // wasted chars): the actionable per-feed report after a dedup pass;
+    // shares the per-sweep CC labels, then two bounded aggregates
+    "op_dup_attribution" -> ((s, dir) =>
+      Dedup.dupAttribution(dedupCorpus(s, dir), ccLabels(s, dir))),
+
     // centroid-distance outlier flagging over the embeddings: a vector
     // weakly similar to EVERY fixed centroid (best cos < 0.13, ~the
     // corpus's 10th percentile) sits in no cluster's core — the
@@ -2246,6 +2301,15 @@ object Catalog {
       Similarity.semDedup(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3)),
 
+    // threshold-calibration sweep for semantic dedup: the drop-curve
+    // (pairs cleared / docs dropped / docs kept per candidate ε) that
+    // sizes a 100 TB dedup pass BEFORE committing to it — cell-scoped
+    // pair cosines computed ONCE, thresholds fanned out in-row
+    "op_semdedup_sweep" -> ((s, dir) =>
+      Similarity.semDedupSweep(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64),
+        thresholds = Seq(0.2, 0.3, 0.4, 0.5))),
+
     // incremental semantic dedup: a NEW vector batch probed against the
     // persisted IVF cell store (static partition pruning on the batch's
     // touched cells), semDedup's smaller-id rule across history + batch —
@@ -2321,6 +2385,21 @@ object Catalog {
       Similarity.knnGraph(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5)),
 
+    // k-NN majority-vote labeling over the labeled embeddings (the
+    // weak-supervision labeler, doubling as a leave-one-out accuracy
+    // probe); per-vector argmax via the bounded heap, never a window
+    "op_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5)),
+
+    // embedding-distribution drift between the historical corpus and the
+    // standing ingest batch: per-cell occupancy shares (ppm) + mean
+    // centroid cosine per side — the publish-gate monitoring read; two
+    // narrow assigns + C-bounded aggregates, nothing pairwise
+    "op_embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(embCorpus(s, dir), vecIngestBatch(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64))),
+
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
@@ -2339,6 +2418,22 @@ object Catalog {
     // fast path is cross-validated in DedupSpec).
     "op_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(dedupCorpus(s, dir), minAgree = 20, portable = true)),
+
+    // vote-threshold calibration sweep for the MinHash verify bar (the
+    // text twin of op_semdedup_sweep): signature agreement computed once
+    // at the laxest bar, thresholds fanned out in-row — the drop-curve
+    // that picks min_agree before a 100 TB pass
+    "op_minhash_sweep" -> ((s, dir) =>
+      Dedup.minhashSweep(dedupCorpus(s, dir),
+        thresholds = Seq(20, 28, 36, 44, 52))),
+
+    // cross-source near-dup overlap matrix — the syndication detector:
+    // which source pairs share verified near-duplicate content; rides the
+    // same persisted exact-jaccard pair graph as the CC family
+    "op_cross_source_overlap" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      Dedup.crossSourceOverlap(corpus, Dedup.jaccardPairs(corpus))
+    }),
 
     "op_simhash" -> ((s, dir) =>
       Dedup.withSimhash(dedupCorpus(s, dir), portable = true)

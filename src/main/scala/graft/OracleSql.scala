@@ -1933,6 +1933,38 @@ object OracleSql {
         FROM h)
       SELECT lang, doc_id FROM r WHERE rn <= 20""",
 
+    // Per-source volume cap: 3 longest docs per source (ties -> smallest
+    // id). The rank window is oracle-side only — the Spark plan rides the
+    // bounded-heap TopKPerKey.
+    "op_cap_per_key" -> """
+      WITH r AS (
+        SELECT source, doc_id, length(text) AS len,
+          row_number() OVER (PARTITION BY source
+            ORDER BY length(text) DESC, doc_id) AS rn
+        FROM documents)
+      SELECT source, doc_id, CAST(len AS BIGINT) AS len
+      FROM r WHERE rn <= 3""",
+
+    // Deterministic weighted sample without replacement: w_i md5-60
+    // lottery tickets per row (ticket r = hash(id ':' r)), priority = the
+    // smallest ticket, 100 smallest priorities win — Sampling
+    // .weightedByHash mirrored hash-for-hash (integer weight derivation:
+    // n_chars // 100 + 1 clamped to [1, 64]).
+    "op_weighted_sample" -> """
+      WITH w AS (
+        SELECT doc_id,
+          greatest(1, least(n_chars // 100 + 1, 64)) AS weight
+        FROM documents),
+      p AS (
+        SELECT doc_id, weight,
+          list_min(list_transform(generate_series(1, weight),
+            r -> CAST('0x' || substring(md5(
+              CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+              1, 15) AS BIGINT))) AS priority
+        FROM w)
+      SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
+      FROM p ORDER BY priority, doc_id LIMIT 100""",
+
     // KMV sketch: the k smallest distinct md5-60 hashes and the classic
     // (k-1)·H/kth estimator — deterministic in both engines.
     "op_kmv_distinct" -> """
@@ -2504,6 +2536,61 @@ object OracleSql {
         CAST(score AS BIGINT) AS score, score > 0 AS label_positive
       FROM s""",
 
+    // DSIR importance weights: 2048-bucket hashed-token model (target =
+    // lang 'en'), per-doc exact integer sums of the bucket counts, weight
+    // = ONE IEEE double division — TextOps.dsirWeights hash-for-hash.
+    "op_dsir_weights" -> """
+      WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      ex AS (
+        SELECT doc_id, is_t,
+          CAST('0x' || substring(md5(unnest(toks)), 1, 15) AS BIGINT)
+            % 2048 AS bkt
+        FROM tok),
+      model AS (
+        SELECT bkt, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n,
+          count(*) AS p_n
+        FROM ex GROUP BY 1),
+      d AS (
+        SELECT e.doc_id, count(*) AS n_tokens,
+          sum(m.t_n) AS t_sum, sum(m.p_n) AS p_sum
+        FROM ex e JOIN model m USING (bkt) GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(t_sum AS BIGINT) AS t_sum, CAST(p_sum AS BIGINT) AS p_sum,
+        CAST(t_sum AS DOUBLE) / CAST(p_sum AS DOUBLE) AS weight
+      FROM d""",
+
+    // DSIR selection: top-100 by weight desc / doc_id asc over the same
+    // weights CTE — deterministic because the weights are exact-integer
+    // ratios (identical doubles in both engines) and the id tie-break.
+    "op_dsir_select" -> """
+      WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        FROM documents),
+      ex AS (
+        SELECT doc_id, is_t,
+          CAST('0x' || substring(md5(unnest(toks)), 1, 15) AS BIGINT)
+            % 2048 AS bkt
+        FROM tok),
+      model AS (
+        SELECT bkt, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n,
+          count(*) AS p_n
+        FROM ex GROUP BY 1),
+      d AS (
+        SELECT e.doc_id, count(*) AS n_tokens,
+          sum(m.t_n) AS t_sum, sum(m.p_n) AS p_sum
+        FROM ex e JOIN model m USING (bkt) GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(t_sum AS BIGINT) AS t_sum, CAST(p_sum AS BIGINT) AS p_sum,
+        CAST(t_sum AS DOUBLE) / CAST(p_sum AS DOUBLE) AS weight
+      FROM d
+      ORDER BY weight DESC, doc_id LIMIT 100""",
+
     // One batch perceptron epoch: score each doc under the stand-in
     // weight vector (TextOps.weightTable's default, mirrored inline),
     // misclassified docs (lbl * score <= 0) contribute lbl per token
@@ -2944,6 +3031,96 @@ object OracleSql {
       SELECT a.doc_id, a.cluster_id, (a.doc_id = b.best_id) AS survivor
       FROM asg a JOIN best b USING (cluster_id)""",
 
+    // Per-source duplication attribution: the op_neardup_survivors
+    // clustering rolled up by source — docs in size>1 clusters, min-id
+    // survivorship losers, and the losers' character mass.
+    "op_dup_attribution" -> s"""
+      WITH RECURSIVE $corpusCte,
+      tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM corpus),
+      shd AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM tok)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      nodes AS (SELECT DISTINCT a AS id FROM prs
+                UNION SELECT DISTINCT b FROM prs),
+      egs AS (SELECT a AS u, b AS v FROM prs
+              UNION SELECT b AS u, a AS v FROM prs),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY id),
+      asg AS (
+        SELECT c.doc_id, c.source, length(c.text) AS len,
+          coalesce(x.cluster_id, c.doc_id) AS cluster_id
+        FROM corpus c LEFT JOIN cc x USING (doc_id)),
+      sizes AS (
+        SELECT cluster_id, count(*) AS sz, min(doc_id) AS keep_id
+        FROM asg GROUP BY 1)
+      SELECT a.source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_docs,
+        CAST(sum(CASE WHEN a.doc_id <> s.keep_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_wasted,
+        CAST(sum(CASE WHEN a.doc_id <> s.keep_id THEN a.len ELSE 0 END)
+          AS BIGINT) AS wasted_chars
+      FROM asg a JOIN sizes s USING (cluster_id)
+      GROUP BY a.source""",
+
+    // Cross-source overlap matrix: the exact-jaccard pair graph (the
+    // op_token_jaccard prs CTE) attributed to unordered source pairs,
+    // endpoint ids re-aligned to the swapped source order.
+    "op_cross_source_overlap" -> s"""
+      WITH $shinglesCte,
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
+      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
+      lab AS (SELECT doc_id, source FROM corpus),
+      att AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+          greatest(sa.source, sb.source) AS source_b,
+          CASE WHEN sa.source <= sb.source THEN p.a ELSE p.b END AS da,
+          CASE WHEN sa.source <= sb.source THEN p.b ELSE p.a END AS db
+        FROM prs p
+        JOIN lab sa ON sa.doc_id = p.a
+        JOIN lab sb ON sb.doc_id = p.b)
+      SELECT source_a, source_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+        CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+      FROM att GROUP BY 1, 2""",
+
     // Centroid-distance outliers: best cosine against the fixed centroids
     // (same per-vector max the assigned CTE ranks by), thresholded.
     "op_embed_outliers" -> s"""
@@ -2959,6 +3136,60 @@ object OracleSql {
       SELECT vec_id, ivf_cell, cos_centroid,
         cos_centroid < 0.13 AS is_outlier
       FROM assigned""",
+
+    // Embedding drift: history (= embeddings) vs the standing vector
+    // ingest batch, per-cell occupancy shares (floor of the IEEE ppm
+    // quotient — Spark CAST truncates but DuckDB CAST rounds, so both
+    // sides floor explicitly) and mean centroid cosine via exact
+    // floor(cos*1e6) integer sums.
+    "op_embed_drift" -> s"""
+      WITH cents AS (SELECT j, cent FROM $ivfCentsSql),
+      batch AS (
+        SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 13 = 0
+        UNION ALL
+        SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 26 = 0),
+      hs AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cents c),
+      bs AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM batch e CROSS JOIN cents c),
+      ha AS (
+        SELECT vec_id, ivf_cell, sim AS cosc FROM (
+          SELECT vec_id, j AS ivf_cell, sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM hs) t WHERE rn = 1),
+      ba AS (
+        SELECT vec_id, ivf_cell, sim AS cosc FROM (
+          SELECT vec_id, j AS ivf_cell, sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM bs) t WHERE rn = 1),
+      hc AS (SELECT ivf_cell, count(*) AS n_hist,
+               sum(CAST(floor(cosc * 1000000.0) AS BIGINT)) AS ch
+             FROM ha GROUP BY 1),
+      bc AS (SELECT ivf_cell, count(*) AS n_batch,
+               sum(CAST(floor(cosc * 1000000.0) AS BIGINT)) AS cb
+             FROM ba GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM embeddings) AS nh,
+                     (SELECT count(*) FROM batch) AS nb)
+      SELECT ivf_cell,
+        CAST(coalesce(hc.n_hist, 0) AS BIGINT) AS n_hist,
+        CAST(coalesce(bc.n_batch, 0) AS BIGINT) AS n_batch,
+        CAST(floor(coalesce(hc.n_hist, 0) * 1000000.0 / t.nh) AS BIGINT)
+          AS hist_share_ppm,
+        CAST(floor(coalesce(bc.n_batch, 0) * 1000000.0 / t.nb) AS BIGINT)
+          AS batch_share_ppm,
+        CAST(hc.ch AS DOUBLE) / hc.n_hist / 1000000.0 AS mean_cos_hist,
+        CAST(bc.cb AS DOUBLE) / bc.n_batch / 1000000.0 AS mean_cos_batch,
+        CAST(floor(coalesce(bc.n_batch, 0) * 1000000.0 / t.nb) AS BIGINT)
+          - CAST(floor(coalesce(hc.n_hist, 0) * 1000000.0 / t.nh) AS BIGINT)
+          AS drift_ppm
+      FROM hc FULL OUTER JOIN bc USING (ivf_cell) CROSS JOIN tot t""",
 
     // Compaction: the Spark side MEASURES the physical layout (64 ingest
     // shards -> 4 range-partitioned files) and checksums content across
@@ -2984,6 +3215,27 @@ object OracleSql {
 
     // ---- portable-hash dedup / similarity families ----
     "op_minhash_pairs" -> minhashPairsSql,
+
+    // Vote-threshold sweep: the op_minhash_pairs pipeline at its laxest
+    // bar (n_agree >= 20), counted per candidate min_agree threshold.
+    "op_minhash_sweep" -> s"""
+      WITH pr AS (SELECT a, b, n_agree FROM ($minhashPairsSql)),
+      th AS (SELECT CAST(unnest([20, 28, 36, 44, 52]) AS INT) AS min_agree),
+      hits AS (
+        SELECT t.min_agree, count(*) AS n_pairs,
+          count(DISTINCT p.b) AS n_dropped
+        FROM th t JOIN pr p ON p.n_agree >= t.min_agree
+        GROUP BY 1),
+      nd AS (
+        SELECT count(*) AS n FROM (
+          SELECT doc_id FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 10 = 0))
+      SELECT t.min_agree,
+        CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(h.n_dropped, 0) AS BIGINT) AS n_dropped,
+        CAST(nd.n - coalesce(h.n_dropped, 0) AS BIGINT) AS n_kept
+      FROM th t LEFT JOIN hits h USING (min_agree) CROSS JOIN nd""",
 
     // Incremental dedup oracle = FROM-SCRATCH minhash dedup over
     // (history ∪ new batch), restricted to the new batch: the same
@@ -3141,6 +3393,32 @@ object OracleSql {
         WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3)
       SELECT m.vec_id, m.ivf_cell, (d.vec_id IS NULL) AS keep
       FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id""",
+
+    // Semantic-dedup threshold sweep: the op_sem_dedup cell-scoped pair
+    // cosines, counted per candidate threshold (pairs cleared, distinct
+    // smaller-id-rule drops, kept = corpus - drops).
+    "op_semdedup_sweep" -> s"""
+      WITH $ivfCtesSql,
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, e.embedding
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+      th AS (
+        SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5]) AS DOUBLE) AS threshold),
+      scored AS (
+        SELECT y.vec_id AS b, ${cosSql("x.embedding", "y.embedding")} AS cos
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id),
+      hits AS (
+        SELECT t.threshold, count(*) AS n_pairs,
+          count(DISTINCT s.b) AS n_dropped
+        FROM th t JOIN scored s ON s.cos >= t.threshold
+        GROUP BY 1)
+      SELECT t.threshold,
+        CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(h.n_dropped, 0) AS BIGINT) AS n_dropped,
+        CAST((SELECT count(*) FROM embeddings) - coalesce(h.n_dropped, 0)
+          AS BIGINT) AS n_kept
+      FROM th t LEFT JOIN hits h USING (threshold)""",
 
     // Incremental semantic dedup oracle = FROM-SCRATCH semDedup over
     // (history ∪ new vector batch), restricted to the new batch: cell
@@ -3402,6 +3680,39 @@ object OracleSql {
         FROM p)
       SELECT q AS vec_id, CAST(rk AS INT) AS rank, n AS neighbor_id, cos
       FROM r WHERE rk <= 5""",
+
+    // k-NN majority vote over the op_knn_graph top-5: votes grouped by
+    // neighbor label, argmax (votes desc, label asc); the rank window is
+    // oracle-side only — Spark's argmax rides the bounded heap.
+    "op_knn_classify" -> s"""
+      WITH $ivfCtesSql,
+      m AS (
+        SELECT a.vec_id, a.ivf_cell, e.embedding
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+      p AS (
+        SELECT x.vec_id AS q, y.vec_id AS n,
+          ${cosSql("x.embedding", "y.embedding")} AS cos
+        FROM m x JOIN m y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id <> y.vec_id),
+      r AS (
+        SELECT q, n,
+          row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk
+        FROM p),
+      votes AS (
+        SELECT r.q AS vec_id, e.label AS nl, count(*) AS n_votes
+        FROM r JOIN embeddings e ON e.vec_id = r.n
+        WHERE r.rk <= 5 GROUP BY 1, 2),
+      best AS (
+        SELECT vec_id, nl, n_votes,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY n_votes DESC, nl) AS brn
+        FROM votes)
+      SELECT b.vec_id, CAST(b.nl AS BIGINT) AS pred_label,
+        CAST(b.n_votes AS BIGINT) AS n_votes,
+        CAST(e.label AS BIGINT) AS true_label,
+        b.nl = e.label AS correct
+      FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.brn = 1""",
 
     "op_simhash" -> s"""
       WITH $shinglesCte,
@@ -4403,6 +4714,59 @@ object OracleSql {
         CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE)
           / CAST(count(*) AS DOUBLE) AS mean_doc_tokens
       FROM tok""",
+
+    // Per-language token-length histogram: bucket = bit length of the
+    // token count (bin() is unpadded in both engines), empty docs -> 0.
+    "op_length_hist" -> """
+      WITH tok AS (
+        SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS n
+        FROM documents)
+      SELECT lang,
+        CAST(CASE WHEN n = 0 THEN 0
+             ELSE length(bin(CAST(n AS BIGINT))) END AS INT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS n_tokens,
+        CAST(min(n) AS BIGINT) AS min_tokens,
+        CAST(max(n) AS BIGINT) AS max_tokens
+      FROM tok GROUP BY 1, 2""",
+
+    // Per-language P25 token-count floor from the deterministic sample
+    // sketch (the op_sample_quantiles min-k-by-hash mirror over documents),
+    // then the gate counts.
+    "op_quality_floor" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS n
+        FROM documents),
+      b AS (
+        SELECT lang,
+          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h,
+          CAST(n AS BIGINT) AS v
+        FROM tok),
+      d AS (SELECT lang, h, min(v) AS v FROM b GROUP BY lang, h),
+      r AS (SELECT lang, v,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM d),
+      smp AS (SELECT lang, list(v ORDER BY v) AS s
+              FROM r WHERE rn <= 256 GROUP BY lang),
+      floors AS (
+        SELECT lang, s[(len(s)-1)*25//100 + 1] AS floor_tokens FROM smp)
+      SELECT t.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN t.n >= fl.floor_tokens THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(sum(t.n) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN t.n >= fl.floor_tokens THEN t.n ELSE 0 END)
+          AS BIGINT) AS kept_tokens,
+        CAST(fl.floor_tokens AS BIGINT) AS floor_tokens
+      FROM tok t JOIN floors fl USING (lang)
+      GROUP BY t.lang, fl.floor_tokens""",
 
     // Per-source concat-then-chunk packing at budget 512: start offset =
     // per-shard cumsum of token counts, chunk ids by integer division.

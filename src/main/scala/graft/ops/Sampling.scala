@@ -83,6 +83,56 @@ object Sampling {
       descending = false).drop("__h")
   }
 
+  /** Per-group volume cap — the "at most k pages per domain" rule every
+    * web-scale corpus applies to stop mega-domains dominating the mix:
+    * keep the k best rows per group, "best" = smallest `priority` (pass
+    * e.g. `struct(-quality, id)` for quality-desc/id-asc). Unlike
+    * [[stratified]]'s uniform hash draw, the cap is QUALITY-AWARE: the
+    * retained subset is the group's top of a caller-chosen order, and the
+    * order must be collision-free (carry the row id in the struct) so the
+    * kept set is unique and engine-reproducible.
+    *
+    * Scale: rides the bounded-heap [[TopK.perKey]] operator — ≤ k rows
+    * per (group, partition) move in the shuffle, so a 100M-page domain
+    * costs what a 100-page domain costs after the map-side heaps. */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], priority: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(!df.columns.contains("__p"),
+      "capPerKey: input must not contain reserved column __p")
+    TopK.perKey(df.withColumn("__p", priority), keyCols, col("__p"), k,
+      descending = false).drop("__p")
+  }
+
+  /** EXACT weighted sampling without replacement, deterministic and
+    * RNG-free: row i holds `w_i` independent 60-bit lottery tickets
+    * (ticket r = `hashOf(id ":" r)`), its priority is its smallest
+    * ticket, and the k smallest priorities overall win. The global
+    * minimum ticket is uniform over all Σw tickets, so row i wins the
+    * first draw with probability w_i/Σw; removing the winner repeats the
+    * argument — this IS successive probability-proportional-to-weight
+    * draws (the Efraimidis–Spirakis scheme with the exponential race
+    * realized in integer hash space), yet it is a pure function of the
+    * data: reruns, engines, and partitionings agree row-for-row.
+    *
+    * Weights clamp to [1, maxWeight]: the ticket list is a bounded
+    * in-row HOF (`sequence` → `transform` → `array_min`), so the pass
+    * stays NARROW — no explode, no shuffle — and the global top-k is a
+    * bounded `TakeOrdered` (k rows per partition), never a sort. */
+  def weightedByHash(df: DataFrame, id: Column, weight: Column, k: Int,
+      hashOf: Column => Column = graft.text.Dedup.portableHash,
+      maxWeight: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be positive")
+    val w = greatest(lit(1L), least(weight.cast("long"), lit(maxWeight.toLong)))
+    val priority = array_min(transform(sequence(lit(1L), w),
+      r => hashOf(concat(id.cast("string"), lit(":"), r.cast("string")))))
+    df.withColumn("weight", w)
+      .withColumn("priority", priority)
+      .orderBy(col("priority"), id)
+      .limit(k)
+  }
+
   /** Deterministic, leakage-free dataset split: bucket = hash mod 1000
     * mapped through ascending `(upperBound, label)` cut points (rows at or
     * above the last bound get `defaultLabel`). The default cuts give the

@@ -530,6 +530,115 @@ object Dedup {
         (col("doc_id") === col("_best")).as("survivor"))
   }
 
+  /** Per-group near-duplication ATTRIBUTION — the report a curation team
+    * reads after a dedup pass: for each group (source / domain / crawl
+    * snapshot), how many of its docs sit in a multi-member cluster, how
+    * many lose the min-id survivorship race, and how many chars of
+    * storage those losers represent. This is what turns "the corpus is
+    * 12% near-dup" into "src7 contributes half the duplicate mass" — the
+    * actionable per-feed signal (throttle the feed, fix the crawler).
+    *
+    * `labels` is a [[components]] frame (doc_id, cluster_id); docs absent
+    * from it are singletons. Output: (group, n_docs, n_dup_docs,
+    * n_wasted, wasted_chars) — `n_dup_docs` counts members of size>1
+    * clusters, `n_wasted` the non-survivors among them.
+    *
+    * Scale: one hash join to labels, one cluster-keyed aggregate bounded
+    * by cluster count, one join back, one group-keyed aggregate bounded
+    * by group count — all map-side-partial friendly, nothing all-pairs
+    * (the pair work already happened in the clustering). */
+  def dupAttribution(corpus: DataFrame, labels: DataFrame,
+      groupCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val asg = corpus
+      .select(col(idCol).as("doc_id"), col(groupCol).as("_grp"),
+        length(col(textCol)).cast(LongType).as("_len"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_grp"), col("_len"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = asg.groupBy("cluster_id")
+      .agg(count(lit(1)).as("_sz"), min("doc_id").as("_keep"))
+    asg.join(sizes, "cluster_id")
+      .groupBy(col("_grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("doc_id") =!= col("_keep"), 1L).otherwise(0L))
+          .as("n_wasted"),
+        sum(when(col("doc_id") =!= col("_keep"), col("_len"))
+          .otherwise(0L)).as("wasted_chars"))
+  }
+
+  /** Vote-threshold calibration sweep for MinHash dedup — the text twin of
+    * [[graft.text.Similarity.semDedupSweep]]: for each candidate
+    * `min_agree` vote threshold (of the 64 signature slots), how many
+    * banded candidate pairs clear it and how many docs the smaller-id rule
+    * would drop. One row per threshold (min_agree, n_pairs, n_dropped,
+    * n_kept) — the drop-curve that picks the verification bar BEFORE
+    * committing a 100 TB dedup pass.
+    *
+    * Scale: signatures + band candidates + slot agreement are computed
+    * ONCE (exactly [[minhashPairs]] at the laxest threshold); each scored
+    * pair fans out to the thresholds it clears via an in-row explode
+    * (|thresholds| is a handful) and two bounded aggregates finish. The
+    * sweep costs one dedup pass, not |thresholds| passes. */
+  def minhashSweep(docs: DataFrame, thresholds: Seq[Int],
+      textCol: String = "text", idCol: String = "doc_id",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      "thresholds must be strictly ascending")
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val pairs = minhashPairs(docs, textCol, idCol,
+      minAgree = thresholds.head, portable = true, scope)
+    val hits = pairs
+      .select(col("b"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("min_agree"),
+        col("n_agree"))
+      .filter(col("n_agree") >= col("min_agree"))
+      .groupBy("min_agree")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b")).as("n_dropped"))
+    import spark.implicits._
+    thresholds.toDF("min_agree")
+      .join(hits, Seq("min_agree"), "left")
+      .select(col("min_agree"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (lit(nDocs) - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
+  /** Cross-group near-duplication OVERLAP matrix — the syndication
+    * detector: which pairs of sources (feeds, domains, crawl snapshots)
+    * share near-duplicate content, and how much. `pairs` is a verified
+    * near-dup pair frame (a, b) (e.g. [[jaccardPairs]]' output); each pair
+    * is attributed to the unordered source pair of its endpoints
+    * (source_a <= source_b, so a pair is counted once whichever side it
+    * lands on), with the distinct docs involved per side of the cell.
+    *
+    * Scale: two hash joins of the (already bounded) pair frame against the
+    * (id, group) projection, then one matrix-bounded aggregate — nothing
+    * rescans text; the pair work already happened upstream. */
+  def crossSourceOverlap(corpus: DataFrame, pairs: DataFrame,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val src = corpus.select(col(idCol), col(groupCol).as("_g"))
+    pairs
+      .join(src.select(col(idCol).as("a"), col("_g").as("_ga")), "a")
+      .join(src.select(col(idCol).as("b"), col("_g").as("_gb")), "b")
+      .select(
+        least(col("_ga"), col("_gb")).as("source_a"),
+        greatest(col("_ga"), col("_gb")).as("source_b"),
+        // endpoint ids re-aligned to the swapped source order, so
+        // n_docs_a counts docs on the source_a side specifically
+        when(col("_ga") <= col("_gb"), col("a")).otherwise(col("b"))
+          .as("_da"),
+        when(col("_ga") <= col("_gb"), col("b")).otherwise(col("a"))
+          .as("_db"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("_da")).as("n_docs_a"),
+        countDistinct(col("_db")).as("n_docs_b"))
+  }
+
   /** Cross-corpus contamination check (train/benchmark decontamination):
     * for each benchmark doc, the train docs sharing at least `minOverlap`
     * distinct word 3-grams, with the overlap count and the benchmark's

@@ -263,6 +263,51 @@ object Similarity {
       .select(col("vec_id"), col("ivf_cell"), col("is_dropped").isNull.as("keep"))
   }
 
+  /** Threshold-calibration sweep for [[semDedup]] — the sizing run an
+    * operator does BEFORE committing a semantic-dedup pass over 100 TB:
+    * for each candidate cosine threshold, how many within-cell pairs
+    * clear it and how many docs the smaller-id-wins rule would drop.
+    * One row per threshold (threshold, n_pairs, n_dropped, n_kept) —
+    * the drop-curve that picks ε.
+    *
+    * Scale: the cell-scoped pair cosines are computed ONCE (Σ n_c² work,
+    * identical to a single [[semDedup]] run — the assigned frame persists
+    * for the same codegen reason as [[knnGraph]]); each scored pair then
+    * fans out to the thresholds it clears via an in-row array explode
+    * (|thresholds| is a handful), and two bounded aggregates finish. The
+    * sweep costs one dedup pass, not |thresholds| passes. */
+  def semDedupSweep(corpus: DataFrame, model: Ivf.Model,
+      thresholds: Seq[Double],
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      "thresholds must be strictly ascending")
+    val spark = corpus.sparkSession
+    val nVecs = corpus.count()
+    val assigned = scope.persist(Ivf.assign(corpus, model)
+      .select(col("vec_id"), col("ivf_cell"), col("embedding")))
+    val l = assigned.select(col("ivf_cell"), col("vec_id").as("a"),
+      col("embedding").as("a_emb"))
+    val r = assigned.select(col("ivf_cell"), col("vec_id").as("b"),
+      col("embedding").as("b_emb"))
+    val scored = l.join(r, Seq("ivf_cell"))
+      .filter(col("a") < col("b"))
+      .select(col("b"), cosine(col("a_emb"), col("b_emb")).as("cos"))
+    val hits = scored
+      .select(col("b"), explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("cos"))
+      .filter(col("cos") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b")).as("n_dropped"))
+    import spark.implicits._
+    thresholds.toDF("threshold")
+      .join(hits, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (lit(nVecs) - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
   /** Cell-scoped k-NN GRAPH over the whole corpus — every vector's top-k
     * nearest cell-mates by cosine, with rank: the corpus×corpus sibling of
     * [[bruteForceTopK]] (whose query side is a small broadcast set). The
@@ -323,6 +368,79 @@ object Similarity {
     Ivf.assignWithSim(corpus, model)
       .select(col("vec_id"), col("ivf_cell"), col("cos_centroid"),
         (col("cos_centroid") < minCos).as("is_outlier"))
+
+  /** Embedding-distribution DRIFT between a history corpus and an ingest
+    * batch — the monitoring read a recurring 100 TB ingest runs before
+    * publishing: per IVF cell, each side's occupancy share (ppm) and mean
+    * centroid cosine, plus the share delta. A batch whose mass moves into
+    * different cells (or whose cells' centroid fit degrades) is
+    * distribution shift — catch it before it trains.
+    *
+    * Determinism: the cosine enters as floor(cos·10⁶) — an exact integer
+    * per row, so the per-cell sums are order-independent and the mean is
+    * ONE IEEE division; shares are integer-ppm divisions. Scale: two
+    * narrow assign passes + two C-bounded aggregates + a C-row outer join
+    * against two 1-row totals — nothing pairwise. */
+  def embedDrift(history: DataFrame, batch: DataFrame,
+      model: Ivf.Model): DataFrame = {
+    def perCell(df: DataFrame, n: String, s: String): DataFrame =
+      Ivf.assignWithSim(df, model)
+        .groupBy("ivf_cell")
+        .agg(count(lit(1)).as(n),
+          sum(floor(col("cos_centroid") * lit(1000000.0)).cast(LongType))
+            .as(s))
+    val h = perCell(history, "n_hist", "_ch")
+    val b = perCell(batch, "n_batch", "_cb")
+    val nh = history.count()
+    val nb = batch.count()
+    h.join(b, Seq("ivf_cell"), "full_outer")
+      .select(col("ivf_cell"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        // floor of the IEEE double quotient — both engines floor the
+        // identical correctly-rounded double, unlike a bigint CAST
+        // (Spark truncates, DuckDB rounds)
+        floor(coalesce(col("n_hist"), lit(0L)) * lit(1000000.0) / lit(nh))
+          .cast(LongType).as("hist_share_ppm"),
+        floor(coalesce(col("n_batch"), lit(0L)) * lit(1000000.0) / lit(nb))
+          .cast(LongType).as("batch_share_ppm"),
+        (col("_ch").cast(DoubleType) / col("n_hist").cast(DoubleType) /
+          1000000.0).as("mean_cos_hist"),
+        (col("_cb").cast(DoubleType) / col("n_batch").cast(DoubleType) /
+          1000000.0).as("mean_cos_batch"))
+      .withColumn("drift_ppm",
+        col("batch_share_ppm") - col("hist_share_ppm"))
+  }
+
+  /** k-NN majority-vote classification over the labeled corpus — the
+    * weak-supervision labeler: each vector takes the most common `label`
+    * among its [[knnGraph]] top-k cell-mates (ties -> more votes first,
+    * then the smaller label; vectors alone in their cell have no
+    * neighbors and drop). Output: (vec_id, pred_label, n_votes,
+    * true_label, correct) — the `correct` flag makes the query double as
+    * a leave-one-out accuracy probe.
+    *
+    * Scale: the k-NN graph is the cell-scoped Σ n_c² pass ([[knnGraph]]);
+    * voting is a (vec, label)-bounded aggregate and the per-vector argmax
+    * rides the bounded-heap [[graft.ops.TopK.perKey]], never a window. */
+  def knnClassify(corpus: DataFrame, model: Ivf.Model, k: Int,
+      labelCol: String = "label",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    val g = knnGraph(corpus.select(col("vec_id"), col("embedding")),
+      model, k, scope)
+    val votes = g
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col(labelCol).cast(LongType).as("_nl")), "neighbor_id")
+      .groupBy(col("vec_id"), col("_nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    graft.ops.TopK.perKey(votes, Seq("vec_id"),
+        struct(-col("n_votes"), col("_nl")), 1, descending = false)
+      .join(corpus.select(col("vec_id"),
+        col(labelCol).cast(LongType).as("true_label")), "vec_id")
+      .select(col("vec_id"), col("_nl").as("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("_nl") === col("true_label")).as("correct"))
+  }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the multi-table LSH buckets (each unordered pair once). */

@@ -93,6 +93,61 @@ object TextOps {
     .withColumn("mean_doc_tokens",
       col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
 
+  /** Per-language token-length histogram in log₂ buckets — the
+    * dataset-card companion plot: bucket b holds docs with token count in
+    * [2^(b-1), 2^b) (bucket = bit length of the count; empty docs land in
+    * bucket 0), with the doc and token mass per (lang, bucket) cell. The
+    * length distribution is the first thing a curation review reads —
+    * truncation spikes, boilerplate combs, and chunking artifacts all
+    * show up here before any model does.
+    *
+    * Scale: one narrow pass (token count + `bin` bit-length — integer
+    * math, engine-portable) into a (langs × 64)-bounded aggregate with
+    * map-side partials. */
+  def lengthHist(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast(LongType).as("_n"))
+      .withColumn("bucket",
+        when(col("_n") === 0L, lit(0)).otherwise(length(bin(col("_n")))))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"),
+        min("_n").as("min_tokens"), max("_n").as("max_tokens"))
+
+  /** Per-group QUALITY FLOOR gate driven by the deterministic sample
+    * sketch ([[graft.functions.SampleSketch]]): drop each language's
+    * shortest quartile (token count < the group's sampled P25) — the
+    * "cut the worst X% per stratum" curation rule, computed with ZERO
+    * full sorts and reproducible across engines/reruns because the
+    * sketch sample is a pure function of the data. Output: per lang, doc
+    * and token counts before/after the gate plus the applied floor.
+    *
+    * Scale: one bounded sketch aggregate (≤ k pairs per map-side
+    * partial), the per-group floors broadcast back onto the scan, one
+    * bounded re-aggregate — the [[op_winsorize]] recipe as a filter. */
+  def qualityFloor(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id",
+      pct: Int = 25, k: Int = 256): DataFrame = {
+    val n = tokenCount(col(textCol)).cast(LongType)
+    val h = graft.text.Dedup.portableHash(col(idCol).cast(StringType))
+    val floors = docs.groupBy(col(langCol).as("lang"))
+      .agg(graft.functions.SampleSketch(h, n, k).as("_s"))
+      .select(col("lang"),
+        graft.functions.SampleSketch.quantile(array_sort(col("_s")), pct)
+          .as("floor_tokens"))
+    docs.select(col(langCol).as("lang"), n.as("_n"))
+      .join(broadcast(floors), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_n") >= col("floor_tokens"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum("_n").as("n_tokens"),
+        sum(when(col("_n") >= col("floor_tokens"), col("_n"))
+          .otherwise(0L)).as("kept_tokens"),
+        first(col("floor_tokens")).as("floor_tokens"))
+  }
+
   /** Coarse quality bucket — multiplicative threshold checks only. */
   def qualityBucket(df: DataFrame): DataFrame = df.withColumn("quality_bucket",
     when(col("n_chars") < 30, "too_short")
@@ -297,6 +352,58 @@ object TextOps {
     bg.join(counts, "bg")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("corpus_n").as("freq_sum"))
+  }
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score each doc by how target-like its
+    * hashed-token distribution is, so a raw pool can be filtered toward a
+    * target domain (here: the caller's `isTarget` rows, e.g. a curated
+    * subset) without training a classifier. The hashed-n-gram feature
+    * space bounds the "language model" to `buckets` rows regardless of
+    * corpus vocabulary — the published trick that makes the method run at
+    * web scale.
+    *
+    * The weight is a likelihood RATIO kept engine-exact: per doc,
+    * `t_sum` = Σ over its tokens of the bucket's target count and
+    * `p_sum` = the same over the whole pool — both exact integer sums —
+    * and `weight = t_sum / p_sum` as ONE IEEE double division (correctly
+    * rounded in any IEEE engine; no float accumulation anywhere, no log).
+    * Docs with no tokens drop (no feature evidence).
+    *
+    * Scale: explode → narrow bucket hash → one `buckets`-bounded count
+    * aggregate (map-side partials) → BROADCAST join of the bucket model
+    * back onto the token stream → per-doc aggregate. The only corpus-
+    * sized shuffle is the per-doc sum, keyed on the doc id. Selection on
+    * top of this ([[dsirSelect]]) is a bounded TakeOrdered, never a
+    * global sort. */
+  def dsirWeights(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 2048, idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val tok = docs.select(col(idCol), isTarget.as("_is_t"),
+        explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol), col("_is_t"),
+        pmod(Dedup.portableHash(col("_tok")), lit(buckets.toLong)).as("_bkt"))
+    val model = tok.groupBy("_bkt").agg(
+      sum(when(col("_is_t"), 1L).otherwise(0L)).as("_t_n"),
+      count(lit(1)).as("_p_n"))
+    tok.select(col(idCol), col("_bkt"))
+      .join(broadcast(model), "_bkt")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("_t_n").as("t_sum"), sum("_p_n").as("p_sum"))
+      .select(col(idCol), col("n_tokens"), col("t_sum"), col("p_sum"),
+        (col("t_sum").cast(DoubleType) / col("p_sum").cast(DoubleType))
+          .as("weight"))
+  }
+
+  /** Top-`n` most target-like docs under [[dsirWeights]] (weight desc,
+    * id asc — the id tie-break makes the cut deterministic). A bounded
+    * TakeOrdered: k rows per partition move, never a corpus sort. */
+  def dsirSelect(docs: DataFrame, textCol: String, isTarget: Column,
+      n: Int, buckets: Int = 2048, idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    dsirWeights(docs, textCol, isTarget, buckets, idCol)
+      .orderBy(col("weight").desc, col(idCol)).limit(n)
   }
 
   /** GPT-style sequence packing (concat-then-chunk): documents are

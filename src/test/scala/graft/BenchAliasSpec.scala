@@ -124,10 +124,15 @@ class BenchAliasSpec extends AnyFunSuite {
     val ceiling = declared.toSeq.sorted.map(_ -> 9.99)
     val cLine = Bench.metricLine(ceiling, 999.0, "min_of_2", 12.3, 111.1,
       Nil, "/root/testdata/sf0.1")
+    // past the centisecond cliff the ladder COARSENS (ds, then integer
+    // seconds), never drops: at 9.99 s/query every key must survive on a
+    // coarse line (the round-13 ladder extension)
     val cOm = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(cLine)
       .map(_.group(1).toInt).getOrElse(0)
-    assert(cOm <= declared.size / 20,
-      s"uniform-ceiling line drops too many queries: $cOm of ${declared.size}")
+    assert(cOm == 0,
+      s"uniform-ceiling line drops queries despite coarse rungs: $cOm of ${declared.size}")
+    assert("\":\\d+".r.findAllIn(
+      cLine.substring(cLine.indexOf("\"queries\""))).size >= declared.size)
     val worst = declared.toSeq.sorted.map(_ -> 99.99)
     val wLine = Bench.metricLine(worst, 9999.0, "min_of_2", 12.3, 111.1,
       Nil, "/root/testdata/sf0.1")
@@ -151,8 +156,10 @@ class BenchAliasSpec extends AnyFunSuite {
     val om = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
     assert(om.isDefined, s"255 queries must overflow into q_omitted\n$line")
     // every slow query's trend survives; only cheap ones were dropped
+    // (overflow lines carry integer seconds, marked qunit s: 88.0 -> 88)
+    assert(line.contains("\"qunit\":\"s\""), line.take(200))
     slow.foreach { case (k, _) =>
-      assert(line.contains("\"" + Bench.metricKey(k) + "\":8800"), s"$k missing")
+      assert(line.contains("\"" + Bench.metricKey(k) + "\":88"), s"$k missing")
     }
     val nKeys = "\":\\d+".r.findAllIn(
       line.substring(line.indexOf("\"queries\""))).size - 1 // minus q_omitted

@@ -587,6 +587,84 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
+  test("lengthHist: log2 buckets with empty docs in bucket 0; exact masses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en"),            // 1 token  -> bucket 1
+      (2L, "a b c", "en"),        // 3 tokens -> bucket 2
+      (3L, "a b c d", "en"),      // 4 tokens -> bucket 3
+      (4L, "", "en"),             // 0 tokens -> bucket 0
+      (5L, "a b", "de"))          // 2 tokens -> bucket 2
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.TextOps.lengthHist(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("en", 1)) == ((1L, 1L, 1L, 1L)))
+    assert(out(("en", 2)) == ((1L, 3L, 3L, 3L)))
+    assert(out(("en", 3)) == ((1L, 4L, 4L, 4L)))
+    assert(out(("en", 0)) == ((1L, 0L, 0L, 0L)))
+    assert(out(("de", 2)) == ((1L, 2L, 2L, 2L)))
+    assert(out.size == 5)
+  }
+
+  test("qualityFloor: per-lang P25 gate matches the sketch quantile; totals conserve") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SparkEntry.queries("op_quality_floor")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == byLang.keySet)
+    out.foreach { case (lang, (nDocs, nKept, nTok, keptTok, floor)) =>
+      assert(nDocs == byLang(lang))
+      assert(nKept <= nDocs && keptTok <= nTok)
+      // the gate keeps AT LEAST the top three quarters (P25 floor)
+      assert(nKept * 4 >= nDocs * 2, s"$lang keeps too little: $nKept/$nDocs")
+      assert(floor >= 0L)
+    }
+  }
+
+  test("dsirWeights: exact bucket-count ratios recompute; dsirSelect takes top-n") {
+    import spark.implicits._
+    def bkt(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2048
+    }
+    val rows = Seq(
+      (1L, "tgt tgt alpha", true),
+      (2L, "tgt beta", true),
+      (3L, "alpha beta gamma", false),
+      (4L, "tgt tgt tgt", false),
+      (5L, "", false)) // no tokens -> no feature evidence -> dropped
+    val docs = rows.toDF("doc_id", "text", "is_t")
+    val got = graft.text.TextOps.dsirWeights(docs, "text", col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // driver-side mirror of the hashed bucket model
+    val toks = rows.map { case (id, t, is) =>
+      (id, if (t.trim.isEmpty) Seq.empty[String]
+           else t.trim.toLowerCase.split("\\s+").toSeq, is) }
+    val tN = toks.filter(_._3).flatMap(_._2).groupBy(bkt)
+      .map { case (b, ts) => b -> ts.size.toLong }
+    val pN = toks.flatMap(_._2).groupBy(bkt)
+      .map { case (b, ts) => b -> ts.size.toLong }
+    toks.filter(_._2.nonEmpty).foreach { case (id, ts, _) =>
+      val t = ts.map(tok => tN.getOrElse(bkt(tok), 0L)).sum
+      val p = ts.map(tok => pN(bkt(tok))).sum
+      assert(got(id) == ((ts.size.toLong, t, p, t.toDouble / p)), s"doc $id")
+    }
+    assert(!got.contains(5L))
+    // doc 4 (pure target-heavy token) outranks doc 3 (no target tokens)
+    assert(got(4L)._4 > got(3L)._4)
+    val sel = graft.text.TextOps.dsirSelect(docs, "text", col("is_t"), n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val want = got.toSeq.sortBy { case (id, (_, _, _, w)) => (-w, id) }
+      .take(2).map(_._1)
+    assert(sel == want)
+  }
+
   test("dupNgramFrac: repeated trigrams counted exactly; short docs drop; narrow plan") {
     import spark.implicits._
     val docs = Seq(

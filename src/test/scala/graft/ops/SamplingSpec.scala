@@ -91,6 +91,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capPerKey: keeps exactly each group's k best by priority; repartition-invariant") {
+    def run(parts: Int): Set[(String, Long)] =
+      Sampling.capPerKey(docs.repartition(parts)
+          .select($"source", $"doc_id", $"text"),
+        Seq("source"), struct(-length($"text"), $"doc_id"), k = 2)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run(1)
+    assert(got == run(8))
+    // driver-side mirror: 2 longest per source, ties -> smallest id
+    val want = docs.select($"source", $"doc_id", length($"text").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).map(t => (src, t._2)).toSeq
+      }.toSet
+    assert(got == want)
+  }
+
+  test("weightedByHash: k winners, weight-1 degenerates to min-hash, repartition-invariant") {
+    val w = floor($"n_chars" / lit(100)) + 1
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedByHash(df, $"doc_id", w, k = 30)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = ids(docs)
+    assert(got.length == 30 && got.distinct.length == 30)
+    assert(got == ids(docs.repartition(11)))
+    // all-weight-1: priority is hash(id ":1") — mirror it directly
+    val uni = Sampling.weightedByHash(docs, $"doc_id", lit(1L), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mirror = docs.select($"doc_id",
+        Dedup.portableHash(concat($"doc_id".cast(StringType), lit(":1")))
+          .as("h"))
+      .orderBy($"h", $"doc_id").limit(10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uni == mirror)
+    // heavier rows hold MORE tickets, so their min can only improve:
+    // the weighted sample's worst winning priority <= the uniform one's
+    val wp = Sampling.weightedByHash(docs, $"doc_id", w, k = 10)
+      .agg(max("priority")).head().getLong(0)
+    val up = Sampling.weightedByHash(docs, $"doc_id", lit(1L), k = 10)
+      .agg(max("priority")).head().getLong(0)
+    assert(wp <= up)
+  }
+
   test("hash-threshold sample rate lands near permille/1000") {
     val n = docs.count()
     val sampled = Sampling.byHash(docs,

@@ -350,6 +350,52 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> true, "b" -> false, "c" -> false))
   }
 
+  test("dupAttribution: per-source dup mass, losers, and wasted chars recompute exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aaaa", "s1"),   // cluster {1,2}: min-id 1 survives
+      (2L, "bbbbbb", "s2"), // the loser: 6 wasted chars on feed s2
+      (3L, "cc", "s1"))     // singleton (absent from labels)
+      .toDF("doc_id", "text", "source")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.dupAttribution(corpus, labels)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("s1") == ((2L, 1L, 0L, 0L)), s"s1: $out")
+    assert(out("s2") == ((1L, 1L, 1L, 6L)), s"s2: $out")
+  }
+
+  test("minhashSweep: each threshold row matches an independent minhashPairs run") {
+    val ths = Seq(20, 36, 52)
+    val out = Dedup.minhashSweep(docs, ths)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val n = docs.count()
+    ths.foreach { t =>
+      val pairs = Dedup.minhashPairs(docs, minAgree = t, portable = true)
+      assert(out(t)._1 == pairs.count(), s"threshold $t pairs")
+      val dropped = pairs.select("b").distinct().count()
+      assert(out(t)._2 == dropped && out(t)._3 == n - dropped,
+        s"threshold $t drops")
+    }
+    assert(out(20)._1 >= out(36)._1 && out(36)._1 >= out(52)._1)
+  }
+
+  test("crossSourceOverlap: pairs attribute to unordered source pairs with aligned doc counts") {
+    import spark.implicits._
+    val corpus = Seq((1L, "s2"), (2L, "s1"), (3L, "s1"), (4L, "s3"))
+      .toDF("doc_id", "source")
+    // pair (1,2): sources (s2,s1) -> cell (s1,s2) with the s1-side doc 2;
+    // pair (1,3): -> (s1,s2) with s1-side doc 3; pair (2,3): within-s1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.crossSourceOverlap(corpus, pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("s1", "s2")) == ((2L, 2L, 1L)), s"cross cell: $out")
+    assert(out(("s1", "s1")) == ((1L, 1L, 1L)), s"within cell: $out")
+    assert(!out.contains(("s2", "s1"))) // unordered: one cell per pair
+  }
+
   test("centroidOutliers: best-centroid cosine recomputes; fully narrow plan") {
     // axis-aligned centroids: v7 sits on centroid 0 (cos 1, inlier); v8
     // is equidistant-far from every axis (cos 0.5 to each of the 4) —

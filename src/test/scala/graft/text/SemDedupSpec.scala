@@ -96,4 +96,67 @@ class SemDedupSpec extends SparkSpec {
     assert(got.values.forall(_.size <= 5))
     assert(got.nonEmpty)
   }
+
+  test("semDedupSweep: each threshold row matches an independent semDedup run") {
+    import org.apache.spark.sql.functions.col
+    val ths = Seq(0.2, 0.3, 0.4)
+    val out = Similarity.semDedupSweep(emb, model, ths)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val n = emb.count()
+    ths.foreach { t =>
+      val kept = Similarity.semDedup(emb, model, minCos = t)
+        .filter(col("keep")).count()
+      assert(out(t)._3 == kept, s"threshold $t kept")
+      assert(out(t)._2 == n - kept, s"threshold $t dropped")
+    }
+    // raising the bar can only shed pairs
+    assert(out(0.2)._1 >= out(0.3)._1 && out(0.3)._1 >= out(0.4)._1)
+  }
+
+  test("knnClassify: prediction is the top-5 neighbor label mode (ties -> votes desc, label asc)") {
+    import org.apache.spark.sql.functions.col
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val neigh = Similarity.knnGraph(emb.select("vec_id", "embedding"),
+      model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(p => labels(p._2)).toSeq).toMap
+    val got = Similarity.knnClassify(emb, model, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == neigh.keySet)
+    neigh.foreach { case (id, ls) =>
+      val (pred, votes) = ls.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(got(id)._1 == pred && got(id)._2 == votes.toLong, s"vec $id")
+      assert(got(id)._3 == labels(id) && got(id)._4 == (pred == labels(id)))
+    }
+  }
+
+  test("embedDrift: shares and means recompute; cells sum to ~1e6 per side") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // batch = history shifted ids + a reversed slice (the ingest shape)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val out = Similarity.embedDrift(emb, batch, model)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(7)))).toMap
+    val nh = emb.count()
+    val hc = graft.text.Ivf.assign(emb, model)
+      .groupBy("ivf_cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    hc.foreach { case (cell, n) =>
+      assert(out(cell)._1 == n)
+      assert(out(cell)._3 == math.floor(n * 1000000.0 / nh).toLong)
+      assert(out(cell)._5 == out(cell)._4 - out(cell)._3) // drift delta
+    }
+    // every batch/history vector lands in exactly one cell
+    assert(out.values.map(_._1).sum == nh)
+    assert(out.values.map(_._2).sum == batch.count())
+  }
 }
