@@ -102,6 +102,8 @@ object Bench {
     "length_hist" -> "lh", "quality_floor" -> "qf",
     "minhash_sweep" -> "mhs", "cross_source_overlap" -> "cso",
     "knn_classify" -> "knc", "embed_drift" -> "edr",
+    "tok_fertility" -> "tf", "corpus_drift" -> "cdr",
+    "mix_schedule" -> "mix",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1573,6 +1573,15 @@ object Catalog {
         col("doc_id"), floor(col("n_chars") / lit(100)) + 1, k = 100)
         .select(col("doc_id"), col("weight"), col("priority"))),
 
+    // token-budget mixture plan: per-language keep rates from sqrt-temper
+    // over TOKEN masses (the unit mixtures are specified in), with the
+    // docs/tokens each rate would keep — the sign-off table before an
+    // epoch runs
+    "op_mix_schedule" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetMix(t(s, dir, "documents"), "lang",
+        TextOps.tokenCount(col("text")),
+        Dedup.portableHash(col("doc_id").cast(StringType)))),
+
     // skew-safe salted equi-join (ops/Salting): the fact side salts into 8
     // buckets, the dim side replicates 8x, the shuffle key becomes
     // (key, salt) — and the RESULT is provably salt-independent, which is
@@ -2019,6 +2028,24 @@ object Catalog {
 
     "op_subword_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))),
+
+    // tokenizer fertility per language (subword tokens per whitespace
+    // word) — the tokenizer-fit diagnostic; exact integer sums, one IEEE
+    // division
+    "op_tok_fertility" -> ((s, dir) =>
+      TextOps.tokFertility(t(s, dir, "documents"))),
+
+    // text-side ingest drift: history vs the standing ingest batch keyed
+    // by a COMPUTED segment (ingest arrives unlabeled) — predicted
+    // language × log2 length bucket, the profile-sensitive composition
+    // key; per-segment shares (ppm) + mean token count per side — the
+    // composition twin of op_embed_drift
+    "op_corpus_drift" -> ((s, dir) =>
+      TextOps.corpusDrift(t(s, dir, "documents"), ingestBatch(s, dir),
+        segmentOf = t => concat(TextOps.langId(t), lit(":"),
+          when(TextOps.tokenCount(t) === 0, lit("0")).otherwise(
+            length(bin(TextOps.tokenCount(t).cast(LongType)))
+              .cast(StringType))))),
 
     // Cavnar-Trenkle n-gram language ID, trained AND applied in one plan
     // over the planted-marker corpus: per-lang top-300 trigram profiles

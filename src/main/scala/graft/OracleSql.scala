@@ -2385,6 +2385,118 @@ object OracleSql {
             t -> length(t) > 0)) AS n_subwords
       FROM documents""",
 
+    // Tokenizer fertility: subword tokens per whitespace word per lang.
+    "op_tok_fertility" -> """
+      WITH sig AS (
+        SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS w,
+          len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+              t -> length(t) > 0)) AS s
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS n_words,
+        CAST(sum(s) AS BIGINT) AS n_subwords,
+        CAST(sum(s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+      FROM sig GROUP BY 1""",
+
+    // Text-side drift: the op_lang_id scoring applied to BOTH history
+    // (documents) and the ingest batch, per-predicted-language shares
+    // (floored IEEE ppm) + mean token counts.
+    "op_corpus_drift" -> s"""
+      WITH batch AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+          text || ' near duplicate copy suffix' AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, reverse(text)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
+        FROM documents WHERE doc_id % 26 = 0),
+      hsc AS (
+        SELECT text, $langScoreSql,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+          END AS ntok
+        FROM (SELECT text, ' ' || lower(text) || ' ' AS pad FROM documents)),
+      bsc AS (
+        SELECT text, $langScoreSql,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+          END AS ntok
+        FROM (SELECT text, ' ' || lower(text) || ' ' AS pad FROM batch)),
+      hl AS (
+        SELECT (CASE WHEN length(regexp_replace(text,
+                 '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END) || ':' ||
+          (CASE WHEN ntok = 0 THEN '0'
+                ELSE CAST(length(bin(CAST(ntok AS BIGINT))) AS VARCHAR)
+           END) AS segment, ntok
+        FROM hsc),
+      bl AS (
+        SELECT (CASE WHEN length(regexp_replace(text,
+                 '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END) || ':' ||
+          (CASE WHEN ntok = 0 THEN '0'
+                ELSE CAST(length(bin(CAST(ntok AS BIGINT))) AS VARCHAR)
+           END) AS segment, ntok
+        FROM bsc),
+      hc AS (SELECT segment, count(*) AS n_hist, sum(ntok) AS th
+             FROM hl GROUP BY 1),
+      bc AS (SELECT segment, count(*) AS n_batch, sum(ntok) AS tb
+             FROM bl GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM documents) AS nh,
+                     (SELECT count(*) FROM batch) AS nb)
+      SELECT segment,
+        CAST(coalesce(hc.n_hist, 0) AS BIGINT) AS n_hist,
+        CAST(coalesce(bc.n_batch, 0) AS BIGINT) AS n_batch,
+        CAST(floor(coalesce(hc.n_hist, 0) * 1000000.0 / t.nh) AS BIGINT)
+          AS hist_share_ppm,
+        CAST(floor(coalesce(bc.n_batch, 0) * 1000000.0 / t.nb) AS BIGINT)
+          AS batch_share_ppm,
+        CAST(hc.th AS DOUBLE) / hc.n_hist AS mean_tokens_hist,
+        CAST(bc.tb AS DOUBLE) / bc.n_batch AS mean_tokens_batch,
+        CAST(floor(coalesce(bc.n_batch, 0) * 1000000.0 / t.nb) AS BIGINT)
+          - CAST(floor(coalesce(hc.n_hist, 0) * 1000000.0 / t.nh) AS BIGINT)
+          AS drift_ppm
+      FROM hc FULL OUTER JOIN bc USING (segment) CROSS JOIN tot t""",
+
+    // Token-budget mixture plan: sqrt-temper over per-lang TOKEN masses,
+    // keep rate floor(1000*sqrt(tok_min/tok_g)), hash-filter accounting.
+    "op_mix_schedule" -> """
+      WITH rows_ AS (
+        SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS t,
+          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000 AS h
+        FROM documents),
+      tot AS (SELECT lang, sum(t) AS n_tokens FROM rows_ GROUP BY 1),
+      rates AS (
+        SELECT lang, CAST(floor(1000.0 * sqrt(
+            CAST((SELECT min(n_tokens) FROM tot) AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE))) AS INT) AS keep_permille
+        FROM tot)
+      SELECT r.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(r.t) AS BIGINT) AS n_tokens,
+        ra.keep_permille,
+        CAST(sum(CASE WHEN r.h < ra.keep_permille THEN 1 ELSE 0 END)
+          AS BIGINT) AS kept_docs,
+        CAST(sum(CASE WHEN r.h < ra.keep_permille THEN r.t ELSE 0 END)
+          AS BIGINT) AS kept_tokens
+      FROM rows_ r JOIN rates ra USING (lang)
+      GROUP BY r.lang, ra.keep_permille""",
+
     "op_quality_score" -> s"""
       WITH padded AS (
         SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),

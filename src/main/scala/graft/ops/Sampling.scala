@@ -133,6 +133,41 @@ object Sampling {
       .limit(k)
   }
 
+  /** TOKEN-budget mixture planner — [[byTemperature]] recomputed in the
+    * unit training mixtures are actually specified in: per-group keep
+    * rate = floor(1000·√(tok_min/tok_g)) (α = 0.5 temper over TOKEN
+    * masses, not doc counts — a group of few huge docs downsamples like
+    * the token mass it is), applied as the usual deterministic hash
+    * filter. Output is the PLAN: per group, doc/token totals, the keep
+    * rate, and the docs/tokens the rate would keep — the table a
+    * mixture review signs off before the epoch runs.
+    *
+    * Determinism: tok_min/tok_g is one IEEE division of exact integer
+    * sums, √ is correctly rounded in any IEEE engine, floor is exact —
+    * the rate (and so the kept set) is engine-reproducible. Scale: one
+    * narrow pass into a groups-bounded aggregate, rates broadcast back,
+    * one bounded re-aggregate; the only corpus-sized work rides the
+    * scan. */
+  def tokenBudgetMix(df: DataFrame, groupCol: String, tokens: Column,
+      hash: Column): DataFrame = {
+    val rows = df.select(col(groupCol).as("_g"),
+      tokens.cast("long").as("_t"), pmod(hash, lit(1000L)).as("_h"))
+    val tot = rows.groupBy("_g").agg(sum("_t").as("n_tokens"))
+    val rates = tot.crossJoin(tot.agg(min("n_tokens").as("_tmin")))
+      .select(col("_g"),
+        floor(lit(1000.0) * sqrt(col("_tmin").cast("double") /
+          col("n_tokens").cast("double"))).cast("int")
+          .as("keep_permille"))
+    rows.join(broadcast(rates), "_g")
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"),
+        first(col("keep_permille")).as("keep_permille"),
+        sum(when(col("_h") < col("keep_permille"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("_h") < col("keep_permille"), col("_t")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   /** Deterministic, leakage-free dataset split: bucket = hash mod 1000
     * mapped through ascending `(upperBound, label)` cut points (rows at or
     * above the last bound get `defaultLabel`). The default cuts give the

@@ -148,6 +148,63 @@ object TextOps {
         first(col("floor_tokens")).as("floor_tokens"))
   }
 
+  /** Text-side corpus DRIFT between a history corpus and an ingest batch —
+    * the language/composition twin of [[graft.text.Similarity.embedDrift]]:
+    * both sides are keyed by a COMPUTED segment of the text (`segmentOf`,
+    * default [[langId]] — ingest arrives unlabeled, so drift detection
+    * must run on derived signals; compose language × length-bucket for a
+    * profile-sensitive key), and each segment gets its occupancy share
+    * (ppm, floored IEEE quotient — see embedDrift's CAST note) and mean
+    * token count per side, plus the share delta. A feed that flips
+    * language mix or doc-length profile shows here before it trains.
+    *
+    * Scale: one narrow langId+tokenCount pass per side into a
+    * languages-bounded aggregate, then a tiny outer join — nothing
+    * pairwise, no corpus-keyed shuffle at all. */
+  def corpusDrift(history: DataFrame, batch: DataFrame,
+      textCol: String = "text",
+      segmentOf: Column => Column = langId): DataFrame = {
+    def side(df: DataFrame, n: String, tk: String): DataFrame =
+      df.select(segmentOf(col(textCol)).as("segment"),
+          tokenCount(col(textCol)).cast(LongType).as("_t"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as(n), sum("_t").as(tk))
+    val h = side(history, "n_hist", "_th")
+    val b = side(batch, "n_batch", "_tb")
+    val nh = history.count()
+    val nb = batch.count()
+    h.join(b, Seq("segment"), "full_outer")
+      .select(col("segment"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        floor(coalesce(col("n_hist"), lit(0L)) * lit(1000000.0) / lit(nh))
+          .as("hist_share_ppm"),
+        floor(coalesce(col("n_batch"), lit(0L)) * lit(1000000.0) / lit(nb))
+          .as("batch_share_ppm"),
+        (col("_th").cast(DoubleType) / col("n_hist").cast(DoubleType))
+          .as("mean_tokens_hist"),
+        (col("_tb").cast(DoubleType) / col("n_batch").cast(DoubleType))
+          .as("mean_tokens_batch"))
+      .withColumn("drift_ppm",
+        col("batch_share_ppm") - col("hist_share_ppm"))
+  }
+
+  /** Tokenizer FERTILITY per language: subword tokens emitted per
+    * whitespace word (the standard tokenizer-fit diagnostic — a language
+    * whose fertility balloons is being shredded into characters and will
+    * eat the token budget). Exact integer sums per language, fertility =
+    * ONE IEEE division. One narrow pass, languages-bounded aggregate. */
+  def tokFertility(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast(LongType).as("_w"),
+        subwordCount(col(textCol)).cast(LongType).as("_s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("_w").as("n_words"),
+        sum("_s").as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+
   /** Coarse quality bucket — multiplicative threshold checks only. */
   def qualityBucket(df: DataFrame): DataFrame = df.withColumn("quality_bucket",
     when(col("n_chars") < 30, "too_short")

@@ -587,6 +587,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
+  test("tokFertility: subword-per-word ratio recomputes exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "don't split-this up", "en"),   // 3 words, 5 subwords
+      (2L, "plain words here", "en"),      // 3 words, 3 subwords
+      (3L, "a+b=c", "de"))                 // 1 word, 2 subwords (a, b, c? no: a,b,c -> 3)
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.TextOps.tokFertility(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("en") == ((2L, 6L, 8L, 8.0 / 6.0)), s"en: $out")
+    assert(out("de")._2 == 1L && out("de")._3 == 3L, s"de: $out")
+  }
+
+  test("corpusDrift: per-segment shares and means recompute; mass conserves") {
+    import spark.implicits._
+    val hist = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "x y z w"))
+      .toDF("id", "text")                       // 2-token x2 (bucket 2), 4-token (bucket 3)
+    val batch = Seq((4L, "p q r s"), (5L, "m n o t"))
+      .toDF("id", "text")                       // both 4-token (bucket 3)
+    val seg = (t: org.apache.spark.sql.Column) =>
+      length(bin(graft.text.TextOps.tokenCount(t).cast("long")))
+        .cast("string")
+    val out = graft.text.TextOps.corpusDrift(hist, batch, segmentOf = seg)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(7)))).toMap
+    assert(out("2") == ((2L, 0L, 666666L, 0L, -666666L)), s"b2: $out")
+    assert(out("3") == ((1L, 2L, 333333L, 1000000L, 666667L)), s"b3: $out")
+    assert(out.values.map(_._1).sum == 3L && out.values.map(_._2).sum == 2L)
+  }
+
   test("lengthHist: log2 buckets with empty docs in bucket 0; exact masses") {
     import spark.implicits._
     val docs = Seq(

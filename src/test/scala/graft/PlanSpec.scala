@@ -197,6 +197,56 @@ class PlanSpec extends SparkSpec {
       s"chi2 rank must come from sort_array+posexplode, not a window\n${p.take(1500)}")
   }
 
+  test("op_cap_per_key: per-group cap via TopKPerKey, never a window") {
+    val p = plan("op_cap_per_key")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("op_weighted_sample: ticket lottery is narrow; winners via TakeOrdered, no corpus sort") {
+    val df = SparkEntry.queries("op_weighted_sample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the w-ticket min rides the scan in-row: no explode-shaped Generate,
+    // no join; the global top-k is a bounded TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Generate") && !p.contains("Join"), p.take(1500))
+    assert(shuffleCount(df) == 0, p.take(2000))
+  }
+
+  test("op_dsir_weights: bucket model broadcast back; only the per-doc sum shuffles the corpus") {
+    val df = SparkEntry.queries("op_dsir_weights")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1500))
+  }
+
+  test("op_quality_floor / op_mix_schedule: bounded plan ships broadcast back, no sort or window") {
+    for (name <- Seq("op_quality_floor", "op_mix_schedule")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+        !p.contains("\nSort "), s"$name\n${p.take(1500)}")
+    }
+  }
+
+  test("op_knn_classify: vote argmax via TopKPerKey; only cell-bounded windows remain") {
+    val p = plan("op_knn_classify")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    // knnGraph's per-vector rank window partitions on vec_id with <= cell
+    // occupancy rows — structurally bounded, allowed by the heap doctrine
+  }
+
+  test("op_length_hist / op_tok_fertility: one narrow pass into a bounded aggregate") {
+    for (name <- Seq("op_length_hist", "op_tok_fertility")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name\n${p.take(1500)}")
+      assert(shuffleCount(df) <= 1, s"$name\n${p.take(2000)}")
+    }
+  }
+
   test("op_curation_pipeline: stratified sample via TopKPerKey, no global sort") {
     val p = plan("op_curation_pipeline")
     assert(p.contains("TopKPerKey"), p.take(1500))

@@ -135,6 +135,26 @@ class SamplingSpec extends SparkSpec {
     assert(wp <= up)
   }
 
+  test("tokenBudgetMix: sqrt-tempered token rates; smallest group keeps all; exact accounting") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "small", 10L)) ++
+      (101 to 500).map(i => (i.toLong, "big", 10L))).toDF("id", "grp", "nt")
+    val h = Dedup.portableHash($"id".cast(StringType))
+    val out = Sampling.tokenBudgetMix(df, "grp", $"nt", h)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // small: 1000 tokens (min) -> rate 1000, keeps all
+    assert(out("small") == ((100L, 1000L, 1000, 100L, 1000L)))
+    // big: 4000 tokens -> floor(1000*sqrt(1000/4000)) = 500 permille
+    val (nDocs, nTok, rate, keptD, keptT) = out("big")
+    assert((nDocs, nTok, rate) == ((400L, 4000L, 500)))
+    // accounting matches the brute-force hash filter at that rate
+    val brute = df.filter($"grp" === "big")
+      .filter(pmod(h, lit(1000L)) < rate).count()
+    assert(keptD == brute && keptT == brute * 10L)
+  }
+
   test("hash-threshold sample rate lands near permille/1000") {
     val n = docs.count()
     val sampled = Sampling.byHash(docs,
