@@ -103,7 +103,7 @@ object Bench {
     "minhash_sweep" -> "mhs", "cross_source_overlap" -> "cso",
     "knn_classify" -> "knc", "embed_drift" -> "edr",
     "tok_fertility" -> "tf", "corpus_drift" -> "cdr",
-    "mix_schedule" -> "mix",
+    "mix_schedule" -> "mix", "stream_drift" -> "sdr",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1119,6 +1119,19 @@ object Catalog {
         3, descending = false)
     }),
 
+    // streaming distribution-drift alerts: the replayed daily (day, type)
+    // counts — real event-time window state, bounded by days × types —
+    // compared against the whole-period baseline shares; alert when a
+    // day's type share departs the baseline by >= 2% (20000 ppm). The
+    // streaming twin of op_corpus_drift/op_embed_drift
+    "op_stream_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = graft.streaming.Replay.replayComplete(
+        s, stagedEvents(s, dir), ev.schema,
+        st => graft.streaming.NexusMonitor.eventTypeDailyCounts(tsAsNanos(st)))
+      graft.streaming.NexusMonitor.typeShareDrift(counts, alertPpm = 20000L)
+    }),
+
     // streaming gap-sessionization, replayed and batch-checked: events
     // stream through the REAL flatMapGroupsWithState path (custom session
     // state + event-time timeout). On a bounded AvailableNow replay the

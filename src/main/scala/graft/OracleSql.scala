@@ -1486,6 +1486,27 @@ object OracleSql {
       SELECT day, event_type, CAST(n_events AS BIGINT) AS n_events
       FROM r WHERE rn <= 3""",
 
+    // Streaming drift alerts: per-(day, type) within-day share vs the
+    // type's whole-period baseline share, floored-IEEE ppm, 2% alert bar.
+    "op_stream_drift" -> """
+      WITH c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      d AS (SELECT day, sum(n_events) AS dt FROM c GROUP BY 1),
+      b AS (SELECT event_type, sum(n_events) AS tt FROM c GROUP BY 1),
+      t AS (SELECT sum(n_events) AS n FROM c)
+      SELECT c.day, c.event_type, CAST(c.n_events AS BIGINT) AS n_events,
+        CAST(floor(c.n_events * 1000000.0 / d.dt) AS BIGINT)
+          AS day_share_ppm,
+        CAST(floor(b.tt * 1000000.0 / t.n) AS BIGINT) AS base_share_ppm,
+        CAST(floor(c.n_events * 1000000.0 / d.dt) AS BIGINT)
+          - CAST(floor(b.tt * 1000000.0 / t.n) AS BIGINT) AS drift_ppm,
+        abs(CAST(floor(c.n_events * 1000000.0 / d.dt) AS BIGINT)
+          - CAST(floor(b.tt * 1000000.0 / t.n) AS BIGINT)) >= 20000
+          AS alert
+      FROM c JOIN d USING (day) JOIN b USING (event_type) CROSS JOIN t""",
+
     "op_filing_deadlines" -> s"""
       WITH reg AS (
         SELECT * FROM (VALUES

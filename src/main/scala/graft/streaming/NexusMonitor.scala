@@ -98,6 +98,30 @@ object NexusMonitor {
       .select(to_date(col("window.start")).as("day"), col("event_type"),
         col("n_events"))
 
+  /** Per-day event-type distribution DRIFT with alert flags, computed from
+    * a bounded `(day, event_type, n_events)` frame (the
+    * [[eventTypeDailyCounts]] streaming aggregate after replay): each
+    * (day, type) cell's within-day share vs the type's whole-period
+    * baseline share, in floored-IEEE ppm (the Spark-truncates /
+    * DuckDB-rounds CAST trap — floor explicitly), alert when the absolute
+    * delta reaches `alertPpm`. The streaming twin of
+    * [[graft.text.TextOps.corpusDrift]]: the stream maintains only the
+    * days × types state; all drift math runs on that bounded frame. */
+  def typeShareDrift(daily: DataFrame, alertPpm: Long): DataFrame = {
+    val days = daily.groupBy("day").agg(sum("n_events").as("_dt"))
+    val base = daily.groupBy("event_type").agg(sum("n_events").as("_tt"))
+    val tot = daily.agg(sum("n_events").as("_n"))
+    daily.join(days, "day").join(base, "event_type").crossJoin(tot)
+      .select(col("day"), col("event_type"), col("n_events"),
+        floor(col("n_events") * lit(1000000.0) / col("_dt"))
+          .as("day_share_ppm"),
+        floor(col("_tt") * lit(1000000.0) / col("_n"))
+          .as("base_share_ppm"))
+      .withColumn("drift_ppm",
+        col("day_share_ppm") - col("base_share_ppm"))
+      .withColumn("alert", abs(col("drift_ppm")) >= lit(alertPpm))
+  }
+
   /** Watermarked daily revenue per state over event time; accepts data up
     * to `lateness` behind the max seen event time, drops later. */
   def windowedRevenue(txns: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -144,4 +144,24 @@ class ReplaySpec extends SparkSpec {
       rm(dir.toFile)
     }
   }
+
+  test("typeShareDrift: shares/deltas recompute from the bounded daily frame; alert bar exact") {
+    import spark.implicits._
+    val daily = Seq(
+      ("2024-01-01", "click", 80L), ("2024-01-01", "view", 20L),
+      ("2024-01-02", "click", 50L), ("2024-01-02", "view", 50L))
+      .toDF("day", "event_type", "n_events")
+    val out = NexusMonitor.typeShareDrift(daily, alertPpm = 100000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // baseline: click 130/200 = 650000 ppm, view 70/200 = 350000 ppm
+    assert(out(("2024-01-01", "click")) == ((800000L, 650000L, 150000L, true)))
+    assert(out(("2024-01-01", "view")) == ((200000L, 350000L, -150000L, true)))
+    assert(out(("2024-01-02", "click")) == ((500000L, 650000L, -150000L, true)))
+    assert(out(("2024-01-02", "view")) == ((500000L, 350000L, 150000L, true)))
+    // below the bar: no alert
+    val calm = NexusMonitor.typeShareDrift(daily, alertPpm = 200000L)
+      .collect().map(_.getBoolean(6))
+    assert(calm.forall(!_))
+  }
 }
