@@ -104,6 +104,8 @@ object Bench {
     "knn_classify" -> "knc", "embed_drift" -> "edr",
     "tok_fertility" -> "tf", "corpus_drift" -> "cdr",
     "mix_schedule" -> "mix", "stream_drift" -> "sdr",
+    "snapshot_diff" -> "snp", "split_leakage" -> "slk",
+    "vocab_shift" -> "vsh",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1688,6 +1688,43 @@ object Catalog {
           first(col("lo")).as("lo"), first(col("hi")).as("hi"))
     }),
 
+    // snapshot diff ledger: old = documents, new = a derived snapshot
+    // (every 13th doc dropped, every 7th survivor edited, every 11th
+    // cloned in as a new id) — added/removed/changed/unchanged counts
+    // with char mass; the publish-time read next to each snapshot
+    "op_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edited in snapshot 2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0).select(
+          (col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" new snapshot doc")).as("text")))
+      graft.ops.Audit.snapshotDiff(d, newSnap)
+    }),
+
+    // train/eval split-leakage audit over an exact-dup-planted corpus
+    // (every 10th doc cloned verbatim under a new id): dup content whose
+    // id-hash splits differ leaks training data into eval — the
+    // decontamination review's benchmark-integrity check
+    "op_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      graft.ops.Audit.splitLeakage(corpus,
+        Dedup.portableHash(col("doc_id").cast(StringType)))
+    }),
+
+    // token-level vocabulary shift history -> ingest batch: the top-50
+    // tokens whose occurrence share moved most — WHICH words moved the
+    // mix op_corpus_drift flagged; open vocab shuffled once per side,
+    // winners via bounded TakeOrdered
+    "op_vocab_shift" -> ((s, dir) =>
+      TextOps.vocabShift(t(s, dir, "documents"), ingestBatch(s, dir))),
+
     // referential-integrity audit over the star schema (ops/Audit): per
     // FK edge the orphan-child and duplicate-parent-key counts — the
     // data-quality gate an ingest runs before publishing a snapshot

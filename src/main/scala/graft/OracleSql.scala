@@ -2283,6 +2283,102 @@ object OracleSql {
           AS fingerprint
       FROM documents""",
 
+    // Snapshot diff: old = documents, new = the derived snapshot (13th
+    // dropped, 7th survivor edited, 11th cloned under a new id).
+    "op_snapshot_diff" -> """
+      WITH newsnap AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' edited in snapshot 2'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000000, text || ' new snapshot doc'
+        FROM documents WHERE doc_id % 11 = 0),
+      o AS (SELECT doc_id, md5(text) AS h, length(text) AS l
+            FROM documents),
+      n AS (SELECT doc_id, md5(text) AS h, length(text) AS l
+            FROM newsnap)
+      SELECT CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(coalesce(o.l, 0)) AS BIGINT) AS old_chars,
+        CAST(sum(coalesce(n.l, 0)) AS BIGINT) AS new_chars
+      FROM o FULL OUTER JOIN n USING (doc_id)
+      GROUP BY 1""",
+
+    // Split leakage: exact-dup-planted corpus (10th cloned verbatim),
+    // fingerprint groups spanning >1 id-hash split.
+    "op_split_leakage" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM documents
+        WHERE doc_id % 10 = 0),
+      f AS (
+        SELECT substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+            1, 16) AS fp,
+          CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 1000 < 900 THEN 'train'
+               WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split
+        FROM corpus),
+      g AS (SELECT fp, count(*) AS n, count(DISTINCT split) AS ns
+            FROM f GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_groups,
+        CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leaky_groups,
+        CAST(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS BIGINT)
+          AS n_leaky_docs
+      FROM g""",
+
+    // Vocabulary shift: per-token occurrence-share delta history vs the
+    // ingest batch, top-50 by |delta| (floored-IEEE ppm).
+    "op_vocab_shift" -> """
+      WITH batch AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+          text || ' near duplicate copy suffix' AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, reverse(text)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
+        FROM documents WHERE doc_id % 26 = 0),
+      ht AS (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0
+            THEN CAST([] AS VARCHAR[])
+            ELSE string_split_regex(lower(trim(text)), '\s+') END) AS token
+        FROM documents),
+      bt AS (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0
+            THEN CAST([] AS VARCHAR[])
+            ELSE string_split_regex(lower(trim(text)), '\s+') END) AS token
+        FROM batch),
+      h AS (SELECT token, count(*) AS n_hist FROM ht GROUP BY 1),
+      b AS (SELECT token, count(*) AS n_batch FROM bt GROUP BY 1),
+      th AS (SELECT sum(n_hist) AS v FROM h),
+      tb AS (SELECT sum(n_batch) AS v FROM b),
+      j AS (
+        SELECT token,
+          CAST(coalesce(h.n_hist, 0) AS BIGINT) AS n_hist,
+          CAST(coalesce(b.n_batch, 0) AS BIGINT) AS n_batch,
+          CAST(floor(coalesce(h.n_hist, 0) * 1000000.0 / th.v) AS BIGINT)
+            AS hist_ppm,
+          CAST(floor(coalesce(b.n_batch, 0) * 1000000.0 / tb.v) AS BIGINT)
+            AS batch_ppm
+        FROM h FULL OUTER JOIN b USING (token) CROSS JOIN th CROSS JOIN tb)
+      SELECT token, n_hist, n_batch, hist_ppm, batch_ppm,
+        batch_ppm - hist_ppm AS shift_ppm
+      FROM j
+      ORDER BY abs(batch_ppm - hist_ppm) DESC, token
+      LIMIT 50""",
+
     // ---- training-data ops ----
     // Chi-square discriminative terms per language (TextOps.chi2Terms
     // mirrored): exact 2x2 contingency integers over the planted-marker

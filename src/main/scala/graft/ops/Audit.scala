@@ -61,4 +61,62 @@ object Audit {
     require(edges.nonEmpty, "fkAudit needs at least one edge")
     edges.map(edgeReport).reduce(_.unionByName(_))
   }
+
+  /** Snapshot DIFF ledger — what changed between two corpus snapshots:
+    * per id, content compared by md5, rolled up to (status, doc count,
+    * old/new char mass) for status ∈ added / removed / changed /
+    * unchanged. The read an ingest publishes next to its snapshot (and
+    * the input to a retention/compaction decision: "removed" mass is
+    * what [[graft.text.IncrDedup.compactIndex]] reclaims).
+    *
+    * Scale: one narrow hash projection per snapshot, one full outer
+    * equi-join on the id, one 4-row aggregate with map-side partials —
+    * content never moves, only (id, 32-char hash, length). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def side(df: DataFrame, h: String, l: String): DataFrame =
+      df.select(col(idCol).as("_id"),
+        md5(col(textCol).cast("binary")).as(h),
+        length(col(textCol)).cast(LongType).as(l))
+    side(oldSnap, "_ho", "_lo")
+      .join(side(newSnap, "_hn", "_ln"), Seq("_id"), "full_outer")
+      .select(
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") === col("_hn"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("_lo"), lit(0L)).as("_lo"),
+        coalesce(col("_ln"), lit(0L)).as("_ln"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("_lo").as("old_chars"),
+        sum("_ln").as("new_chars"))
+  }
+
+  /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
+    * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
+    * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT
+    * splits — the benchmark-integrity failure a decontamination review
+    * must catch (duplicates WITHIN a split merely waste tokens; across
+    * splits they leak training data into eval). One summary row:
+    * fingerprint/doc totals, duplicate groups, leaky groups, and the
+    * docs those leaky groups hold.
+    *
+    * Scale: one narrow fingerprint+split projection, one
+    * fingerprint-keyed aggregate (map-side partials), one 1-row rollup.
+    * The id-keyed split hash and the content-keyed fingerprint are
+    * INDEPENDENT by construction — which is exactly why dup content
+    * scatters and the audit is necessary. */
+  def splitLeakage(docs: DataFrame, hash: org.apache.spark.sql.Column,
+      textCol: String = "text"): DataFrame = {
+    val withSplit = Sampling.assignSplit(docs, hash)
+    val groups = withSplit
+      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
+        col("split"))
+      .groupBy("_fp")
+      .agg(count(lit(1)).as("_n"), countDistinct(col("split")).as("_ns"))
+    groups.agg(count(lit(1)).as("n_fingerprints"), sum("_n").as("n_docs"),
+      sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("n_leaky_groups"),
+      sum(when(col("_ns") > 1, col("_n")).otherwise(0L)).as("n_leaky_docs"))
+  }
 }

@@ -205,6 +205,40 @@ object TextOps {
       .withColumn("fertility",
         col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
 
+  /** Token-level VOCABULARY SHIFT between a history corpus and an ingest
+    * batch — the top-k tokens whose occurrence share moved most (|batch
+    * ppm − hist ppm| desc, token asc): where [[corpusDrift]] says THAT
+    * the mix moved, this says WHICH words moved it (a new spam template,
+    * a feed language flip, boilerplate injection all surface as specific
+    * tokens). Shares are floored-IEEE ppm of exact counts.
+    *
+    * Scale: one token-keyed aggregate per side (map-side partials — the
+    * op_top_ngrams shape), a full outer join on the token, two 1-row
+    * totals broadcast, and a bounded TakeOrdered for the top-k — the
+    * open vocabulary is shuffled once per side and never sorted. */
+  def vocabShift(history: DataFrame, batch: DataFrame,
+      textCol: String = "text", k: Int = 50): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def cnt(df: DataFrame, n: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(n))
+    val h = cnt(history, "n_hist")
+    val b = cnt(batch, "n_batch")
+    h.join(b, Seq("token"), "full_outer")
+      .crossJoin(broadcast(h.agg(sum("n_hist").as("_th"))))
+      .crossJoin(broadcast(b.agg(sum("n_batch").as("_tb"))))
+      .select(col("token"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        floor(coalesce(col("n_hist"), lit(0L)) * lit(1000000.0) / col("_th"))
+          .as("hist_ppm"),
+        floor(coalesce(col("n_batch"), lit(0L)) * lit(1000000.0) / col("_tb"))
+          .as("batch_ppm"))
+      .withColumn("shift_ppm", col("batch_ppm") - col("hist_ppm"))
+      .orderBy(abs(col("shift_ppm")).desc, col("token"))
+      .limit(k)
+  }
+
   /** Coarse quality bucket — multiplicative threshold checks only. */
   def qualityBucket(df: DataFrame): DataFrame = df.withColumn("quality_bucket",
     when(col("n_chars") < 30, "too_short")

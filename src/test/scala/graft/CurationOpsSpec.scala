@@ -619,6 +619,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 3L && out.values.map(_._2).sum == 2L)
   }
 
+  test("vocabShift: share deltas recompute exactly; top-k by |delta| with token tie-break") {
+    import spark.implicits._
+    val hist = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    //   hist: aa 3/5 = 600000, bb 1/5 = 200000, cc 1/5 = 200000
+    val batch = Seq((3L, "bb bb dd")).toDF("doc_id", "text")
+    //   batch: bb 2/3 = 666666, dd 1/3 = 333333
+    val out = graft.text.TextOps.vocabShift(hist, batch, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+    val m = out.toMap
+    assert(m("aa") == ((3L, 0L, 600000L, 0L, -600000L)))
+    assert(m("bb") == ((1L, 2L, 200000L, 666666L, 466666L)))
+    assert(m("cc") == ((1L, 0L, 200000L, 0L, -200000L)))
+    assert(m("dd") == ((0L, 1L, 0L, 333333L, 333333L)))
+    // ordered by |shift| desc, token asc
+    assert(out.map(_._1).toSeq == Seq("aa", "bb", "dd", "cc"))
+    // k truncates
+    assert(graft.text.TextOps.vocabShift(hist, batch, k = 2).count() == 2)
+  }
+
   test("lengthHist: log2 buckets with empty docs in bucket 0; exact masses") {
     import spark.implicits._
     val docs = Seq(
