@@ -105,7 +105,7 @@ object Bench {
     "tok_fertility" -> "tf", "corpus_drift" -> "cdr",
     "mix_schedule" -> "mix", "stream_drift" -> "sdr",
     "snapshot_diff" -> "snp", "split_leakage" -> "slk",
-    "vocab_shift" -> "vsh",
+    "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
@@ -228,6 +228,13 @@ object Bench {
       .mkString("{", ",", "}")
     val sorted = results.sortBy(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Values-only encoding for the coarse rungs: every query's value in
+    // ASCENDING unaliased-op-name order (the deterministic order any
+    // reader reconstructs from the catalog), keys implied — key length
+    // stops mattering, so ALL queries survive at any realistic size.
+    def qArr(div: Int): String = sorted
+      .map { case (_, v) => math.round(v * 100 / div).toString }
+      .mkString("[", ",", "]")
     def line(qs: String, omitted: Int, slim: Int, unit: String): String = {
       val om = if (omitted > 0) s""","q_omitted":$omitted""" else ""
       // slim >= 1: drop the informational pass1_total and an EMPTY failed
@@ -248,21 +255,34 @@ object Bench {
         s""","qunit":"$unit","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
       s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
+    // Values-array sibling of line() at slim 3: "qv" replaces "queries",
+    // with the order spelled out so the encoding is self-describing.
+    def lineArr(unit: String): String = {
+      val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+      val sf = new java.io.File(sfDir).getName
+      val div = if (unit == "ds") 10 else 100
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"""" +
+        s""","qunit":"$unit","qorder":"asc query name","qv":${qArr(div)}""" +
+        s"""$fl,"sf":"$sf"}"""
+    }
     // hard guard: never emit a metric line that cannot fit the 2000-char
     // tail. Degrade in steps, each keeping MORE per-query data than the
     // next: full -> minus informational fields (3 levels) -> COARSEN the
-    // per-query values, keeping every key (deciseconds, then integer
-    // seconds — 0.1/1 s granularity on the expensive sweeps that hit
-    // these levels still trends fine, and all-keys-coarse beats
-    // some-keys-gone) -> only then the MAXIMUM number of slowest queries
-    // that fits (sorted by key for stable diffs, with how many were
-    // dropped; seconds encoding) — dropping only the cheapest queries'
-    // trend data, typically a handful, never a fixed 50. 1960 leaves 40
-    // chars of margin to the true window.
+    // per-query values, keeping every key (decisecond then integer-second
+    // MAPS — 0.1/1 s granularity on the expensive sweeps that hit these
+    // levels still trends fine, and all-keys-coarse beats some-keys-gone)
+    // -> drop the KEYS but not the values (ds then s VALUES-ARRAY in
+    // ascending query-name order — self-describing via "qorder", and key
+    // length stops bounding the catalog) -> only then the MAXIMUM number
+    // of slowest queries that fits (sorted by key for stable diffs, with
+    // how many were dropped; seconds encoding) — dropping only the
+    // cheapest queries' trend data. 1960 leaves 40 chars of margin to
+    // the true window.
     val bySlow = sorted.sortBy(-_._2)
     ((0 to 3).map(s => line(qJson(sorted, 1), 0, s, "cs")) :+
         line(qJson(sorted, 10), 0, 3, "ds") :+
-        line(qJson(sorted, 100), 0, 3, "s"))
+        line(qJson(sorted, 100), 0, 3, "s") :+
+        lineArr("ds") :+ lineArr("s"))
       .find(_.length <= 1960)
       .getOrElse(Iterator.range(bySlow.length - 1, 0, -1)
         .map { n =>

@@ -2516,6 +2516,13 @@ object Catalog {
       Dedup.withSimhash(dedupCorpus(s, dir), portable = true)
         .select("doc_id", "simhash")),
 
+    // simhash near-dup PAIRS: 4x15-bit banded Hamming LSH with
+    // pigeonhole-GUARANTEED recall at hamming <= 3 (a pair within 3 bits
+    // matches at least one band exactly) — the pairing query the simhash
+    // fingerprints exist for; integer-only verify (xor + popcount)
+    "op_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(dedupCorpus(s, dir))),
+
     "op_lsh_ann" -> ((s, dir) =>
       Similarity.lshTopK(
         embCorpus(s, dir),

@@ -3956,6 +3956,33 @@ object OracleSql {
           AS BIGINT) AS simhash
       FROM hsh""",
 
+    // SimHash banded Hamming pairs: same simhash construction, 4x15-bit
+    // band collision candidates, exact xor-popcount verify at <= 3.
+    "op_simhash_pairs" -> s"""
+      WITH $shinglesCte,
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")}) AS hs
+        FROM shd GROUP BY doc_id),
+      sh AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 59), j ->
+            CASE WHEN list_sum(list_transform(hs,
+                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, simhash, b.bd,
+          (simhash >> (15 * b.bd)) & 32767 AS bkey
+        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          x.simhash AS sa, y.simhash AS sb
+        FROM banded x JOIN banded y
+          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+
     "op_lsh_ann" -> annLshSql,
 
     // IVF-PQ: the probes/assigned CTEs of op_ivf_ann composed with the

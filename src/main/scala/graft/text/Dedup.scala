@@ -290,6 +290,43 @@ object Dedup {
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup PAIRS via banded Hamming LSH — the pairing query
+    * [[withSimhash]]'s fingerprints exist for: the 60-bit portable
+    * simhash splits into 4 bands of 15 bits, candidates collide on any
+    * band, and the exact Hamming distance (one xor + popcount) verifies
+    * ≤ `maxHamming`. Pigeonhole gives GUARANTEED recall at this banding:
+    * a pair within Hamming 3 differs in at most 3 of the 4 bands, so at
+    * least one band matches exactly — no probabilistic miss, unlike
+    * MinHash banding.
+    *
+    * Scale: the signature table persists (one pass of the expensive
+    * shingle/vote work); band join is the inverted-index shape — work
+    * O(band collisions), never all-pairs; the verify is integer-only.
+    * Near-identical docs (the use case) collide on all 4 bands, so the
+    * distinct() pre-verify dedups candidate multiplicity. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x15-bit banding guarantees recall only for maxHamming <= 3")
+    val sh = scope.persist(withSimhash(docs, textCol, portable = true)
+      .select(col(idCol).as("id"), col("simhash")))
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bd"),
+          shiftrightunsigned(col("simhash"), 15 * b)
+            .bitwiseAND(lit(32767L)).as("bkey"))): _*)).as("_band"))
+      .select(col("id"), col("simhash"),
+        col("_band.bd").as("bd"), col("_band.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bd") === col("y.bd") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.simhash").as("_sa"), col("y.simhash").as("_sb"))
+      .distinct()
+      .select(col("a"), col("b"), hamming(col("_sa"), col("_sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode shingles → self-join per shingle → per-pair intersection
     * count; union from per-doc distinct counts. Division-free output:

@@ -121,42 +121,56 @@ class BenchAliasSpec extends AnyFunSuite {
     val nKeys = "\":\\d+".r.findAllIn(
       rLine.substring(rLine.indexOf("\"queries\""))).size
     assert(nKeys >= declared.size, s"only $nKeys of ${declared.size} keys on the line")
-    val ceiling = declared.toSeq.sorted.map(_ -> 9.99)
-    val cLine = Bench.metricLine(ceiling, 999.0, "min_of_2", 12.3, 111.1,
-      Nil, "/root/testdata/sf0.1")
-    // past the centisecond cliff the ladder COARSENS (ds, then integer
-    // seconds), never drops: at 9.99 s/query every key must survive on a
-    // coarse line (the round-13 ladder extension)
-    val cOm = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(cLine)
-      .map(_.group(1).toInt).getOrElse(0)
-    assert(cOm == 0,
-      s"uniform-ceiling line drops queries despite coarse rungs: $cOm of ${declared.size}")
-    assert("\":\\d+".r.findAllIn(
-      cLine.substring(cLine.indexOf("\"queries\""))).size >= declared.size)
-    val worst = declared.toSeq.sorted.map(_ -> 99.99)
-    val wLine = Bench.metricLine(worst, 9999.0, "min_of_2", 12.3, 111.1,
-      Nil, "/root/testdata/sf0.1")
-    val om = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(wLine)
-      .map(_.group(1).toInt).getOrElse(0)
-    // proportional, not a fixed count: the designed creep is a few keys
-    // per new query past the cliff (4-digit cs across the board is ~1 key
-    // dropped per new query at this size); what this guards against is a
-    // BLOWUP (e.g. an alias map regression un-shortening half the keys)
-    assert(om <= declared.size / 8,
-      s"worst-case line drops too many queries: $om of ${declared.size}")
+    // past the centisecond cliff the ladder COARSENS (ds/s maps, then
+    // the values-only array), never drops: at ANY uniform value every
+    // query must survive on some coarse rung (the round-13 extension —
+    // the values array makes key length irrelevant, so catalog growth
+    // can no longer force q_omitted on a healthy sweep)
+    def nValues(line: String): Int =
+      if (line.contains("\"qv\":"))
+        line.substring(line.indexOf("\"qv\":[") + 6)
+          .takeWhile(_ != ']').split(",").length
+      else "\":\\d+".r.findAllIn(
+        line.substring(line.indexOf("\"queries\""))).size
+    for (v <- Seq(9.99, 99.99)) {
+      val cLine = Bench.metricLine(declared.toSeq.sorted.map(_ -> v),
+        999.0, "min_of_2", 12.3, 111.1, Nil, "/root/testdata/sf0.1")
+      assert(!cLine.contains("q_omitted"),
+        s"uniform-$v line drops queries despite coarse rungs")
+      assert(nValues(cLine) >= declared.size,
+        s"uniform-$v line lost values: ${nValues(cLine)} of ${declared.size}")
+    }
   }
 
-  test("ladder: overflow drops only the cheapest queries and accounts for them") {
+  test("ladder: long-named overflow keeps every value via the qv array") {
     val cheap = (0 until 250).map(i => f"op_cheap_query_name_$i%04d" -> 0.05)
     val slow = (0 until 5).map(i => s"op_slow_q$i" -> 88.0)
     val qs = (cheap ++ slow)
     val line = Bench.metricLine(qs, qs.map(_._2).sum, "min_of_2",
       1.0, 2.0, Nil, "/root/testdata/sf0.1")
     assert(line.length <= 1960)
+    // 255 long-keyed queries can't fit as a map — the values array rung
+    // keeps ALL of them (keys implied by ascending query name)
+    assert(!line.contains("q_omitted"), line.take(300))
+    assert(line.contains("\"qorder\":\"asc query name\""), line.take(300))
+    val vals = line.substring(line.indexOf("\"qv\":[") + 6)
+      .takeWhile(_ != ']').split(",")
+    assert(vals.length == qs.size)
+    // slow queries sort after the cheap block: last five values = 880 ds
+    assert(vals.takeRight(5).forall(_ == "880"), vals.takeRight(5).toSeq)
+  }
+
+  test("ladder: extreme overflow drops only the cheapest queries and accounts for them") {
+    val cheap = (0 until 995).map(i => f"op_cheap_query_name_$i%04d" -> 0.05)
+    val slow = (0 until 5).map(i => s"op_slow_q$i" -> 88.0)
+    val qs = (cheap ++ slow)
+    val line = Bench.metricLine(qs, qs.map(_._2).sum, "min_of_2",
+      1.0, 2.0, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1960)
     val om = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
-    assert(om.isDefined, s"255 queries must overflow into q_omitted\n$line")
+    assert(om.isDefined, s"1000 queries must overflow into q_omitted\n${line.take(300)}")
     // every slow query's trend survives; only cheap ones were dropped
-    // (overflow lines carry integer seconds, marked qunit s: 88.0 -> 88)
+    // (drop-cheapest carries integer seconds, marked qunit s: 88.0 -> 88)
     assert(line.contains("\"qunit\":\"s\""), line.take(200))
     slow.foreach { case (k, _) =>
       assert(line.contains("\"" + Bench.metricKey(k) + "\":88"), s"$k missing")

@@ -365,6 +365,23 @@ class DedupSpec extends SparkSpec {
     assert(out("s2") == ((1L, 1L, 1L, 6L)), s"s2: $out")
   }
 
+  test("simhashPairs == brute-force hamming<=3 over all pairs (pigeonhole recall)") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.simhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hashes = Dedup.withSimhash(corpus, portable = true)
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- hashes; (b, sb) <- hashes if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    // the verify is exact: every reported hamming recomputes
+    assert(got.values.forall(_ <= 3))
+  }
+
   test("minhashSweep: each threshold row matches an independent minhashPairs run") {
     val ths = Seq(20, 36, 52)
     val out = Dedup.minhashSweep(docs, ths)
