@@ -106,6 +106,7 @@ object Bench {
     "mix_schedule" -> "mix", "stream_drift" -> "sdr",
     "snapshot_diff" -> "snp", "split_leakage" -> "slk",
     "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
+    "k_anonymity" -> "kan",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

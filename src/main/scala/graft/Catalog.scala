@@ -1688,6 +1688,17 @@ object Catalog {
           first(col("lo")).as("lo"), first(col("hi")).as("hi"))
     }),
 
+    // k-anonymity audit (k=5) over the documents' quasi-identifier tuple
+    // (lang, source, log2 length bucket): equivalence classes smaller
+    // than k re-identify their members — the generalize-before-release
+    // decision table; one keyed aggregate + 1-row rollup
+    "op_k_anonymity" -> ((s, dir) =>
+      graft.ops.Audit.kAnonymity(t(s, dir, "documents"),
+        Seq(col("lang"), col("source"),
+          when(TextOps.tokenCount(col("text")) === 0, lit(0))
+            .otherwise(length(bin(TextOps.tokenCount(col("text"))
+              .cast(LongType)))).as("len_bucket")), k = 5)),
+
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
     // cloned in as a new id) — added/removed/changed/unchanged counts

@@ -2283,6 +2283,31 @@ object OracleSql {
           AS fingerprint
       FROM documents""",
 
+    // k-anonymity over (lang, source, log2 token bucket), k = 5.
+    "op_k_anonymity" -> """
+      WITH q AS (
+        SELECT lang, source,
+          CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) = 0 THEN 0
+            ELSE length(bin(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) AS BIGINT))) END AS len_bucket
+        FROM documents),
+      c AS (SELECT lang, source, len_bucket, count(*) AS n
+            FROM q GROUP BY 1, 2, 3)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_singletons,
+        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classes_below_k,
+        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+          AS n_rows_below_k,
+        CAST(min(n) AS BIGINT) AS min_class_size,
+        CAST(max(n) AS BIGINT) AS max_class_size
+      FROM c""",
+
     // Snapshot diff: old = documents, new = the derived snapshot (13th
     // dropped, 7th survivor edited, 11th cloned under a new id).
     "op_snapshot_diff" -> """

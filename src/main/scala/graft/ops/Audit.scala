@@ -92,6 +92,34 @@ object Audit {
         sum("_ln").as("new_chars"))
   }
 
+  /** k-ANONYMITY audit over a quasi-identifier tuple — the privacy gate a
+    * user-data pipeline runs before publishing: every row falls into the
+    * equivalence class of its quasi-identifier values (the attributes an
+    * adversary could link on), and a class smaller than `k` makes its
+    * members re-identifiable. One summary row: class totals, singleton
+    * classes, classes (and the rows they hold) below k, and the class-size
+    * extremes — the numbers that decide whether a column must be
+    * generalized (bucketed/truncated) before release.
+    *
+    * Scale: one narrow projection of the quasi-identifier columns, one
+    * keyed aggregate with map-side partials, one 1-row rollup — the
+    * audit never touches non-quasi columns. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    // project the quasi-identifier EXPRESSIONS once, then group on the
+    // projected columns by name (re-applying the expressions after the
+    // projection would reference columns the projection dropped)
+    val projected = df.select(quasiIds: _*)
+    val classes = projected.groupBy(projected.columns.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    classes.agg(count(lit(1)).as("n_classes"), sum("_n").as("n_rows"),
+      sum(when(col("_n") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+      sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
+      sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_rows_below_k"),
+      min("_n").as("min_class_size"), max("_n").as("max_class_size"))
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

@@ -94,4 +94,20 @@ class AuditSpec extends SparkSpec {
     // 3 fingerprints over 5 docs; 2 dup groups; 1 leaky (train+test), 2 docs
     assert(out == ((3L, 5L, 2L, 1L, 2L)))
   }
+
+  test("kAnonymity: class sizes, below-k mass, and extremes recompute; expression quasi-ids resolve") {
+    import org.apache.spark.sql.functions.{col, length}
+    val rows = Seq(
+      (1L, "en", "alpha"), (2L, "en", "alpha"), (3L, "en", "alpha"),
+      (4L, "de", "beta"), (5L, "de", "gamma")).toDF("id", "lang", "text")
+    // quasi-ids include a derived EXPRESSION (text length) — the projection
+    // regression: grouping must happen on the projected columns
+    val out = Audit.kAnonymity(rows,
+      Seq(col("lang"), length(col("text")).as("len")), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).head
+    // classes: (en,5)x3, (de,4)x1, (de,5)x1 -> 3 classes, 2 singletons,
+    // 2 below k=3 holding 2 rows, sizes 1..3
+    assert(out == ((3L, 5L, 2L, 2L, 2L, 1L, 3L)))
+  }
 }
