@@ -124,6 +124,8 @@ object Sampling {
       maxWeight: Int = 64): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxWeight >= 1, "maxWeight must be positive")
+    require(!df.columns.exists(Set("weight", "priority")),
+      "weightedByHash: input must not contain the output columns weight/priority")
     val w = greatest(lit(1L), least(weight.cast("long"), lit(maxWeight.toLong)))
     val priority = array_min(transform(sequence(lit(1L), w),
       r => hashOf(concat(id.cast("string"), lit(":"), r.cast("string")))))
