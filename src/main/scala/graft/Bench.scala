@@ -97,6 +97,7 @@ object Bench {
     "incr_compact" -> "icc", "incr_sem_compact" -> "isc",
     "incr_pipeline" -> "ipl", "stream_neardup" -> "snd",
     "cap_per_key" -> "cpk", "weighted_sample" -> "wsm",
+    "weighted_race" -> "wrc",
     "dup_attribution" -> "dat", "semdedup_sweep" -> "sds",
     "dsir_weights" -> "dsw", "dsir_select" -> "dss",
     "length_hist" -> "lh", "quality_floor" -> "qf",
@@ -106,13 +107,15 @@ object Bench {
     "mix_schedule" -> "mix", "stream_drift" -> "sdr",
     "snapshot_diff" -> "snp", "split_leakage" -> "slk",
     "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
-    "k_anonymity" -> "kan",
+    "k_anonymity" -> "kan", "band_stats" -> "bnst",
+    "k_generalize" -> "kgn",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",
     "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
     "ngram_lang_id" -> "nli", "chi2_terms" -> "x2",
-    "kmeans_step" -> "kmn", "grouping_sets" -> "gst",
+    "kmeans_step" -> "kmn", "kmeans_iter" -> "kmi",
+    "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
     "pagerank" -> "pgr", "cooccur" -> "cc",
@@ -189,19 +192,33 @@ object Bench {
   private def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Ascending pass-1-cost schedule for the budgeted second pass: cheapest
+    * queries first (name tiebreak), so whatever pass-2 budget remains after
+    * a slow first pass covers the MAXIMUM number of queries with warm
+    * min-of-2 data — the cheap ones are near-free warm, and the expensive
+    * tail is exactly what the budget would have cut anyway. Pure so
+    * BenchSidecarSpec pins the order. */
+  def pass2Order(p1: Map[String, Double]): Seq[String] =
+    p1.toSeq.sortBy { case (n, v) => (v, n) }.map(_._1)
+
   /** Full-fidelity sidecar JSON (round-10 headroom decision, SURVEY §9.2):
     * unaliased query names, 3-decimal seconds, min-of-2 AND pass-1 values —
     * the trend ledger that survives any stdout-line degradation. Pure so
-    * BenchSidecarSpec can pin the format without running a bench. */
+    * BenchSidecarSpec can pin the format without running a bench.
+    * `p2Covered` ≥ 0 marks a BUDGETED second pass (agg min_of_2_partial):
+    * how many queries got both passes — the per-query two-pass data for the
+    * warm subset survives even on a contended box. */
   def sidecarJson(total: Double, agg: String, warmSec: Double,
       p1Total: Double, failed: Seq[String], sfDir: String,
-      results: Map[String, Double], p1: Map[String, Double]): String = {
+      results: Map[String, Double], p1: Map[String, Double],
+      p2Covered: Int = -1): String = {
     def fullJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cov = if (p2Covered >= 0) s""""p2_covered":$p2Covered,""" else ""
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""agg":"$agg","warm_sec":${f3(warmSec)},"pass1_total":${f3(p1Total)},""" +
-      s""""failed":$failedJson,"sf":"$sfDir",""" +
+      s"""$cov"failed":$failedJson,"sf":"$sfDir",""" +
       s""""queries":${fullJson(results)},"pass1":${fullJson(p1)}}"""
   }
 
@@ -216,9 +233,13 @@ object Bench {
     * never dropped at any level. */
   def metricLine(results: Seq[(String, Double)], total: Double, agg: String,
       warmSec: Double, p1Total: Double, failed: Seq[String],
-      sfDir: String): String = {
+      sfDir: String, p2Covered: Int = -1): String = {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // a budgeted partial second pass is ALWAYS marked with its coverage —
+    // the field rides next to agg at every slim level (a silent partial
+    // would corrupt the min-of-2 trend exactly like a silent unit change)
+    val covField = if (p2Covered >= 0) s""","p2_covered":$p2Covered""" else ""
     // Per-query values as INTEGER CENTISECONDS keyed by [[metricKey]]
     // ("op_" stripped, long names aliased per [[alias]] — SURVEY §9.2 maps
     // them back). The coarsened slim-4 level divides to DECISECONDS
@@ -254,16 +275,20 @@ object Bench {
         if (unit == "cs") "" else s""","qunit":"$unit""""
       } else
         s""","qunit":"$unit","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // Values-array sibling of line() at slim 3: "qv" replaces "queries",
-    // with the order spelled out so the encoding is self-describing.
+    // with the order spelled out so the encoding is self-describing. EVERY
+    // declared query appears in qv — a failed query still records its
+    // (meaningless) elapsed slot so positional alignment against the
+    // catalog never shifts; the failed list marks which values to ignore.
+    // The qorder string says so explicitly.
     def lineArr(unit: String): String = {
       val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
       val sf = new java.io.File(sfDir).getName
       val div = if (unit == "ds") 10 else 100
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"""" +
-        s""","qunit":"$unit","qorder":"asc query name","qv":${qArr(div)}""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField""" +
+        s""","qunit":"$unit","qorder":"asc query name, failed included","qv":${qArr(div)}""" +
         s"""$fl,"sf":"$sf"}"""
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
@@ -326,16 +351,31 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
-    // Second pass unless the first already risks the harness timeout: the
-    // min-of-2 is the whole point of the methodology (round 5's 150 s
-    // guard produced a cold pass1_only artifact on a contended box — the
-    // one deliverable the judge flagged). 420 s of warm+pass1 still leaves
-    // room for a (faster, warm) pass 2 well inside any plausible timeout.
+    // Second pass under a TIME BUDGET instead of the round-13 all-or-
+    // nothing 420 s guard (which produced a pass1_only artifact on the
+    // driver's contended box — no per-query two-pass data at all): pass 2
+    // visits queries cheapest-pass-1-first and stops STARTING new ones
+    // once its budget is spent, so even a slow first pass still yields
+    // warm min-of-2 data for the bulk of the catalog (the cheap queries
+    // are near-free warm; the expensive tail is what any budget cuts).
+    // Budget = what the old guard left (420 s minus warm+pass1), floored
+    // at 120 s so a contended box ALWAYS attempts the warm subset.
     val elapsed = (System.nanoTime() - w0) / 1e9
-    val p2 = if (elapsed < 420.0) Some(pass()) else None
-    val agg = if (p2.isDefined) "min_of_2" else "pass1_only"
+    val p2Budget = math.max(120.0, 420.0 - elapsed)
+    val p2t0 = System.nanoTime()
+    val byCost = pass2Order(p1)
+    val qmap = SparkEntry.queries
+    val p2: Map[String, Double] = byCost.iterator
+      .takeWhile(_ => (System.nanoTime() - p2t0) / 1e9 < p2Budget)
+      .map { name =>
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val agg = if (p2.size == p1.size) "min_of_2" else "min_of_2_partial"
     val results = p1.map { case (k, v) =>
-      k -> p2.map(m => math.min(v, m(k))).getOrElse(v) }
+      k -> p2.get(k).map(math.min(v, _)).getOrElse(v) }
     // The driver captures only the last ~2000 chars of output and
     // json-parses the metric line — built by the pure [[metricLine]]
     // ladder and made the very last line (build.sbt suppresses sbt's
@@ -347,8 +387,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val p1Total = if (p1.nonEmpty) p1.values.sum else 0.0
     spark.sparkContext.setLogLevel("ERROR") // keep shutdown quiet after the metric line
+    val p2Covered = if (p2.size == p1.size) -1 else p2.size
     val out = metricLine(results.toSeq, total, agg, warmSec, p1Total,
-      failed.toSeq, sfDir)
+      failed.toSeq, sfDir, p2Covered)
     // Durable full-fidelity sidecar (round-10 headroom decision, SURVEY
     // §9.2): the stdout line is the DRIVER contract and must fit its
     // 2000-char tail, so it degrades (slim levels, then drop-cheapest with
@@ -358,7 +399,7 @@ object Bench {
     // on a read-only working dir.
     try {
       val side = sidecarJson(total, agg, warmSec, p1Total, failed.toSeq,
-        sfDir, results, p1)
+        sfDir, results, p1, p2Covered)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_LOCAL.json"),
         (side + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => }

@@ -1586,6 +1586,19 @@ object Catalog {
         col("doc_id"), floor(col("n_chars") / lit(100)) + 1, k = 100)
         .select(col("doc_id"), col("weight"), col("priority"))),
 
+    // exponential-race weighted sample — op_weighted_sample's O(1)-per-row
+    // sibling for REAL importance-weight magnitudes: weight = n_tokens²
+    // clamped to [1, 10⁶] (beyond the ticket scheme's maxWeight 64),
+    // priority = −ln(u)/w from ONE md5-60 content hash with the
+    // engine-portable series ln (every step a correctly-rounded IEEE op,
+    // so the DuckDB oracle reproduces the double bit-for-bit)
+    "op_weighted_race" -> ((s, dir) => {
+      val tc = TextOps.tokenCount(col("text")).cast(LongType)
+      graft.ops.Sampling.weightedByRace(t(s, dir, "documents"),
+        col("doc_id"), tc * tc, k = 100)
+        .select(col("doc_id"), col("weight"), col("priority"))
+    }),
+
     // token-budget mixture plan: per-language keep rates from sqrt-temper
     // over TOKEN masses (the unit mixtures are specified in), with the
     // docs/tokens each rate would keep — the sign-off table before an
@@ -1698,6 +1711,27 @@ object Catalog {
           when(TextOps.tokenCount(col("text")) === 0, lit(0))
             .otherwise(length(bin(TextOps.tokenCount(col("text"))
               .cast(LongType)))).as("len_bucket")), k = 5)),
+
+    // k-anonymity GENERALIZATION — op_k_anonymity's actuator: the first
+    // rung of a coarsening ladder (exact log2-length bucket → width-2
+    // bucket → bucket suppressed → source suppressed → all suppressed) at
+    // which every (lang, source, len_bucket) class reaches k=5, returned
+    // as the release-ready class table (every class_size >= k by
+    // construction). One scan: rows explode into all 5 encodings, one
+    // keyed aggregate, rung choice broadcast back
+    "op_k_generalize" -> ((s, dir) => {
+      val tc = TextOps.tokenCount(col("text"))
+      val lenB = when(tc === 0, lit(0))
+        .otherwise(length(bin(tc.cast(LongType))))
+      graft.ops.Audit.kGeneralize(t(s, dir, "documents"), Seq(
+        Seq(col("lang"), col("source"), lenB.as("len_bucket")),
+        Seq(col("lang"), col("source"),
+          (floor(lenB / 2) * 2).cast(IntegerType).as("len_bucket")),
+        Seq(col("lang"), col("source"), lit("*").as("len_bucket")),
+        Seq(col("lang"), lit("*").as("source"), lit("*").as("len_bucket")),
+        Seq(lit("*").as("lang"), lit("*").as("source"),
+          lit("*").as("len_bucket"))), k = 5)
+    }),
 
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
@@ -2534,6 +2568,14 @@ object Catalog {
     "op_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(dedupCorpus(s, dir))),
 
+    // band-bucket occupancy accounting for both signature pair miners —
+    // the dropped-mass ledger behind the MaxBandBucket cap/star reduction:
+    // per miner, bucket totals, over-cap buckets, the worst bucket, exact
+    // all-pairs candidate mass vs the mass the capped/star form emits (the
+    // verify join's REAL input). The sizing read before a 100 TB dedup pass
+    "op_band_stats" -> ((s, dir) =>
+      Dedup.bandStats(dedupCorpus(s, dir))),
+
     "op_lsh_ann" -> ((s, dir) =>
       Similarity.lshTopK(
         embCorpus(s, dir),
@@ -2735,15 +2777,22 @@ object Catalog {
     // at C × dim rows however large the corpus — exactly the
     // assign + aggregate shape distributed k-means (e.g. MLlib) runs at
     // scale; iterate by feeding sum_milli / n back in as new centroids
-    "op_kmeans_step" -> ((s, dir) => {
-      val model = graft.text.Ivf.fixedModel(c = 16, dim = 64)
-      graft.text.Ivf.assign(t(s, dir, "embeddings"), model)
-        .select(col("ivf_cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("ivf_cell", "dim")
-        .agg(sum(floor(col("x").cast(DoubleType) * 1000).cast(LongType))
-          .as("sum_milli"),
-          count(lit(1)).as("n"))
-    }),
+    "op_kmeans_step" -> ((s, dir) =>
+      graft.text.Ivf.lloydStats(t(s, dir, "embeddings"),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64))),
+
+    // ITERATED distributed k-means — the corpus-scale Lloyd loop (the
+    // answer to "Ivf.train samples to the driver"): iteration 1 reduces
+    // the corpus to C×dim sufficient statistics, the driver rebuilds the
+    // centroids from them (kilobytes — the MLlib per-iteration pattern:
+    // new component = sum_milli/(n·1000), ONE exact-int IEEE division,
+    // float-rounded; empty cells keep their centroid), and the declared
+    // frame is iteration 2's statistics over the UPDATED centroids. The
+    // oracle unrolls both iterations in SQL — data-adaptive centroids,
+    // still hash-exact cross-engine
+    "op_kmeans_iter" -> ((s, dir) =>
+      graft.text.Ivf.kmeansIterStats(t(s, dir, "embeddings"),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), iters = 2)),
 
     // end-to-end training-data curation pipeline — the flagship composition
     // of the LLM-data ops: quality-filter ('ok' bucket only) → exact dedup

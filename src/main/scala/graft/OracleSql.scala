@@ -497,7 +497,9 @@ object OracleSql {
       WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter"""
 
   /** MinHash-LSH candidate pairs — shared by op_minhash_pairs and
-    * op_dedup_recall. */
+    * op_dedup_recall. Candidates use the hybrid capped/star band buckets
+    * of [[graft.text.Dedup.lshCandidatesFromSigs]]: buckets ≤ 256 emit all
+    * pairs, over-cap buckets emit star edges to the bucket min. */
   private val minhashPairsSql: String = s"""
       WITH $shinglesCte,
       hsh AS (
@@ -512,10 +514,21 @@ object OracleSql {
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      bstats AS (
+        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
+        FROM banded GROUP BY bd, bkey),
       cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM banded x JOIN banded y
-          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        SELECT DISTINCT a, b FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM banded x
+          JOIN banded y ON x.bd = y.bd AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id
+          JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n <= ${graft.text.Dedup.MaxBandBucket}
+          UNION ALL
+          SELECT st.m AS a, x.doc_id AS b
+          FROM banded x JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m)),
       pairs AS (
         SELECT c.a, c.b,
           CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
@@ -1986,6 +1999,49 @@ object OracleSql {
       SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
       FROM p ORDER BY priority, doc_id LIMIT 100""",
 
+    // Exponential-race weighted sample: priority = −ln((h+1)/2^60)/w with
+    // the portable series ln — every step mirrored operation-for-operation
+    // from Sampling.negLnU (exponent via length(bin(m))−1 + a 61-entry
+    // power-of-two list, atanh-series mantissa, the identical IEEE
+    // arithmetic tree), so the priority double is bit-exact cross-engine.
+    "op_weighted_race" -> {
+      val pows = (0 to 60).map(1L << _).mkString("[", ",", "]")
+      val terms = graft.ops.Sampling.RaceSeriesTerms
+      val horner = (0 until terms - 1).reverse.foldLeft(
+        s"(CAST(1 AS DOUBLE)/CAST(${2 * (terms - 1) + 1} AS DOUBLE))") {
+        (acc, kk) =>
+          s"((CAST(1 AS DOUBLE)/CAST(${2 * kk + 1} AS DOUBLE)) + z2 * $acc)"
+      }
+      s"""
+      WITH tcd AS (
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+               END AS BIGINT) AS tc
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+          greatest(CAST(1 AS BIGINT),
+            least(tc * tc, CAST(1000000 AS BIGINT))) AS weight,
+          ${md5Long("CAST(doc_id AS VARCHAR)")} AS h
+        FROM tcd),
+      s1 AS (SELECT doc_id, weight, h + 1 AS m FROM w),
+      s2 AS (SELECT *, CAST(length(bin(m)) - 1 AS INT) AS p FROM s1),
+      s3 AS (SELECT *, ($pows)[p + 1] AS twop FROM s2),
+      s4 AS (SELECT *,
+        CAST(m - twop AS DOUBLE) / CAST(twop AS DOUBLE) AS f FROM s3),
+      s5 AS (SELECT *, f / (f + CAST(2 AS DOUBLE)) AS z FROM s4),
+      s6 AS (SELECT *, z * z AS z2 FROM s5),
+      s7 AS (SELECT *, $horner AS t FROM s6),
+      s8 AS (SELECT doc_id, weight,
+        ((CAST(60 AS DOUBLE) - CAST(p AS DOUBLE))
+            * CAST('0.6931471805599453' AS DOUBLE)
+          - (CAST(2 AS DOUBLE) * z) * t) / CAST(weight AS DOUBLE) AS priority
+        FROM s7)
+      SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
+      FROM s8 ORDER BY priority, doc_id LIMIT 100"""
+    },
+
     // KMV sketch: the k smallest distinct md5-60 hashes and the classic
     // (k-1)·H/kth estimator — deterministic in both engines.
     "op_kmv_distinct" -> """
@@ -2307,6 +2363,43 @@ object OracleSql {
         CAST(min(n) AS BIGINT) AS min_class_size,
         CAST(max(n) AS BIGINT) AS max_class_size
       FROM c""",
+
+    // Generalization ladder: the first rung whose every class reaches k=5;
+    // values compared as VARCHAR (the release encoding), rung 1's width-2
+    // bucket = len_bucket // 2 * 2 (floor — non-negative, matches Spark's
+    // floor(x/2)*2).
+    "op_k_generalize" -> """
+      WITH q AS (
+        SELECT lang, source,
+          CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) = 0 THEN 0
+            ELSE length(bin(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) AS BIGINT))) END AS len_bucket
+        FROM documents),
+      r AS (
+        SELECT 0 AS rung, lang, source,
+          CAST(len_bucket AS VARCHAR) AS len_bucket FROM q
+        UNION ALL
+        SELECT 1, lang, source,
+          CAST(len_bucket // 2 * 2 AS VARCHAR) FROM q
+        UNION ALL
+        SELECT 2, lang, source, '*' FROM q
+        UNION ALL
+        SELECT 3, lang, '*', '*' FROM q
+        UNION ALL
+        SELECT 4, '*', '*', '*' FROM q),
+      c AS (
+        SELECT rung, lang, source, len_bucket, count(*) AS class_size
+        FROM r GROUP BY 1, 2, 3, 4),
+      ch AS (
+        SELECT min(rung) AS chosen FROM (
+          SELECT rung, min(class_size) AS mc FROM c GROUP BY 1) m
+        WHERE mc >= 5)
+      SELECT CAST(c.rung AS INT) AS rung, lang, source, len_bucket,
+        CAST(class_size AS BIGINT) AS class_size
+      FROM c JOIN ch ON c.rung = ch.chosen""",
 
     // Snapshot diff: old = documents, new = the derived snapshot (13th
     // dropped, 7th survivor edited, 11th cloned under a new id).
@@ -3997,16 +4090,85 @@ object OracleSql {
             AS BIGINT) AS simhash
         FROM hsh),
       banded AS (
-        SELECT doc_id, simhash, b.bd,
+        SELECT doc_id, b.bd,
           (simhash >> (15 * b.bd)) & 32767 AS bkey
         FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
+      bstats AS (
+        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
+        FROM banded GROUP BY bd, bkey),
       cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-          x.simhash AS sa, y.simhash AS sb
-        FROM banded x JOIN banded y
-          ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-      SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+        SELECT DISTINCT a, b FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM banded x
+          JOIN banded y ON x.bd = y.bd AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id
+          JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n <= ${graft.text.Dedup.MaxBandBucket}
+          UNION ALL
+          SELECT st.m AS a, x.doc_id AS b
+          FROM banded x JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m))
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.a
+      JOIN sh s2 ON s2.doc_id = c.b
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""",
+
+    // Band-bucket occupancy accounting for both signature miners: per
+    // miner, bucket totals, over-cap buckets, worst bucket, exact
+    // all-pairs candidate mass, and the mass the capped/star form emits.
+    "op_band_stats" -> s"""
+      WITH $shinglesCte,
+      mh AS (
+        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(1, 64), j ->
+          list_min(list_transform(hs,
+            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
+        FROM mh),
+      mbanded AS (
+        SELECT doc_id, g.bd,
+          array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
+        FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
+      mocc AS (SELECT count(*) AS n FROM mbanded GROUP BY bd, bkey),
+      sh_hsh AS (
+        SELECT doc_id, list(${md5Long("s")}) AS hs
+        FROM shd GROUP BY doc_id),
+      sh AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 59), j ->
+            CASE WHEN list_sum(list_transform(hs,
+                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM sh_hsh),
+      sbanded AS (
+        SELECT doc_id, b.bd,
+          (simhash >> (15 * b.bd)) & 32767 AS bkey
+        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
+      socc AS (SELECT count(*) AS n FROM sbanded GROUP BY bd, bkey),
+      cap AS (SELECT ${graft.text.Dedup.MaxBandBucket} AS c)
+      SELECT 'minhash' AS miner,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST(sum(CASE WHEN n > cap.c THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overcap_buckets,
+        CAST(max(n) AS BIGINT) AS max_occupancy,
+        CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_exact,
+        CAST(sum(CASE WHEN n <= cap.c THEN n * (n - 1) // 2 ELSE n - 1 END)
+          AS BIGINT) AS pairs_emitted
+      FROM mocc CROSS JOIN cap GROUP BY cap.c
+      UNION ALL
+      SELECT 'simhash' AS miner,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST(sum(CASE WHEN n > cap.c THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overcap_buckets,
+        CAST(max(n) AS BIGINT) AS max_occupancy,
+        CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_exact,
+        CAST(sum(CASE WHEN n <= cap.c THEN n * (n - 1) // 2 ELSE n - 1 END)
+          AS BIGINT) AS pairs_emitted
+      FROM socc CROSS JOIN cap GROUP BY cap.c""",
 
     "op_lsh_ann" -> annLshSql,
 
@@ -4070,6 +4232,57 @@ object OracleSql {
       SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
         count(*) AS n
       FROM x GROUP BY ivf_cell, dim""",
+
+    // TWO unrolled Lloyd iterations: iteration-1 statistics rebuild the
+    // centroids in SQL (new component = sum_milli/(n·1000), ONE exact-int
+    // IEEE division rounded once to FLOAT — the same arithmetic the Spark
+    // driver replays; empty cells keep the fixed formula component), then
+    // iteration 2 re-assigns against the UPDATED centroid lists (ordered
+    // by dim, so the cosine accumulates left-to-right exactly like
+    // CosineSim) and re-aggregates the same statistics.
+    "op_kmeans_iter" -> s"""
+      WITH $ivfCtesSql,
+      m1 AS (
+        SELECT a.ivf_cell, emb.embedding
+        FROM assigned a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+      x1 AS (
+        SELECT ivf_cell, t.i - 1 AS dim,
+          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM m1, unnest(generate_series(1, len(embedding))) AS t(i)),
+      st1 AS (
+        SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
+          count(*) AS n
+        FROM x1 GROUP BY ivf_cell, dim),
+      grid AS (
+        SELECT c.j, t.i - 1 AS dim, c.cent[t.i] AS old_comp
+        FROM cents c, unnest(generate_series(1, 64)) AS t(i)),
+      cent2 AS (
+        SELECT g.j,
+          list(CASE WHEN s.n IS NULL THEN g.old_comp
+                    ELSE CAST(CAST(CAST(s.sum_milli AS DOUBLE)
+                           / CAST(s.n * 1000 AS DOUBLE) AS FLOAT) AS DOUBLE)
+               END ORDER BY g.dim) AS cent
+        FROM grid g
+        LEFT JOIN st1 s ON s.ivf_cell = g.j AND s.dim = g.dim
+        GROUP BY g.j),
+      sims2 AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cent2 c),
+      asg2 AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims2) t WHERE rn = 1),
+      m2 AS (
+        SELECT a.ivf_cell, emb.embedding
+        FROM asg2 a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+      x2 AS (
+        SELECT ivf_cell, t.i - 1 AS dim,
+          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM m2, unnest(generate_series(1, len(embedding))) AS t(i))
+      SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
+        count(*) AS n
+      FROM x2 GROUP BY ivf_cell, dim""",
 
     // PQ codes: every embedding's 8 subvector codewords (argmax dot,
     // first-max ties) against the closed-form codebook.

@@ -111,6 +111,10 @@ object Audit {
     // projected columns by name (re-applying the expressions after the
     // projection would reference columns the projection dropped)
     val projected = df.select(quasiIds: _*)
+    require(projected.columns.distinct.length == projected.columns.length,
+      s"kAnonymity: quasi-identifier output names collide " +
+        s"(${projected.columns.mkString(", ")}) — alias duplicate " +
+        "quasi-id expressions so each grouping column is unique")
     val classes = projected.groupBy(projected.columns.map(col): _*)
       .agg(count(lit(1)).as("_n"))
     classes.agg(count(lit(1)).as("n_classes"), sum("_n").as("n_rows"),
@@ -118,6 +122,54 @@ object Audit {
       sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
       sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_rows_below_k"),
       min("_n").as("min_class_size"), max("_n").as("max_class_size"))
+  }
+
+  /** k-anonymity GENERALIZATION — the actuator for [[kAnonymity]]'s
+    * report: given a LADDER of progressively coarser quasi-identifier
+    * encodings (rung 0 = the original tuple; each later rung generalizes
+    * harder — wider buckets, truncation, '*' suppression, ending in a
+    * fully-suppressed rung), pick the FIRST rung at which EVERY
+    * equivalence class reaches `k`, and return that rung's class table
+    * `(rung, quasi columns..., class_size)` — the release-ready recoding
+    * plus the audit evidence (every class_size ≥ k by construction).
+    * Global recoding: one rung applies to all rows, so the release schema
+    * is consistent; all rungs must share arity, and values are compared as
+    * strings (the release encoding). If NO rung qualifies (n_rows < k even
+    * fully suppressed) the output is EMPTY — nothing is safe to release.
+    *
+    * Scale: ONE corpus scan — each row explodes into its |ladder| encoded
+    * tuples (narrow, |ladder| is a handful), one keyed aggregate with
+    * map-side partials builds every rung's classes together, the per-rung
+    * minima are a |ladder|-row aggregate, and the chosen rung broadcasts
+    * back as a cross-joined 1-row frame. The classes subtree appears twice
+    * (rung choice + final filter) — AQE exchange reuse dedupes the
+    * identical aggregate, the op_ann_recall pattern; at 100 TB persist it
+    * explicitly if the optimizer is denied AQE. */
+  def kGeneralize(df: DataFrame,
+      ladder: Seq[Seq[org.apache.spark.sql.Column]], k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(ladder.nonEmpty, "ladder must be non-empty")
+    require(ladder.forall(_.length == ladder.head.length),
+      "every ladder rung must share the release schema (same arity)")
+    val names = df.select(ladder.head: _*).columns.toSeq
+    require(names.distinct.length == names.length,
+      s"kGeneralize: quasi-identifier output names collide " +
+        s"(${names.mkString(", ")}) — alias duplicate expressions")
+    require(!names.contains("rung") && !names.contains("class_size"),
+      "kGeneralize: rung/class_size are reserved output names")
+    val encoded = ladder.zipWithIndex.map { case (qs, r) =>
+      struct(lit(r).as("rung") +:
+        qs.zip(names).map { case (c, n) => c.cast("string").as(n) }: _*)
+    }
+    val rows = df.select(explode(array(encoded: _*)).as("_t"))
+      .select(col("_t.rung").as("rung") +:
+        names.map(n => col(s"_t.$n").as(n)): _*)
+    val classes = rows.groupBy(col("rung") +: names.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val chosen = classes.groupBy("rung").agg(min("class_size").as("_mc"))
+      .filter(col("_mc") >= k).agg(min("rung").as("_chosen"))
+    classes.crossJoin(chosen).filter(col("rung") === col("_chosen"))
+      .select(col("rung") +: names.map(col) :+ col("class_size"): _*)
   }
 
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the

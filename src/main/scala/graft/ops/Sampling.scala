@@ -135,6 +135,71 @@ object Sampling {
       .limit(k)
   }
 
+  /** atanh-series depth for [[negLnU]]'s portable mantissa log: z ≤ 1/3 ⇒
+    * truncation below z^35/35 ≈ 2·10⁻¹⁸ — under double rounding itself,
+    * so the series is accurate to a few ulps everywhere (the residual
+    * error vs libm is the benign subtractive cancellation at u → 1, where
+    * the key → 0⁺). Exposed for the DuckDB oracle generator. */
+  val RaceSeriesTerms = 17
+
+  /** The correctly-rounded double for ln 2 — both engines parse this
+    * decimal literal to the identical bit pattern. */
+  val RaceLn2 = 0.6931471805599453
+
+  /** Engine-portable −ln(u) for the hash-uniform u = (h+1)/2⁶⁰, h a 60-bit
+    * content hash: the exponent comes out in INTEGER space (p =
+    * length(bin(m))−1 = ⌊log₂ m⌋, 2^p via a 61-entry array literal — no
+    * libm, no shifts-by-column), the mantissa log via the atanh series
+    * ln(1+f) = 2z·Σ z²ᵏ/(2k+1), z = f/(2+f) ∈ [0, ⅓]. Every step is a
+    * correctly-rounded IEEE-754 operation (+, −, ×, ÷, int→double), so ANY
+    * IEEE engine — Spark's JVM and the DuckDB oracle — computes the
+    * bit-identical double: no Math.log/libm, whose last-ulp behavior is
+    * implementation-specific. */
+  def negLnU(h: Column): Column = {
+    val m = h + lit(1L) // [1, 2^60]
+    val p = (length(bin(m)) - 1).cast("int") // floor(log2 m), exact
+    val twoP = element_at(
+      typedLit((0 to 60).map(1L << _)), p + 1) // 2^p, exact
+    val f = (m - twoP).cast("double") / twoP.cast("double") // [0, 1)
+    val z = f / (f + lit(2.0))
+    val z2 = z * z
+    val t = (0 until RaceSeriesTerms - 1).reverse.foldLeft(
+      lit(1.0) / lit((2 * (RaceSeriesTerms - 1) + 1).toDouble)) {
+      (acc, kk) => lit(1.0) / lit((2 * kk + 1).toDouble) + z2 * acc
+    }
+    (lit(60.0) - p.cast("double")) * lit(RaceLn2) - (lit(2.0) * z) * t
+  }
+
+  /** Closed-form EXPONENTIAL-RACE weighted sampling — [[weightedByHash]]'s
+    * distribution realized in O(1) per row for ANY weight magnitude: row
+    * priority = −ln(u_i)/w_i from ONE content hash (the Efraimidis–Spirakis
+    * key in log space), the k smallest win. P(row i wins the first draw) =
+    * w_i/Σw exactly (the exponential race), successive minima repeat the
+    * argument — the same without-replacement semantics as the ticket
+    * scheme, but weight magnitude no longer costs per-row work, so real
+    * importance weights (10³–10⁶) clamp at `maxWeight` 10⁶ instead of 64.
+    *
+    * Deterministic and engine-reproducible like everything in this file:
+    * the ln is [[negLnU]]'s portable series (bit-identical cross-engine),
+    * u is a pure content hash, and the global top-k is a bounded
+    * TakeOrdered (k rows per partition) — never a sort. */
+  def weightedByRace(df: DataFrame, id: Column, weight: Column, k: Int,
+      hashOf: Column => Column = graft.text.Dedup.portableHash,
+      maxWeight: Int = 1000000): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be positive")
+    require(!df.columns.exists(Set("weight", "priority")),
+      "weightedByRace: input must not contain the output columns weight/priority")
+    val w = greatest(lit(1L), least(weight.cast("long"), lit(maxWeight.toLong)))
+    // hash the STRING form of the id (like weightedByHash's tickets), so
+    // the oracle's md5(CAST(id AS VARCHAR)) reproduces it for any id type
+    df.withColumn("weight", w)
+      .withColumn("priority",
+        negLnU(hashOf(id.cast("string"))) / w.cast("double"))
+      .orderBy(col("priority"), id)
+      .limit(k)
+  }
+
   /** TOKEN-budget mixture planner — [[byTemperature]] recomputed in the
     * unit training mixtures are actually specified in: per-group keep
     * rate = floor(1000·√(tok_min/tok_g)) (α = 0.5 temper over TOKEN

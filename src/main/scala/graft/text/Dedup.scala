@@ -199,30 +199,117 @@ object Dedup {
           lit(P)))))
   }
 
-  /** LSH candidate pairs from a precomputed `(id, sig)` frame: band the
-    * signature (16 bands × 4 rows), bucket-join on (band, band-key), emit
-    * each unordered pair once. Band keys are the joined band values (hash-
-    * scheme-agnostic, so the same banding serves the xxh64 and portable
-    * signatures — bucketing only needs equality). */
-  def lshCandidatesFromSigs(sigs: DataFrame): DataFrame = {
+  /** Per-(bucket) occupancy cap for the banded self-joins: buckets at or
+    * under the cap emit ALL pairs; buckets over it emit STAR edges to the
+    * bucket's min id only. The star keeps every over-cap member connected
+    * to one representative (linear output per bucket instead of quadratic),
+    * so connected-components dedup over the pairs drops the same mega-
+    * cluster — the skew guard that makes a boilerplate page duplicated 10⁶×
+    * cost 10⁶ candidate rows, not 5·10¹¹. Same family as [[jaccardPairs]]'
+    * maxDf=100 and phashPairs' 64; chosen larger (256) because band buckets
+    * are verified afterwards (pair-level recall inside a ≤cap bucket stays
+    * pigeonhole-exact) and an over-cap band bucket is in practice an
+    * exact-dup mega-cluster whose star edges all verify. */
+  val MaxBandBucket = 256
+
+  /** Hybrid all-pairs/star edges from an exploded bucket table
+    * `(bucket key cols..., id)`: per bucket, occupancy ≤ `maxBucket` emits
+    * every unordered pair, occupancy > `maxBucket` emits (min id, member)
+    * star edges — output per bucket is min(n(n−1)/2, bounded) ∪ (n−1),
+    * never unconditionally quadratic. Shared by the MinHash and SimHash
+    * band miners; `Int.MaxValue` recovers the exact all-pairs form for
+    * calibration-scale runs. */
+  private[text] def cappedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be at least 2")
+    // bounded aggregate (map-side partials): per-bucket occupancy + min id.
+    // Joined back to BOTH sides of the self-join *before* it runs — the
+    // whole point is that over-cap buckets never enter the quadratic join.
+    val stats = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), min(col("id")).as("_m"))
+    val tagged = buckets.join(stats, keyCols)
+    val small = tagged.filter(col("_n") <= maxBucket)
+    val allPairs = small.select(keyCols.map(col) :+ col("id").as("a"): _*)
+      .join(small.select(keyCols.map(col) :+ col("id").as("b"): _*), keyCols)
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val star = tagged.filter(col("_n") > maxBucket && col("id") =!= col("_m"))
+      .select(col("_m").as("a"), col("id").as("b"))
+    allPairs.unionByName(star).distinct()
+  }
+
+  /** The banded `(id, band, band_hash)` table behind the MinHash miners —
+    * shared by [[lshCandidatesFromSigs]] and [[bandStats]]. */
+  private def bandedSigs(sigs: DataFrame): DataFrame = {
     // bands as an explicit 16-element array: `sig` appears 16× in argument
     // position, so CollapseProject keeps it materialized (a single lambda-
     // captured reference would re-run the signature aggregate per band)
     val bandArr = array((0 until Bands).map(b =>
       concat_ws(",", slice(col("sig"), lit(b * RowsPerBand + 1), lit(RowsPerBand)))): _*)
-    val banded = sigs.select(col("id"), posexplode(bandArr))
+    sigs.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("b"))
-    l.join(r, Seq("band", "band_hash")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
   }
+
+  /** LSH candidate pairs from a precomputed `(id, sig)` frame: band the
+    * signature (16 bands × 4 rows), bucket-join on (band, band-key), emit
+    * each unordered pair once. Band keys are the joined band values (hash-
+    * scheme-agnostic, so the same banding serves the xxh64 and portable
+    * signatures — bucketing only needs equality). Buckets over `maxBucket`
+    * emit star edges to the bucket min instead of all pairs (see
+    * [[MaxBandBucket]]) — pass `Int.MaxValue` for the exact all-pairs form
+    * at calibration scale. */
+  def lshCandidatesFromSigs(sigs: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    cappedBucketPairs(bandedSigs(sigs), Seq("band", "band_hash"), maxBucket)
 
   /** LSH candidate pairs computed from raw docs. */
   def lshCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     lshCandidatesFromSigs(
       withSignature(docs, textCol).select(col(idCol).as("id"), col("sig")))
+
+  /** Band-bucket occupancy report for BOTH signature pair miners — the
+    * dropped-mass accounting behind [[MaxBandBucket]]: per miner, bucket
+    * count, over-cap bucket count, the worst bucket, the exact all-pairs
+    * candidate mass Σ n(n−1)/2, and the mass the capped/star form actually
+    * emits (≤cap buckets quadratic, over-cap buckets n−1). The sizing read
+    * an operator checks BEFORE a 100 TB dedup pass: `pairs_emitted` is the
+    * verify-join's real input, and `pairs_exact − pairs_emitted` is what
+    * the star reduction saved. Two bounded aggregates per miner over the
+    * same banded tables the miners join. */
+  def bandStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxBucket: Int = MaxBandBucket,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    def report(miner: String, buckets: DataFrame,
+        keyCols: Seq[String]): DataFrame =
+      buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("_n") > maxBucket, 1L).otherwise(0L))
+            .as("n_overcap_buckets"),
+          max(col("_n")).as("max_occupancy"),
+          // `div` keeps the mass integer-exact (n(n−1)/2 at mega-bucket
+          // occupancy overflows double's 2^53 long before it overflows long)
+          sum(expr("_n * (_n - 1) div 2")).as("pairs_exact"),
+          sum(when(col("_n") <= maxBucket, expr("_n * (_n - 1) div 2"))
+            .otherwise(col("_n") - 1)).as("pairs_emitted"))
+        .select(lit(miner).as("miner"), col("n_buckets"),
+          col("n_overcap_buckets"), col("max_occupancy"),
+          col("pairs_exact"), col("pairs_emitted"))
+    val sigs = scope.persist(docs
+      .withColumn("sig", minhashSignaturePortable(col(textCol)))
+      .select(col(idCol).as("sid"), col("sig")))
+    val mh = bandedSigs(sigs.select(col("sid").as("id"), col("sig")))
+    val sh = scope.persist(withSimhash(docs, textCol, portable = true)
+        .select(col(idCol).as("id"), col("simhash")))
+      .select(col("id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bd"),
+          shiftrightunsigned(col("simhash"), 15 * b)
+            .bitwiseAND(lit(32767L)).as("bkey"))): _*)).as("_band"))
+      .select(col("id"), col("_band.bd").as("bd"), col("_band.bkey").as("bkey"))
+    report("minhash", mh, Seq("band", "band_hash"))
+      .unionByName(report("simhash", sh, Seq("bd", "bkey")))
+  }
 
   /** Candidate pairs + estimated Jaccard from signature agreement; keep
     * pairs with est ≥ threshold (num agreeing hashes ≥ thresh64/64).
@@ -231,6 +318,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minAgree: Int = 32,
       portable: Boolean = false,
+      maxBucket: Int = MaxBandBucket,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     // Persist the (id, sig) table: it feeds the band join twice and the
     // verify join twice — without it the signature aggregate (the expensive
@@ -240,7 +328,7 @@ object Dedup {
       else minhashSignature(col(textCol))
     val sigs = scope.persist(docs.withColumn("sig", sigCol)
       .select(col(idCol).as("sid"), col("sig")))
-    lshCandidatesFromSigs(sigs.select(col("sid").as("id"), col("sig")))
+    lshCandidatesFromSigs(sigs.select(col("sid").as("id"), col("sig")), maxBucket)
       .join(sigs.select(col("sid").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("sid").as("b"), col("sig").as("sig_b")), "b")
       .withColumn("n_agree",
@@ -303,26 +391,28 @@ object Dedup {
     * shingle/vote work); band join is the inverted-index shape — work
     * O(band collisions), never all-pairs; the verify is integer-only.
     * Near-identical docs (the use case) collide on all 4 bands, so the
-    * distinct() pre-verify dedups candidate multiplicity. */
+    * distinct() pre-verify dedups candidate multiplicity. Buckets over
+    * `maxBucket` emit star edges to the bucket min instead of all pairs
+    * ([[MaxBandBucket]]): the pigeonhole guarantee then holds for pairs
+    * whose shared bucket is ≤ cap; over-cap buckets (in practice exact-dup
+    * mega-clusters, hamming 0 to the representative) stay connected through
+    * the star — pass `Int.MaxValue` for the exact form. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = MaxBandBucket,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x15-bit banding guarantees recall only for maxHamming <= 3")
     val sh = scope.persist(withSimhash(docs, textCol, portable = true)
       .select(col(idCol).as("id"), col("simhash")))
-    val banded = sh.select(col("id"), col("simhash"),
+    val banded = sh.select(col("id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bd"),
           shiftrightunsigned(col("simhash"), 15 * b)
             .bitwiseAND(lit(32767L)).as("bkey"))): _*)).as("_band"))
-      .select(col("id"), col("simhash"),
-        col("_band.bd").as("bd"), col("_band.bkey").as("bkey"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bd") === col("y.bd") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.simhash").as("_sa"), col("y.simhash").as("_sb"))
-      .distinct()
+      .select(col("id"), col("_band.bd").as("bd"), col("_band.bkey").as("bkey"))
+    cappedBucketPairs(banded, Seq("bd", "bkey"), maxBucket)
+      .join(sh.select(col("id").as("a"), col("simhash").as("_sa")), "a")
+      .join(sh.select(col("id").as("b"), col("simhash").as("_sb")), "b")
       .select(col("a"), col("b"), hamming(col("_sa"), col("_sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
@@ -617,7 +707,10 @@ object Dedup {
     * ONCE (exactly [[minhashPairs]] at the laxest threshold); each scored
     * pair fans out to the thresholds it clears via an in-row explode
     * (|thresholds| is a handful) and two bounded aggregates finish. The
-    * sweep costs one dedup pass, not |thresholds| passes. */
+    * sweep costs one dedup pass, not |thresholds| passes. The corpus total
+    * rides the plan as a cross-joined 1-row aggregate (the
+    * [[graft.ops.Sampling.tokenBudgetMix]] pattern) — no eager count()
+    * action, so the whole sweep is ONE job. */
   def minhashSweep(docs: DataFrame, thresholds: Seq[Int],
       textCol: String = "text", idCol: String = "doc_id",
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
@@ -625,9 +718,9 @@ object Dedup {
     require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
       "thresholds must be strictly ascending")
     val spark = docs.sparkSession
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
     val pairs = minhashPairs(docs, textCol, idCol,
-      minAgree = thresholds.head, portable = true, scope)
+      minAgree = thresholds.head, portable = true, scope = scope)
     val hits = pairs
       .select(col("b"),
         explode(array(thresholds.map(t => lit(t)): _*)).as("min_agree"),
@@ -638,10 +731,11 @@ object Dedup {
     import spark.implicits._
     thresholds.toDF("min_agree")
       .join(hits, Seq("min_agree"), "left")
+      .crossJoin(nDocs)
       .select(col("min_agree"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        (lit(nDocs) - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        (col("_n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
   }
 
   /** Cross-group near-duplication OVERLAP matrix — the syndication

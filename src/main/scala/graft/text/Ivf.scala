@@ -73,6 +73,56 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Sufficient statistics of ONE distributed Lloyd iteration from `model`:
+    * nearest-centroid assignment (narrow map — C cosines per row against
+    * broadcast literals), then per-(cell, dim) quantized component sums
+    * plus cell size (map-side partials). Output is bounded at C × dim rows
+    * however large the corpus — exactly the assign + aggregate shape
+    * distributed k-means (e.g. MLlib) runs at scale. Shared by
+    * op_kmeans_step and the iterated [[kmeansIterStats]] path. */
+  def lloydStats(corpus: DataFrame, model: Model): DataFrame =
+    assign(corpus, model)
+      .select(col("ivf_cell"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("ivf_cell", "dim")
+      .agg(sum(floor(col("x").cast("double") * 1000).cast("long"))
+        .as("sum_milli"),
+        count(lit(1)).as("n"))
+
+  /** One distributed Lloyd UPDATE: reduce the corpus to its C × dim
+    * sufficient statistics ([[lloydStats]] — kilobytes, the same
+    * driver-sized reduce MLlib's k-means performs per iteration) and
+    * rebuild the model from them. New component = sum_milli / (n·1000) —
+    * ONE IEEE division of exact integers rounded once to float, so the
+    * DuckDB oracle replays the identical arithmetic bit-for-bit; empty
+    * cells keep their previous centroid. Cosine assignment is
+    * scale-invariant, so the unnormalized mean partitions identically to
+    * the spherical-normalized form. */
+  def lloydNext(corpus: DataFrame, model: Model): Model = {
+    val dim = model.centroids.head.length
+    val stats = lloydStats(corpus, model).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    Model(Array.tabulate(model.c)(j => Array.tabulate(dim)(d =>
+      stats.get((j, d)).map { case (s, n) =>
+        (s.toDouble / (n * 1000L).toDouble).toFloat
+      }.getOrElse(model.centroids(j)(d)))))
+  }
+
+  /** `iters` distributed Lloyd iterations from `init`: iters−1 driver-fed
+    * centroid updates ([[lloydNext]] — each moves only C × dim longs to
+    * the driver and broadcasts C × dim floats back as literals), then the
+    * FINAL iteration's statistics as the returned lazy frame. This is the
+    * corpus-scale k-means loop [[train]] only approximates on a driver
+    * sample: every assignment pass is distributed, and the per-iteration
+    * driver state is centroid-sized regardless of corpus size. */
+  def kmeansIterStats(corpus: DataFrame, init: Model, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    var m = init
+    for (_ <- 1 until iters) m = lloydNext(corpus, m)
+    lloydStats(corpus, m)
+  }
+
   /** Per-centroid cosine similarities as an array column. */
   private def simArray(emb: Column, model: Model): Column =
     array(model.centroids.toIndexedSeq.map(cv => CosineSim(emb, typedLit(cv.toSeq))): _*)

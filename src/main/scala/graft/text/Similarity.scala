@@ -283,7 +283,9 @@ object Similarity {
     require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
       "thresholds must be strictly ascending")
     val spark = corpus.sparkSession
-    val nVecs = corpus.count()
+    // corpus total rides the plan as a cross-joined 1-row aggregate (the
+    // tokenBudgetMix pattern) — no eager count() action, ONE job
+    val nVecs = corpus.agg(count(lit(1)).as("_n_vecs"))
     val assigned = scope.persist(Ivf.assign(corpus, model)
       .select(col("vec_id"), col("ivf_cell"), col("embedding")))
     val l = assigned.select(col("ivf_cell"), col("vec_id").as("a"),
@@ -302,10 +304,11 @@ object Similarity {
     import spark.implicits._
     thresholds.toDF("threshold")
       .join(hits, Seq("threshold"), "left")
+      .crossJoin(nVecs)
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        (lit(nVecs) - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        (col("_n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
   }
 
   /** Cell-scoped k-NN GRAPH over the whole corpus — every vector's top-k

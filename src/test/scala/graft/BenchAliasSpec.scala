@@ -152,7 +152,8 @@ class BenchAliasSpec extends AnyFunSuite {
     // 255 long-keyed queries can't fit as a map — the values array rung
     // keeps ALL of them (keys implied by ascending query name)
     assert(!line.contains("q_omitted"), line.take(300))
-    assert(line.contains("\"qorder\":\"asc query name\""), line.take(300))
+    assert(line.contains("\"qorder\":\"asc query name, failed included\""),
+      line.take(300))
     val vals = line.substring(line.indexOf("\"qv\":[") + 6)
       .takeWhile(_ != ']').split(",")
     assert(vals.length == qs.size)

@@ -36,4 +36,40 @@ class BenchSidecarSpec extends AnyFunSuite {
     val qi = side.indexOf("\"queries\":")
     assert(side.indexOf("op_ann_topk", qi) < side.indexOf("op_tax_calc", qi))
   }
+
+  test("a full min_of_2 run never emits p2_covered (the default)") {
+    assert(!side.contains("p2_covered"), side.take(200))
+  }
+
+  test("budgeted partial pass 2: sidecar and metric line both mark coverage") {
+    // the round-14 degraded mode: a contended box that can't afford a full
+    // second pass still carries warm min-of-2 data for the cheapest
+    // p2_covered queries — and says so on BOTH artifacts, at every level
+    val partial = Bench.sidecarJson(
+      total = 12.345, agg = "min_of_2_partial", warmSec = 3.5, p1Total = 14.0,
+      failed = Nil, sfDir = "/root/testdata/sf0.1",
+      results = Map("op_tax_calc" -> 1.234, "op_ann_topk" -> 0.5),
+      p1 = Map("op_tax_calc" -> 1.5, "op_ann_topk" -> 0.75), p2Covered = 1)
+    assert(partial.contains("\"agg\":\"min_of_2_partial\""))
+    assert(partial.contains("\"p2_covered\":1"), partial.take(250))
+    val line = Bench.metricLine(
+      Seq("op_tax_calc" -> 1.234, "op_ann_topk" -> 0.5), 1.734,
+      "min_of_2_partial", 3.5, 14.0, Nil, "/root/testdata/sf0.1",
+      p2Covered = 1)
+    assert(line.contains("\"agg\":\"min_of_2_partial\",\"p2_covered\":1"),
+      line.take(250))
+    // coverage survives the coarse values-only rung too (2000 long-named
+    // queries force the qv array)
+    val many = (0 until 2000).map(i => f"op_very_long_query_name_$i%04d" -> 0.05)
+    val coarse = Bench.metricLine(many, 100.0, "min_of_2_partial",
+      3.5, 14.0, Nil, "/root/testdata/sf0.1", p2Covered = 1500)
+    assert(coarse.contains("\"p2_covered\":1500"), coarse.take(250))
+    assert(coarse.length <= 1960)
+  }
+
+  test("pass2Order visits queries cheapest-pass-1-first, name tiebreak") {
+    val order = Bench.pass2Order(Map(
+      "op_c" -> 2.0, "op_a" -> 0.5, "op_b" -> 0.5, "op_d" -> 9.0))
+    assert(order == Seq("op_a", "op_b", "op_c", "op_d"))
+  }
 }

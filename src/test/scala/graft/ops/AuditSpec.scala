@@ -110,4 +110,52 @@ class AuditSpec extends SparkSpec {
     // 2 below k=3 holding 2 rows, sizes 1..3
     assert(out == ((3L, 5L, 2L, 2L, 2L, 1L, 3L)))
   }
+
+  test("kAnonymity: colliding quasi-id output names fail loudly") {
+    val rows = Seq((1L, "en")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Audit.kAnonymity(rows, Seq(col("lang"), lit("x").as("lang")), k = 2)
+    }
+    assert(e.getMessage.contains("alias"), e.getMessage)
+  }
+
+  test("kGeneralize: first qualifying rung wins; every released class reaches k; audit re-run clean") {
+    // rung 0 (lang, bucket): four size-2 classes < k=4; rung 1 (bucket
+    // suppressed): two size-4 classes — the chosen release
+    val rows = Seq(
+      (1L, "en", 1), (2L, "en", 2), (3L, "en", 1), (4L, "en", 2),
+      (5L, "de", 1), (6L, "de", 2), (7L, "de", 1), (8L, "de", 2))
+      .toDF("id", "lang", "b")
+    val ladder = Seq(
+      Seq(col("lang"), col("b").as("bucket")),
+      Seq(col("lang"), lit("*").as("bucket")),
+      Seq(lit("*").as("lang"), lit("*").as("bucket")))
+    val out = Audit.kGeneralize(rows, ladder, k = 4).collect()
+    assert(out.forall(_.getInt(0) == 1), out.mkString("; "))
+    val classes = out.map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(classes == Map(("en", "*") -> 4L, ("de", "*") -> 4L))
+    // the audit definition of done: re-running kAnonymity over the CHOSEN
+    // rung's encoding reports zero classes below k
+    val audit = Audit.kAnonymity(rows,
+      Seq(col("lang"), lit("*").as("bucket")), k = 4).head()
+    assert(audit.getAs[Long]("n_classes_below_k") == 0L)
+    assert(audit.getAs[Long]("min_class_size") >= 4L)
+  }
+
+  test("kGeneralize: rung 0 released untouched when already k-anonymous") {
+    val rows = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
+      .toDF("id", "lang")
+    val out = Audit.kGeneralize(rows,
+      Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), k = 2).collect()
+    assert(out.forall(_.getInt(0) == 0))
+    assert(out.map(r => r.getString(1) -> r.getLong(2)).toMap ==
+      Map("en" -> 2L, "de" -> 2L))
+  }
+
+  test("kGeneralize: nothing safe to release (n_rows < k) -> empty output") {
+    val rows = Seq((1L, "en")).toDF("id", "lang")
+    val out = Audit.kGeneralize(rows,
+      Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), k = 2)
+    assert(out.count() == 0L)
+  }
 }

@@ -135,6 +135,75 @@ class SamplingSpec extends SparkSpec {
     assert(wp <= up)
   }
 
+  test("weightedByRace: portable series ln matches Math.log to 1e-12 relative") {
+    // the whole point of negLnU is replacing libm (last-ulp
+    // implementation-specific) with fixed IEEE arithmetic — verify the
+    // series against the JVM's ln across the real hash range
+    val hs = docs.limit(500).select(
+        Dedup.portableHash($"doc_id".cast(StringType)).as("h"))
+      .withColumn("series", Sampling.negLnU($"h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hs.nonEmpty)
+    hs.foreach { case (h, series) =>
+      val exact = -math.log((h + 1).toDouble / math.pow(2.0, 60))
+      val abs = math.abs(series - exact)
+      val rel = abs / math.max(exact, 1e-9)
+      // rel covers the bulk; abs covers u → 1, where (60−p)·ln2 − ln(1+f)
+      // cancels and RELATIVE error is inherently unbounded for ANY
+      // fixed-precision ln (including libm itself)
+      assert(rel < 1e-12 || abs < 1e-14,
+        s"h=$h series=$series exact=$exact rel=$rel abs=$abs")
+    }
+  }
+
+  test("weightedByRace: scale invariance, clamped 10^6 dominance, k winners") {
+    val w = ($"n_chars" % 97 + 1) * lit(50L)
+    def ids(weight: org.apache.spark.sql.Column): Seq[Long] =
+      Sampling.weightedByRace(docs, $"doc_id", weight, k = 30)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = ids(w)
+    assert(got.length == 30 && got.distinct.length == 30)
+    // exponential-race keys scale by 1/c when every weight scales by c —
+    // the selected set (and order) is weight-SCALE invariant
+    assert(got == ids(w * 16))
+    // pure function of the data: repartitioning cannot move the sample
+    assert(got == Sampling.weightedByRace(docs.repartition(13), $"doc_id", w,
+      k = 30).select("doc_id").collect().map(_.getLong(0)).toSeq)
+    // a 10^6-weight row races 10^6 unit-rate exponentials: its key is its
+    // hash-exponential / 10^6 — on this fixture it wins outright
+    val heavy = Sampling.weightedByRace(docs, $"doc_id",
+      when($"doc_id" === 42L, 1000000L).otherwise(1L), k = 1)
+      .select("doc_id", "weight").collect().head
+    assert(heavy.getLong(1) == 1000000L && heavy.getLong(0) == 42L,
+      s"heavy row lost the race: $heavy")
+  }
+
+  test("weightedByRace ~ weightedByHash: same selection pressure per weight class") {
+    // distribution equivalence on the clamped overlap range [1, 64]: both
+    // samplers realize P(win) proportional to weight, so on a 2-class
+    // corpus (w=1 vs w=8) their per-class pick counts must agree within
+    // sampling noise — the race is the closed form OF the ticket scheme
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 8L else 1L))
+      .toDF("doc_id", "w")
+    def shares(pick: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = pick.select("doc_id").collect().map(_.getLong(0))
+      (rows.count(_ % 2 == 0).toLong, rows.count(_ % 2 == 1).toLong)
+    }
+    val (raceH, raceL) = shares(
+      Sampling.weightedByRace(df, $"doc_id", $"w", k = 500))
+    val (tickH, tickL) = shares(
+      Sampling.weightedByHash(df, $"doc_id", $"w", k = 500))
+    // expected heavy share ≈ 8/9 of picks while the pool lasts; allow wide
+    // deterministic-fixture tolerance but pin both samplers to the SAME
+    // regime and to each other within 10%
+    for ((h, l) <- Seq((raceH, raceL), (tickH, tickL))) {
+      assert(h + l == 500)
+      assert(h > 350, s"heavy class under-selected: $h")
+    }
+    assert(math.abs(raceH - tickH) <= 50,
+      s"race $raceH vs tickets $tickH heavy picks diverge")
+  }
+
   test("tokenBudgetMix: sqrt-tempered token rates; smallest group keeps all; exact accounting") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (i.toLong, "small", 10L)) ++

@@ -382,6 +382,84 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ <= 3))
   }
 
+  test("capped/star band join: planted mega-cluster keeps the exact CC drop-set, linear output") {
+    // 300 exact duplicates (> MaxBandBucket = 256) of one boilerplate page:
+    // every one of its 16 band buckets is over-cap, so the capped form
+    // emits 299 star edges per band instead of 44 850 pairs. Plus one
+    // genuine near-dup pair and two unrelated singletons riding along.
+    val mega = (100L to 399L).map(i =>
+      (i, "subscribe to our newsletter for updates about the channel and more stories daily"))
+    val rest = Seq(
+      (500L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (501L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (600L, "completely different content about spark distributed query engines"),
+      (601L, "another unrelated document mentioning neither foxes nor rivers at all"))
+    val corpus = (mega ++ rest).toDF("doc_id", "text")
+    val scope = new graft.ops.CacheScope
+    try {
+      val capped = Dedup.minhashPairs(corpus, minAgree = 20, portable = true,
+        scope = scope)
+      val exact = Dedup.minhashPairs(corpus, minAgree = 20, portable = true,
+        maxBucket = Int.MaxValue, scope = scope)
+      val nCapped = capped.count()
+      val nExact = exact.count()
+      assert(nExact >= 300L * 299 / 2, s"all-pairs form should be quadratic: $nExact")
+      assert(nCapped <= 300L + 10, s"capped form should be linear: $nCapped")
+      // the whole point: connected-components dedup drops the SAME docs
+      def dropSet(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+        Dedup.components(pairs.select("a", "b"))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dc = dropSet(capped)
+      assert(dc == dropSet(exact), "capped and exact CC drop-sets differ")
+      assert(dc == ((101L to 399L).toSet + 501L), s"unexpected drop-set: ${dc.size}")
+    } finally scope.unpersistAll()
+  }
+
+  test("bandStats: over-cap accounting recomputes on the planted mega-cluster") {
+    val mega = (100L to 399L).map(i =>
+      (i, "subscribe to our newsletter for updates about the channel and more stories daily"))
+    val corpus = (mega ++ Seq(
+      (600L, "completely different content about spark distributed query engines")))
+      .toDF("doc_id", "text")
+    val scope = new graft.ops.CacheScope
+    try {
+      val out = Dedup.bandStats(corpus, scope = scope).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      val (nb, over, maxOcc, pe, pm) = out("minhash")
+      // 16 bands: the mega-cluster fills one 300-doc bucket per band (over
+      // cap), the singleton its own; all-pairs mass = 16 * 300*299/2,
+      // emitted mass = 16 * 299 star edges
+      assert(nb == 32L, s"n_buckets: $nb")
+      assert(over == 16L && maxOcc == 300L, s"overcap/max: $over/$maxOcc")
+      assert(pe == 16L * (300L * 299 / 2), s"pairs_exact: $pe")
+      assert(pm == 16L * 299, s"pairs_emitted: $pm")
+      // simhash: 4 bands, same shape (identical docs share all 4 buckets)
+      val (snb, sover, smax, spe, spm) = out("simhash")
+      assert(sover == 4L && smax == 300L, s"simhash overcap/max: $sover/$smax")
+      assert(spe == 4L * (300L * 299 / 2) && spm == 4L * 299,
+        s"simhash mass: $spe/$spm")
+      assert(snb >= 5L, s"simhash buckets: $snb")
+    } finally scope.unpersistAll()
+  }
+
+  test("simhashPairs: star edges keep an over-cap exact-dup mega-cluster connected") {
+    val mega = (100L to 399L).map(i =>
+      (i, "subscribe to our newsletter for updates about the channel and more stories daily"))
+    val corpus = (mega ++ Seq(
+      (600L, "completely different content about spark distributed query engines")))
+      .toDF("doc_id", "text")
+    val scope = new graft.ops.CacheScope
+    try {
+      val got = Dedup.simhashPairs(corpus, scope = scope)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // linear star output: every mega member pairs with the bucket min
+      // (hamming 0 — identical docs), nothing quadratic, singleton untouched
+      assert(got == (101L to 399L).map(i => (100L, i)).toSet, s"${got.size}")
+    } finally scope.unpersistAll()
+  }
+
   test("minhashSweep: each threshold row matches an independent minhashPairs run") {
     val ths = Seq(20, 36, 52)
     val out = Dedup.minhashSweep(docs, ths)

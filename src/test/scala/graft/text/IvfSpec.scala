@@ -88,4 +88,41 @@ class IvfSpec extends SparkSpec {
         s"cell $c dim 0")
     }
   }
+
+  test("lloydNext: centroid = sum/(n·1000) float-rounded; empty cells keep theirs") {
+    // 2 centroids, dim 2: axis-aligned; vectors cluster on centroid 0 only
+    // (cosine to (1,0) beats (0,1) for x>y>0), so centroid 1 stays put
+    val init = Ivf.Model(Array(Array(1f, 0f), Array(0f, 1f)))
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f)), (1L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val next = Ivf.lloydNext(vecs, init)
+    // stats: dim0 sum = floor(900)+floor(800)... floats: 0.9f*1000 etc.
+    val s0 = math.floor(0.9f.toDouble * 1000).toLong +
+      math.floor(0.8f.toDouble * 1000).toLong
+    val s1 = math.floor(0.1f.toDouble * 1000).toLong +
+      math.floor(0.2f.toDouble * 1000).toLong
+    assert(next.centroids(0)(0) == (s0.toDouble / 2000.0).toFloat)
+    assert(next.centroids(0)(1) == (s1.toDouble / 2000.0).toFloat)
+    assert(next.centroids(1).toSeq == Seq(0f, 1f), "empty cell must keep its centroid")
+  }
+
+  test("kmeansIterStats: iters=1 is exactly lloydStats; iters=2 re-assigns on updated centroids") {
+    val model = Ivf.fixedModel(c = 16, dim = 64)
+    val one = Ivf.kmeansIterStats(emb, model, iters = 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val base = Ivf.lloydStats(emb, model).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(one == base)
+    // iteration 2 = one distributed stats pass over lloydNext's model
+    val two = Ivf.kmeansIterStats(emb, model, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val manual = Ivf.lloydStats(emb, Ivf.lloydNext(emb, model)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(two == manual)
+    // total mass conserved: per-cell n sums to the corpus at every iteration
+    def corpusN(m: Map[(Int, Int), (Long, Long)]): Long =
+      m.collect { case ((_, 0), (_, n)) => n }.sum
+    assert(corpusN(two) == emb.count() && corpusN(one) == emb.count())
+  }
 }
