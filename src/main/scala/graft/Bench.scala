@@ -108,7 +108,8 @@ object Bench {
     "snapshot_diff" -> "snp", "split_leakage" -> "slk",
     "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
     "k_anonymity" -> "kan", "band_stats" -> "bnst",
-    "k_generalize" -> "kgn",
+    "k_generalize" -> "kgn", "l_diversity" -> "ldv",
+    "race_per_key" -> "rpk",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -1599,6 +1599,17 @@ object Catalog {
         .select(col("doc_id"), col("weight"), col("priority"))
     }),
 
+    // per-group race sampling: "10 docs per language, probability ∝
+    // token² weight, without replacement" — the race key ranked within
+    // each group through the bounded-heap TopKPerKey operator (≤ k rows
+    // per (group, partition) in the shuffle; stratified's weighted twin)
+    "op_race_per_key" -> ((s, dir) => {
+      val tc = TextOps.tokenCount(col("text")).cast(LongType)
+      graft.ops.Sampling.weightedRacePerKey(t(s, dir, "documents"),
+        Seq("lang"), col("doc_id"), tc * tc, k = 10)
+        .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
+    }),
+
     // token-budget mixture plan: per-language keep rates from sqrt-temper
     // over TOKEN masses (the unit mixtures are specified in), with the
     // docs/tokens each rate would keep — the sign-off table before an
@@ -1711,6 +1722,19 @@ object Catalog {
           when(TextOps.tokenCount(col("text")) === 0, lit(0))
             .otherwise(length(bin(TextOps.tokenCount(col("text"))
               .cast(LongType)))).as("len_bucket")), k = 5)),
+
+    // l-diversity audit (l=3) — k-anonymity's sibling for ATTRIBUTE
+    // disclosure: per (lang, len_bucket) class, how many DISTINCT sources
+    // its rows span; a class whose members all share one source reveals
+    // it (homogeneity attack) even when the class is k-anonymous. Same
+    // bounded-aggregate posture as op_k_anonymity
+    "op_l_diversity" -> ((s, dir) =>
+      graft.ops.Audit.lDiversity(t(s, dir, "documents"),
+        Seq(col("lang"),
+          when(TextOps.tokenCount(col("text")) === 0, lit(0))
+            .otherwise(length(bin(TextOps.tokenCount(col("text"))
+              .cast(LongType)))).as("len_bucket")),
+        col("source"), l = 3)),
 
     // k-anonymity GENERALIZATION — op_k_anonymity's actuator: the first
     // rung of a coarsening ladder (exact log2-length bucket → width-2

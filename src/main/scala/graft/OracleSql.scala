@@ -242,6 +242,50 @@ object OracleSql {
   private def md5Long(col: String): String =
     s"CAST('0x' || substring(md5($col), 1, 15) AS BIGINT)"
 
+  /** Weight + hash source for the race samplers (op_weighted_race /
+    * op_race_per_key): weight = n_tokens² clamped to [1, 10⁶], h = md5-60
+    * of the id string; lang carried for the per-group variant. Yields
+    * `w(doc_id, lang, weight, h)`. */
+  private val raceWeightCte: String = s"""w AS (
+        SELECT doc_id, lang,
+          greatest(CAST(1 AS BIGINT),
+            least(tc * tc, CAST(1000000 AS BIGINT))) AS weight,
+          ${md5Long("CAST(doc_id AS VARCHAR)")} AS h
+        FROM (
+          SELECT doc_id, lang,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+                 END AS BIGINT) AS tc
+          FROM documents))"""
+
+  /** Race-key CTE chain over `w(..., weight, h)` — mirrors
+    * [[graft.ops.Sampling.negLnU]] OPERATION-FOR-OPERATION (exponent via
+    * length(bin(m))−1 plus a 61-entry power-of-two list, atanh-series
+    * mantissa, identical IEEE arithmetic tree), so the priority double is
+    * bit-exact cross-engine. Yields `s8` = w's columns + priority. */
+  private val raceKeyCtes: String = {
+    val pows = (0 to 60).map(1L << _).mkString("[", ",", "]")
+    val terms = graft.ops.Sampling.RaceSeriesTerms
+    val horner = (0 until terms - 1).reverse.foldLeft(
+      s"(CAST(1 AS DOUBLE)/CAST(${2 * (terms - 1) + 1} AS DOUBLE))") {
+      (acc, kk) =>
+        s"((CAST(1 AS DOUBLE)/CAST(${2 * kk + 1} AS DOUBLE)) + z2 * $acc)"
+    }
+    s"""s1 AS (SELECT *, h + 1 AS m FROM w),
+      s2 AS (SELECT *, CAST(length(bin(m)) - 1 AS INT) AS p FROM s1),
+      s3 AS (SELECT *, ($pows)[p + 1] AS twop FROM s2),
+      s4 AS (SELECT *,
+        CAST(m - twop AS DOUBLE) / CAST(twop AS DOUBLE) AS f FROM s3),
+      s5 AS (SELECT *, f / (f + CAST(2 AS DOUBLE)) AS z FROM s4),
+      s6 AS (SELECT *, z * z AS z2 FROM s5),
+      s7 AS (SELECT *, $horner AS t FROM s6),
+      s8 AS (SELECT *,
+        ((CAST(60 AS DOUBLE) - CAST(p AS DOUBLE))
+            * CAST('0.6931471805599453' AS DOUBLE)
+          - (CAST(2 AS DOUBLE) * z) * t) / CAST(weight AS DOUBLE) AS priority
+        FROM s7)"""
+  }
+
   /** Left-to-right cosine similarity between two FLOAT[]/DOUBLE[] columns —
     * bit-identical to [[graft.functions.CosineSim]]'s fused loop. */
   private def cosSql(a: String, b: String): String = s"""
@@ -2004,43 +2048,24 @@ object OracleSql {
     // from Sampling.negLnU (exponent via length(bin(m))−1 + a 61-entry
     // power-of-two list, atanh-series mantissa, the identical IEEE
     // arithmetic tree), so the priority double is bit-exact cross-engine.
-    "op_weighted_race" -> {
-      val pows = (0 to 60).map(1L << _).mkString("[", ",", "]")
-      val terms = graft.ops.Sampling.RaceSeriesTerms
-      val horner = (0 until terms - 1).reverse.foldLeft(
-        s"(CAST(1 AS DOUBLE)/CAST(${2 * (terms - 1) + 1} AS DOUBLE))") {
-        (acc, kk) =>
-          s"((CAST(1 AS DOUBLE)/CAST(${2 * kk + 1} AS DOUBLE)) + z2 * $acc)"
-      }
-      s"""
-      WITH tcd AS (
-        SELECT doc_id,
-          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
-               END AS BIGINT) AS tc
-        FROM documents),
-      w AS (
-        SELECT doc_id,
-          greatest(CAST(1 AS BIGINT),
-            least(tc * tc, CAST(1000000 AS BIGINT))) AS weight,
-          ${md5Long("CAST(doc_id AS VARCHAR)")} AS h
-        FROM tcd),
-      s1 AS (SELECT doc_id, weight, h + 1 AS m FROM w),
-      s2 AS (SELECT *, CAST(length(bin(m)) - 1 AS INT) AS p FROM s1),
-      s3 AS (SELECT *, ($pows)[p + 1] AS twop FROM s2),
-      s4 AS (SELECT *,
-        CAST(m - twop AS DOUBLE) / CAST(twop AS DOUBLE) AS f FROM s3),
-      s5 AS (SELECT *, f / (f + CAST(2 AS DOUBLE)) AS z FROM s4),
-      s6 AS (SELECT *, z * z AS z2 FROM s5),
-      s7 AS (SELECT *, $horner AS t FROM s6),
-      s8 AS (SELECT doc_id, weight,
-        ((CAST(60 AS DOUBLE) - CAST(p AS DOUBLE))
-            * CAST('0.6931471805599453' AS DOUBLE)
-          - (CAST(2 AS DOUBLE) * z) * t) / CAST(weight AS DOUBLE) AS priority
-        FROM s7)
+    "op_weighted_race" -> s"""
+      WITH $raceWeightCte,
+      $raceKeyCtes
       SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
-      FROM s8 ORDER BY priority, doc_id LIMIT 100"""
-    },
+      FROM s8 ORDER BY priority, doc_id LIMIT 100""",
+
+    // Per-group race sample: the same race key ranked WITHIN each lang
+    // (mirrors the bounded-heap TopKPerKey with struct(priority, id)
+    // ascending — ties impossible, the struct carries the id).
+    "op_race_per_key" -> s"""
+      WITH $raceWeightCte,
+      $raceKeyCtes
+      SELECT lang, doc_id, CAST(weight AS BIGINT) AS weight, priority
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY priority, doc_id) AS rn
+        FROM s8) r
+      WHERE rn <= 10""",
 
     // KMV sketch: the k smallest distinct md5-60 hashes and the classic
     // (k-1)·H/kth estimator — deterministic in both engines.
@@ -2362,6 +2387,30 @@ object OracleSql {
           AS n_rows_below_k,
         CAST(min(n) AS BIGINT) AS min_class_size,
         CAST(max(n) AS BIGINT) AS max_class_size
+      FROM c""",
+
+    // l-diversity: distinct non-NULL sources per (lang, len_bucket) class.
+    "op_l_diversity" -> """
+      WITH q AS (
+        SELECT lang, source,
+          CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) = 0 THEN 0
+            ELSE length(bin(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) AS BIGINT))) END AS len_bucket
+        FROM documents),
+      c AS (SELECT lang, len_bucket, count(*) AS n,
+              count(DISTINCT source) AS ld
+            FROM q GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN ld < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classes_below_l,
+        CAST(sum(CASE WHEN ld < 3 THEN n ELSE 0 END) AS BIGINT)
+          AS n_rows_below_l,
+        CAST(min(ld) AS BIGINT) AS min_diversity,
+        CAST(max(ld) AS BIGINT) AS max_diversity
       FROM c""",
 
     // Generalization ladder: the first rung whose every class reaches k=5;

@@ -124,6 +124,36 @@ object Audit {
       min("_n").as("min_class_size"), max("_n").as("max_class_size"))
   }
 
+  /** l-DIVERSITY audit — [[kAnonymity]]'s sibling for ATTRIBUTE
+    * disclosure: a class can be k-anonymous and still reveal its members'
+    * sensitive value when all k of them share it (the homogeneity
+    * attack). Per quasi-identifier class, the count of DISTINCT NON-NULL
+    * sensitive values; one summary row mirrors the k-anonymity report:
+    * class totals, classes below `l` (including all-NULL-sensitive
+    * classes, which have diversity 0), the rows those classes hold, and
+    * the diversity extremes — the numbers that decide whether the
+    * sensitive column needs suppression before release.
+    *
+    * Scale: identical posture to [[kAnonymity]] — one narrow projection,
+    * one keyed aggregate with map-side partials (count distinct inside a
+    * class is bounded by the class), one 1-row rollup. */
+  def lDiversity(df: DataFrame, quasiIds: Seq[org.apache.spark.sql.Column],
+      sensitive: org.apache.spark.sql.Column, l: Int): DataFrame = {
+    require(l >= 2, "l must be at least 2")
+    val projected = df.select(quasiIds :+ sensitive.as("_sens"): _*)
+    require(projected.columns.distinct.length == projected.columns.length,
+      s"lDiversity: quasi-identifier output names collide " +
+        s"(${projected.columns.dropRight(1).mkString(", ")}) — alias " +
+        "duplicate quasi-id expressions (and none may be named _sens)")
+    val qcols = projected.columns.dropRight(1)
+    val classes = projected.groupBy(qcols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), countDistinct(col("_sens")).as("_l"))
+    classes.agg(count(lit(1)).as("n_classes"), sum("_n").as("n_rows"),
+      sum(when(col("_l") < l, 1L).otherwise(0L)).as("n_classes_below_l"),
+      sum(when(col("_l") < l, col("_n")).otherwise(0L)).as("n_rows_below_l"),
+      min("_l").as("min_diversity"), max("_l").as("max_diversity"))
+  }
+
   /** k-anonymity GENERALIZATION — the actuator for [[kAnonymity]]'s
     * report: given a LADDER of progressively coarser quasi-identifier
     * encodings (rung 0 = the original tuple; each later rung generalizes

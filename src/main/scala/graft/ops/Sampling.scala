@@ -200,6 +200,33 @@ object Sampling {
       .limit(k)
   }
 
+  /** PER-GROUP exponential-race weighted sampling — [[weightedByRace]]'s
+    * key ranked WITHIN each group: "k docs per language, probability ∝
+    * weight, without replacement" as one operator. [[stratified]] draws
+    * uniformly per group; this draws proportional-to-weight per group with
+    * the same determinism (the race key is a pure function of the data).
+    *
+    * Scale: the key is the same O(1)-per-row portable computation, and the
+    * per-group top-k rides the bounded-heap [[TopK.perKey]] operator — ≤ k
+    * rows per (group, partition) move in the shuffle, so a 100 M-doc
+    * language costs what a 100-doc language costs after the map-side
+    * heaps. Ties cannot exist (the struct carries the id). */
+  def weightedRacePerKey(df: DataFrame, keyCols: Seq[String], id: Column,
+      weight: Column, k: Int,
+      hashOf: Column => Column = graft.text.Dedup.portableHash,
+      maxWeight: Int = 1000000): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be positive")
+    require(!df.columns.exists(Set("weight", "priority")),
+      "weightedRacePerKey: input must not contain the output columns weight/priority")
+    val w = greatest(lit(1L), least(weight.cast("long"), lit(maxWeight.toLong)))
+    val keyed = df.withColumn("weight", w)
+      .withColumn("priority",
+        negLnU(hashOf(id.cast("string"))) / col("weight").cast("double"))
+    TopK.perKey(keyed, keyCols, struct(col("priority"), id), k,
+      descending = false)
+  }
+
   /** TOKEN-budget mixture planner — [[byTemperature]] recomputed in the
     * unit training mixtures are actually specified in: per-group keep
     * rate = floor(1000·√(tok_min/tok_g)) (α = 0.5 temper over TOKEN

@@ -142,6 +142,21 @@ class AuditSpec extends SparkSpec {
     assert(audit.getAs[Long]("min_class_size") >= 4L)
   }
 
+  test("lDiversity: homogeneous classes flagged; NULL sensitive counts as diversity 0") {
+    // class (en): sources a,a,a -> diversity 1 (homogeneity attack);
+    // class (de): a,b,c -> diversity 3; class (fr): NULL,NULL -> 0
+    val rows = Seq(
+      (1L, "en", Some("a")), (2L, "en", Some("a")), (3L, "en", Some("a")),
+      (4L, "de", Some("a")), (5L, "de", Some("b")), (6L, "de", Some("c")),
+      (7L, "fr", None), (8L, "fr", None))
+      .toDF("id", "lang", "src")
+    val out = Audit.lDiversity(rows, Seq(col("lang")), col("src"), l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    // 3 classes / 8 rows; en (3 rows) + fr (2 rows) below l=3; extremes 0..3
+    assert(out == ((3L, 8L, 2L, 5L, 0L, 3L)))
+  }
+
   test("kGeneralize: rung 0 released untouched when already k-anonymous") {
     val rows = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
       .toDF("id", "lang")

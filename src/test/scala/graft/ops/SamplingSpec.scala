@@ -178,6 +178,27 @@ class SamplingSpec extends SparkSpec {
       s"heavy row lost the race: $heavy")
   }
 
+  test("weightedRacePerKey: per-group winners = the group's k smallest race keys") {
+    val w = ($"n_chars" % 97 + 1) * lit(50L)
+    val got = Sampling.weightedRacePerKey(docs, Seq("lang"), $"doc_id", w, k = 5)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // mirror: global race keys ranked within each lang
+    val ranked = Sampling.weightedByRace(docs, $"doc_id", w, k = docs.count().toInt)
+      .select("doc_id", "priority")
+    val langs = docs.select("doc_id", "lang")
+    val expected = ranked.join(langs, "doc_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy($"priority", $"doc_id")))
+      .filter($"rn" <= 5).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    got.groupBy(_._1).foreach { case (l, g) =>
+      assert(g.size <= 5, s"lang $l got ${g.size} rows")
+    }
+  }
+
   test("weightedByRace ~ weightedByHash: same selection pressure per weight class") {
     // distribution equivalence on the clamped overlap range [1, 64]: both
     // samplers realize P(win) proportional to weight, so on a 2-class
