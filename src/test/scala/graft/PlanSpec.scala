@@ -213,6 +213,56 @@ class PlanSpec extends SparkSpec {
     assert(shuffleCount(df) == 0, p.take(2000))
   }
 
+  test("op_weighted_race: O(1) key is fully narrow; winners via TakeOrdered, zero shuffles") {
+    val df = SparkEntry.queries("op_weighted_race")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the portable-ln race key is plain in-row arithmetic: no Generate
+    // (ticket explode), no join, no window; global top-k bounded
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("Window"), p.take(1500))
+    assert(shuffleCount(df) == 0, p.take(2000))
+  }
+
+  test("op_race_per_key: per-group race via TopKPerKey, never a window or sort") {
+    val p = plan("op_race_per_key")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("\nSort "), p.take(1500))
+  }
+
+  test("op_k_generalize / op_l_diversity: bounded aggregates; the only join is the 1-row rung choice") {
+    val kg = SparkEntry.queries("op_k_generalize")(spark, sf)
+    val pk = kg.queryExecution.executedPlan.toString
+    // ladder fan-out is an in-row explode (Generate) feeding a keyed
+    // aggregate; rung choice arrives as a 1-row broadcast nested loop —
+    // never a sort-merge join, never a window, never a corpus sort
+    assert(!pk.contains("SortMergeJoin") && !pk.contains("Window"),
+      pk.take(1500))
+    val ld = SparkEntry.queries("op_l_diversity")(spark, sf)
+    val pl = ld.queryExecution.executedPlan.toString
+    assert(!pl.contains("Join") && !pl.contains("Window") &&
+      !pl.contains("Generate"), pl.take(1500))
+  }
+
+  test("op_band_stats: two bounded occupancy aggregates, no self-join anywhere") {
+    val df = SparkEntry.queries("op_band_stats")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the accounting must never pay the pair join it is sizing
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("\nSort "), p.take(1500))
+  }
+
+  test("op_kmeans_iter: each iteration is narrow assignment + partial aggregation") {
+    val df = SparkEntry.queries("op_kmeans_iter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // final-iteration plan (iteration 1 already reduced to driver
+    // literals): posexplode feeds a partial-then-final aggregate; no
+    // joins, no windows — C×dim rows out however large the corpus
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+    assert(shuffleCount(df) <= 1, p.take(2000))
+  }
+
   test("op_dsir_weights: bucket model broadcast back; only the per-doc sum shuffles the corpus") {
     val df = SparkEntry.queries("op_dsir_weights")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
