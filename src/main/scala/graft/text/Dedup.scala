@@ -228,7 +228,10 @@ object Dedup {
     val stats = buckets.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"), min(col("id")).as("_m"))
     val tagged = buckets.join(stats, keyCols)
-    val small = tagged.filter(col("_n") <= maxBucket)
+    // _n >= 2: singleton buckets (the vast majority of a healthy banding)
+    // cannot form pairs — dropping them before the self-join shrinks its
+    // input to just the colliding rows
+    val small = tagged.filter(col("_n") >= 2 && col("_n") <= maxBucket)
     val allPairs = small.select(keyCols.map(col) :+ col("id").as("a"): _*)
       .join(small.select(keyCols.map(col) :+ col("id").as("b"): _*), keyCols)
       .filter(col("a") < col("b"))
