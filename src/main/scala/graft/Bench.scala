@@ -116,7 +116,7 @@ object Bench {
     "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
     "ngram_lang_id" -> "nli", "chi2_terms" -> "x2",
     "kmeans_step" -> "kmn", "kmeans_iter" -> "kmi",
-    "grouping_sets" -> "gst",
+    "trained_ivf_ann" -> "tiv", "grouping_sets" -> "gst",
     "bloom_join" -> "blm", "rank_stats" -> "rkst",
     "triangles" -> "tri", "corr_stats" -> "corr",
     "pagerank" -> "pgr", "cooccur" -> "cc",

@@ -2818,6 +2818,20 @@ object Catalog {
       graft.text.Ivf.kmeansIterStats(t(s, dir, "embeddings"),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), iters = 2)),
 
+    // IVF ANN over the TRAINED centroids — the op_kmeans_iter loop put to
+    // work: ONE distributed Lloyd update of the fixed model (driver-fed
+    // C×dim sufficient statistics), then the standard probe/score/rank
+    // search against the updated cells. The oracle rebuilds the identical
+    // data-adaptive centroids in SQL, so even the trained search is
+    // hash-exact cross-engine
+    "op_trained_ivf_ann" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      val model = graft.text.Ivf.lloydNext(emb,
+        graft.text.Ivf.fixedModel(c = 16, dim = 64))
+      graft.text.Ivf.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        model, k = 5, nprobe = 4)
+    }),
+
     // end-to-end training-data curation pipeline — the flagship composition
     // of the LLM-data ops: quality-filter ('ok' bucket only) → exact dedup
     // (min-doc_id survivor per identical text, a windowed min keyed on the

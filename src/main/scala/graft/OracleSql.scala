@@ -410,6 +410,49 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
+  /** One unrolled Lloyd update + re-assignment over the UPDATED centroids
+    * — mirrors [[graft.text.Ivf.lloydNext]] then [[graft.text.Ivf.assign]]:
+    * iteration-1 statistics from `assigned` (the fixed-centroid CTE),
+    * centroid rebuild (new component = sum_milli/(n·1000), ONE exact-int
+    * IEEE division rounded once to FLOAT — the arithmetic the Spark driver
+    * replays; empty cells keep the fixed formula component), centroid
+    * LISTS ordered by dim (so the cosine accumulates left-to-right exactly
+    * like CosineSim), then second-iteration sims + first-max assignment.
+    * Yields `cent2(j, cent)`, `sims2(vec_id, j, sim)`, `asg2(vec_id,
+    * ivf_cell)`. Shared by op_kmeans_iter and op_trained_ivf_ann. */
+  private val lloydCent2Ctes: String = s"""
+      m1 AS (
+        SELECT a.ivf_cell, emb.embedding
+        FROM assigned a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+      x1 AS (
+        SELECT ivf_cell, t.i - 1 AS dim,
+          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM m1, unnest(generate_series(1, len(embedding))) AS t(i)),
+      st1 AS (
+        SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
+          count(*) AS n
+        FROM x1 GROUP BY ivf_cell, dim),
+      grid AS (
+        SELECT c.j, t.i - 1 AS dim, c.cent[t.i] AS old_comp
+        FROM cents c, unnest(generate_series(1, 64)) AS t(i)),
+      cent2 AS (
+        SELECT g.j,
+          list(CASE WHEN s.n IS NULL THEN g.old_comp
+                    ELSE CAST(CAST(CAST(s.sum_milli AS DOUBLE)
+                           / CAST(s.n * 1000 AS DOUBLE) AS FLOAT) AS DOUBLE)
+               END ORDER BY g.dim) AS cent
+        FROM grid g
+        LEFT JOIN st1 s ON s.ivf_cell = g.j AND s.dim = g.dim
+        GROUP BY g.j),
+      sims2 AS (
+        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
+        FROM embeddings e CROSS JOIN cent2 c),
+      asg2 AS (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM sims2) t WHERE rn = 1)"""
+
   /** Perceptual-hash bits rebuilt from the closed-form image pattern —
     * mirrors [[graft.multimodal.Multimodal.imagePHash]] over
     * `imagePattern(id)` + `resizeNearest` integer index math: 8×8 cell
@@ -4283,45 +4326,11 @@ object OracleSql {
       FROM x GROUP BY ivf_cell, dim""",
 
     // TWO unrolled Lloyd iterations: iteration-1 statistics rebuild the
-    // centroids in SQL (new component = sum_milli/(n·1000), ONE exact-int
-    // IEEE division rounded once to FLOAT — the same arithmetic the Spark
-    // driver replays; empty cells keep the fixed formula component), then
-    // iteration 2 re-assigns against the UPDATED centroid lists (ordered
-    // by dim, so the cosine accumulates left-to-right exactly like
-    // CosineSim) and re-aggregates the same statistics.
+    // centroids in SQL (the shared lloydCent2Ctes chain), then iteration 2
+    // re-aggregates the same statistics over the updated assignment.
     "op_kmeans_iter" -> s"""
       WITH $ivfCtesSql,
-      m1 AS (
-        SELECT a.ivf_cell, emb.embedding
-        FROM assigned a JOIN embeddings emb ON emb.vec_id = a.vec_id),
-      x1 AS (
-        SELECT ivf_cell, t.i - 1 AS dim,
-          CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS milli
-        FROM m1, unnest(generate_series(1, len(embedding))) AS t(i)),
-      st1 AS (
-        SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
-          count(*) AS n
-        FROM x1 GROUP BY ivf_cell, dim),
-      grid AS (
-        SELECT c.j, t.i - 1 AS dim, c.cent[t.i] AS old_comp
-        FROM cents c, unnest(generate_series(1, 64)) AS t(i)),
-      cent2 AS (
-        SELECT g.j,
-          list(CASE WHEN s.n IS NULL THEN g.old_comp
-                    ELSE CAST(CAST(CAST(s.sum_milli AS DOUBLE)
-                           / CAST(s.n * 1000 AS DOUBLE) AS FLOAT) AS DOUBLE)
-               END ORDER BY g.dim) AS cent
-        FROM grid g
-        LEFT JOIN st1 s ON s.ivf_cell = g.j AND s.dim = g.dim
-        GROUP BY g.j),
-      sims2 AS (
-        SELECT e.vec_id, c.j, ${cosSql("e.embedding", "c.cent")} AS sim
-        FROM embeddings e CROSS JOIN cent2 c),
-      asg2 AS (
-        SELECT vec_id, ivf_cell FROM (
-          SELECT vec_id, j AS ivf_cell,
-            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
-          FROM sims2) t WHERE rn = 1),
+      $lloydCent2Ctes,
       m2 AS (
         SELECT a.ivf_cell, emb.embedding
         FROM asg2 a JOIN embeddings emb ON emb.vec_id = a.vec_id),
@@ -4332,6 +4341,36 @@ object OracleSql {
       SELECT ivf_cell, dim, CAST(sum(milli) AS BIGINT) AS sum_milli,
         count(*) AS n
       FROM x2 GROUP BY ivf_cell, dim""",
+
+    // IVF ANN over the TRAINED centroids — the op_kmeans_iter model put to
+    // work: the same probe/score/rank pipeline as op_ivf_ann, but probes
+    // and cell assignment both come from the UPDATED (data-adaptive)
+    // centroid lists; Spark ties break identically (assignment first-max
+    // cell ASC, probes sim DESC then cell DESC).
+    "op_trained_ivf_ann" -> s"""
+      WITH $ivfCtesSql,
+      $lloydCent2Ctes,
+      probes2 AS (
+        SELECT vec_id AS q_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
+          FROM sims2 WHERE vec_id % 25 = 0) t WHERE rn <= 4),
+      cand2 AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes2 p JOIN asg2 a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      scored2 AS (
+        SELECT c.q_id, c.neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM cand2 c
+        JOIN embeddings e1 ON e1.vec_id = c.q_id
+        JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+            AS rank
+        FROM scored2) r
+      WHERE rank <= 5""",
 
     // PQ codes: every embedding's 8 subvector codewords (argmax dot,
     // first-max ties) against the closed-form codebook.
