@@ -109,7 +109,7 @@ object Bench {
     "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
     "k_anonymity" -> "kan", "band_stats" -> "bnst",
     "k_generalize" -> "kgn", "l_diversity" -> "ldv",
-    "race_per_key" -> "rpk",
+    "race_per_key" -> "rpk", "score_auc" -> "auc",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

@@ -2214,6 +2214,20 @@ object Catalog {
       TextOps.linearScore(t(s, dir, "documents"), weights = Some(w))
     }),
 
+    // bucketed ranking AUC — the classifier EVALUATOR: does
+    // op_linear_score's cheap hashed score rank the gopher-passing docs
+    // higher? P(random positive outranks random negative), ties ½,
+    // over clamped integer score buckets (bounded cumulative window —
+    // the scale-correct AUC); exact integer numerator, one IEEE division
+    "op_score_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = s.range(64).select(col("id").cast(IntegerType).as("bucket"),
+        ((col("id") * 53) % 41 - 20).cast(LongType).as("weight"))
+      TextOps.scoreAuc(
+        TextOps.linearScore(docs, weights = Some(w)),
+        TextOps.gopherRules(docs))
+    }),
+
     // one batch epoch of hashed-perceptron TRAINING over deterministic ±1
     // labels (even doc_id -> +1) — the train-side of the linearScore
     // pair: misclassified docs' tokens aggregate into a bucket-bounded

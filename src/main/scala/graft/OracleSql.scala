@@ -2975,6 +2975,70 @@ object OracleSql {
         CAST(score AS BIGINT) AS score, score > 0 AS label_positive
       FROM s""",
 
+    // Bucketed AUC of the hashed linear score against the Gopher keep
+    // flag: per ascending clamped score bucket, positives pay
+    // 2·(negatives below) + (negatives tied); auc = num2 / (2·P·N) with
+    // double-product denominator. Score and keep CTEs reuse the
+    // op_linear_score / op_gopher_rules constructions verbatim.
+    "op_score_auc" -> s"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+          coalesce(list_sum(list_transform(toks,
+            t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
+                   * 53 % 41 - 20)), 0) AS score
+        FROM tok),
+      padded AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),
+      gsig AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+          $stopwordSumSql AS n_stopword
+        FROM padded),
+      grep_ AS (
+        SELECT doc_id, max(c) AS top_tok_n FROM (
+          SELECT doc_id, t, count(*) AS c FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0) u
+          GROUP BY doc_id, t) g
+        GROUP BY doc_id),
+      keepf AS (
+        SELECT s.doc_id,
+          NOT (s.n_tokens < 25 OR s.n_tokens > 10000
+            OR s.n_word_chars < s.n_tokens * 3
+            OR s.n_word_chars > s.n_tokens * 10
+            OR s.n_digit * 5 > s.n_word_chars
+            OR s.n_stopword * 20 < s.n_tokens
+            OR coalesce(r.top_tok_n, 0) * 8 > s.n_tokens) AS keep
+        FROM gsig s LEFT JOIN grep_ r USING (doc_id)),
+      j AS (
+        SELECT greatest(-500, least(sc.score, 499)) AS b, k.keep
+        FROM sc JOIN keepf k USING (doc_id)),
+      pb AS (
+        SELECT b, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS p,
+          sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n
+        FROM j GROUP BY 1),
+      cum AS (
+        SELECT *, coalesce(sum(n) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        FROM pb)
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        CAST(sum(n) AS BIGINT) AS n_neg,
+        CAST(sum(p * (cumneg * 2 + n)) AS BIGINT) AS auc_num2,
+        CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+          CAST(sum(p * (cumneg * 2 + n)) AS DOUBLE)
+            / (CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE) * CAST(2 AS DOUBLE))
+        ELSE NULL END AS auc
+      FROM cum""",
+
     // DSIR importance weights: 2048-bucket hashed-token model (target =
     // lang 'en'), per-doc exact integer sums of the bucket counts, weight
     // = ONE IEEE double division — TextOps.dsirWeights hash-for-hash.

@@ -1264,6 +1264,50 @@ object TextOps {
       case None => Array.tabulate(buckets)(b => (b.toLong * 37 % 21) - 10)
     }
 
+  /** Bucketed ranking AUC of a document score against a binary reference
+    * label — the evaluator behind "does the cheap classifier actually
+    * rank the good docs higher?": the probability a random positive
+    * outranks a random negative (ties ½), computed over CLAMPED integer
+    * score buckets so the plan stays bounded at any corpus size (the
+    * standard streaming/bucketed-AUC trade: in-bucket ties count as ties,
+    * and the clamp range is the declared score granularity).
+    *
+    * Exact integer math: per ascending bucket, each positive scores
+    * 2·(negatives strictly below) + (negatives tied in-bucket);
+    * `auc_num2` is that exact long sum and `auc` = num2 / (2·P·N) with a
+    * double-product denominator (exact-long P·N·2 would overflow before
+    * the numerator does on a trillion-doc corpus). Degenerate inputs
+    * (no positives or no negatives) yield NULL auc.
+    *
+    * Scale: one id equi-join, one buckets-bounded keyed aggregate with
+    * map-side partials, a cumulative window over ≤ (max−min+1) bucket
+    * rows (bounded by construction — the [[vocabCoverage]] pattern), one
+    * 1-row rollup. Nothing corpus-sized is sorted or windowed. */
+  def scoreAuc(scored: DataFrame, labels: DataFrame,
+      scoreCol: String = "score", labelCol: String = "keep",
+      idCol: String = "doc_id",
+      minScore: Long = -500, maxScore: Long = 499): DataFrame = {
+    require(minScore < maxScore, "minScore must be below maxScore")
+    val joined = scored.select(col(idCol),
+        greatest(lit(minScore), least(col(scoreCol).cast(LongType),
+          lit(maxScore))).as("_b"))
+      .join(labels.select(col(idCol), col(labelCol).as("_pos")), idCol)
+    val perBucket = joined.groupBy("_b").agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_p"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("_cumneg", coalesce(sum("_n").over(w), lit(0L)))
+      .agg(sum("_p").as("n_pos"), sum("_n").as("n_neg"),
+        sum(col("_p") * (col("_cumneg") * 2 + col("_n"))).as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2").cast(DoubleType) /
+            (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)
+              * lit(2.0))).as("auc"))
+  }
+
   def linearScore(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = 64,
       weights: Option[DataFrame] = None): DataFrame = {

@@ -896,4 +896,35 @@ class CurationOpsSpec extends SparkSpec {
     val signs = for (i <- 0 until 4; j <- 0 until 4) yield sign(i, j)
     assert(signs.toSet == Set(1L, -1L))
   }
+
+  test("scoreAuc: hand-computed tie-aware AUC; clamping; degenerate labels NULL") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // positives score {3, 1}, negatives {1, 0}: pairs (3,1)=1, (3,0)=1,
+    // (1,1)=tie ½, (1,0)=1 -> AUC 3.5/4 = 0.875, num2 = 7
+    val scored = Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 0L))
+      .toDF("doc_id", "score")
+    val labels = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "keep")
+    val r = TextOps.scoreAuc(scored, labels).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 7L)), r.toString)
+    assert(math.abs(r.getDouble(3) - 0.875) < 1e-15)
+    // a perfect ranker scores 1.0
+    val perfect = Seq((1L, true), (2L, false), (3L, false), (4L, false))
+      .toDF("doc_id", "keep")
+    assert(TextOps.scoreAuc(Seq((1L, 9L), (2L, 5L), (3L, 2L), (4L, 0L))
+      .toDF("doc_id", "score"), perfect).head().getDouble(3) == 1.0)
+    // out-of-range scores clamp into the edge buckets (become ties there)
+    val clamped = TextOps.scoreAuc(
+      Seq((1L, 900L), (2L, 700L), (3L, 600L), (4L, -800L))
+        .toDF("doc_id", "score"), labels).head()
+    // pos {900->499, 700->499}, neg {600->499, -800->-500}:
+    // vs the 499-tied neg both pos tie (½ each), vs -500 both win -> 3/4
+    assert(math.abs(clamped.getDouble(3) - 0.75) < 1e-15, clamped.toString)
+    // degenerate: all labels positive -> NULL auc, counts still reported
+    val allPos = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("doc_id", "keep")
+    val d = TextOps.scoreAuc(scored, allPos).head()
+    assert(d.getLong(0) == 4L && d.getLong(1) == 0L && d.isNullAt(3))
+  }
 }
