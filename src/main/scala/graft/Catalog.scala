@@ -2606,6 +2606,30 @@ object Catalog {
     "op_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(dedupCorpus(s, dir))),
 
+    // simhash candidate quality vs the exact jaccard near-dup pairs — the
+    // sketch-eval read op_dedup_recall provides for MinHash, completing
+    // the calibration family: hamming<=3 is a STRICTER near-dup notion
+    // than jaccard 1/3, so recall is the measured answer to "which n-gram
+    // near-dups does the 60-bit fingerprint surface" and precision_proxy
+    // to "are its pairs real near-dups". Both pair frames persist (same
+    // reasoning as op_dedup_recall: ~100-row results, 3 reuses each)
+    "op_simhash_recall" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sh = Dedup.simhashPairs(corpus).select("a", "b").persist(lvl)
+      val ex = Dedup.jaccardPairs(corpus).select("a", "b").persist(lvl)
+      sh.join(ex, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
+        .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
+        .crossJoin(ex.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_simhash"), col("n_exact"), col("n_both"),
+          when(col("n_exact") > 0,
+            col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType))
+            .otherwise(1.0).as("recall"),
+          when(col("n_simhash") > 0,
+            col("n_both").cast(DoubleType) / col("n_simhash").cast(DoubleType))
+            .otherwise(1.0).as("precision_proxy"))
+    }),
+
     // band-bucket occupancy accounting for both signature pair miners —
     // the dropped-mass ledger behind the MaxBandBucket cap/star reduction:
     // per miner, bucket totals, over-cap buckets, the worst bucket, exact

@@ -625,6 +625,47 @@ object OracleSql {
         JOIN sig sb ON sb.doc_id = c.b)
       SELECT a, b, n_agree FROM pairs WHERE n_agree >= 20"""
 
+  /** SimHash banded Hamming pairs (hybrid capped/star buckets, verify
+    * ≤ 3) — shared by op_simhash_pairs and op_simhash_recall. */
+  private val simhashPairsSql: String = s"""
+      WITH $shinglesCte,
+      hsh AS (
+        SELECT doc_id, list(${md5Long("s")}) AS hs
+        FROM shd GROUP BY doc_id),
+      sh AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 59), j ->
+            CASE WHEN list_sum(list_transform(hs,
+                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM hsh),
+      banded AS (
+        SELECT doc_id, b.bd,
+          (simhash >> (15 * b.bd)) & 32767 AS bkey
+        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
+      bstats AS (
+        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
+        FROM banded GROUP BY bd, bkey),
+      cand AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM banded x
+          JOIN banded y ON x.bd = y.bd AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id
+          JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n <= ${graft.text.Dedup.MaxBandBucket}
+          UNION ALL
+          SELECT st.m AS a, x.doc_id AS b
+          FROM banded x JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
+          WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m))
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.a
+      JOIN sh s2 ON s2.doc_id = c.b
+      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3"""
+
   /** All oracle SQL, keyed identically to [[SparkEntry.queries]]. */
   val all: Map[String, String] = Map(
     // ---- generic relational ops over the TPC-H-ish testdata ----
@@ -4232,44 +4273,26 @@ object OracleSql {
 
     // SimHash banded Hamming pairs: same simhash construction, 4x15-bit
     // band collision candidates, exact xor-popcount verify at <= 3.
-    "op_simhash_pairs" -> s"""
-      WITH $shinglesCte,
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")}) AS hs
-        FROM shd GROUP BY doc_id),
-      sh AS (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(generate_series(0, 59), j ->
-            CASE WHEN list_sum(list_transform(hs,
-                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-            AS BIGINT) AS simhash
-        FROM hsh),
-      banded AS (
-        SELECT doc_id, b.bd,
-          (simhash >> (15 * b.bd)) & 32767 AS bkey
-        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
-      bstats AS (
-        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
-        FROM banded GROUP BY bd, bkey),
-      cand AS (
-        SELECT DISTINCT a, b FROM (
-          SELECT x.doc_id AS a, y.doc_id AS b
-          FROM banded x
-          JOIN banded y ON x.bd = y.bd AND x.bkey = y.bkey
-            AND x.doc_id < y.doc_id
-          JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
-          WHERE st.n <= ${graft.text.Dedup.MaxBandBucket}
-          UNION ALL
-          SELECT st.m AS a, x.doc_id AS b
-          FROM banded x JOIN bstats st ON st.bd = x.bd AND st.bkey = x.bkey
-          WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m))
-      SELECT c.a, c.b,
-        CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
-      FROM cand c
-      JOIN sh s1 ON s1.doc_id = c.a
-      JOIN sh s2 ON s2.doc_id = c.b
-      WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""",
+    "op_simhash_pairs" -> simhashPairsSql,
+
+    // SimHash candidate quality vs the exact (de-hubbed) jaccard pairs —
+    // the sketch-eval read op_dedup_recall provides for MinHash: how many
+    // n-gram near-dup pairs the hamming<=3 fingerprint surfaces (recall),
+    // and how many of its pairs are jaccard near-dups (precision proxy).
+    "op_simhash_recall" -> s"""
+      WITH sh AS (SELECT a, b FROM ($simhashPairsSql)),
+      ex AS (SELECT a, b FROM ($jaccardPairsSql)),
+      bth AS (SELECT count(*) AS n_both FROM sh JOIN ex USING (a, b)),
+      ns AS (SELECT count(*) AS n_simhash FROM sh),
+      ne AS (SELECT count(*) AS n_exact FROM ex)
+      SELECT n_simhash, n_exact, n_both,
+        CASE WHEN n_exact > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
+             ELSE 1.0 END AS recall,
+        CASE WHEN n_simhash > 0
+             THEN CAST(n_both AS DOUBLE) / CAST(n_simhash AS DOUBLE)
+             ELSE 1.0 END AS precision_proxy
+      FROM ns CROSS JOIN ne CROSS JOIN bth""",
 
     // Band-bucket occupancy accounting for both signature miners: per
     // miner, bucket totals, over-cap buckets, worst bucket, exact

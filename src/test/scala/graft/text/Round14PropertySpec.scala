@@ -48,6 +48,45 @@ class Round14PropertySpec extends SparkSpec {
     }
   }
 
+  test("kGeneralize: nested ladders have monotone min class size (first rung well-defined)") {
+    // a NESTED ladder (each rung a function of the previous) merges
+    // classes as it coarsens, so the per-rung min class size is
+    // non-decreasing — the "first qualifying rung" is a unique threshold.
+    // Generated (grp, bucket) corpora against the standard nested shape.
+    val rowGen = for {
+      g <- Gen.oneOf("en", "de", "fr")
+      b <- Gen.choose(0, 5)
+    } yield (g, b)
+    for (seedVal <- Seq(3L, 19L, 71L)) {
+      val rows = Gen.listOfN(25, rowGen)
+        .pureApply(Gen.Parameters.default, Seed(seedVal))
+        .zipWithIndex.map { case ((g, b), i) => (i.toLong, g, b) }
+        .toDF("id", "g", "b")
+      val ladder = Seq(
+        Seq(col("g"), col("b").cast("string").as("b")),
+        Seq(col("g"), (col("b") / 2).cast("int").cast("string").as("b")),
+        Seq(col("g"), org.apache.spark.sql.functions.lit("*").as("b")),
+        Seq(org.apache.spark.sql.functions.lit("*").as("g"),
+          org.apache.spark.sql.functions.lit("*").as("b")))
+      // per-rung min class sizes recomputed directly
+      val mins = ladder.map(q => rows.select(q: _*)
+        .groupBy("g", "b").count().agg(org.apache.spark.sql.functions.min("count"))
+        .head().getLong(0))
+      assert(mins == mins.sorted, s"seed $seedVal: non-monotone mins $mins")
+      // kGeneralize picks exactly the first rung whose min reaches k
+      for (k <- Seq(2, 5, 13)) {
+        val expected = mins.indexWhere(_ >= k)
+        val out = graft.ops.Audit.kGeneralize(rows, ladder, k).collect()
+        if (expected < 0) assert(out.isEmpty, s"seed $seedVal k $k")
+        else {
+          assert(out.nonEmpty && out.forall(_.getInt(0) == expected),
+            s"seed $seedVal k $k: expected rung $expected")
+          assert(out.forall(_.getLong(3) >= k))
+        }
+      }
+    }
+  }
+
   test("capped candidate mass never exceeds the exact form's") {
     for (seedVal <- Seq(11L, 42L)) {
       val docs = Gen.listOfN(40, docGen)
