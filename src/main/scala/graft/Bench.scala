@@ -367,13 +367,18 @@ object Bench {
     val p2t0 = System.nanoTime()
     val byCost = pass2Order(p1)
     val qmap = SparkEntry.queries
+    // A pass-2 exception records NO timing (flatMap drops the entry): a
+    // fast failure is not a warm measurement, and min-of-2 must fall back
+    // to the valid pass-1 value instead of absorbing the bogus minimum
+    // into `results` and the summed total. The failed list still marks it.
     val p2: Map[String, Double] = byCost.iterator
       .takeWhile(_ => (System.nanoTime() - p2t0) / 1e9 < p2Budget)
-      .map { name =>
+      .flatMap { name =>
         val t0 = System.nanoTime()
-        try { qmap(name)(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          qmap(name)(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => failed += name; None }
       }.toMap
     val agg = if (p2.size == p1.size) "min_of_2" else "min_of_2_partial"
     val results = p1.map { case (k, v) =>

@@ -236,6 +236,40 @@ object Catalog {
     memoFrame(s, s"cc:$dir")(
       Dedup.components(Dedup.jaccardPairs(dedupCorpus(s, dir))))
 
+  /** Sketch-eval core shared by op_dedup_recall / op_simhash_recall:
+    * intersect a candidate pair frame with the exact near-dup pairs and
+    * report recall + precision proxy. The ~100-row pair frames each feed
+    * the intersection AND their own count, so they persist for the three
+    * reuses (measured 3.2 s → 0.8 s warm at sf0.1) — but ONLY for the
+    * duration of this call: the counts materialize eagerly into one local
+    * row and both caches release before the result returns (the previous
+    * lazy shape leaked two MEMORY_AND_DISK frames per invocation, and the
+    * bench's two passes doubled the accumulation). */
+  private def pairRecall(s: SparkSession, cand: DataFrame, exact: DataFrame,
+      candCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = cand.select("a", "b").persist(lvl)
+    val e = exact.select("a", "b").persist(lvl)
+    val row = c.join(e, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(e.agg(count(lit(1)).as("n_exact")))
+      .head()
+    c.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    val (nBoth, nCand, nExact) =
+      (row.getAs[Long]("n_both"), row.getAs[Long]("n_cand"),
+        row.getAs[Long]("n_exact"))
+    import s.implicits._
+    Seq((nCand, nExact, nBoth)).toDF(candCol, "n_exact", "n_both")
+      .select(col(candCol), col("n_exact"), col("n_both"),
+        when(col("n_exact") > 0,
+          col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .otherwise(1.0).as("recall"),
+        when(col(candCol) > 0,
+          col("n_both").cast(DoubleType) / col(candCol).cast(DoubleType))
+          .otherwise(1.0).as("precision_proxy"))
+  }
+
   /** Repartitioned embeddings corpus shared by the ANN family (the
     * parquet fixture is one small file -> one input partition; the same
     * HARNESS-ONLY note as [[dedupCorpus]] applies). Listed in
@@ -2273,28 +2307,10 @@ object Catalog {
     // the MinHash-LSH candidates surface (recall), and how many
     // candidates are true near-dups at the 1/3 bar (proxy precision) —
     // deterministic, so the harness can trend both numbers
-    "op_dedup_recall" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      // each pair frame feeds the intersection AND its own count, and the
-      // ~100-row results are far cheaper to cache than to re-derive
-      // (banded join / pair verify rerun): persisting measured 3.2 s ->
-      // 0.8 s warm at sf0.1 — the opposite call from op_ann_recall, where
-      // the cache boundary blocked AQE exchange reuse and cost 2x
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val mh = Dedup.minhashPairs(corpus, minAgree = 20, portable = true)
-        .select("a", "b").persist(lvl)
-      val ex = Dedup.jaccardPairs(corpus).select("a", "b").persist(lvl)
-      mh.join(ex, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
-        .crossJoin(mh.agg(count(lit(1)).as("n_minhash")))
-        .crossJoin(ex.agg(count(lit(1)).as("n_exact")))
-        .select(col("n_minhash"), col("n_exact"), col("n_both"),
-          when(col("n_exact") > 0,
-            col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType))
-            .otherwise(1.0).as("recall"),
-          when(col("n_minhash") > 0,
-            col("n_both").cast(DoubleType) / col("n_minhash").cast(DoubleType))
-            .otherwise(1.0).as("precision_proxy"))
-    }),
+    "op_dedup_recall" -> ((s, dir) =>
+      pairRecall(s,
+        Dedup.minhashPairs(dedupCorpus(s, dir), minAgree = 20, portable = true),
+        Dedup.jaccardPairs(dedupCorpus(s, dir)), "n_minhash")),
 
     // near-dup CLUSTERS from jaccard pairs via DataFrame-only connected
     // components (min-label propagation) — cluster id = min member id;
@@ -2613,22 +2629,9 @@ object Catalog {
     // near-dups does the 60-bit fingerprint surface" and precision_proxy
     // to "are its pairs real near-dups". Both pair frames persist (same
     // reasoning as op_dedup_recall: ~100-row results, 3 reuses each)
-    "op_simhash_recall" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val sh = Dedup.simhashPairs(corpus).select("a", "b").persist(lvl)
-      val ex = Dedup.jaccardPairs(corpus).select("a", "b").persist(lvl)
-      sh.join(ex, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
-        .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
-        .crossJoin(ex.agg(count(lit(1)).as("n_exact")))
-        .select(col("n_simhash"), col("n_exact"), col("n_both"),
-          when(col("n_exact") > 0,
-            col("n_both").cast(DoubleType) / col("n_exact").cast(DoubleType))
-            .otherwise(1.0).as("recall"),
-          when(col("n_simhash") > 0,
-            col("n_both").cast(DoubleType) / col("n_simhash").cast(DoubleType))
-            .otherwise(1.0).as("precision_proxy"))
-    }),
+    "op_simhash_recall" -> ((s, dir) =>
+      pairRecall(s, Dedup.simhashPairs(dedupCorpus(s, dir)),
+        Dedup.jaccardPairs(dedupCorpus(s, dir)), "n_simhash")),
 
     // band-bucket occupancy accounting for both signature pair miners —
     // the dropped-mass ledger behind the MaxBandBucket cap/star reduction:

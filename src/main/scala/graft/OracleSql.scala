@@ -4296,26 +4296,45 @@ object OracleSql {
 
     // Band-bucket occupancy accounting for both signature miners: per
     // miner, bucket totals, over-cap buckets, worst bucket, exact
-    // all-pairs candidate mass, and the mass the capped/star form emits.
+    // all-pairs candidate mass, the mass the capped/star form emits, and
+    // (round 15) the star-edge verify ledger — distinct (bucket-min,
+    // member) edges from over-cap buckets and how many survive the
+    // miner's own verify (n_agree >= 20 / hamming <= 3).
     "op_band_stats" -> s"""
       WITH $shinglesCte,
-      mh AS (
+      mh AS MATERIALIZED (
         SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
         FROM shd GROUP BY doc_id),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT doc_id, list_transform(generate_series(1, 64), j ->
           list_min(list_transform(hs,
             x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
         FROM mh),
-      mbanded AS (
+      mbanded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      mocc AS (SELECT count(*) AS n FROM mbanded GROUP BY bd, bkey),
-      sh_hsh AS (
+      mstat AS MATERIALIZED (
+        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
+        FROM mbanded GROUP BY bd, bkey),
+      msedge AS (
+        SELECT DISTINCT st.m AS a, x.doc_id AS b
+        FROM mbanded x JOIN mstat st ON st.bd = x.bd AND st.bkey = x.bkey
+        WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m),
+      msver AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_star_edges,
+          CAST(coalesce(sum(CASE WHEN n_agree >= 20 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_star_verified
+        FROM (
+          SELECT CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_agree
+          FROM msedge e
+          JOIN sig sa ON sa.doc_id = e.a
+          JOIN sig sb ON sb.doc_id = e.b)),
+      sh_hsh AS MATERIALIZED (
         SELECT doc_id, list(${md5Long("s")}) AS hs
         FROM shd GROUP BY doc_id),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
           CAST(list_sum(list_transform(generate_series(0, 59), j ->
             CASE WHEN list_sum(list_transform(hs,
@@ -4323,11 +4342,24 @@ object OracleSql {
                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
             AS BIGINT) AS simhash
         FROM sh_hsh),
-      sbanded AS (
+      sbanded AS MATERIALIZED (
         SELECT doc_id, b.bd,
           (simhash >> (15 * b.bd)) & 32767 AS bkey
         FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
-      socc AS (SELECT count(*) AS n FROM sbanded GROUP BY bd, bkey),
+      sstat AS MATERIALIZED (
+        SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
+        FROM sbanded GROUP BY bd, bkey),
+      ssedge AS (
+        SELECT DISTINCT st.m AS a, x.doc_id AS b
+        FROM sbanded x JOIN sstat st ON st.bd = x.bd AND st.bkey = x.bkey
+        WHERE st.n > ${graft.text.Dedup.MaxBandBucket} AND x.doc_id <> st.m),
+      ssver AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_star_edges,
+          CAST(coalesce(sum(CASE WHEN bit_count(xor(s1.simhash, s2.simhash))
+            <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_star_verified
+        FROM ssedge e
+        JOIN sh s1 ON s1.doc_id = e.a
+        JOIN sh s2 ON s2.doc_id = e.b),
       cap AS (SELECT ${graft.text.Dedup.MaxBandBucket} AS c)
       SELECT 'minhash' AS miner,
         CAST(count(*) AS BIGINT) AS n_buckets,
@@ -4336,8 +4368,10 @@ object OracleSql {
         CAST(max(n) AS BIGINT) AS max_occupancy,
         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_exact,
         CAST(sum(CASE WHEN n <= cap.c THEN n * (n - 1) // 2 ELSE n - 1 END)
-          AS BIGINT) AS pairs_emitted
-      FROM mocc CROSS JOIN cap GROUP BY cap.c
+          AS BIGINT) AS pairs_emitted,
+        v.n_star_edges, v.n_star_verified
+      FROM mstat CROSS JOIN cap CROSS JOIN msver v
+      GROUP BY cap.c, v.n_star_edges, v.n_star_verified
       UNION ALL
       SELECT 'simhash' AS miner,
         CAST(count(*) AS BIGINT) AS n_buckets,
@@ -4346,8 +4380,10 @@ object OracleSql {
         CAST(max(n) AS BIGINT) AS max_occupancy,
         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_exact,
         CAST(sum(CASE WHEN n <= cap.c THEN n * (n - 1) // 2 ELSE n - 1 END)
-          AS BIGINT) AS pairs_emitted
-      FROM socc CROSS JOIN cap GROUP BY cap.c""",
+          AS BIGINT) AS pairs_emitted,
+        v.n_star_edges, v.n_star_verified
+      FROM sstat CROSS JOIN cap CROSS JOIN ssver v
+      GROUP BY cap.c, v.n_star_edges, v.n_star_verified""",
 
     "op_lsh_ann" -> annLshSql,
 

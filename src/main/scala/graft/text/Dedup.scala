@@ -277,11 +277,20 @@ object Dedup {
     * candidate mass Σ n(n−1)/2, and the mass the capped/star form actually
     * emits (≤cap buckets quadratic, over-cap buckets n−1). The sizing read
     * an operator checks BEFORE a 100 TB dedup pass: `pairs_emitted` is the
-    * verify-join's real input, and `pairs_exact − pairs_emitted` is what
-    * the star reduction saved. Two bounded aggregates per miner over the
-    * same banded tables the miners join. */
+    * PRE-DEDUP candidate mass summed per band — [[cappedBucketPairs]]
+    * dedupes across bands afterwards, so the verify join's true input is
+    * ≤ `pairs_emitted` — and `pairs_exact − pairs_emitted` is what the
+    * star reduction saved. Star-edge verify accounting (the round-15
+    * hardening): `n_star_edges` counts the DISTINCT (bucket-min, member)
+    * edges over-cap buckets emit and `n_star_verified` how many survive
+    * the miner's own verify (n_agree ≥ `minAgree` / hamming ≤
+    * `maxHamming`) — a shortfall measures exactly how far the corpus is
+    * from the "over-cap buckets are exact-dup mega-clusters" assumption
+    * the cap's recall argument rests on, instead of assuming it. Bounded
+    * aggregates per miner plus one star-edge-sized verify join. */
   def bandStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxBucket: Int = MaxBandBucket,
+      minAgree: Int = 20, maxHamming: Int = 3,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     def report(miner: String, buckets: DataFrame,
         keyCols: Seq[String]): DataFrame =
@@ -299,19 +308,51 @@ object Dedup {
         .select(lit(miner).as("miner"), col("n_buckets"),
           col("n_overcap_buckets"), col("max_occupancy"),
           col("pairs_exact"), col("pairs_emitted"))
+    // The DISTINCT (bucket-min, member) edges over-cap buckets emit —
+    // the same construction as [[cappedBucketPairs]]' star branch, so the
+    // count here IS the candidate set the miner actually adds for them.
+    def starEdges(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val stats = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"), min(col("id")).as("_m"))
+      buckets.join(stats, keyCols)
+        .filter(col("_n") > maxBucket && col("id") =!= col("_m"))
+        .select(col("_m").as("a"), col("id").as("b")).distinct()
+    }
+    // 1-row (n_star_edges, n_star_verified) under the given verdict column
+    def starCounts(edges: DataFrame, verified: Column): DataFrame =
+      edges.agg(count(lit(1)).as("n_star_edges"),
+        sum(when(verified, 1L).otherwise(0L)).as("n_star_verified"))
+        .select(col("n_star_edges"),
+          coalesce(col("n_star_verified"), lit(0L)).as("n_star_verified"))
     val sigs = scope.persist(docs
       .withColumn("sig", minhashSignaturePortable(col(textCol)))
       .select(col(idCol).as("sid"), col("sig")))
     val mh = bandedSigs(sigs.select(col("sid").as("id"), col("sig")))
-    val sh = scope.persist(withSimhash(docs, textCol, portable = true)
-        .select(col(idCol).as("id"), col("simhash")))
+    val mhStars = starCounts(
+      starEdges(mh, Seq("band", "band_hash"))
+        .join(sigs.select(col("sid").as("a"), col("sig").as("sig_a")), "a")
+        .join(sigs.select(col("sid").as("b"), col("sig").as("sig_b")), "b")
+        .withColumn("n_agree",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+            (acc, v) => acc + v)),
+      col("n_agree") >= minAgree)
+    val shSigs = scope.persist(withSimhash(docs, textCol, portable = true)
+      .select(col(idCol).as("id"), col("simhash")))
+    val sh = shSigs
       .select(col("id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bd"),
           shiftrightunsigned(col("simhash"), 15 * b)
             .bitwiseAND(lit(32767L)).as("bkey"))): _*)).as("_band"))
       .select(col("id"), col("_band.bd").as("bd"), col("_band.bkey").as("bkey"))
-    report("minhash", mh, Seq("band", "band_hash"))
-      .unionByName(report("simhash", sh, Seq("bd", "bkey")))
+    val shStars = starCounts(
+      starEdges(sh, Seq("bd", "bkey"))
+        .join(shSigs.select(col("id").as("a"), col("simhash").as("_sa")), "a")
+        .join(shSigs.select(col("id").as("b"), col("simhash").as("_sb")), "b")
+        .withColumn("hamming", hamming(col("_sa"), col("_sb"))),
+      col("hamming") <= maxHamming)
+    report("minhash", mh, Seq("band", "band_hash")).crossJoin(mhStars)
+      .unionByName(report("simhash", sh, Seq("bd", "bkey")).crossJoin(shStars))
   }
 
   /** Candidate pairs + estimated Jaccard from signature agreement; keep
@@ -405,7 +446,10 @@ object Dedup {
       maxBucket: Int = MaxBandBucket,
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      "4x15-bit banding guarantees recall only for maxHamming <= 3")
+      "4x15-bit banding guarantees recall only for maxHamming <= 3; and " +
+        "only for pairs whose shared bucket is <= maxBucket — consult " +
+        "bandStats' n_overcap_buckets/star-edge columns before trusting " +
+        "recall on a corpus with over-cap buckets")
     val sh = scope.persist(withSimhash(docs, textCol, portable = true)
       .select(col(idCol).as("id"), col("simhash")))
     val banded = sh.select(col("id"),

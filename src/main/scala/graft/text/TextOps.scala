@@ -1275,9 +1275,14 @@ object TextOps {
     * Exact integer math: per ascending bucket, each positive scores
     * 2·(negatives strictly below) + (negatives tied in-bucket);
     * `auc_num2` is that exact long sum and `auc` = num2 / (2·P·N) with a
-    * double-product denominator (exact-long P·N·2 would overflow before
-    * the numerator does on a trillion-doc corpus). Degenerate inputs
-    * (no positives or no negatives) yield NULL auc.
+    * double-product denominator. Range note: `auc_num2 ≤ 2·P·N`, so the
+    * NUMERATOR saturates long at the same magnitude as an exact-long
+    * denominator would — exact-integer AUC holds while P·N ≤ 2⁶² (≈4.6·10¹⁸,
+    * e.g. 2·10⁹ positives × 2·10⁹ negatives); past that bound the op needs
+    * a rescaled (per-shard or double-accumulated) numerator variant. The
+    * double denominator buys nothing extra in range — it only avoids one
+    * long multiply. Degenerate inputs (no positives or no negatives) yield
+    * NULL auc.
     *
     * Scale: one id equi-join, one buckets-bounded keyed aggregate with
     * map-side partials, a cumulative window over ≤ (max−min+1) bucket

@@ -244,11 +244,19 @@ class PlanSpec extends SparkSpec {
       !pl.contains("Generate"), pl.take(1500))
   }
 
-  test("op_band_stats: two bounded occupancy aggregates, no self-join anywhere") {
+  test("op_band_stats: bounded occupancy aggregates + star-edge-sized joins only") {
     val df = SparkEntry.queries("op_band_stats")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the accounting must never pay the pair join it is sizing
-    assert(!p.contains("Join"), p.take(2000))
+    // The accounting must never pay the quadratic pair join it is sizing:
+    // since round 15 the plan DOES join — the star-edge verify ledger
+    // joins (banded ⋈ bucket-stats) to find over-cap members and (star
+    // edges ⋈ signatures) to recompute the verify — but every join input
+    // is banded-table-linear or star-edge-sized, never an all-pairs
+    // bucket self-join. Textual pin: no cartesian, no window, no
+    // corpus-order sort; the occupancy report path itself stays
+    // aggregate-only (pinned by the no-over-cap semantics test in
+    // DedupSpec, where the star ledger is exactly zero).
+    assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("Window") && !p.contains("\nSort "), p.take(1500))
   }
 

@@ -426,8 +426,8 @@ class DedupSpec extends SparkSpec {
     try {
       val out = Dedup.bandStats(corpus, scope = scope).collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5)))).toMap
-      val (nb, over, maxOcc, pe, pm) = out("minhash")
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      val (nb, over, maxOcc, pe, pm, se, sv) = out("minhash")
       // 16 bands: the mega-cluster fills one 300-doc bucket per band (over
       // cap), the singleton its own; all-pairs mass = 16 * 300*299/2,
       // emitted mass = 16 * 299 star edges
@@ -435,12 +435,88 @@ class DedupSpec extends SparkSpec {
       assert(over == 16L && maxOcc == 300L, s"overcap/max: $over/$maxOcc")
       assert(pe == 16L * (300L * 299 / 2), s"pairs_exact: $pe")
       assert(pm == 16L * 299, s"pairs_emitted: $pm")
+      // star-edge ledger: the 16 per-band star sets collapse to the SAME
+      // 299 distinct (min, member) edges, and identical docs verify at
+      // n_agree = 64 — zero shortfall on the exact-dup mega-cluster
+      assert(se == 299L && sv == 299L, s"minhash star edges: $se/$sv")
       // simhash: 4 bands, same shape (identical docs share all 4 buckets)
-      val (snb, sover, smax, spe, spm) = out("simhash")
+      val (snb, sover, smax, spe, spm, sse, ssv) = out("simhash")
       assert(sover == 4L && smax == 300L, s"simhash overcap/max: $sover/$smax")
       assert(spe == 4L * (300L * 299 / 2) && spm == 4L * 299,
         s"simhash mass: $spe/$spm")
       assert(snb >= 5L, s"simhash buckets: $snb")
+      assert(sse == 299L && ssv == 299L, s"simhash star edges: $sse/$ssv")
+    } finally scope.unpersistAll()
+  }
+
+  test("bandStats: star-edge verify shortfall is MEASURED on an adversarial over-cap bucket") {
+    // An over-cap bucket whose members are NOT all near-dups of the bucket
+    // min under a strict verify: 280 identical boilerplate docs plus 20
+    // one-word variants. The variants share most (not all) signature
+    // positions with the identical group, so bands where the changed
+    // word's shingles don't land put 300 docs in one bucket — over cap —
+    // while a strict verify (minAgree = 64 / maxHamming = 0) REJECTS the
+    // variant star edges. The ledger must report that shortfall instead
+    // of assuming every star edge verifies; expectations are recomputed
+    // brute-force from the collected signatures, not assumed.
+    val base = "subscribe to our newsletter for updates about the channel and more stories daily"
+    val corpus = ((100L to 379L).map(i => (i, base)) ++
+      (380L to 399L).map(i => (i, base + " tonight")) ++
+      Seq((600L, "completely different content about spark engines")))
+      .toDF("doc_id", "text")
+    val scope = new graft.ops.CacheScope
+    try {
+      // brute-force ground truth from the signatures themselves
+      val sigRows = corpus.select(col("doc_id"),
+        Dedup.minhashSignaturePortable(col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val bands = for {
+        (id, sig) <- sigRows.toSeq
+        b <- 0 until 16
+      } yield ((b, sig.slice(b * 4, b * 4 + 4).mkString(",")), id)
+      val star = bands.groupBy(_._1).values.filter(_.size > Dedup.MaxBandBucket)
+        .flatMap { bucket =>
+          val ids = bucket.map(_._2)
+          val m = ids.min
+          ids.filter(_ != m).map(m -> _)
+        }.toSet
+      val starVerified = star.count { case (a, b) =>
+        sigRows(a).zip(sigRows(b)).count(p => p._1 == p._2) >= 64 }
+      assert(star.nonEmpty, "fixture must produce over-cap star edges")
+      assert(starVerified < star.size,
+        "fixture must contain star edges a strict verify rejects")
+      val out = Dedup.bandStats(corpus, minAgree = 64, maxHamming = 0,
+        scope = scope).collect()
+        .map(r => r.getString(0) -> ((r.getLong(6), r.getLong(7)))).toMap
+      assert(out("minhash") == ((star.size.toLong, starVerified.toLong)),
+        s"minhash star ledger: ${out("minhash")} vs brute " +
+          s"(${star.size}, $starVerified)")
+      // simhash side: same brute-force pinning over the 60-bit fingerprints
+      val shRows = Dedup.withSimhash(corpus, portable = true)
+        .select("doc_id", "simhash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sBands = for {
+        (id, sh) <- shRows.toSeq
+        b <- 0 until 4
+      } yield ((b, (sh >>> (15 * b)) & 32767L), id)
+      val sStar = sBands.groupBy(_._1).values.filter(_.size > Dedup.MaxBandBucket)
+        .flatMap { bucket =>
+          val ids = bucket.map(_._2)
+          val m = ids.min
+          ids.filter(_ != m).map(m -> _)
+        }.toSet
+      val sVerified = sStar.count { case (a, b) =>
+        java.lang.Long.bitCount(shRows(a) ^ shRows(b)) <= 0 }
+      assert(out("simhash") == ((sStar.size.toLong, sVerified.toLong)),
+        s"simhash star ledger: ${out("simhash")} vs brute " +
+          s"(${sStar.size}, $sVerified)")
+      // no-over-cap semantics: with the cap lifted there are no star
+      // edges, so the ledger is exactly zero on both miners
+      val zero = Dedup.bandStats(corpus, maxBucket = Int.MaxValue,
+        scope = scope).collect()
+        .map(r => r.getString(0) -> ((r.getLong(6), r.getLong(7)))).toMap
+      assert(zero("minhash") == ((0L, 0L)) && zero("simhash") == ((0L, 0L)),
+        s"uncapped star ledger must be zero: $zero")
     } finally scope.unpersistAll()
   }
 
