@@ -110,7 +110,8 @@ object Bench {
     "k_anonymity" -> "kan", "band_stats" -> "bnst",
     "k_generalize" -> "kgn", "l_diversity" -> "ldv",
     "race_per_key" -> "rpk", "score_auc" -> "auc",
-    "simhash_recall" -> "shr",
+    "simhash_recall" -> "shr", "lm_logprob" -> "lmp",
+    "l_generalize" -> "lgn",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

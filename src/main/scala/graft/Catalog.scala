@@ -1791,6 +1791,25 @@ object Catalog {
           lit("*").as("len_bucket"))), k = 5)
     }),
 
+    // l-diversity GENERALIZATION — op_l_diversity's actuator: the first
+    // rung of the coarsening ladder (exact log2-length bucket → width-2
+    // bucket → bucket suppressed → lang suppressed) at which every
+    // (lang, len_bucket) class spans >= l=3 distinct sources — the
+    // homogeneity fix (kGeneralize chose by min class size; this chooses
+    // by min class diversity). Same one-scan exploded-ladder plan
+    "op_l_generalize" -> ((s, dir) => {
+      val tc = TextOps.tokenCount(col("text"))
+      val lenB = when(tc === 0, lit(0))
+        .otherwise(length(bin(tc.cast(LongType))))
+      graft.ops.Audit.lGeneralize(t(s, dir, "documents"), Seq(
+        Seq(col("lang"), lenB.as("len_bucket")),
+        Seq(col("lang"),
+          (floor(lenB / 2) * 2).cast(IntegerType).as("len_bucket")),
+        Seq(col("lang"), lit("*").as("len_bucket")),
+        Seq(lit("*").as("lang"), lit("*").as("len_bucket"))),
+        col("source"), l = 3)
+    }),
+
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
     // cloned in as a new id) — added/removed/changed/unchanged counts
@@ -1900,6 +1919,13 @@ object Catalog {
     // filter core): sum of each doc's tokens' corpus-wide counts
     "op_unigram_score" -> ((s, dir) =>
       TextOps.unigramScore(t(s, dir, "documents"), "text")),
+
+    // unigram-LM mean log-probability (add-1 smoothing) — the KenLM-style
+    // perplexity filter the integer scores stop short of, unblocked by the
+    // portable series ln: per-token micro-nat quantization keeps the
+    // per-doc sum exact-integer, so the log-prob is engine-reproducible
+    "op_lm_logprob" -> ((s, dir) =>
+      TextOps.lmLogProb(t(s, dir, "documents"), "text")),
 
     // one-row corpus datasheet over the planted-dup corpus: doc/token/
     // char totals, language count, exact-dup doc count, mean tokens per

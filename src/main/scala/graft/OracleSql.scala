@@ -205,7 +205,7 @@ object OracleSql {
         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
       FROM corpus),
-    shd AS (
+    shd AS MATERIALIZED (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, unnest(
           CASE WHEN len(toks) >= 3 THEN
@@ -284,6 +284,35 @@ object OracleSql {
             * CAST('0.6931471805599453' AS DOUBLE)
           - (CAST(2 AS DOUBLE) * z) * t) / CAST(weight AS DOUBLE) AS priority
         FROM s7)"""
+  }
+
+  /** ln(m) CTE chain over `src` (must yield BIGINT column `m` ≥ 1 plus the
+    * `carry` columns) — mirrors [[graft.ops.Sampling.portableLn]]
+    * OPERATION-FOR-OPERATION (integer exponent, 63-entry power table,
+    * atanh-series mantissa, `p·ln2 + 2z·t` composition), so the double is
+    * bit-exact cross-engine. Yields CTE `${pfx}7` = carry + `outCol`. */
+  private def lnChain(pfx: String, src: String, carry: Seq[String],
+      outCol: String): String = {
+    val pows = (0 to 62).map(1L << _).mkString("[", ",", "]")
+    val terms = graft.ops.Sampling.RaceSeriesTerms
+    val horner = (0 until terms - 1).reverse.foldLeft(
+      s"(CAST(1 AS DOUBLE)/CAST(${2 * (terms - 1) + 1} AS DOUBLE))") {
+      (acc, kk) =>
+        s"((CAST(1 AS DOUBLE)/CAST(${2 * kk + 1} AS DOUBLE)) + z2 * $acc)"
+    }
+    val c = carry.map(_ + ", ").mkString
+    s"""${pfx}1 AS (SELECT ${c}m, CAST(length(bin(m)) - 1 AS INT) AS p
+        FROM $src),
+      ${pfx}2 AS (SELECT ${c}m, p, ($pows)[p + 1] AS twop FROM ${pfx}1),
+      ${pfx}3 AS (SELECT ${c}p,
+        CAST(m - twop AS DOUBLE) / CAST(twop AS DOUBLE) AS f FROM ${pfx}2),
+      ${pfx}4 AS (SELECT ${c}p, f / (f + CAST(2 AS DOUBLE)) AS z
+        FROM ${pfx}3),
+      ${pfx}5 AS (SELECT ${c}p, z, z * z AS z2 FROM ${pfx}4),
+      ${pfx}6 AS (SELECT ${c}p, z, $horner AS t FROM ${pfx}5),
+      ${pfx}7 AS (SELECT ${c}CAST(p AS DOUBLE)
+          * CAST('0.6931471805599453' AS DOUBLE)
+          + (CAST(2 AS DOUBLE) * z) * t AS $outCol FROM ${pfx}6)"""
   }
 
   /** Left-to-right cosine similarity between two FLOAT[]/DOUBLE[] columns —
@@ -562,7 +591,7 @@ object OracleSql {
           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
         FROM corpus),
-      shd AS (
+      shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(
             CASE WHEN len(toks) >= 3 THEN
@@ -570,9 +599,10 @@ object OracleSql {
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END) AS s
           FROM tok)),
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      counts AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
       keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 100),
-      f AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+      f AS MATERIALIZED (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
       inter AS (
         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
         FROM f x JOIN f y USING (s) WHERE x.doc_id < y.doc_id
@@ -589,19 +619,20 @@ object OracleSql {
     * pairs, over-cap buckets emit star edges to the bucket min. */
   private val minhashPairsSql: String = s"""
       WITH $shinglesCte,
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
-      banded AS (
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
+      banded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      bstats AS (
+      bstats AS MATERIALIZED (
         SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
         FROM banded GROUP BY bd, bkey),
       cand AS (
@@ -629,22 +660,24 @@ object OracleSql {
     * ≤ 3) — shared by op_simhash_pairs and op_simhash_recall. */
   private val simhashPairsSql: String = s"""
       WITH $shinglesCte,
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")}) AS hs
-        FROM shd GROUP BY doc_id),
-      sh AS (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(generate_series(0, 59), j ->
-            CASE WHEN list_sum(list_transform(hs,
-                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-            AS BIGINT) AS simhash
-        FROM hsh),
-      banded AS (
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} AS h FROM shd),
+      shv AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          CASE WHEN sum(CASE WHEN ((h >> g.j) & 1) = 1
+            THEN 1 ELSE -1 END) > 0
+          THEN (CAST(1 AS BIGINT) << g.j) ELSE CAST(0 AS BIGINT)
+          END AS bit
+        FROM hsh CROSS JOIN generate_series(0, 59) AS g(j)
+        GROUP BY doc_id, g.j),
+      sh AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        FROM shv GROUP BY doc_id),
+      banded AS MATERIALIZED (
         SELECT doc_id, b.bd,
           (simhash >> (15 * b.bd)) & 32767 AS bkey
         FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bd) b),
-      bstats AS (
+      bstats AS MATERIALIZED (
         SELECT bd, bkey, count(*) AS n, min(doc_id) AS m
         FROM banded GROUP BY bd, bkey),
       cand AS (
@@ -1573,14 +1606,15 @@ object OracleSql {
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END) AS s
           FROM tok)),
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
       banded AS (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
@@ -1936,6 +1970,11 @@ object OracleSql {
     // state even if fewer than 16 distinct pairs exist. Tie order
     // (cnt DESC, x, y) is total, so the merge lists are identical
     // cross-engine.
+    // PERF (round 15): every non-recursive CTE is MATERIALIZED and the
+    // max-step pick runs as a window over ONE reference to the recursive
+    // CTE — the previous `WHERE step = (SELECT max(step) FROM apN)` form
+    // re-expanded the whole 16-step recursion per reference (DuckDB 1.0
+    // inlines CTEs), which alone cost ~600 s at sf0.1.
     "op_bpe_apply" -> """
       WITH RECURSIVE
       words AS (
@@ -1943,14 +1982,15 @@ object OracleSql {
           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
           t -> length(t) > 0)) AS word
         FROM documents),
-      vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
-      init AS (
+      vocab AS MATERIALIZED (
+        SELECT word, count(*) AS freq FROM words GROUP BY word),
+      init AS MATERIALIZED (
         SELECT word, freq,
           '||' || array_to_string(list_transform(
             generate_series(1, length(word) + 1),
             i -> substr(word || '_', i, 1)), '||') || '||' AS s
         FROM vocab),
-      m1 AS (
+      m1 AS MATERIALIZED (
         SELECT x, y, row_number() OVER (ORDER BY cnt DESC, x, y) AS rnk
         FROM (
           SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
@@ -1968,9 +2008,11 @@ object OracleSql {
           replace(a.s, '|' || m.x || '||' || m.y || '|',
             '|' || m.x || m.y || '|')
         FROM ap1 a JOIN m1 m ON m.rnk = a.step + 1),
-      r1 AS (SELECT word, freq, s FROM ap1
-             WHERE step = (SELECT max(step) FROM ap1)),
-      m2 AS (
+      r1 AS MATERIALIZED (
+        SELECT word, freq, s FROM (
+          SELECT word, freq, s, step, max(step) OVER () AS mx FROM ap1)
+        WHERE step = mx),
+      m2 AS MATERIALIZED (
         SELECT x, y, row_number() OVER (ORDER BY cnt DESC, x, y) AS rnk
         FROM (
           SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
@@ -1988,8 +2030,10 @@ object OracleSql {
           replace(a.s, '|' || m.x || '||' || m.y || '|',
             '|' || m.x || m.y || '|')
         FROM ap2 a JOIN m2 m ON m.rnk = a.step + 1),
-      r2 AS (SELECT word, freq, s FROM ap2
-             WHERE step = (SELECT max(step) FROM ap2))
+      r2 AS MATERIALIZED (
+        SELECT word, freq, s FROM (
+          SELECT word, freq, s, step, max(step) OVER () AS mx FROM ap2)
+        WHERE step = mx)
       SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count FROM (
         SELECT freq, unnest(list_filter(string_split(s, '||'),
           t -> length(t) > 0)) AS piece
@@ -2532,6 +2576,42 @@ object OracleSql {
         WHERE mc >= 5)
       SELECT CAST(c.rung AS INT) AS rung, lang, source, len_bucket,
         CAST(class_size AS BIGINT) AS class_size
+      FROM c JOIN ch ON c.rung = ch.chosen""",
+
+    // l-diversity generalization ladder: the first rung whose every
+    // (lang, len_bucket) class spans >= 3 distinct non-NULL sources;
+    // same VARCHAR release encoding and rung arithmetic as
+    // op_k_generalize, chosen by min DIVERSITY instead of min size.
+    "op_l_generalize" -> """
+      WITH q AS (
+        SELECT lang, source,
+          CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) = 0 THEN 0
+            ELSE length(bin(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) AS BIGINT))) END AS len_bucket
+        FROM documents),
+      r AS (
+        SELECT 0 AS rung, lang,
+          CAST(len_bucket AS VARCHAR) AS len_bucket, source FROM q
+        UNION ALL
+        SELECT 1, lang, CAST(len_bucket // 2 * 2 AS VARCHAR), source FROM q
+        UNION ALL
+        SELECT 2, lang, '*', source FROM q
+        UNION ALL
+        SELECT 3, '*', '*', source FROM q),
+      c AS (
+        SELECT rung, lang, len_bucket, count(*) AS class_size,
+          count(DISTINCT source) AS n_sensitive
+        FROM r GROUP BY 1, 2, 3),
+      ch AS (
+        SELECT min(rung) AS chosen FROM (
+          SELECT rung, min(n_sensitive) AS md FROM c GROUP BY 1) m
+        WHERE md >= 3)
+      SELECT CAST(c.rung AS INT) AS rung, lang, len_bucket,
+        CAST(class_size AS BIGINT) AS class_size,
+        CAST(n_sensitive AS BIGINT) AS n_sensitive
       FROM c JOIN ch ON c.rung = ch.chosen""",
 
     // Snapshot diff: old = documents, new = the derived snapshot (13th
@@ -3448,14 +3528,15 @@ object OracleSql {
         JOIN counts ca ON ca.doc_id = i.a
         JOIN counts cb ON cb.doc_id = i.b
         WHERE i.inter * 2 >= ca.n_sh + cb.n_sh - i.inter),
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
       e AS (
         SELECT
           CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
@@ -3763,7 +3844,7 @@ object OracleSql {
     // Vote-threshold sweep: the op_minhash_pairs pipeline at its laxest
     // bar (n_agree >= 20), counted per candidate min_agree threshold.
     "op_minhash_sweep" -> s"""
-      WITH pr AS (SELECT a, b, n_agree FROM ($minhashPairsSql)),
+      WITH pr AS MATERIALIZED (SELECT a, b, n_agree FROM ($minhashPairsSql)),
       th AS (SELECT CAST(unnest([20, 28, 36, 44, 52]) AS INT) AS min_agree),
       hits AS (
         SELECT t.min_agree, count(*) AS n_pairs,
@@ -3789,7 +3870,7 @@ object OracleSql {
     // recomputes history (it probes the persisted band index) — this row
     // certifies the incremental path is EXACTLY the batch answer.
     "op_incr_dedup" -> s"""
-      WITH RECURSIVE allcorp AS (
+      WITH RECURSIVE allcorp AS MATERIALIZED (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000000, text || ' near duplicate copy suffix'
@@ -3800,12 +3881,12 @@ object OracleSql {
         UNION ALL
         SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
         FROM documents WHERE doc_id % 26 = 0),
-      tok AS (
+      tok AS MATERIALIZED (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
         FROM allcorp),
-      shd AS (
+      shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(
             CASE WHEN len(toks) >= 3 THEN
@@ -3813,37 +3894,38 @@ object OracleSql {
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END) AS s
           FROM tok)),
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
-      banded AS (
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
+      banded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM banded x JOIN banded y
           ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      prs AS (
+      prs AS MATERIALIZED (
         SELECT c.a, c.b FROM cand c
         JOIN sig sa ON sa.doc_id = c.a
         JOIN sig sb ON sb.doc_id = c.b
         WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20),
-      nodes AS (SELECT DISTINCT a AS id FROM prs
+      nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM prs
                 UNION SELECT DISTINCT b FROM prs),
-      egs AS (SELECT a AS u, b AS v FROM prs
+      egs AS MATERIALIZED (SELECT a AS u, b AS v FROM prs
               UNION SELECT b AS u, a AS v FROM prs),
       reach AS (
         SELECT id, id AS label FROM nodes
         UNION
         SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
-      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+      cc AS MATERIALIZED (SELECT id AS doc_id, min(label) AS cluster_id
              FROM reach GROUP BY id)
       SELECT c.doc_id,
         (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS keep
@@ -3856,7 +3938,7 @@ object OracleSql {
     // signatures), plus the store-size reduction pinned as constants.
     // Batch docs that near-dup'ed only removed history must flip to keep.
     "op_incr_compact" -> s"""
-      WITH RECURSIVE allcorp AS (
+      WITH RECURSIVE allcorp AS MATERIALIZED (
         SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
         UNION ALL
         SELECT doc_id + 1000000000, text || ' near duplicate copy suffix'
@@ -3867,12 +3949,12 @@ object OracleSql {
         UNION ALL
         SELECT doc_id + 3000000000, reverse(text) || ' ingest copy marker'
         FROM documents WHERE doc_id % 26 = 0),
-      tok AS (
+      tok AS MATERIALIZED (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
         FROM allcorp),
-      shd AS (
+      shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(
             CASE WHEN len(toks) >= 3 THEN
@@ -3880,37 +3962,38 @@ object OracleSql {
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END) AS s
           FROM tok)),
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
-      banded AS (
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
+      banded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM banded x JOIN banded y
           ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      prs AS (
+      prs AS MATERIALIZED (
         SELECT c.a, c.b FROM cand c
         JOIN sig sa ON sa.doc_id = c.a
         JOIN sig sb ON sb.doc_id = c.b
         WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20),
-      nodes AS (SELECT DISTINCT a AS id FROM prs
+      nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM prs
                 UNION SELECT DISTINCT b FROM prs),
-      egs AS (SELECT a AS u, b AS v FROM prs
+      egs AS MATERIALIZED (SELECT a AS u, b AS v FROM prs
               UNION SELECT b AS u, a AS v FROM prs),
       reach AS (
         SELECT id, id AS label FROM nodes
         UNION
         SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
-      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+      cc AS MATERIALIZED (SELECT id AS doc_id, min(label) AS cluster_id
              FROM reach GROUP BY id)
       SELECT c.doc_id,
         (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS keep,
@@ -3972,7 +4055,7 @@ object OracleSql {
     // store, pruned to the batch's touched cells) — this row certifies
     // the incremental path is EXACTLY the batch answer.
     "op_incr_sem_dedup" -> s"""
-      WITH allv AS (
+      WITH allv AS MATERIALIZED (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000000, embedding FROM embeddings
@@ -3983,19 +4066,19 @@ object OracleSql {
         UNION ALL
         SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
         WHERE vec_id % 26 = 0),
-      cents AS (SELECT j, cent FROM $ivfCentsSql),
-      sims AS (
+      cents AS MATERIALIZED (SELECT j, cent FROM $ivfCentsSql),
+      sims AS MATERIALIZED (
         SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
         FROM allv v CROSS JOIN cents c),
-      assigned AS (
+      assigned AS MATERIALIZED (
         SELECT vec_id, ivf_cell FROM (
           SELECT vec_id, j AS ivf_cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
           FROM sims) t WHERE rn = 1),
-      m AS (
+      m AS MATERIALIZED (
         SELECT a.vec_id, a.ivf_cell, v.embedding
         FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
-      drp AS (
+      drp AS MATERIALIZED (
         SELECT DISTINCT y.vec_id
         FROM m x JOIN m y
           ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
@@ -4011,10 +4094,10 @@ object OracleSql {
     // for the semantic stage, then the per-doc ledger with the published
     // survivors' deterministic splits.
     "op_incr_pipeline" -> s"""
-      WITH RECURSIVE j AS (
+      WITH RECURSIVE j AS MATERIALIZED (
         SELECT d.doc_id, d.text, e.embedding
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
-      batch AS (
+      batch AS MATERIALIZED (
         SELECT doc_id + 1000000000 AS doc_id,
           text || ' near duplicate copy suffix' AS text,
           list_reverse(embedding) AS embedding
@@ -4032,9 +4115,9 @@ object OracleSql {
           array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' '),
           list_reverse(embedding)
         FROM j WHERE doc_id % 11 = 5),
-      padded AS (
+      padded AS MATERIALIZED (
         SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM batch),
-      g_sig AS (
+      g_sig AS MATERIALIZED (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
@@ -4042,7 +4125,7 @@ object OracleSql {
           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
           $stopwordSumSql AS n_stopword
         FROM padded),
-      g_rep AS (
+      g_rep AS MATERIALIZED (
         SELECT doc_id, max(c) AS top_tok_n FROM (
           SELECT doc_id, t, count(*) AS c FROM (
             SELECT doc_id,
@@ -4050,7 +4133,7 @@ object OracleSql {
             FROM batch WHERE length(trim(text)) > 0) u
           GROUP BY doc_id, t) g
         GROUP BY doc_id),
-      gp AS (
+      gp AS MATERIALIZED (
         SELECT s.doc_id,
           NOT (s.n_tokens < 25 OR s.n_tokens > 10000
             OR s.n_word_chars < s.n_tokens * 3
@@ -4059,19 +4142,19 @@ object OracleSql {
             OR s.n_stopword * 20 < s.n_tokens
             OR coalesce(r.top_tok_n, 0) * 8 > s.n_tokens) AS q_pass
         FROM g_sig s LEFT JOIN g_rep r USING (doc_id)),
-      qb AS (
+      qb AS MATERIALIZED (
         SELECT b.doc_id, b.text, b.embedding
         FROM batch b JOIN gp USING (doc_id) WHERE gp.q_pass),
-      allcorp AS (
+      allcorp AS MATERIALIZED (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id, text FROM qb),
-      tok AS (
+      tok AS MATERIALIZED (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
         FROM allcorp),
-      shd AS (
+      shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(
             CASE WHEN len(toks) >= 3 THEN
@@ -4079,68 +4162,69 @@ object OracleSql {
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END) AS s
           FROM tok)),
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM hsh),
-      banded AS (
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM hsh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
+      banded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
         FROM sig CROSS JOIN generate_series(0, 15) AS g(bd)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM banded x JOIN banded y
           ON x.bd = y.bd AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      prs AS (
+      prs AS MATERIALIZED (
         SELECT c.a, c.b FROM cand c
         JOIN sig sa ON sa.doc_id = c.a
         JOIN sig sb ON sb.doc_id = c.b
         WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) >= 20),
-      nodes AS (SELECT DISTINCT a AS id FROM prs
+      nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM prs
                 UNION SELECT DISTINCT b FROM prs),
-      egs AS (SELECT a AS u, b AS v FROM prs
+      egs AS MATERIALIZED (SELECT a AS u, b AS v FROM prs
               UNION SELECT b AS u, a AS v FROM prs),
       reach AS (
         SELECT id, id AS label FROM nodes
         UNION
         SELECT e.u AS id, r.label FROM egs e JOIN reach r ON e.v = r.id),
-      cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+      cc AS MATERIALIZED (SELECT id AS doc_id, min(label) AS cluster_id
              FROM reach GROUP BY id),
-      tkeep AS (
+      tkeep AS MATERIALIZED (
         SELECT c.doc_id,
           (coalesce(x.cluster_id, c.doc_id) = c.doc_id) AS keep
         FROM allcorp c LEFT JOIN cc x USING (doc_id)
         WHERE c.doc_id >= 1000000000),
-      tb AS (
+      tb AS MATERIALIZED (
         SELECT q.doc_id, q.embedding
         FROM qb q JOIN tkeep k USING (doc_id) WHERE k.keep),
-      allv AS (
+      allv AS MATERIALIZED (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT doc_id AS vec_id, embedding FROM tb),
-      cents AS (SELECT j, cent FROM $ivfCentsSql),
-      sims AS (
+      cents AS MATERIALIZED (SELECT j, cent FROM $ivfCentsSql),
+      sims AS MATERIALIZED (
         SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
         FROM allv v CROSS JOIN cents c),
-      assigned AS (
+      assigned AS MATERIALIZED (
         SELECT vec_id, ivf_cell FROM (
           SELECT vec_id, j AS ivf_cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
           FROM sims) t WHERE rn = 1),
-      m AS (
+      m AS MATERIALIZED (
         SELECT a.vec_id, a.ivf_cell, v.embedding
         FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
-      drp AS (
+      drp AS MATERIALIZED (
         SELECT DISTINCT y.vec_id
         FROM m x JOIN m y
           ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
         WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3),
-      skeep AS (
+      skeep AS MATERIALIZED (
         SELECT m.vec_id AS doc_id, (d.vec_id IS NULL) AS keep
         FROM m LEFT JOIN drp d ON d.vec_id = m.vec_id
         WHERE m.vec_id >= 1000000000)
@@ -4169,7 +4253,7 @@ object OracleSql {
     // plus the store-size reduction as constants — a batch vector whose
     // only smaller-id neighbor left the corpus flips to keep.
     "op_incr_sem_compact" -> s"""
-      WITH allv AS (
+      WITH allv AS MATERIALIZED (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
         UNION ALL
         SELECT vec_id + 1000000000, embedding FROM embeddings
@@ -4180,19 +4264,19 @@ object OracleSql {
         UNION ALL
         SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
         WHERE vec_id % 26 = 0),
-      cents AS (SELECT j, cent FROM $ivfCentsSql),
-      sims AS (
+      cents AS MATERIALIZED (SELECT j, cent FROM $ivfCentsSql),
+      sims AS MATERIALIZED (
         SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
         FROM allv v CROSS JOIN cents c),
-      assigned AS (
+      assigned AS MATERIALIZED (
         SELECT vec_id, ivf_cell FROM (
           SELECT vec_id, j AS ivf_cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
           FROM sims) t WHERE rn = 1),
-      m AS (
+      m AS MATERIALIZED (
         SELECT a.vec_id, a.ivf_cell, v.embedding
         FROM assigned a JOIN allv v ON v.vec_id = a.vec_id),
-      drp AS (
+      drp AS MATERIALIZED (
         SELECT DISTINCT y.vec_id
         FROM m x JOIN m y
           ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
@@ -4260,16 +4344,18 @@ object OracleSql {
 
     "op_simhash" -> s"""
       WITH $shinglesCte,
-      hsh AS (
-        SELECT doc_id, list(${md5Long("s")}) AS hs
-        FROM shd GROUP BY doc_id)
-      SELECT doc_id,
-        CAST(list_sum(list_transform(generate_series(0, 59), j ->
-          CASE WHEN list_sum(list_transform(hs,
-                 h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-          AS BIGINT) AS simhash
-      FROM hsh""",
+      hsh AS MATERIALIZED (
+        SELECT doc_id, ${md5Long("s")} AS h FROM shd),
+      shv AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          CASE WHEN sum(CASE WHEN ((h >> g.j) & 1) = 1
+            THEN 1 ELSE -1 END) > 0
+          THEN (CAST(1 AS BIGINT) << g.j) ELSE CAST(0 AS BIGINT)
+          END AS bit
+        FROM hsh CROSS JOIN generate_series(0, 59) AS g(j)
+        GROUP BY doc_id, g.j)
+      SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+      FROM shv GROUP BY doc_id""",
 
     // SimHash banded Hamming pairs: same simhash construction, 4x15-bit
     // band collision candidates, exact xor-popcount verify at <= 3.
@@ -4280,8 +4366,8 @@ object OracleSql {
     // n-gram near-dup pairs the hamming<=3 fingerprint surfaces (recall),
     // and how many of its pairs are jaccard near-dups (precision proxy).
     "op_simhash_recall" -> s"""
-      WITH sh AS (SELECT a, b FROM ($simhashPairsSql)),
-      ex AS (SELECT a, b FROM ($jaccardPairsSql)),
+      WITH sh AS MATERIALIZED (SELECT a, b FROM ($simhashPairsSql)),
+      ex AS MATERIALIZED (SELECT a, b FROM ($jaccardPairsSql)),
       bth AS (SELECT count(*) AS n_both FROM sh JOIN ex USING (a, b)),
       ns AS (SELECT count(*) AS n_simhash FROM sh),
       ne AS (SELECT count(*) AS n_exact FROM ex)
@@ -4303,13 +4389,14 @@ object OracleSql {
     "op_band_stats" -> s"""
       WITH $shinglesCte,
       mh AS MATERIALIZED (
-        SELECT doc_id, list(${md5Long("s")} % 2147483647) AS hs
-        FROM shd GROUP BY doc_id),
+        SELECT doc_id, ${md5Long("s")} % 2147483647 AS h FROM shd),
+      sigl AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          min((($coefASql)[g.j] * h + ($coefBSql)[g.j]) % 2147483647) AS mv
+        FROM mh CROSS JOIN generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, g.j),
       sig AS MATERIALIZED (
-        SELECT doc_id, list_transform(generate_series(1, 64), j ->
-          list_min(list_transform(hs,
-            x -> (($coefASql)[j] * x + ($coefBSql)[j]) % 2147483647))) AS sig
-        FROM mh),
+        SELECT doc_id, list(mv ORDER BY j) AS sig FROM sigl GROUP BY doc_id),
       mbanded AS MATERIALIZED (
         SELECT doc_id, g.bd,
           array_to_string(list_slice(sig, g.bd * 4 + 1, g.bd * 4 + 4), ',') AS bkey
@@ -4332,16 +4419,18 @@ object OracleSql {
           JOIN sig sa ON sa.doc_id = e.a
           JOIN sig sb ON sb.doc_id = e.b)),
       sh_hsh AS MATERIALIZED (
-        SELECT doc_id, list(${md5Long("s")}) AS hs
-        FROM shd GROUP BY doc_id),
+        SELECT doc_id, ${md5Long("s")} AS h FROM shd),
+      shv AS MATERIALIZED (
+        SELECT doc_id, g.j,
+          CASE WHEN sum(CASE WHEN ((h >> g.j) & 1) = 1
+            THEN 1 ELSE -1 END) > 0
+          THEN (CAST(1 AS BIGINT) << g.j) ELSE CAST(0 AS BIGINT)
+          END AS bit
+        FROM sh_hsh CROSS JOIN generate_series(0, 59) AS g(j)
+        GROUP BY doc_id, g.j),
       sh AS MATERIALIZED (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(generate_series(0, 59), j ->
-            CASE WHEN list_sum(list_transform(hs,
-                   h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-            AS BIGINT) AS simhash
-        FROM sh_hsh),
+        SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        FROM shv GROUP BY doc_id),
       sbanded AS MATERIALIZED (
         SELECT doc_id, b.bd,
           (simhash >> (15 * b.bd)) & 32767 AS bkey
@@ -4889,8 +4978,8 @@ object OracleSql {
     // pairs: recall = exact pairs surfaced by the candidates; the proxy
     // precision = candidates that really are near-dups at the 1/3 bar.
     "op_dedup_recall" -> s"""
-      WITH mh AS (SELECT a, b FROM ($minhashPairsSql)),
-      ex AS (SELECT a, b FROM ($jaccardPairsSql)),
+      WITH mh AS MATERIALIZED (SELECT a, b FROM ($minhashPairsSql)),
+      ex AS MATERIALIZED (SELECT a, b FROM ($jaccardPairsSql)),
       bth AS (SELECT count(*) AS n_both FROM mh JOIN ex USING (a, b)),
       nm AS (SELECT count(*) AS n_minhash FROM mh),
       ne AS (SELECT count(*) AS n_exact FROM ex)
@@ -5400,6 +5489,34 @@ object OracleSql {
         CAST(sum(c.corpus_n) AS BIGINT) AS freq_sum
       FROM tok t JOIN cnt c USING (tok)
       GROUP BY t.doc_id""",
+
+    // Unigram-LM mean log-probability (add-1 smoothing) — the log side of
+    // the KenLM-style filter: per-token ln((c+1)/(N+V)) via the portable
+    // series ln (lnChain mirrors Sampling.portableLn op-for-op), quantized
+    // to micro-nats (floor of an exact IEEE product of bit-identical
+    // doubles), summed as exact integers; avg = one int/int division.
+    "op_lm_logprob" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      counts AS MATERIALIZED (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) + CAST(count(*) AS BIGINT) AS m
+              FROM counts),
+      ${lnChain("ld", "tot", Seq.empty, "lnden")},
+      csrc AS (SELECT tok, c + 1 AS m FROM counts),
+      ${lnChain("lc", "csrc", Seq("tok"), "lnc")},
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor((l.lnc - d.lnden) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            AS lp
+        FROM tok t JOIN lc7 l USING (tok) CROSS JOIN ld7 d)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+        CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) * 1000000 AS DOUBLE) AS avg_logprob
+      FROM scored GROUP BY doc_id""",
 
     // One-row corpus datasheet over the planted-dup corpus: totals are
     // exact integers; the mean is one division of exact integers.

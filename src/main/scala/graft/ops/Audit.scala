@@ -202,6 +202,56 @@ object Audit {
       .select(col("rung") +: names.map(col) :+ col("class_size"): _*)
   }
 
+  /** l-DIVERSITY GENERALIZATION — the actuator for [[lDiversity]]'s audit,
+    * [[kGeneralize]]'s ladder machinery re-aimed at the homogeneity
+    * attack: pick the FIRST rung of the coarsening ladder at which EVERY
+    * quasi-identifier class holds at least `l` DISTINCT NON-NULL sensitive
+    * values (kGeneralize chose by min class SIZE; this chooses by min
+    * class DIVERSITY — a bigger class isn't safer if all its members
+    * share the sensitive value). Returns that rung's class table
+    * `(rung, quasi columns..., class_size, n_sensitive)` — the
+    * release-ready recoding plus the audit evidence (every n_sensitive ≥ l
+    * by construction; re-running [[lDiversity]] on the chosen rung gives
+    * n_classes_below_l = 0). NO rung qualifying (e.g. the sensitive column
+    * itself has < l distinct values corpus-wide) → EMPTY output — nothing
+    * is safe to release.
+    *
+    * Scale: identical posture to [[kGeneralize]] — ONE scan, rows explode
+    * into all |ladder| encodings with the sensitive value carried along,
+    * one keyed aggregate builds every rung's classes (count-distinct
+    * inside a class is bounded by the class), the rung choice is a
+    * |ladder|-row aggregate cross-joined back. */
+  def lGeneralize(df: DataFrame,
+      ladder: Seq[Seq[org.apache.spark.sql.Column]],
+      sensitive: org.apache.spark.sql.Column, l: Int): DataFrame = {
+    require(l >= 2, "l must be at least 2")
+    require(ladder.nonEmpty, "ladder must be non-empty")
+    require(ladder.forall(_.length == ladder.head.length),
+      "every ladder rung must share the release schema (same arity)")
+    val names = df.select(ladder.head: _*).columns.toSeq
+    require(names.distinct.length == names.length,
+      s"lGeneralize: quasi-identifier output names collide " +
+        s"(${names.mkString(", ")}) — alias duplicate expressions")
+    require(!names.exists(Set("rung", "class_size", "n_sensitive", "_sens")),
+      "lGeneralize: rung/class_size/n_sensitive/_sens are reserved names")
+    val encoded = ladder.zipWithIndex.map { case (qs, r) =>
+      struct(lit(r).as("rung") +:
+        qs.zip(names).map { case (c, n) => c.cast("string").as(n) }: _*)
+    }
+    val rows = df.select(explode(array(encoded: _*)).as("_t"),
+        sensitive.as("_sens"))
+      .select(col("_t.rung").as("rung") +:
+        names.map(n => col(s"_t.$n").as(n)) :+ col("_sens"): _*)
+    val classes = rows.groupBy(col("rung") +: names.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("_sens")).as("n_sensitive"))
+    val chosen = classes.groupBy("rung").agg(min("n_sensitive").as("_md"))
+      .filter(col("_md") >= l).agg(min("rung").as("_chosen"))
+    classes.crossJoin(chosen).filter(col("rung") === col("_chosen"))
+      .select(col("rung") +: names.map(col) :+
+        col("class_size") :+ col("n_sensitive"): _*)
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

@@ -170,6 +170,31 @@ object Sampling {
     (lit(60.0) - p.cast("double")) * lit(RaceLn2) - (lit(2.0) * z) * t
   }
 
+  /** Engine-portable ln(m) for a POSITIVE INTEGER column m ∈ [1, 2⁶²] —
+    * [[negLnU]]'s machinery pointed at an arbitrary count instead of the
+    * 60-bit hash-uniform: p = ⌊log₂ m⌋ in integer space, 2^p from a
+    * 63-entry power table, mantissa via the same atanh series, composed as
+    * `p·ln2 + 2z·t`. Every step is a correctly-rounded IEEE op, so Spark
+    * and the DuckDB oracle compute the bit-identical double — the portable
+    * log that unblocks log-prob scoring ([[graft.text.TextOps.lmLogProb]]):
+    * ln of any count ratio = portableLn(num) − portableLn(den), no libm.
+    * (Deliberately NOT shared with [[negLnU]]'s tree: `(60−p)·ln2 − 2z·t`
+    * and `60·ln2 − (p·ln2 + 2z·t)` round differently, and negLnU's oracle
+    * mirrors its exact tree.) */
+  def portableLn(m: Column): Column = {
+    val p = (length(bin(m)) - 1).cast("int") // floor(log2 m), exact
+    val twoP = element_at(
+      typedLit((0 to 62).map(1L << _)), p + 1) // 2^p, exact
+    val f = (m - twoP).cast("double") / twoP.cast("double") // [0, 1)
+    val z = f / (f + lit(2.0))
+    val z2 = z * z
+    val t = (0 until RaceSeriesTerms - 1).reverse.foldLeft(
+      lit(1.0) / lit((2 * (RaceSeriesTerms - 1) + 1).toDouble)) {
+      (acc, kk) => lit(1.0) / lit((2 * kk + 1).toDouble) + z2 * acc
+    }
+    p.cast("double") * lit(RaceLn2) + (lit(2.0) * z) * t
+  }
+
   /** Closed-form EXPONENTIAL-RACE weighted sampling — [[weightedByHash]]'s
     * distribution realized in O(1) per row for ANY weight magnitude: row
     * priority = −ln(u_i)/w_i from ONE content hash (the Efraimidis–Spirakis

@@ -445,6 +445,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("corpus_n").as("freq_sum"))
   }
 
+  /** Unigram-LM log-probability scoring — the standard KenLM-style quality
+    * filter [[unigramScore]]'s integer sums stop short of: per document,
+    * the mean add-1-smoothed token log-probability under the corpus's own
+    * unigram model, `avg_logprob = (1/n) Σ_t ln((c_t + 1)/(N + V))` with
+    * c_t the token's corpus count, N total occurrences, V vocab size.
+    * Rare-token-heavy word salad scores very negative; fluent text sits
+    * near the corpus entropy — threshold on `avg_logprob` exactly like a
+    * KenLM perplexity filter.
+    *
+    * Engine-exact despite the log: ln comes from
+    * [[graft.ops.Sampling.portableLn]] (bit-identical cross-engine), each
+    * token's log-prob quantizes to MICRO-NATS (`⌊(ln(c+1) − ln(N+V))·10⁶⌋`
+    * — multiply and floor are exact IEEE steps on a bit-identical input),
+    * and the per-doc sum is then an exact integer; `avg_logprob` is ONE
+    * division of exact integers. No float accumulation anywhere, so any
+    * partitioning/engine produces the identical result. Quantization bias
+    * is < 1e-6 nats/token — far under any filter threshold's resolution.
+    *
+    * Scale: same shape as [[unigramScore]] — one token-keyed count
+    * aggregate (map-side partials), the 1-row (N, V) totals broadcast
+    * back, one token-keyed join, one doc-keyed aggregate. The "model" is
+    * the counts table itself; nothing corpus-sized sorts or windows. */
+  def lmLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("_c"))
+    val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
+    val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
+      graft.ops.Sampling.portableLn(col("_n_total") + col("_v")))
+      * lit(1000000.0)).cast(LongType)
+    tok.join(counts, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("_lp", lp)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("sum_lp_micro"))
+      .withColumn("avg_logprob", col("sum_lp_micro").cast(DoubleType) /
+        (col("n_tokens") * lit(1000000L)).cast(DoubleType))
+  }
+
   /** DSIR-style importance weighting (Data Selection via Importance
     * Resampling, Xie et al. 2023): score each doc by how target-like its
     * hashed-token distribution is, so a raw pool can be filtered toward a

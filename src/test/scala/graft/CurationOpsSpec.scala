@@ -129,6 +129,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("lmLogProb: micro-nat sums match a driver-side Math.log recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat"),
+      (3L, "   "), // whitespace-only -> no tokens -> drops
+      (4L, "zyzzyva")).toDF("doc_id", "text")
+    // corpus model: counts over all tokens; N = 13, V = 7
+    val corpus = Seq("the", "cat", "sat", "on", "the", "mat",
+      "the", "cat", "ran", "on", "the", "mat", "zyzzyva")
+    val c = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = corpus.size.toLong
+    val v = c.size.toLong
+    def lpMicro(tok: String): Long =
+      math.floor((math.log((c(tok) + 1).toDouble) -
+        math.log((n + v).toDouble)) * 1e6).toLong
+    val out = graft.text.TextOps.lmLogProb(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // portableLn agrees with Math.log to ~1e-12 relative (SamplingSpec),
+    // and every per-token value here sits far from a micro-nat floor
+    // boundary, so the quantized sums must agree exactly
+    val d1 = Seq("the", "cat", "sat", "on", "the", "mat").map(lpMicro).sum
+    assert(out(1L) == ((6L, d1, d1.toDouble / 6e6)), s"${out(1L)} vs $d1")
+    val d4 = lpMicro("zyzzyva")
+    assert(out(4L) == ((1L, d4, d4.toDouble / 1e6)))
+    assert(!out.contains(3L))
+    // ranking sanity: the rare-token doc scores strictly lower
+    assert(out(4L)._3 < out(1L)._3)
+  }
+
   test("assignSplit rejects duplicate cut bounds (unreachable labels)") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("id")

@@ -173,4 +173,50 @@ class AuditSpec extends SparkSpec {
       Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), k = 2)
     assert(out.count() == 0L)
   }
+
+  test("lGeneralize: first rung every class spans l sources wins; audit re-run clean") {
+    // rung 0 (lang, b): (en,1)={a,a} diversity 1 — homogeneous despite
+    // size 2; rung 1 (b suppressed): (en)={a,a,b,c} 3, (de)={a,b,c,c} 3 —
+    // the chosen release. A k-size choice would have picked rung 0 at
+    // k=2; diversity is the different (and here stricter) criterion.
+    val rows = Seq(
+      (1L, "en", 1, "a"), (2L, "en", 1, "a"),
+      (3L, "en", 2, "b"), (4L, "en", 2, "c"),
+      (5L, "de", 1, "a"), (6L, "de", 1, "b"),
+      (7L, "de", 2, "c"), (8L, "de", 2, "c"))
+      .toDF("id", "lang", "b", "src")
+    val ladder = Seq(
+      Seq(col("lang"), col("b").as("bucket")),
+      Seq(col("lang"), lit("*").as("bucket")),
+      Seq(lit("*").as("lang"), lit("*").as("bucket")))
+    val out = Audit.lGeneralize(rows, ladder, col("src"), l = 3).collect()
+    assert(out.forall(_.getInt(0) == 1), out.mkString("; "))
+    val classes = out.map(r => (r.getString(1), r.getString(2)) ->
+      ((r.getLong(3), r.getLong(4)))).toMap
+    assert(classes == Map(("en", "*") -> ((4L, 3L)), ("de", "*") -> ((4L, 3L))))
+    // definition of done: re-running the lDiversity AUDIT over the chosen
+    // rung's encoding reports zero classes below l
+    val audit = Audit.lDiversity(rows,
+      Seq(col("lang"), lit("*").as("bucket")), col("src"), l = 3).head()
+    assert(audit.getAs[Long]("n_classes_below_l") == 0L)
+    assert(audit.getAs[Long]("min_diversity") >= 3L)
+  }
+
+  test("lGeneralize: rung 0 released when already diverse; nothing-safe -> empty") {
+    val rows = Seq(
+      (1L, "en", "a"), (2L, "en", "b"), (3L, "de", "b"), (4L, "de", "c"))
+      .toDF("id", "lang", "src")
+    val out = Audit.lGeneralize(rows,
+      Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), col("src"), l = 2)
+      .collect()
+    assert(out.forall(_.getInt(0) == 0))
+    assert(out.map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap == Map("en" -> ((2L, 2L)), "de" -> ((2L, 2L))))
+    // corpus-wide the sensitive column holds ONE distinct value: even the
+    // fully-suppressed rung has diversity 1 < l -> empty release
+    val allSame = Seq((1L, "en", "a"), (2L, "de", "a")).toDF("id", "lang", "src")
+    assert(Audit.lGeneralize(allSame,
+      Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), col("src"), l = 2)
+      .count() == 0L)
+  }
 }

@@ -156,6 +156,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("portableLn: series ln(m) matches Math.log to 1e-12 relative over the count range") {
+    // the log-prob scorer's ln — verify the p·ln2 + 2z·t composition
+    // against the JVM's ln across small counts (the dense region), a
+    // pseudo-random mid range, and the extremes of the documented domain
+    val ms = ((1L to 1000L) ++
+      (1 to 200).map(i => 1000L + i.toLong * i * i * 37L) ++
+      Seq(1L << 40, (1L << 52) + 12345L, (1L << 62) - 1, 1L << 62)).distinct
+    val got = ms.toDF("m").withColumn("series", Sampling.portableLn($"m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { case (m, series) =>
+      val exact = math.log(m.toDouble)
+      if (m == 1L) assert(series == 0.0, s"ln(1) must be exactly 0: $series")
+      else {
+        val rel = math.abs(series - exact) / exact
+        assert(rel < 1e-12, s"m=$m series=$series exact=$exact rel=$rel")
+      }
+    }
+  }
+
   test("weightedByRace: scale invariance, clamped 10^6 dominance, k winners") {
     val w = ($"n_chars" % 97 + 1) * lit(50L)
     def ids(weight: org.apache.spark.sql.Column): Seq[Long] =
