@@ -516,6 +516,31 @@ object Catalog {
     })
   }
 
+  /** TRAINED-cell variant of [[semIndex]] + its FROZEN model — the pinned
+    * retrain policy (round-15): batch 1 (= the historical corpus) trains
+    * the cells with ONE distributed Lloyd update of the fixed init
+    * ([[graft.text.Ivf.lloydNext]] — driver state is C×dim longs however
+    * large the corpus), then the model FREEZES for every subsequent
+    * ingest. Frozen cells are what keep the incremental contract: cell
+    * ids stay stable, so the standing store's layout (and the static
+    * partition pruning riding it) never recomputes — a retrain would
+    * reshuffle every historical vector's cell and with it the whole
+    * store. Written once per sfDir (the [[incrIndex]] contract). */
+  private val semTrainedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, graft.text.Ivf.Model)]
+  private def semTrainedIndex(s: SparkSession, dir: String): (String, graft.text.Ivf.Model) = {
+    semTrainedDirs.get(dir).filterNot { case (d, _) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d)) }
+      .foreach(_ => semTrainedDirs.remove(dir))
+    semTrainedDirs.getOrElseUpdate(dir, {
+      val out = tempOutDir("graft_sem_tidx")
+      val model = graft.text.Ivf.lloydNext(embCorpus(s, dir),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64))
+      graft.text.IncrSemDedup.writeIndex(embCorpus(s, dir), model, out)
+      (out, model)
+    })
+  }
+
   /** RETENTION-COMPACTED variant of [[semIndex]] — the vector twin of
     * [[incrCompactIndex]]: retained = `vec_id % 3 != 0`, store rewritten
     * by [[graft.text.IncrSemDedup.compactIndex]] (hive-partitioned cell
@@ -2522,6 +2547,20 @@ object Catalog {
       memoFrame(s, s"isd:$dir")(graft.text.IncrSemDedup.dedupAgainst(
         s, vecIngestBatch(s, dir), semIndex(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), minCos = 0.3).decisions)),
+
+    // incremental semantic dedup over TRAINED cells — op_incr_sem_dedup
+    // with the data-adaptive centroids op_trained_ivf_ann closes the loop
+    // on, under the pinned retrain policy: batch 1 (= history) trains via
+    // one distributed Lloyd update, the model FREEZES for subsequent
+    // ingests (stable cell ids — history never recomputes). Oracle
+    // rebuilds the identical trained centroids in SQL (lloydCent2Ctes),
+    // then from-scratch semDedup over the union restricted to the batch
+    "op_incr_sem_trained" -> ((s, dir) =>
+      memoFrame(s, s"ist:$dir") {
+        val (idx, model) = semTrainedIndex(s, dir)
+        graft.text.IncrSemDedup.dedupAgainst(
+          s, vecIngestBatch(s, dir), idx, model, minCos = 0.3).decisions
+      }),
 
     // retention compaction of the IVF cell store — op_incr_compact's
     // vector twin: every 3rd vector leaves the corpus, the store is

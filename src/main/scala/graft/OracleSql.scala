@@ -4248,6 +4248,46 @@ object OracleSql {
       LEFT JOIN tkeep tk USING (doc_id)
       LEFT JOIN skeep sk USING (doc_id)""",
 
+    // Incremental semantic dedup over TRAINED cells: the identical
+    // data-adaptive centroids rebuilt in SQL (lloydCent2Ctes — trained on
+    // HISTORY only, the frozen-model policy), then from-scratch semDedup
+    // over (history ∪ batch) under those centroids, restricted to the
+    // batch — certifying the trained-cell incremental path is EXACTLY the
+    // batch answer.
+    "op_incr_sem_trained" -> s"""
+      WITH $ivfCtesSql,
+      $lloydCent2Ctes,
+      allv AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 13 = 0
+        UNION ALL
+        SELECT vec_id + 3000000000, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 26 = 0),
+      simsT AS (
+        SELECT v.vec_id, c.j, ${cosSql("v.embedding", "c.cent")} AS sim
+        FROM allv v CROSS JOIN cent2 c),
+      asgT AS MATERIALIZED (
+        SELECT vec_id, ivf_cell FROM (
+          SELECT vec_id, j AS ivf_cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS rn
+          FROM simsT) t WHERE rn = 1),
+      mT AS MATERIALIZED (
+        SELECT a.vec_id, a.ivf_cell, v.embedding
+        FROM asgT a JOIN allv v ON v.vec_id = a.vec_id),
+      drpT AS MATERIALIZED (
+        SELECT DISTINCT y.vec_id
+        FROM mT x JOIN mT y
+          ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3)
+      SELECT mT.vec_id, mT.ivf_cell, (d.vec_id IS NULL) AS keep
+      FROM mT LEFT JOIN drpT d ON d.vec_id = mT.vec_id
+      WHERE mT.vec_id >= 1000000000""",
+
     // Retention-compaction oracle for the vector store: op_incr_sem_dedup
     // with HISTORY restricted to the retained vectors (vec_id % 3 <> 0),
     // plus the store-size reduction as constants — a batch vector whose

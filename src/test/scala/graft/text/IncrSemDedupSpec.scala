@@ -82,6 +82,28 @@ class IncrSemDedupSpec extends SparkSpec {
     assert(d2 == Map(20L -> false))
   }
 
+  test("TRAINED cells (train on batch 1, freeze): incremental == from-scratch over the trained model") {
+    // the pinned retrain policy: the HISTORICAL corpus (batch 1) trains
+    // the cells with one distributed Lloyd update of a fixed init, then
+    // the model FREEZES — cell ids stay stable, so the standing store
+    // written under the trained model is never invalidated by an ingest
+    val init = Ivf.fixedModel(c = 4, dim = 4)
+    val trained = Ivf.lloydNext(hist, init)
+    // the update must actually move centroids off the fixed formula
+    // (otherwise this test degenerates to the fixed-model one)
+    assert(trained.centroids.map(_.toSeq).toSeq !=
+      init.centroids.map(_.toSeq).toSeq)
+    val path = tmp()
+    IncrSemDedup.writeIndex(hist, trained, path)
+    val inc = IncrSemDedup.dedupAgainst(spark, newBatch, path, trained, minCos)
+      .decisions.select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    val scratch = Similarity.semDedup(hist.unionByName(newBatch), trained,
+      minCos)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+      .filter(_._1 >= 10L)
+    assert(inc == scratch, s"incremental $inc != from-scratch $scratch")
+  }
+
   test("retention compaction: incremental over the compacted store == from-scratch over the RETAINED corpus") {
     val path = tmp()
     val dst = tmp()
