@@ -112,6 +112,7 @@ object Bench {
     "race_per_key" -> "rpk", "score_auc" -> "auc",
     "simhash_recall" -> "shr", "lm_logprob" -> "lmp",
     "l_generalize" -> "lgn", "incr_sem_trained" -> "ist",
+    "substr_runs" -> "sbr",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

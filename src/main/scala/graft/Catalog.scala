@@ -2347,6 +2347,15 @@ object Catalog {
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
 
+    // exact-substring duplicate runs (>= 20 tokens) between doc pairs —
+    // the Lee et al. 2022 granularity rung without a suffix array:
+    // chained window-hash runs on constant-offset diagonals, maximal
+    // runs via gaps-and-islands per (pair, offset); hub windows dropped
+    // pre-join (maxDf cap). The planted-copy corpus shares each source's
+    // full text with its +1e9 copy -> one long run per copy pair
+    "op_substr_runs" -> ((s, dir) =>
+      TextOps.substrRuns(dedupCorpus(s, dir))),
+
     // asymmetric shingle containment over the planted-excerpt corpus: the
     // near-dup signal Jaccard misses (excerpt ⊂ source ⇒ containment ≈ 1
     // at Jaccard ≈ size ratio); same de-hubbed index + maxDf bound

@@ -5485,6 +5485,35 @@ object OracleSql {
 
     // Cross-document duplicated 5-token passages over the planted
     // boilerplate corpus: window hashes in >= 2 docs, min-id owner.
+    // Exact-substring duplicate runs: shared 5-token window hashes at
+    // constant pair offset, maximal consecutive runs via gaps-and-islands
+    // (pa - row_number per (a, b, diff) diagonal), hub cap 100, run
+    // length = windows + w - 1, kept at >= 20 tokens.
+    "op_substr_runs" -> s"""
+      WITH $corpusCte,
+      ${rollingWindowsCte("corpus", 5)},
+      wpos AS MATERIALIZED (
+        SELECT doc_id, t.i - 1 AS pos, wh[t.i] AS h
+        FROM whs, unnest(generate_series(1, len(wh))) AS t(i)),
+      keep AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM wpos)
+        GROUP BY h HAVING count(*) <= 100),
+      f AS MATERIALIZED (
+        SELECT w.doc_id, w.pos, w.h FROM wpos w JOIN keep USING (h)),
+      prs AS MATERIALIZED (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+          x.pos - y.pos AS diff
+        FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id),
+      isl AS (
+        SELECT a, b, diff, pa, pb,
+          pa - row_number() OVER (PARTITION BY a, b, diff ORDER BY pa) AS grp
+        FROM prs)
+      SELECT a, b, CAST(min(pa) AS INT) AS start_a,
+        CAST(min(pb) AS INT) AS start_b,
+        CAST(count(*) + 4 AS BIGINT) AS run_tokens
+      FROM isl GROUP BY a, b, diff, grp
+      HAVING count(*) + 4 >= 20""",
+
     "op_passage_dups" -> s"""
       WITH pc AS (
         SELECT doc_id, text ||

@@ -407,6 +407,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Exact-substring duplicate RUNS between document pairs — the last
+    * dedup-granularity rung (whole-doc fingerprints → passages → this):
+    * the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" signal (arbitrary long exact repeats, ≥ `minRun`
+    * tokens) realized without a distributed suffix array, as CHAINED
+    * WINDOW-HASH RUNS: two docs sharing an exact L-token substring share
+    * L−w+1 [[rollingWindows]] hashes at positions of CONSTANT OFFSET
+    * (pa − pb), so maximal runs are gaps-and-islands over each doc
+    * pair's offset diagonal — island id = pa − row_number, one bounded
+    * aggregate per island. Output: (a, b, start_a, start_b, run_tokens)
+    * per maximal shared run of ≥ minRun tokens. Identity is hash-based
+    * (mod-P Horner) — a cross-doc collision could fabricate one shared
+    * window, but a ≥ minRun run needs minRun−w+1 CONSECUTIVE collisions
+    * on one diagonal, vanishingly unlikely and verifiable downstream.
+    *
+    * Scale: rides the [[rollingWindows]] explode (doc-length-bounded
+    * window pass); hub windows (> `maxDf` docs — boilerplate) drop
+    * BEFORE the pair join, the standard inverted-index cap that keeps
+    * the join O(collisions); the islands window partitions by
+    * (a, b, diff) — one candidate pair's diagonal, bounded by doc
+    * length, never corpus-sized. */
+  def substrRuns(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 5, minRun: Int = 20,
+      maxDf: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    require(minRun >= w, "minRun must be at least the window width")
+    // persisted: the exploded window table feeds the df-count aggregate
+    // once and the pair self-join twice (the shingleIntersections contract)
+    val wins = scope.persist(
+      rollingWindows(docs, textCol, idCol, w).select("doc_id", "pos", "wh"))
+    val keep = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("wh")
+    val f = wins.join(keep, "wh")
+    val pairs = f.select(col("wh"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(f.select(col("wh"), col("doc_id").as("b"), col("pos").as("pb")),
+        "wh")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("_diff"))
+    val islands = pairs.withColumn("_isl",
+      col("pa") - row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("a", "b", "_diff").orderBy("pa")))
+    islands.groupBy("a", "b", "_diff", "_isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        count(lit(1)).as("_nw"))
+      .withColumn("run_tokens", col("_nw") + lit((w - 1).toLong))
+      .filter(col("run_tokens") >= minRun)
+      .select("a", "b", "start_a", "start_b", "run_tokens")
+  }
+
   /** Corpus-frequency document scoring — the integer-exact core of a
     * KenLM-style unigram quality filter: each document gets the SUM of its
     * tokens' corpus-wide occurrence counts (plus its token total), so

@@ -129,6 +129,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("substrRuns: planted long repeats found with exact span; short/hub repeats drop") {
+    import spark.implicits._
+    // a 24-token passage planted inside two otherwise-different docs at
+    // different offsets, plus a 10-token shared snippet (below minRun=20)
+    // and an unrelated doc
+    val passage = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 10).map(i => s"snip$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five six $passage seven $short"),
+      (3L, s"unrelated words only here nothing shared at all $short"),
+      (4L, "completely disjoint content with zero overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.substrRuns(docs, "text", w = 5, minRun = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    // doc1: passage starts at token 3; doc2: at token 6; run = 24 tokens
+    assert(out == Map((1L, 2L) -> ((3, 6, 24L))), s"$out")
+    // lowering minRun to 10 surfaces the short snippet pair too
+    val out2 = graft.text.TextOps.substrRuns(docs, "text", w = 5, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out2 == Map((1L, 2L) -> 24L, (2L, 3L) -> 10L), s"$out2")
+    // hub cap: a window shared by more docs than maxDf never pairs
+    val boiler = (1 to 30).map(i =>
+      (100L + i, s"page $i says " + passage)).toDF("doc_id", "text")
+    assert(graft.text.TextOps.substrRuns(boiler, "text", w = 5, minRun = 20,
+      maxDf = 10).count() == 0L)
+  }
+
   test("lmLogProb: micro-nat sums match a driver-side Math.log recompute") {
     import spark.implicits._
     val docs = Seq(
