@@ -112,7 +112,8 @@ object Bench {
     "race_per_key" -> "rpk", "score_auc" -> "auc",
     "simhash_recall" -> "shr", "lm_logprob" -> "lmp",
     "l_generalize" -> "lgn", "incr_sem_trained" -> "ist",
-    "substr_runs" -> "sbr",
+    "substr_runs" -> "sbr", "ccnet_buckets" -> "ccb",
+    "dp_counts" -> "dpc",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

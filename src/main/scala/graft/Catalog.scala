@@ -1835,6 +1835,16 @@ object Catalog {
         col("source"), l = 3)
     }),
 
+    // differentially-private count release (Laplace mechanism, eps = 1)
+    // over the (lang, source) contingency table: the governance rung
+    // after generalization — exact class counts still leak presence, so
+    // the release adds Laplace(1/eps) noise built as the difference of
+    // two portable-ln exponentials from salted content hashes; the true
+    // count never leaves the operator. One keyed aggregate, O(1)/group
+    "op_dp_counts" -> ((s, dir) =>
+      graft.ops.Audit.dpCounts(t(s, dir, "documents"),
+        Seq("lang", "source"), epsilon = 1.0)),
+
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
     // cloned in as a new id) — added/removed/changed/unchanged counts
@@ -1951,6 +1961,13 @@ object Catalog {
     // per-doc sum exact-integer, so the log-prob is engine-reproducible
     "op_lm_logprob" -> ((s, dir) =>
       TextOps.lmLogProb(t(s, dir, "documents"), "text")),
+
+    // CCNet head/middle/tail terciles per language by the lm_logprob
+    // score quantized to milli-nats — the published filter-by-perplexity
+    // recipe; the cumulative window runs over the value-range-bounded
+    // (lang, milli-nat) histogram, never the corpus
+    "op_ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(t(s, dir, "documents"))),
 
     // one-row corpus datasheet over the planted-dup corpus: doc/token/
     // char totals, language count, exact-dup doc count, mean tokens per

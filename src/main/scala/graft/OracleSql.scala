@@ -315,6 +315,38 @@ object OracleSql {
           + (CAST(2 AS DOUBLE) * z) * t AS $outCol FROM ${pfx}6)"""
   }
 
+  /** −ln(u) CTE chain over `src` (must yield a 60-bit BIGINT column `h`
+    * plus the `carry` columns) — mirrors [[graft.ops.Sampling.negLnU]]
+    * OPERATION-FOR-OPERATION (m = h+1, integer exponent, 61-entry power
+    * table, atanh-series mantissa, `(60−p)·ln2 − 2z·t` composition), so
+    * the double is bit-exact cross-engine. Yields CTE `${pfx}8` = carry +
+    * `outCol`. The race samplers keep their own weighted chain
+    * ([[raceKeyCtes]]); this is the plain exponential draw. */
+  private def negLnChain(pfx: String, src: String, carry: Seq[String],
+      outCol: String): String = {
+    val pows = (0 to 60).map(1L << _).mkString("[", ",", "]")
+    val terms = graft.ops.Sampling.RaceSeriesTerms
+    val horner = (0 until terms - 1).reverse.foldLeft(
+      s"(CAST(1 AS DOUBLE)/CAST(${2 * (terms - 1) + 1} AS DOUBLE))") {
+      (acc, kk) =>
+        s"((CAST(1 AS DOUBLE)/CAST(${2 * kk + 1} AS DOUBLE)) + z2 * $acc)"
+    }
+    val c = carry.map(_ + ", ").mkString
+    s"""${pfx}1 AS (SELECT ${c}h + 1 AS m FROM $src),
+      ${pfx}2 AS (SELECT ${c}m, CAST(length(bin(m)) - 1 AS INT) AS p
+        FROM ${pfx}1),
+      ${pfx}3 AS (SELECT ${c}m, p, ($pows)[p + 1] AS twop FROM ${pfx}2),
+      ${pfx}4 AS (SELECT ${c}p,
+        CAST(m - twop AS DOUBLE) / CAST(twop AS DOUBLE) AS f FROM ${pfx}3),
+      ${pfx}5 AS (SELECT ${c}p, f / (f + CAST(2 AS DOUBLE)) AS z
+        FROM ${pfx}4),
+      ${pfx}6 AS (SELECT ${c}p, z, z * z AS z2 FROM ${pfx}5),
+      ${pfx}7 AS (SELECT ${c}p, z, $horner AS t FROM ${pfx}6),
+      ${pfx}8 AS (SELECT ${c}(CAST(60 AS DOUBLE) - CAST(p AS DOUBLE))
+          * CAST('0.6931471805599453' AS DOUBLE)
+          - (CAST(2 AS DOUBLE) * z) * t AS $outCol FROM ${pfx}7)"""
+  }
+
   /** Left-to-right cosine similarity between two FLOAT[]/DOUBLE[] columns —
     * bit-identical to [[graft.functions.CosineSim]]'s fused loop. */
   private def cosSql(a: String, b: String): String = s"""
@@ -2613,6 +2645,27 @@ object OracleSql {
         CAST(class_size AS BIGINT) AS class_size,
         CAST(n_sensitive AS BIGINT) AS n_sensitive
       FROM c JOIN ch ON c.rung = ch.chosen""",
+
+    // Differentially-private (lang, source) count release: Laplace(1/eps)
+    // noise as the difference of two salted-hash exponentials, each a
+    // negLnChain mirror of Sampling.negLnU — the noisy double is
+    // bit-exact cross-engine; the true count never appears in the output.
+    "op_dp_counts" -> s"""
+      WITH grp AS MATERIALIZED (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+          concat_ws(chr(1), lang, source) AS ks
+        FROM documents GROUP BY lang, source),
+      e1src AS (SELECT lang, source, n,
+        ${md5Long("ks || ':dp+'")} AS h FROM grp),
+      ${negLnChain("e1", "e1src", Seq("lang", "source", "n"), "ex1")},
+      e2src AS (SELECT lang, source,
+        ${md5Long("ks || ':dp-'")} AS h FROM grp),
+      ${negLnChain("e2", "e2src", Seq("lang", "source"), "ex2")}
+      SELECT a.lang, a.source,
+        CAST(a.n * 1000000 + CAST(floor((a.ex1 - b.ex2)
+              / CAST('1.0' AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_count
+      FROM e18 a JOIN e28 b USING (lang, source)""",
 
     // Snapshot diff: old = documents, new = the derived snapshot (13th
     // dropped, 7th survivor edited, 11th cloned under a new id).
@@ -5586,6 +5639,56 @@ object OracleSql {
         CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE)
           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_logprob
       FROM scored GROUP BY doc_id""",
+
+    // CCNet head/middle/tail terciles per language: the lm_logprob chain
+    // (portable series ln, micro-nat floor) re-run, each doc's mean
+    // log-prob floor-divided to milli-nats (subtract-pmod form — exact
+    // division, so truncating // agrees with Spark's div), then the
+    // tie-together tercile rule over the value-range-bounded histogram.
+    "op_ccnet_buckets" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      counts AS MATERIALIZED (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) + CAST(count(*) AS BIGINT) AS m
+              FROM counts),
+      ${lnChain("cbd", "tot", Seq.empty, "lnden")},
+      csrc AS (SELECT tok, c + 1 AS m FROM counts),
+      ${lnChain("cbc", "csrc", Seq("tok"), "lnc")},
+      scored AS MATERIALIZED (
+        SELECT t.doc_id,
+          CAST(floor((l.lnc - d.lnden) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            AS lp
+        FROM tok t JOIN cbc7 l USING (tok) CROSS JOIN cbd7 d),
+      perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(sum(lp) AS BIGINT) AS slp
+        FROM scored GROUP BY doc_id),
+      qd AS (
+        SELECT d.lang, p.n_toks,
+          CAST((p.slp - (((p.slp % (p.n_toks * 1000)) + (p.n_toks * 1000))
+              % (p.n_toks * 1000))) // (p.n_toks * 1000) AS BIGINT) AS q
+        FROM perdoc p JOIN documents d USING (doc_id)),
+      hist AS (
+        SELECT lang, q, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_toks) AS BIGINT) AS toks
+        FROM qd GROUP BY lang, q),
+      cum AS (
+        SELECT lang, q, n, toks,
+          CAST(sum(n) OVER (PARTITION BY lang ORDER BY q DESC) AS BIGINT)
+            AS c,
+          CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS t
+        FROM hist)
+      SELECT lang,
+        CASE WHEN (c - n) * 3 < t THEN 'head'
+             WHEN (c - n) * 3 < t * 2 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        min(q) AS min_millinats, max(q) AS max_millinats
+      FROM cum GROUP BY 1, 2""",
 
     // One-row corpus datasheet over the planted-dup corpus: totals are
     // exact integers; the mean is one division of exact integers.

@@ -252,6 +252,56 @@ object Audit {
         col("class_size") :+ col("n_sensitive"): _*)
   }
 
+  /** Differentially-private GROUP-COUNT release — the governance rung
+    * after [[kGeneralize]]/[[lGeneralize]]: even a k-anonymous class
+    * table leaks via its exact counts (a count changing by 1 between two
+    * releases reveals one person's presence), so the standard fix is the
+    * Laplace mechanism — release `count + Laplace(Δ/ε)` per group, Δ = 1
+    * for counting queries. The noise here is the DIFFERENCE OF TWO
+    * EXPONENTIALS (Exp(b) − Exp(b) ~ Laplace(b), b = 1/ε), each drawn as
+    * −ln(u)/ε from a salted content hash of the group key via
+    * [[Sampling.negLnU]]'s portable series — so the release is
+    * deterministic and ENGINE-EXACT: both engines produce the
+    * bit-identical noisy count. The noise quantizes to micro-units
+    * (floor of an exact product of bit-identical doubles), so the noisy
+    * count is an exact integer micro-count divided once.
+    *
+    * Determinism caveat, stated honestly: a REPLAYABLE release (same
+    * data → same noise) is what a reproducible pipeline wants, but the
+    * ε-DP guarantee then rests on the hash salt staying secret and the
+    * release happening ONCE — re-releasing after one row changes gives
+    * the classic averaging attack, exactly as it would with a cached
+    * true-random release. The raw count never leaves this operator.
+    *
+    * Scale: one group-keyed count aggregate (map-side partials); the
+    * noise is O(1) narrow arithmetic per GROUP, not per row. Output is
+    * |groups| rows. */
+  def dpCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double = 1.0,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.text.Dedup.portableHash): DataFrame = {
+    require(epsilon > 0, "dpCounts: epsilon must be positive")
+    require(keyCols.nonEmpty, "dpCounts: at least one group column")
+    require(!keyCols.exists(Set("noisy_count")),
+      "dpCounts: noisy_count is a reserved output name")
+    // U+0001-joined string form of the key: the oracle reproduces it with
+    // concat_ws(chr(1), ...); NULL keys would drop from concat_ws in both
+    // engines identically, but documents' keys are non-null anyway
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*)
+    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp+"))))
+    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp-"))))
+    // Laplace(1/eps) in micro-units: every step from the two bit-identical
+    // exponentials is one correctly-rounded IEEE op, then an exact floor
+    val noiseMicro = floor((e1 - e2) / lit(epsilon) * lit(1000000.0))
+      .cast(LongType)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("noisy_count",
+        (col("_n") * lit(1000000L) + noiseMicro).cast("double") /
+          lit(1000000.0))
+      .drop("_n") // the true count must never leave
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

@@ -535,6 +535,59 @@ object TextOps {
         (col("n_tokens") * lit(1000000L)).cast(DoubleType))
   }
 
+  /** CCNet-style perplexity-tercile bucketing (Wenzek et al. 2020): split
+    * each language's corpus into head / middle / tail thirds by LM
+    * quality — the published recipe trains/filters on the "head" third and
+    * drops or downweights the tail. The score is [[lmLogProb]]'s mean
+    * add-1-smoothed token log-probability (higher = more fluent = lower
+    * perplexity), quantized to MILLI-NATS per token by an exact integer
+    * floor division, so the per-doc score is an exact integer and the
+    * tercile assignment is pure integer arithmetic — engine-exact.
+    *
+    * Tercile rule (ties stay together, like CCNet's per-score-value
+    * thresholds): score values sort descending within a language; a score
+    * GROUP whose cumulative-before doc count `c` satisfies `3c < N` is
+    * head, `3c < 2N` middle, else tail — so a tie group straddling a
+    * boundary lands whole in the earlier bucket. Output: one row per
+    * (language, bucket) with doc/token mass and the bucket's milli-nat
+    * score range — the thresholds a filtering pass would then apply.
+    *
+    * Scale: [[lmLogProb]]'s shape (token-keyed count aggregate, 1-row
+    * totals broadcast, doc-keyed aggregate) plus a histogram aggregate
+    * keyed on (lang, milli-nat score). The cumulative window runs over
+    * that HISTOGRAM, not the corpus: mean log-prob per token lies in
+    * roughly [−25, 0] nats, so there are at most ~25k distinct milli-nat
+    * values per language regardless of corpus size — the same
+    * value-range-bounded-window trick as [[scoreAuc]]. Nothing
+    * corpus-sized sorts or windows. */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val scored = lmLogProb(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // exact integer floor division to milli-nats/token: subtract the
+    // non-negative pmod, then `div` on an exactly-divisible numerator
+    // (truncating and flooring division agree there)
+    val hist = scored
+      .withColumn("_den", col("n_tokens") * lit(1000L))
+      .withColumn("_q",
+        expr("(sum_lp_micro - pmod(sum_lp_micro, _den)) div _den"))
+      .groupBy(col(langCol), col("_q"))
+      .agg(count(lit(1)).as("_n"), sum("n_tokens").as("_toks"))
+    val cumWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("_q").desc)
+    val totWin = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    hist
+      .withColumn("_cum", sum("_n").over(cumWin))
+      .withColumn("_tot", sum("_n").over(totWin))
+      .withColumn("bucket",
+        when((col("_cum") - col("_n")) * 3 < col("_tot"), "head")
+          .when((col("_cum") - col("_n")) * 3 < col("_tot") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(sum("_n").as("n_docs"), sum("_toks").as("n_tokens"),
+        min("_q").as("min_millinats"), max("_q").as("max_millinats"))
+  }
+
   /** DSIR-style importance weighting (Data Selection via Importance
     * Resampling, Xie et al. 2023): score each doc by how target-like its
     * hashed-token distribution is, so a raw pool can be filtered toward a

@@ -189,6 +189,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L)._3 < out(1L)._3)
   }
 
+  test("ccnetBuckets: terciles match a driver-side recompute; ties stay together; langs independent") {
+    import spark.implicits._
+    // lang xx: six docs of strictly decreasing fluency (more of the very
+    // common token 'a' scores higher); lang yy: three IDENTICAL docs — one
+    // score group straddling every boundary lands whole in 'head'; a
+    // whitespace-only doc drops (no tokens)
+    val rows = Seq(
+      (1L, "xx", "a a a a a a"), (2L, "xx", "a a a a a r1"),
+      (3L, "xx", "a a a a r2 r3"), (4L, "xx", "a a a r4 r5 r6"),
+      (5L, "xx", "a a r7 r8 r9 r10"), (6L, "xx", "a r11 r12 r13 r14 r15"),
+      (7L, "yy", "a a b b"), (8L, "yy", "a a b b"), (9L, "yy", "a a b b"),
+      (10L, "yy", "   "))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    // full independent recompute of the operator's integer pipeline
+    // (Math.log stands in for portableLn — agreement ~1e-12, and no
+    // per-token value here sits near a micro-nat floor boundary)
+    val toks = rows.filter(_._3.trim.nonEmpty)
+      .map(r => (r._1, r._2, r._3.trim.toLowerCase.split("\\s+").toSeq))
+    val c = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong)
+    val n = toks.map(_._3.size.toLong).sum
+    val v = c.size.toLong
+    def lpMicro(t: String): Long = math.floor(
+      (math.log((c(t) + 1).toDouble) - math.log((n + v).toDouble)) * 1e6).toLong
+    val perDoc = toks.map { case (_, lang, ts) =>
+      (lang, math.floorDiv(ts.map(lpMicro).sum, ts.size * 1000L), ts.size.toLong)
+    }
+    val expected = perDoc.groupBy(d => (d._1, d._2))
+      .map { case ((lang, q), ds) => (lang, q, ds.size.toLong, ds.map(_._3).sum) }
+      .toSeq.groupBy(_._1).flatMap { case (lang, hs) =>
+        val sorted = hs.sortBy(-_._2)
+        val tot = sorted.map(_._3).sum
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).map { case ((_, q, nd, tk), before) =>
+          val b = if (before * 3 < tot) "head"
+            else if (before * 3 < tot * 2) "middle" else "tail"
+          (lang, b, q, nd, tk)
+        }
+      }.groupBy(x => (x._1, x._2)).map { case ((lang, b), g) =>
+        (lang, b) -> ((g.map(_._4).sum, g.map(_._5).sum,
+          g.map(_._3).min, g.map(_._3).max))
+      }
+    val out = graft.text.TextOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == expected, s"$out\nvs\n$expected")
+    // structural pins: xx splits 2/2/2 (distinct scores), yy is one tied
+    // head group of all 3 docs, the whitespace doc appears nowhere
+    assert(out(("xx", "head"))._1 == 2L)
+    assert(out(("xx", "middle"))._1 == 2L)
+    assert(out(("xx", "tail"))._1 == 2L)
+    assert(out(("yy", "head"))._1 == 3L)
+    assert(!out.contains(("yy", "middle")) && !out.contains(("yy", "tail")))
+    assert(out.values.map(_._1).sum == 9L)
+    // score ranges are disjoint and ordered head > middle > tail
+    assert(out(("xx", "head"))._3 > out(("xx", "middle"))._4)
+    assert(out(("xx", "middle"))._3 > out(("xx", "tail"))._4)
+  }
+
   test("assignSplit rejects duplicate cut bounds (unreachable labels)") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("id")

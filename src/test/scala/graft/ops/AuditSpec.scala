@@ -202,6 +202,59 @@ class AuditSpec extends SparkSpec {
     assert(audit.getAs[Long]("min_diversity") >= 3L)
   }
 
+  test("dpCounts: noisy counts match a driver-side Laplace recompute; eps scales the noise") {
+    val rows = Seq(
+      (1L, "en", "cc"), (2L, "en", "cc"), (3L, "en", "cc"),
+      (4L, "en", "wiki"), (5L, "de", "cc")).toDF("id", "lang", "src")
+    // independent recompute: md5-60 content hash -> exponential via
+    // Math.log (negLnU agrees to ~1e-12, SamplingSpec), Laplace as the
+    // difference, micro-floor; allow 1 micro for a floor-boundary ulp
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def negLn(h: Long): Double =
+      -math.log((h + 1).toDouble / math.pow(2.0, 60))
+    def expected(lang: String, src: String, n: Long, eps: Double): Double = {
+      val ks = lang + "\u0001" + src
+      val lap = (negLn(md5_60(ks + ":dp+")) - negLn(md5_60(ks + ":dp-"))) / eps
+      (n * 1000000L + math.floor(lap * 1e6).toLong).toDouble / 1e6
+    }
+    val out = Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == Set(("en", "cc"), ("en", "wiki"), ("de", "cc")))
+    val truth = Map(("en", "cc") -> 3L, ("en", "wiki") -> 1L, ("de", "cc") -> 1L)
+    for ((k, noisy) <- out) {
+      assert(math.abs(noisy - expected(k._1, k._2, truth(k), 1.0)) <= 1e-6 + 1e-9,
+        s"$k: $noisy vs ${expected(k._1, k._2, truth(k), 1.0)}")
+      // the raw count itself must not be released verbatim
+      assert(noisy != truth(k).toDouble)
+    }
+    // different groups draw different noise (salted content hashes)
+    assert((out(("en", "wiki")) - 1.0) != (out(("de", "cc")) - 1.0))
+    // halving epsilon doubles the noise scale (up to the two floors)
+    val half = Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for ((k, noisy) <- out) {
+      val n1 = noisy - truth(k)
+      val n05 = half(k) - truth(k)
+      assert(math.abs(n05 - 2.0 * n1) <= 2e-6 + 1e-9, s"$k: $n05 vs 2*$n1")
+    }
+    // deterministic: a second invocation is bit-identical
+    assert(Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 1.0)
+      .collect().map(r => r.getDouble(2)).sorted.sameElements(
+        out.values.toArray.sorted))
+    // reserved output name fails loudly
+    intercept[IllegalArgumentException] {
+      Audit.dpCounts(rows.withColumnRenamed("src", "noisy_count"),
+        Seq("lang", "noisy_count"))
+    }
+  }
+
   test("lGeneralize: rung 0 released when already diverse; nothing-safe -> empty") {
     val rows = Seq(
       (1L, "en", "a"), (2L, "en", "b"), (3L, "de", "b"), (4L, "de", "c"))
