@@ -113,7 +113,7 @@ object Bench {
     "simhash_recall" -> "shr", "lm_logprob" -> "lmp",
     "l_generalize" -> "lgn", "incr_sem_trained" -> "ist",
     "substr_runs" -> "sbr", "ccnet_buckets" -> "ccb",
-    "dp_counts" -> "dpc",
+    "dp_counts" -> "dpc", "substr_scrub" -> "sbs",
     "c4_rules" -> "c4", "char_diversity" -> "chd",
     "linear_score" -> "lin", "rand_proj" -> "rpj",
     "containment" -> "ctn", "knn_graph" -> "knn",

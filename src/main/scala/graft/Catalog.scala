@@ -2373,6 +2373,13 @@ object Catalog {
     "op_substr_runs" -> ((s, dir) =>
       TextOps.substrRuns(dedupCorpus(s, dir))),
 
+    // op_substr_runs' ACTUATOR (Lee et al. 2022 rewrite): every token
+    // position covered by a >= 20-token duplicated run deletes from the
+    // run's higher-id doc; docs rebuilt from kept tokens in-row (zero
+    // corpus-token shuffles — the interval list joins back doc-keyed)
+    "op_substr_scrub" -> ((s, dir) =>
+      TextOps.substrScrub(dedupCorpus(s, dir))),
+
     // asymmetric shingle containment over the planted-excerpt corpus: the
     // near-dup signal Jaccard misses (excerpt ⊂ source ⇒ containment ≈ 1
     // at Jaccard ≈ size ratio); same de-hubbed index + maxDf bound

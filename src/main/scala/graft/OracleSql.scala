@@ -5567,6 +5567,68 @@ object OracleSql {
       FROM isl GROUP BY a, b, diff, grp
       HAVING count(*) + 4 >= 20""",
 
+    // op_substr_runs' actuator: the same run-mining chain, then every
+    // covered b-side token position deletes (DISTINCT across runs) and
+    // docs rebuild from kept tokens ordered by position. The oracle takes
+    // the relational removal-positions form — slower than the engine's
+    // in-row interval filter, but cell-exact and trivially mirrorable.
+    "op_substr_scrub" -> s"""
+      WITH $corpusCte,
+      ${rollingWindowsCte("corpus", 5)},
+      wpos AS MATERIALIZED (
+        SELECT doc_id, t.i - 1 AS pos, wh[t.i] AS h
+        FROM whs, unnest(generate_series(1, len(wh))) AS t(i)),
+      keep AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM wpos)
+        GROUP BY h HAVING count(*) <= 100),
+      f AS MATERIALIZED (
+        SELECT w.doc_id, w.pos, w.h FROM wpos w JOIN keep USING (h)),
+      prs AS MATERIALIZED (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+          x.pos - y.pos AS diff
+        FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id),
+      isl AS (
+        SELECT a, b, diff, pa, pb,
+          pa - row_number() OVER (PARTITION BY a, b, diff ORDER BY pa) AS grp
+        FROM prs),
+      runs AS MATERIALIZED (
+        SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
+        FROM isl GROUP BY a, b, diff, grp
+        HAVING count(*) + 4 >= 20),
+      rm AS (
+        SELECT DISTINCT b AS doc_id, CAST(t.p AS BIGINT) AS pos
+        FROM runs,
+          unnest(generate_series(start_b, start_b + run_tokens - 1))
+            AS t(p)),
+      tokp AS MATERIALIZED (
+        SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, toks[t.i] AS tok
+        FROM (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM corpus WHERE length(trim(text)) > 0) s,
+        unnest(generate_series(1, len(toks))) AS t(i)),
+      kept AS (
+        SELECT k.doc_id, k.pos, k.tok
+        FROM tokp k LEFT JOIN rm r
+          ON k.doc_id = r.doc_id AND k.pos = r.pos
+        WHERE r.doc_id IS NULL),
+      reb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+        FROM kept GROUP BY doc_id),
+      base AS (
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+               END AS BIGINT) AS nb
+        FROM corpus)
+      SELECT b.doc_id, b.nb AS n_tokens_before,
+        CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        CAST(b.nb - coalesce(r.n_tokens_kept, 0) AS BIGINT)
+          AS n_tokens_removed,
+        coalesce(r.text_scrubbed, '') AS text_scrubbed
+      FROM base b LEFT JOIN reb r USING (doc_id)""",
+
     "op_passage_dups" -> s"""
       WITH pc AS (
         SELECT doc_id, text ||

@@ -535,6 +535,56 @@ object TextOps {
         (col("n_tokens") * lit(1000000L)).cast(DoubleType))
   }
 
+  /** Exact-substring dedup ACTUATOR — [[substrRuns]] finds the ≥ minRun-token
+    * repeats; this REMOVES them, the Lee et al. 2022 rewrite step: every
+    * token position covered by a duplicated run is deleted from the run's
+    * HIGHER-id doc (`b` side — the earliest/lowest-id occurrence survives,
+    * a deterministic policy; the published method deletes all-but-one
+    * occurrence too), and the doc is rebuilt from its kept tokens. The
+    * rewrite is over the NORMALIZED token stream (lower-cased,
+    * whitespace-split) like every token op in this file, so the rebuilt
+    * text is single-space-joined normalized tokens. Overlapping runs
+    * against different partners union their positions — a token deletes
+    * once. Output: every doc with before/kept/removed token counts and
+    * the scrubbed text (unchanged docs pass through; a fully-duplicated
+    * doc comes back empty).
+    *
+    * Scale: [[substrRuns]]'s audited mining cost plus — crucially — ZERO
+    * corpus-token shuffles for the rewrite itself: the run intervals
+    * aggregate to a per-doc interval LIST (rows = docs-with-runs, a tiny
+    * fraction of the corpus), that list joins back keyed on the doc id
+    * (AQE broadcasts it when small), and the deletion is an in-row
+    * higher-order `filter` over the token array — a narrow map stage.
+    * Per-token work is O(intervals-of-this-doc), bounded by the maxDf
+    * partner cap, not by the corpus. */
+  def substrScrub(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 5, minRun: Int = 20,
+      maxDf: Int = 100,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    val runs = substrRuns(docs, textCol, idCol, w, minRun, maxDf, scope)
+    // a run's token span on the b side is [start_b, start_b+run_tokens-1];
+    // identical intervals from different a-partners collapse pre-aggregate
+    val ivs = runs.select(col("b").as("_did"),
+        struct(col("start_b").cast(LongType).as("s"),
+          (col("start_b") + col("run_tokens") - lit(1L)).cast(LongType)
+            .as("e")).as("_iv"))
+      .distinct()
+      .groupBy("_did").agg(collect_list("_iv").as("_ivs"))
+    val toks = tokens(col(textCol))
+    val noIvs = array().cast("array<struct<s:bigint,e:bigint>>")
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(ivs, col("doc_id") === col("_did"), "left")
+      .withColumn("_keep", filter(toks, (_, i) =>
+        !exists(coalesce(col("_ivs"), noIvs), iv =>
+          i.cast(LongType) >= iv("s") && i.cast(LongType) <= iv("e"))))
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens_before"),
+        size(col("_keep")).cast(LongType).as("n_tokens_kept"),
+        (size(toks) - size(col("_keep"))).cast(LongType)
+          .as("n_tokens_removed"),
+        array_join(col("_keep"), " ").as("text_scrubbed"))
+  }
+
   /** CCNet-style perplexity-tercile bucketing (Wenzek et al. 2020): split
     * each language's corpus into head / middle / tail thirds by LM
     * quality — the published recipe trains/filters on the "head" third and

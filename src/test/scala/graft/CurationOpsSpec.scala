@@ -158,6 +158,44 @@ class CurationOpsSpec extends SparkSpec {
       maxDf = 10).count() == 0L)
   }
 
+  test("substrScrub: covered spans delete from the higher-id doc; overlaps union; others pass through") {
+    import spark.implicits._
+    val passage = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five six $passage seven"),
+      (3L, "completely disjoint content with zero overlap whatsoever"),
+      (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.substrScrub(docs, "text", w = 5, minRun = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc1 (lower id) survives untouched, normalized passthrough
+    assert(out(1L) == ((29L, 29L, 0L, s"alpha beta gamma $passage delta epsilon")))
+    // doc2 loses exactly the 24-token passage (positions 6..29)
+    assert(out(2L) == ((31L, 7L, 24L, "one two three four five six seven")))
+    // untouched and empty docs pass through
+    assert(out(3L)._3 == 0L && out(3L)._4.startsWith("completely"))
+    assert(out(4L) == ((0L, 0L, 0L, "")))
+    // overlapping runs from TWO partners union their positions: doc 9 is
+    // the b side of runs against docs 7 and 8 whose spans overlap — the
+    // overlap deletes once, leaving only the unshared frame tokens
+    val p1 = (1 to 22).map(i => s"x$i").mkString(" ")   // positions 1..22 in doc9
+    val p2 = (3 to 24).map(i => s"x$i").mkString(" ")   // positions 3..24 in doc9
+    val tri = Seq(
+      (7L, s"lead $p1 tail7"),
+      (8L, s"intro pad go $p2 tail8"),
+      (9L, s"frame ${(1 to 24).map(i => s"x$i").mkString(" ")} outro"))
+      .toDF("doc_id", "text")
+    val out2 = graft.text.TextOps.substrScrub(tri, "text", w = 5, minRun = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(out2(9L) == ((24L, "frame outro")), s"${out2(9L)}")
+    // doc7 (lowest id) survives untouched; doc8 is itself the b side of
+    // the 7-8 run (they share x3..x22, 20 tokens) and loses exactly that
+    assert(out2(7L)._1 == 0L, s"${out2(7L)}")
+    assert(out2(8L) == ((20L, "intro pad go x23 x24 tail8")), s"${out2(8L)}")
+  }
+
   test("lmLogProb: micro-nat sums match a driver-side Math.log recompute") {
     import spark.implicits._
     val docs = Seq(
