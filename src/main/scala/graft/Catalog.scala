@@ -1969,6 +1969,18 @@ object Catalog {
     "op_ccnet_buckets" -> ((s, dir) =>
       TextOps.ccnetBuckets(t(s, dir, "documents"))),
 
+    // per-doc unigram token entropy — the diffuse-repetitiveness filter
+    // (exact-integer micro-nat numerator via the portable ln, one final
+    // int/int division); two doc-keyed aggregates, nothing corpus-global
+    "op_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"), "text")),
+
+    // per-language Zipf rank-frequency exponent over the top-1000 tokens —
+    // the corpus-health diagnostic (healthy text ≈ +1); milli-nat integer
+    // OLS, bounded-heap per-language top-K, never a vocab-wide sort
+    "op_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(t(s, dir, "documents"))),
+
     // one-row corpus datasheet over the planted-dup corpus: doc/token/
     // char totals, language count, exact-dup doc count, mean tokens per
     // doc — the dataset-card summary block as a single aggregate

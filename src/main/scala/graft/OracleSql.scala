@@ -5752,6 +5752,85 @@ object OracleSql {
         min(q) AS min_millinats, max(q) AS max_millinats
       FROM cum GROUP BY 1, 2""",
 
+    // Per-doc unigram token entropy: H = (n·lnμ(n) − Σ c·lnμ(c)) / (n·10⁶)
+    // with lnμ = floor(portable-series-ln × 10⁶) — both chains mirror
+    // Sampling.portableLn op-for-op, the numerator is an exact integer,
+    // the output is one int/int double division.
+    "op_token_entropy" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      csrc AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS c,
+          CAST(count(*) AS BIGINT) AS m
+        FROM tok GROUP BY doc_id, tok),
+      ${lnChain("te", "csrc", Seq("doc_id", "c"), "lnc")},
+      perdoc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * CAST(floor(lnc * CAST(1000000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sclnc
+        FROM te7 GROUP BY doc_id),
+      nsrc AS (SELECT doc_id, n_tokens, n_distinct, sclnc, n_tokens AS m
+               FROM perdoc),
+      ${lnChain("tn", "nsrc",
+        Seq("doc_id", "n_tokens", "n_distinct", "sclnc"), "lnn")}
+      SELECT doc_id, n_tokens, n_distinct,
+        CAST(n_tokens * CAST(floor(lnn * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            - sclnc AS DOUBLE)
+          / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
+      FROM tn7""",
+
+    // Per-language Zipf slope: milli-nat integer OLS of ln(count) on
+    // ln(rank) over the top-1000 tokens (rank by count desc, md5-60 hash
+    // asc — the engines' shared total order); slope_num/slope_den exact
+    // integers, zipf_slope = −num/den as one double division.
+    "op_zipf_slope" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT lang,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      cnt AS MATERIALIZED (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c,
+          ${md5Long("tok")} AS h
+        FROM tok GROUP BY lang, tok),
+      top AS MATERIALIZED (
+        SELECT lang, c FROM (
+          SELECT lang, c,
+            row_number() OVER (PARTITION BY lang ORDER BY c DESC, h) AS r
+          FROM cnt) q WHERE r <= 1000),
+      -- within a tie group y = lnₘ(c) is constant, so the OLS sums are
+      -- invariant to which tied row takes which rank: a bare count-desc
+      -- rank here equals the engine's hash-tiebroken one after aggregation
+      -- (the top-K BOUNDARY pick, where ties do matter, used h above)
+      xsrc AS (
+        SELECT lang, c,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC)
+            AS BIGINT) AS m
+        FROM top),
+      ${lnChain("zx", "xsrc", Seq("lang", "c"), "lnr")},
+      ysrc AS (SELECT lang,
+          CAST(floor(lnr * CAST(1000 AS DOUBLE)) AS BIGINT) AS x,
+          c AS m FROM zx7),
+      ${lnChain("zy", "ysrc", Seq("lang", "x"), "lnc")},
+      pts AS (SELECT lang, x,
+          CAST(floor(lnc * CAST(1000 AS DOUBLE)) AS BIGINT) AS y FROM zy7),
+      agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY lang)
+      SELECT lang, n_points,
+        CAST(n_points * sxy - sx * sy AS BIGINT) AS slope_num,
+        CAST(n_points * sxx - sx * sx AS BIGINT) AS slope_den,
+        CASE WHEN n_points * sxx - sx * sx = 0 THEN NULL
+             ELSE -(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_points * sxx - sx * sx AS DOUBLE))
+        END AS zipf_slope
+      FROM agg""",
+
     // One-row corpus datasheet over the planted-dup corpus: totals are
     // exact integers; the mean is one division of exact integers.
     "op_dataset_card" -> s"""

@@ -638,6 +638,106 @@ object TextOps {
         min("_q").as("min_millinats"), max("_q").as("max_millinats"))
   }
 
+  /** Per-document unigram token ENTROPY — the information-theoretic
+    * repetitiveness filter (low entropy = the doc keeps repeating the same
+    * few tokens; the repetition-ratio rules catch EXACT n-gram loops, this
+    * catches diffuse repetitiveness they miss). H = ln(n) − (1/n)·Σ c·ln(c)
+    * over the doc's OWN token counts (c = count of each distinct token,
+    * n = Σc), the algebraic form that needs only logs of INTEGERS — so
+    * every ln is [[graft.ops.Sampling.portableLn]] quantized to micro-nats
+    * (floor of an exact product of bit-identical doubles), the numerator
+    * `n·lnμ(n) − Σ c·lnμ(c)` is an exact integer, and the output double is
+    * ONE int/int division — engine-exact, no libm. Quantization bounds the
+    * numerator error by ±n micro-nats, so `entropy` is within 2·10⁻⁶ nat
+    * of true H (and may be −1·10⁻⁶ instead of 0.0 on a constant doc — the
+    * floor's direction; callers threshold, they don't test for zero).
+    * Empty docs have no token rows and drop (no distribution to measure),
+    * like [[lmLogProb]].
+    *
+    * Scale: one explode, one (doc, token)-keyed count aggregate, one
+    * doc-keyed aggregate — both with map-side partials, both keyed on (or
+    * under) the doc id. NOTHING corpus-global: no vocabulary join, no
+    * broadcast, no window. The cheapest-possible two-shuffle shape, and
+    * each doc's work is bounded by its own length. */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def lnMicro(m: Column): Column =
+      floor(graft.ops.Sampling.portableLn(m) * lit(1000000.0)).cast(LongType)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_clnc", col("_c") * lnMicro(col("_c")))
+      .groupBy(idCol)
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum("_clnc").as("_sum_clnc"))
+      .withColumn("entropy",
+        (col("n_tokens") * lnMicro(col("n_tokens")) - col("_sum_clnc"))
+          .cast(DoubleType) /
+          (col("n_tokens") * lit(1000000L)).cast(DoubleType))
+      .drop("_sum_clnc")
+  }
+
+  /** Zipf-slope corpus diagnostic: the fitted exponent `s` of the rank-
+    * frequency law freq(r) ∝ r^−s over each language's `topK` most-frequent
+    * tokens — natural corpora sit near s ≈ 1 (Zipf 1949); a slope far off
+    * flags template/boilerplate floods (too steep) or shredded/noisy text
+    * (too flat) before a training run ingests the language. Estimated by
+    * ordinary least squares on (x = ln rank, y = ln count): both logs are
+    * [[graft.ops.Sampling.portableLn]] quantized to MILLI-nats, so the OLS
+    * sums and the slope's `n·Σxy − Σx·Σy` / `n·Σx² − (Σx)²` are EXACT
+    * integers (milli precision keeps every product under 2⁶³ for
+    * topK ≤ 10⁵ and counts ≤ 2⁶² — the require pins it) and the output
+    * slope is one int/int double division — engine-exact. `zipf_slope` is
+    * the NEGATED OLS slope (so the healthy value is ≈ +1); NULL when a
+    * language has a single distinct token (zero-variance x).
+    *
+    * Rank is by count descending, ties broken by the token's 60-bit
+    * content hash ascending — a total order both engines share without
+    * comparing strings (two same-count tokens colliding on all 60 bits
+    * would tie arbitrarily; at vocabulary scales that is ~10⁻⁹ territory).
+    *
+    * Scale: one (lang, token)-keyed count aggregate, then the per-language
+    * top-K rides the bounded-heap [[graft.ops.TopK.perKey]] — ≤ topK rows
+    * per (lang, partition) move, NEVER a vocabulary-wide sort — and the
+    * rank window + OLS aggregate run over ≤ topK rows per language. A
+    * 10⁹-token vocabulary costs what a 10³ one costs after the heaps. */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", topK: Int = 1000): DataFrame = {
+    require(topK >= 2 && topK <= 100000,
+      "zipfSlope: topK must be in [2, 100000] (milli-nat OLS overflow bound)")
+    def lnMilli(m: Column): Column =
+      floor(graft.ops.Sampling.portableLn(m) * lit(1000.0)).cast(LongType)
+    val counts = docs
+      .select(col(langCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(langCol), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_h", Dedup.portableHash(col("_tok")))
+    // ascending struct(−count, hash) == count desc, hash asc — the same
+    // total order the rank window and the oracle use
+    val top = graft.ops.TopK.perKey(counts, Seq(langCol),
+      struct(-col("_c"), col("_h")), topK, descending = false)
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("_c").desc, col("_h"))
+    top
+      .withColumn("_x", lnMilli(row_number().over(rankWin).cast(LongType)))
+      .withColumn("_y", lnMilli(col("_c")))
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_points"),
+        sum("_x").as("_sx"), sum("_y").as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("slope_num",
+        col("n_points") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("slope_den",
+        col("n_points") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("zipf_slope",
+        when(col("slope_den") === 0, lit(null).cast(DoubleType))
+          .otherwise(-(col("slope_num").cast(DoubleType) /
+            col("slope_den").cast(DoubleType))))
+      .select(col(langCol), col("n_points"), col("slope_num"),
+        col("slope_den"), col("zipf_slope"))
+  }
+
   /** DSIR-style importance weighting (Data Selection via Importance
     * Resampling, Xie et al. 2023): score each doc by how target-like its
     * hashed-token distribution is, so a raw pool can be filtered toward a

@@ -1083,4 +1083,78 @@ class CurationOpsSpec extends SparkSpec {
     val d = TextOps.scoreAuc(scored, allPos).head()
     assert(d.getLong(0) == 4L && d.getLong(1) == 0L && d.isNullAt(3))
   }
+
+  test("tokenEntropy: micro-nat numerator matches a driver-side recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), // constant doc -> H = 0 (within quantization)
+      (2L, "a b c d"), // uniform over 4 -> H = ln 4
+      (3L, "a a b c"), // mixed: ln 4 - (2 ln 2)/4
+      (4L, "   ")) // whitespace-only -> drops
+      .toDF("doc_id", "text")
+    def lnMicro(m: Long): Long = math.floor(math.log(m.toDouble) * 1e6).toLong
+    def ent(cs: Seq[Long]): Double = {
+      val n = cs.sum
+      (n * lnMicro(n) - cs.map(c => c * lnMicro(c)).sum).toDouble / (n * 1e6)
+    }
+    val out = graft.text.TextOps.tokenEntropy(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // portableLn agrees with Math.log to ~1e-12 and no value here sits on
+    // a micro-nat floor boundary, so the quantized numerators match exactly
+    assert(out(1L) == ((4L, 1L, ent(Seq(4L)))), out(1L).toString)
+    assert(out(2L) == ((4L, 4L, ent(Seq(1L, 1L, 1L, 1L)))))
+    assert(out(3L) == ((4L, 3L, ent(Seq(2L, 1L, 1L)))))
+    assert(!out.contains(4L))
+    // the constant doc's entropy is 0 within quantization (floor may land
+    // a hair below), the uniform doc's is ln 4 within 2 micro-nats
+    assert(math.abs(out(1L)._3) <= 2e-6)
+    assert(math.abs(out(2L)._3 - math.log(4.0)) <= 2e-6)
+    // ordering: constant < mixed < uniform
+    assert(out(1L)._3 < out(3L)._3 && out(3L)._3 < out(2L)._3)
+  }
+
+  test("zipfSlope: integer OLS matches a driver-side recompute; degenerate lang NULL") {
+    import spark.implicits._
+    // lang xx: counts 8/4/2/1 over ranks 1..4 -> a clean power law of
+    // exponent log2(e)... slope = -ln2/ln(rank-step) piecewise; recompute
+    // exactly below. lang yy: one distinct token -> zero-variance x -> NULL
+    val docs = Seq(
+      (1L, "xx", Seq.fill(8)("t1").mkString(" ")),
+      (2L, "xx", Seq.fill(4)("t2").mkString(" ")),
+      (3L, "xx", Seq.fill(2)("t3").mkString(" ")),
+      (4L, "xx", "t4"),
+      (5L, "yy", "solo solo solo")).toDF("doc_id", "lang", "text")
+    def lnMilli(m: Long): Long = math.floor(math.log(m.toDouble) * 1e3).toLong
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (r, c) => (lnMilli(r), lnMilli(c)) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+    val out = graft.text.TextOps.zipfSlope(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val xx = out("xx")
+    assert((xx.getLong(1), xx.getLong(2), xx.getLong(3)) == ((4L, num, den)),
+      xx.toString)
+    assert(math.abs(xx.getDouble(4) - (-num.toDouble / den.toDouble)) == 0.0)
+    // counts halve each rank (8/4/2/1) — steeper than Zipf-1 (ln r grows
+    // slower than the halving), OLS fit ≈ 1.459: the health read would
+    // flag this tiny fixture as boilerplate-steep, correctly
+    assert(xx.getDouble(4) > 1.4 && xx.getDouble(4) < 1.5, xx.getDouble(4))
+    val yy = out("yy")
+    assert(yy.getLong(1) == 1L && yy.isNullAt(4))
+    // tie handling: equal counts share y, so the OLS result is invariant
+    // to which tied token takes which rank — recompute with 3 tied tokens
+    val tied = Seq(
+      (1L, "zz", "u1 u1 u2 u2 u3 u3 v")).toDF("doc_id", "lang", "text")
+    val zz = graft.text.TextOps.zipfSlope(tied).collect().head
+    val tp = Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L))
+      .map { case (r, c) => (lnMilli(r), lnMilli(c)) }
+    val (tn, tsx, tsy) = (tp.size.toLong, tp.map(_._1).sum, tp.map(_._2).sum)
+    val (tnum, tden) = (tn * tp.map(p => p._1 * p._2).sum - tsx * tsy,
+      tn * tp.map(p => p._1 * p._1).sum - tsx * tsx)
+    assert((zz.getLong(2), zz.getLong(3)) == ((tnum, tden)), zz.toString)
+  }
 }
