@@ -1981,6 +1981,18 @@ object Catalog {
     "op_zipf_slope" -> ((s, dir) =>
       TextOps.zipfSlope(t(s, dir, "documents"))),
 
+    // engine-portable HyperLogLog vocabulary estimate per language, with
+    // the exact distinct alongside (the calibration read): 4096 registers
+    // of max-rank state per key — the bounded-aggregate cardinality a
+    // 100 TB profile pass uses where exact distinct would shuffle the
+    // whole token column; deterministic md5-60 hashing, so oracle-exact
+    // unlike approx_count_distinct's JVM-private HLL++
+    "op_hll_distinct" -> ((s, dir) =>
+      graft.ops.Hll.distinctPerKey(
+        t(s, dir, "documents").select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        Seq("lang"), col("tok"))),
+
     // one-row corpus datasheet over the planted-dup corpus: doc/token/
     // char totals, language count, exact-dup doc count, mean tokens per
     // doc — the dataset-card summary block as a single aggregate

@@ -5831,6 +5831,50 @@ object OracleSql {
         END AS zipf_slope
       FROM agg""",
 
+    // Portable HyperLogLog per-language vocabulary estimate (mirrors
+    // graft.ops.Hll: md5-60 hash, 4096 registers, rank = 49 − bitlength,
+    // Σ2^{−M} exact-scaled by 2⁴⁹, α-corrected raw / linear-counting
+    // branch via the portable series ln), plus the exact distinct.
+    "op_hll_distinct" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT lang,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      rnk AS (
+        SELECT lang, h % 4096 AS idx,
+          CASE WHEN h // 4096 = 0 THEN 49
+               ELSE 49 - length(bin(h // 4096)) END AS rank
+        FROM (SELECT lang, ${md5Long("tok")} AS h FROM tok) q0),
+      regs AS (SELECT lang, idx, max(rank) AS mx FROM rnk GROUP BY 1, 2),
+      agg AS (
+        SELECT lang,
+          CAST(sum((${(0 to 49).map(1L << _).mkString("[", ",", "]")}
+            )[50 - mx]) AS BIGINT) AS s_seen,
+          CAST(count(*) AS BIGINT) AS v_seen
+        FROM regs GROUP BY lang),
+      base AS (
+        SELECT lang, 4096 - v_seen AS v_zero,
+          s_seen + (4096 - v_seen) * 562949953421312 AS s
+        FROM agg),
+      vsrc AS (SELECT lang, v_zero AS m FROM base WHERE v_zero >= 1),
+      ${lnChain("hv", "vsrc", Seq("lang"), "lnv")},
+      est AS (
+        SELECT b.lang, b.v_zero,
+          CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE)
+              + CAST('1.079' AS DOUBLE) / CAST(4096 AS DOUBLE))
+            * CAST(16777216 AS DOUBLE) * CAST(562949953421312 AS DOUBLE)
+            / CAST(b.s AS DOUBLE) AS raw,
+          l.lnv
+        FROM base b LEFT JOIN hv7 l USING (lang)),
+      ex AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+             FROM tok GROUP BY lang)
+      SELECT e.lang, x.n_exact, CAST(e.v_zero AS BIGINT) AS v_zero,
+        CASE WHEN e.raw <= CAST(10240 AS DOUBLE) AND e.v_zero > 0
+             THEN CAST(4096 AS DOUBLE) * (CAST(12 AS DOUBLE)
+                  * CAST('0.6931471805599453' AS DOUBLE) - e.lnv)
+             ELSE e.raw END AS hll_est
+      FROM est e JOIN ex x USING (lang)""",
+
     // One-row corpus datasheet over the planted-dup corpus: totals are
     // exact integers; the mean is one division of exact integers.
     "op_dataset_card" -> s"""
