@@ -1845,6 +1845,15 @@ object Catalog {
       graft.ops.Audit.dpCounts(t(s, dir, "documents"),
         Seq("lang", "source"), epsilon = 1.0)),
 
+    // differentially-private SUM release over the same contingency table:
+    // per-row char mass clipped to 2000 (the sensitivity bound), then
+    // sum + Laplace(clip/eps) from the salted portable-ln exponentials —
+    // the numeric-mass sibling of the count release
+    "op_dp_sum" -> ((s, dir) =>
+      graft.ops.Audit.dpSum(t(s, dir, "documents"),
+        Seq("lang", "source"), col("n_chars"), clip = 2000L,
+        epsilon = 1.0)),
+
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
     // cloned in as a new id) — added/removed/changed/unchanged counts

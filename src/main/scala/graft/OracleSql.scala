@@ -2667,6 +2667,31 @@ object OracleSql {
             AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_count
       FROM e18 a JOIN e28 b USING (lang, source)""",
 
+    // Differentially-private (lang, source) SUM release: per-row n_chars
+    // clipped to [0, 2000], Laplace(clip/eps) noise as the difference of
+    // two salted-hash exponentials (negLnChain mirrors negLnU op-for-op),
+    // scaled by the clip and micro-floored — bit-exact cross-engine.
+    "op_dp_sum" -> s"""
+      WITH grp AS MATERIALIZED (
+        SELECT lang, source,
+          CAST(sum(greatest(CAST(0 AS BIGINT),
+            least(CAST(n_chars AS BIGINT), CAST(2000 AS BIGINT))))
+            AS BIGINT) AS s,
+          concat_ws(chr(1), lang, source) AS ks
+        FROM documents GROUP BY lang, source),
+      s1src AS (SELECT lang, source, s,
+        ${md5Long("ks || ':dps+'")} AS h FROM grp),
+      ${negLnChain("s1", "s1src", Seq("lang", "source", "s"), "ex1")},
+      s2src AS (SELECT lang, source,
+        ${md5Long("ks || ':dps-'")} AS h FROM grp),
+      ${negLnChain("s2", "s2src", Seq("lang", "source"), "ex2")}
+      SELECT a.lang, a.source,
+        CAST(a.s * 1000000 + CAST(floor((a.ex1 - b.ex2)
+              * CAST(2000 AS DOUBLE) / CAST('1.0' AS DOUBLE)
+              * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_sum
+      FROM s18 a JOIN s28 b USING (lang, source)""",
+
     // Snapshot diff: old = documents, new = the derived snapshot (13th
     // dropped, 7th survivor edited, 11th cloned under a new id).
     "op_snapshot_diff" -> """

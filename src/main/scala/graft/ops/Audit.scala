@@ -302,6 +302,47 @@ object Audit {
       .drop("_n") // the true count must never leave
   }
 
+  /** Differentially-private GROUP-SUM release — [[dpCounts]] for numeric
+    * mass: a noisy `Σ value` per group, with each ROW's contribution first
+    * CLIPPED to [0, clip] (the sensitivity bound: one row can move the sum
+    * by at most Δ = clip, so the Laplace scale is clip/ε — without the
+    * clip, one outlier row would make the release meaningless or the
+    * noise unbounded; clipping is the published mechanism's precondition,
+    * not a hack). Noise = difference of two salted-hash exponentials via
+    * [[Sampling.negLnU]]'s portable series, scaled by clip/ε and floored
+    * to micro-units — deterministic and bit-identical cross-engine, same
+    * replayability caveat as [[dpCounts]] (salt secret, single release).
+    * The true sum never leaves the operator.
+    *
+    * Scale: one group-keyed sum aggregate over the clipped column
+    * (map-side partials); noise is O(1) per GROUP. |groups| output rows. */
+  def dpSum(df: DataFrame, keyCols: Seq[String],
+      value: org.apache.spark.sql.Column, clip: Long,
+      epsilon: Double = 1.0,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.text.Dedup.portableHash): DataFrame = {
+    require(epsilon > 0, "dpSum: epsilon must be positive")
+    require(clip > 0, "dpSum: clip must be positive")
+    require(keyCols.nonEmpty, "dpSum: at least one group column")
+    require(!keyCols.exists(Set("noisy_sum")),
+      "dpSum: noisy_sum is a reserved output name")
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*)
+    // distinct salts from dpCounts' so composing both releases over the
+    // same groups never reuses a draw
+    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps+"))))
+    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps-"))))
+    val noiseMicro = floor((e1 - e2) * lit(clip.toDouble) / lit(epsilon)
+      * lit(1000000.0)).cast(LongType)
+    val clipped = greatest(lit(0L), least(value.cast(LongType), lit(clip)))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(clipped).as("_s"))
+      .withColumn("noisy_sum",
+        (col("_s") * lit(1000000L) + noiseMicro).cast("double") /
+          lit(1000000.0))
+      .drop("_s") // the true sum must never leave
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

@@ -255,6 +255,60 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("dpSum: clipping bounds sensitivity; noise matches the recompute at clip/eps scale") {
+    val rows = Seq(
+      (1L, "en", "cc", 100L), (2L, "en", "cc", 5000L), // 5000 clips to 2000
+      (3L, "en", "wiki", -50L), // negative clips to 0
+      (4L, "de", "cc", 300L)).toDF("id", "lang", "src", "chars")
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def negLn(h: Long): Double =
+      -math.log((h + 1).toDouble / math.pow(2.0, 60))
+    def expected(lang: String, src: String, s: Long, clip: Double,
+        eps: Double): Double = {
+      val ks = lang + "\u0001" + src
+      val lap = (negLn(md5_60(ks + ":dps+")) - negLn(md5_60(ks + ":dps-"))) *
+        clip / eps
+      (s * 1000000L + math.floor(lap * 1e6).toLong).toDouble / 1e6
+    }
+    val out = Audit.dpSum(rows, Seq("lang", "src"), col("chars"),
+      clip = 2000L, epsilon = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // clipped true sums: en/cc = 100 + 2000, en/wiki = 0, de/cc = 300
+    val truth = Map(("en", "cc") -> 2100L, ("en", "wiki") -> 0L,
+      ("de", "cc") -> 300L)
+    for ((k, noisy) <- out) {
+      assert(math.abs(noisy -
+        expected(k._1, k._2, truth(k), 2000.0, 1.0)) <= 1e-6 + 1e-9,
+        s"$k: $noisy vs ${expected(k._1, k._2, truth(k), 2000.0, 1.0)}")
+      assert(noisy != truth(k).toDouble) // the true sum never releases
+    }
+    // the noise scale is clip/eps: against dpCounts' same-key 1/eps draw
+    // the dps-salted draw differs (independent salts) — just pin scale by
+    // halving eps -> noise doubles (up to the floors)
+    val half = Audit.dpSum(rows, Seq("lang", "src"), col("chars"),
+      clip = 2000L, epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for ((k, noisy) <- out) {
+      val n1 = noisy - truth(k)
+      val n05 = half(k) - truth(k)
+      assert(math.abs(n05 - 2.0 * n1) <= 2e-6 + 1e-9, s"$k: $n05 vs 2*$n1")
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpSum(rows.withColumnRenamed("src", "noisy_sum"),
+        Seq("lang", "noisy_sum"), col("chars"), clip = 2000L)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpSum(rows, Seq("lang"), col("chars"), clip = 0L)
+    }
+  }
+
   test("lGeneralize: rung 0 released when already diverse; nothing-safe -> empty") {
     val rows = Seq(
       (1L, "en", "a"), (2L, "en", "b"), (3L, "de", "b"), (4L, "de", "c"))
