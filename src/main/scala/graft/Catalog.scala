@@ -2854,6 +2854,32 @@ object Catalog {
         graft.text.Pq.fixedModel(), k = 5, nprobe = 4)
     }),
 
+    // SQ8 scalar-quantized ANN: per-dim [min,max] trained in-plan, codes
+    // are bytes, search is an exact-integer dot product — the x4
+    // compression tier beside PQ's x32, near-lossless for real embeddings
+    "op_sq_ann" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Sq.searchTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        k = 5)
+    }),
+
+    // recall@5 of the SQ8 integer-domain search against exact float
+    // cosine — measures what byte quantization costs on THIS corpus (the
+    // op_ann_recall read for the compressed tier)
+    "op_sq_recall" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .select("q_id", "neighbor_id")
+      graft.text.Sq.searchTopK(emb, qs, k = 5)
+        .join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(brute.agg(count(lit(1)).as("n_total")))
+        .select(col("n_hit"), col("n_total"),
+          (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("recall_at_5"))
+    }),
+
     "op_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
         embCorpus(s, dir),

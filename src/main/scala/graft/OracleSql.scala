@@ -402,6 +402,45 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
+  /** SQ8 scalar-quantized search (mirrors [[graft.text.Sq]]: per-dim
+    * min/max model, byte codes via the correctly-rounded
+    * `floor((x−mn)/(mx−mn)·255+0.5)` tree, candidates RECONSTRUCTED
+    * x̂ = mn + q·(mx−mn)/255 and scored by the HOF cosine, id tie-breaks)
+    * — shared by op_sq_ann and op_sq_recall. */
+  private lazy val sqAnnSql: String = s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      stats AS (
+        SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+          max(CAST(embedding[d] AS DOUBLE)) AS mx
+        FROM embeddings CROSS JOIN dims GROUP BY d),
+      model AS (SELECT list(mn ORDER BY d) AS mins,
+          list(mx ORDER BY d) AS maxs FROM stats),
+      sqv AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                   / (maxs[i] - mins[i]) * CAST(255 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN model),
+      sqr AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            mins[i] + CAST(q[i] AS DOUBLE)
+              * ((maxs[i] - mins[i]) / CAST(255 AS DOUBLE))) AS xr
+        FROM sqv CROSS JOIN model),
+      sqscored AS (
+        SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+          ${cosSql("c.xr", "qq.xr")} AS cos
+        FROM sqr c CROSS JOIN (SELECT * FROM sqr WHERE vec_id % 25 = 0) qq
+        WHERE c.vec_id <> qq.vec_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sqscored) r
+      WHERE rank <= 5"""
+
   /** Sign-LSH ANN (mirrors [[graft.text.Similarity.lshTopK]]) — shared by
     * op_lsh_ann and op_ann_recall. */
   private val annLshSql: String = s"""
@@ -4924,6 +4963,20 @@ object OracleSql {
         GROUP BY m.method),
       tot AS (SELECT count(*) AS n_total FROM brute)
       SELECT h.method, h.n_hit, t.n_total,
+        CAST(h.n_hit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS recall_at_5
+      FROM hits h CROSS JOIN tot t""",
+
+    "op_sq_ann" -> sqAnnSql,
+
+    // Recall@5 of the SQ8 integer-domain search vs exact float cosine.
+    "op_sq_recall" -> s"""
+      WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      sqm AS (SELECT q_id, neighbor_id FROM ($sqAnnSql)),
+      hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit
+        FROM sqm JOIN brute USING (q_id, neighbor_id)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM brute)
+      SELECT h.n_hit, t.n_total,
         CAST(h.n_hit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS recall_at_5
       FROM hits h CROSS JOIN tot t""",
 

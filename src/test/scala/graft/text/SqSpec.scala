@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar-quantization pins: code range, reconstruction error bound,
+  * constant-dimension exactness, and that reconstructed-cosine search
+  * preserves an unambiguous exact ranking. */
+class SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("codes are bytes and reconstruction is within a half quantization step") {
+    val df = vecs(
+      (1L, Seq(0.0f, -1.0f, 10.0f)),
+      (2L, Seq(1.0f, 1.0f, 20.0f)),
+      (3L, Seq(0.25f, 0.5f, 12.5f)))
+    val model = Sq.trainModel(df)
+    val out = Sq.decode(Sq.encode(df, model), model)
+      .select(col("vec_id"), col("embedding"), col("_q"), col("_xr"))
+      .collect()
+    for (r <- out) {
+      val emb = r.getSeq[Float](1)
+      val q = r.getSeq[Long](2)
+      val xr = r.getSeq[Double](3)
+      assert(q.forall(c => c >= 0 && c <= 255), q.toString)
+      // per-dim ranges: 1.0, 2.0, 10.0 -> half-steps /510
+      val half = Seq(1.0 / 510, 2.0 / 510, 10.0 / 510)
+      emb.indices.foreach { i =>
+        assert(math.abs(xr(i) - emb(i)) <= half(i) + 1e-12,
+          s"dim $i: ${xr(i)} vs ${emb(i)}")
+      }
+    }
+  }
+
+  test("a constant dimension codes to 0 and reconstructs its value exactly") {
+    val df = vecs((1L, Seq(7.25f, 1.0f)), (2L, Seq(7.25f, 3.0f)))
+    val model = Sq.trainModel(df)
+    val out = Sq.decode(Sq.encode(df, model), model)
+      .select("vec_id", "_q", "_xr").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Double](2))))
+      .toMap
+    assert(out(1L)._1.head == 0L && out(2L)._1.head == 0L)
+    assert(out(1L)._2.head == 7.25 && out(2L)._2.head == 7.25)
+    // the varying dim still spans the full byte range
+    assert(out(1L)._1(1) == 0L && out(2L)._1(1) == 255L)
+  }
+
+  test("reconstructed-cosine search preserves a well-separated exact ranking") {
+    // query 0 points along (1,0,..); candidates at decreasing alignment,
+    // gaps far wider than the quantization error
+    val df = vecs(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f)),
+      (4L, Seq(-0.5f, 0.5f, 0.0f, 0.0f)))
+    val out = Sq.searchTopK(df, df.filter(col("vec_id") === 0), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L), out.mkString("; "))
+    // cosines decrease strictly and sit near their float-exact values
+    assert(out.map(_._3).sliding(2).forall(p => p(0) > p(1)))
+    assert(math.abs(out(0)._3 - 0.9 / math.sqrt(0.82)) < 0.02)
+  }
+}
