@@ -2863,6 +2863,16 @@ object Catalog {
         k = 5)
     }),
 
+    // Matryoshka truncation sweep: recall@5 of first-d' -dimension cosine
+    // retrieval vs the full 64-dim baseline, d' in {8,16,32,64} — how
+    // short a nested-embedding prefix the store can keep (the 64 rung
+    // must read 1.0); truncated vectors sliced in-row, never re-stored
+    "op_mrl_recall" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.mrlRecall(emb, emb.filter(col("vec_id") % 25 === 0),
+        k = 5, dims = Seq(8, 16, 32, 64))
+    }),
+
     // recall@5 of the SQ8 integer-domain search against exact float
     // cosine — measures what byte quantization costs on THIS corpus (the
     // op_ann_recall read for the compressed tier)

@@ -4968,6 +4968,34 @@ object OracleSql {
 
     "op_sq_ann" -> sqAnnSql,
 
+    // Matryoshka truncation sweep: per rung d', exact cosine top-5 on the
+    // FIRST d' dimensions (list slice), recall vs the full-dim baseline.
+    "op_mrl_recall" -> {
+      def rung(d: Int) = s"""
+        SELECT $d AS dims, q_id, neighbor_id FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql(s"e.embedding[1:$d]", s"q.q_emb[1:$d]")} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) r
+        WHERE rank <= 5"""
+      s"""
+      WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      perdim AS (${Seq(8, 16, 32, 64).map(rung).mkString(" UNION ALL ")}),
+      hits AS (
+        SELECT dims, CAST(count(*) AS BIGINT) AS n_hit
+        FROM perdim JOIN brute USING (q_id, neighbor_id) GROUP BY dims),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM brute)
+      SELECT CAST(h.dims AS INT) AS dims, h.n_hit, t.n_total,
+        CAST(h.n_hit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS recall_at_5
+      FROM hits h CROSS JOIN tot t"""
+    },
+
     // Recall@5 of the SQ8 integer-domain search vs exact float cosine.
     "op_sq_recall" -> s"""
       WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),

@@ -460,4 +460,45 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
   }
+
+  /** Matryoshka truncation sweep (Kusupati et al. 2022): recall@k of
+    * FIRST-d′-DIMENSIONS cosine retrieval against the full-dimension exact
+    * baseline, for each d′ in `dims` — the read that decides how short a
+    * nested-embedding prefix the retrieval tier can store and scan
+    * (MRL-trained embeddings concentrate signal in the prefix; this
+    * measures what THIS corpus's embeddings lose at each truncation; a
+    * full-dim rung in `dims` is the == 1.0 sanity row).
+    *
+    * Scale: per rung, the [[bruteForceTopK]] shape with the corpus side
+    * sliced IN-ROW to d′ dims before scoring — the rung's scan moves
+    * d′/D-ths of the vector bytes, which is the point; the hit-join and
+    * both counts are bounded by queries × k. The truncated cosine is the
+    * HOF form (oracle-mirrored accumulation); ties by neighbor id. */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int], embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(dims.nonEmpty, "mrlRecall: at least one truncation rung")
+    require(dims.forall(_ >= 1), "mrlRecall: rungs must be positive")
+    val brute = bruteForceTopK(corpus, queries, k)
+      .select("q_id", "neighbor_id")
+    val perDim = dims.map { d =>
+      val c = corpus.select(col(idCol).as("vec_id"),
+        slice(col(embCol), 1, d).as("_e"))
+      val q = queries.select(col(idCol).as("q_id"),
+        slice(col(embCol), 1, d).as("_qe"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineHof(col("_e"), col("_qe")).as("cos"))
+      graft.ops.TopK.perKey(scored, Seq("q_id"),
+        struct(col("cos"), -col("neighbor_id")), k)
+        .select(lit(d).as("dims"), col("q_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    perDim.join(brute, Seq("q_id", "neighbor_id"))
+      .groupBy("dims").agg(count(lit(1)).as("n_hit"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_total")))
+      .select(col("dims"), col("n_hit"), col("n_total"),
+        (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as(s"recall_at_$k"))
+  }
 }

@@ -73,4 +73,38 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(out.toSeq == Seq(("aaaa", "aaab", 1))) // tie on dist=1 -> lexical min
   }
+
+  test("mrlRecall: prefix-signal embeddings keep recall at truncation, suffix-signal lose it") {
+    import spark.implicits._
+    import graft.text.Similarity
+    // signal lives in dims 1-2; dims 3-4 are constant noise -> truncating
+    // to 2 dims preserves the exact ranking (recall 1.0), and the full-dim
+    // rung is 1.0 by construction
+    val prefix = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f, 0.5f)),
+      (1L, Seq(0.9f, 0.1f, 0.5f, 0.5f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Seq(0.1f, 0.9f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val outP = Similarity.mrlRecall(prefix,
+      prefix.filter(col("vec_id") === 0), k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(outP(4) == ((2L, 1.0)), outP.toString)
+    assert(outP(2) == ((2L, 1.0)), outP.toString)
+    // signal ONLY in dims 3-4 (identical 2-dim prefixes): the truncated
+    // ranking collapses to id ties and must miss at least one true hit
+    val suffix = Seq(
+      (0L, Seq(1.0f, 1.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f, 0.9f, 0.1f)),
+      (2L, Seq(1.0f, 1.0f, -0.5f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f, 0.9f, 0.11f))).toDF("vec_id", "embedding")
+    val outS = Similarity.mrlRecall(suffix,
+      suffix.filter(col("vec_id") === 0), k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(outS(4) == 1.0)
+    assert(outS(2) < 1.0, outS.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.mrlRecall(prefix, prefix, 2, Seq.empty)
+    }
+  }
 }
