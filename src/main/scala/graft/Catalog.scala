@@ -1191,6 +1191,30 @@ object Catalog {
       graft.streaming.NexusMonitor.typeShareDrift(counts, alertPpm = 20000L)
     }),
 
+    // streaming HLL distinct-users per event type, replayed and
+    // batch-checked: the register MAX is the stream's ONE stateful
+    // aggregation (state bounded at types x 4096 registers forever — the
+    // unbounded-horizon distinct a watermark can't give you), the
+    // estimate finisher and the exact-distinct calibration run batch-side
+    // on the replay result; stream == batch because max-merge is
+    // order-insensitive
+    "op_stream_hll" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val regs = graft.streaming.Replay.replayComplete(
+        s, stagedEvents(s, dir), ev.schema,
+        st => graft.ops.Hll.registers(
+            st.select(col("event_type"),
+              col("user_id").cast("string").as("_uid")),
+            Seq("event_type"), col("_uid"))
+          .groupBy("event_type", "_idx").agg(max("_rank").as("_M")))
+      val est = graft.ops.Hll.estimateFromRegisters(regs, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id").cast("string")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("v_zero"),
+          col("hll_est"))
+    }),
+
     // streaming gap-sessionization, replayed and batch-checked: events
     // stream through the REAL flatMapGroupsWithState path (custom session
     // state + event-time timeout). On a bounded AvailableNow replay the

@@ -5981,6 +5981,49 @@ object OracleSql {
              ELSE e.raw END AS hll_est
       FROM est e JOIN ex x USING (lang)""",
 
+    // Streaming HLL distinct users per event type: the replayed stream's
+    // register maxes equal the batch pipeline's (max-merge is
+    // order-insensitive), so the oracle IS the batch sketch over events.
+    "op_stream_hll" -> s"""
+      WITH rnk AS (
+        SELECT event_type, h % 4096 AS idx,
+          CASE WHEN h // 4096 = 0 THEN 49
+               ELSE 49 - length(bin(h // 4096)) END AS rank
+        FROM (SELECT event_type,
+            ${md5Long("CAST(user_id AS VARCHAR)")} AS h FROM events) q0),
+      regs AS (SELECT event_type, idx, max(rank) AS mx
+               FROM rnk GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type,
+          CAST(sum((${(0 to 49).map(1L << _).mkString("[", ",", "]")}
+            )[50 - mx]) AS BIGINT) AS s_seen,
+          CAST(count(*) AS BIGINT) AS v_seen
+        FROM regs GROUP BY event_type),
+      base AS (
+        SELECT event_type, 4096 - v_seen AS v_zero,
+          s_seen + (4096 - v_seen) * 562949953421312 AS s
+        FROM agg),
+      vsrc AS (SELECT event_type, v_zero AS m FROM base WHERE v_zero >= 1),
+      ${lnChain("sv", "vsrc", Seq("event_type"), "lnv")},
+      est AS (
+        SELECT b.event_type, b.v_zero,
+          CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE)
+              + CAST('1.079' AS DOUBLE) / CAST(4096 AS DOUBLE))
+            * CAST(16777216 AS DOUBLE) * CAST(562949953421312 AS DOUBLE)
+            / CAST(b.s AS DOUBLE) AS raw,
+          l.lnv
+        FROM base b LEFT JOIN sv7 l USING (event_type)),
+      ex AS (SELECT event_type,
+          CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+            AS n_exact
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, x.n_exact, CAST(e.v_zero AS BIGINT) AS v_zero,
+        CASE WHEN e.raw <= CAST(10240 AS DOUBLE) AND e.v_zero > 0
+             THEN CAST(4096 AS DOUBLE) * (CAST(12 AS DOUBLE)
+                  * CAST('0.6931471805599453' AS DOUBLE) - e.lnv)
+             ELSE e.raw END AS hll_est
+      FROM est e JOIN ex x USING (event_type)""",
+
     // One-row corpus datasheet over the planted-dup corpus: totals are
     // exact integers; the mean is one division of exact integers.
     "op_dataset_card" -> s"""

@@ -29,37 +29,29 @@ object Hll {
   val P = 12
   val M = 1 << P // 4096
 
-  /** Per-key HLL distinct estimate of `value`, WITH the exact distinct
-    * count alongside (the calibration read — the exact side is the
-    * expensive one and exists so the sketch's error is measured, not
-    * assumed; a production profile pass would drop it).
-    *
-    * Output: keyCols..., n_exact, v_zero (never-hit registers — the
-    * linear-counting signal), hll_est.
-    *
-    * Scale: the sketch side is one (key, register)-keyed MAX aggregate
-    * (map-side partials; ≤ 4096 rows per key reach the reduce) plus one
-    * key-keyed sum — state bounded by m per key regardless of corpus
-    * size, and mergeable across any partitioning. The exact side is the
-    * usual two-phase distinct aggregate. */
-  def distinctPerKey(df: DataFrame, keyCols: Seq[String], value: Column,
+  /** The sketch's MAP STAGE: one (key..., `_idx`, `_rank`) row per input
+    * row — a narrow projection (no shuffle), usable from batch AND from a
+    * stream (the register MAX aggregate is then the stream's ONE stateful
+    * aggregation, state bounded at keys × m). */
+  def registers(df: DataFrame, keyCols: Seq[String], value: Column,
       hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
-    require(keyCols.nonEmpty, "distinctPerKey: at least one key column")
-    require(!keyCols.exists(Set("n_exact", "v_zero", "hll_est")),
-      "distinctPerKey: n_exact/v_zero/hll_est are reserved output names")
-    val src = df.select(keyCols.map(col) :+ value.as("_v"): _*)
-    val h = hashOf(col("_v"))
+    require(keyCols.nonEmpty, "registers: at least one key column")
     // register index = low P bits (h ≥ 0, so pmod == bitmask); rank = 1 +
     // leading zeros of the remaining 48-bit window = 49 − bitlength(w)
-    val w = expr(s"_h div $M")
-    val hashed = src.withColumn("_h", h)
+    df.select(keyCols.map(col) :+ value.as("_v"): _*)
+      .withColumn("_h", hashOf(col("_v")))
       .withColumn("_idx", pmod(col("_h"), lit(M.toLong)))
-      .withColumn("_w", w)
+      .withColumn("_w", expr(s"_h div $M"))
       .withColumn("_rank",
         when(col("_w") === 0, lit(49))
           .otherwise(lit(49) - length(bin(col("_w")))).cast("int"))
-    val regs = hashed.groupBy(keyCols.map(col) :+ col("_idx"): _*)
-      .agg(max("_rank").as("_M"))
+      .select(keyCols.map(col) ++ Seq(col("_idx"), col("_rank")): _*)
+  }
+
+  /** The sketch's FINISHER over max-merged registers (key..., `_idx`,
+    * `_M`): the per-key estimate. Output: keyCols..., v_zero, hll_est. */
+  def estimateFromRegisters(regs: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     // Σ 2^{−M} scaled by 2⁴⁹: each seen register contributes 2^{49−M}
     // (M ∈ [1,49] ⇒ table index 50−M ∈ [1,49]), each never-hit register
     // 2⁴⁹ — an exact long (≤ 4096·2⁴⁹ = 2⁶¹)
@@ -80,8 +72,34 @@ object Hll {
     // linear counting m·ln(m/V) = 4096·(12·ln2 − ln V), portable series ln
     val linear = lit(4096.0) * (lit(12.0) * lit(Sampling.RaceLn2) -
       Sampling.portableLn(col("v_zero")))
-    val est = agg.withColumn("hll_est",
+    agg.withColumn("hll_est",
       when(raw <= lit(10240.0) && col("v_zero") > 0, linear).otherwise(raw))
+      .select(keyCols.map(col) ++ Seq(col("v_zero"), col("hll_est")): _*)
+  }
+
+  /** Per-key HLL distinct estimate of `value`, WITH the exact distinct
+    * count alongside (the calibration read — the exact side is the
+    * expensive one and exists so the sketch's error is measured, not
+    * assumed; a production profile pass would drop it).
+    *
+    * Output: keyCols..., n_exact, v_zero (never-hit registers — the
+    * linear-counting signal), hll_est.
+    *
+    * Scale: the sketch side is one (key, register)-keyed MAX aggregate
+    * (map-side partials; ≤ 4096 rows per key reach the reduce) plus one
+    * key-keyed sum — state bounded by m per key regardless of corpus
+    * size, and mergeable across any partitioning. The exact side is the
+    * usual two-phase distinct aggregate. */
+  def distinctPerKey(df: DataFrame, keyCols: Seq[String], value: Column,
+      hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
+    require(keyCols.nonEmpty, "distinctPerKey: at least one key column")
+    require(!keyCols.exists(Set("n_exact", "v_zero", "hll_est")),
+      "distinctPerKey: n_exact/v_zero/hll_est are reserved output names")
+    val src = df.select(keyCols.map(col) :+ value.as("_v"): _*)
+    val regs = registers(src, keyCols, col("_v"), hashOf)
+      .groupBy(keyCols.map(col) :+ col("_idx"): _*)
+      .agg(max("_rank").as("_M"))
+    val est = estimateFromRegisters(regs, keyCols)
     val exact = src.groupBy(keyCols.map(col): _*)
       .agg(countDistinct(col("_v")).as("n_exact"))
     est.join(exact, keyCols)

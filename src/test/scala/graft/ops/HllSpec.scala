@@ -72,6 +72,19 @@ class HllSpec extends SparkSpec {
     assert(e1.keySet == Set("a", "b"))
   }
 
+  test("registers + max-merge + finisher compose to distinctPerKey's estimate") {
+    // the decomposition the STREAMING path uses: the map stage and the
+    // register MAX can run anywhere (order-insensitive), the finisher
+    // must then produce the identical estimate
+    val df = (1 to 500).map(i => ("k", s"u$i")).toDF("k", "v")
+    val whole = Hll.distinctPerKey(df, Seq("k"), col("v")).head().getDouble(3)
+    val regs = Hll.registers(df, Seq("k"), col("v"))
+      .groupBy("k", "_idx").agg(max("_rank").as("_M"))
+    val composed = Hll.estimateFromRegisters(regs, Seq("k"))
+      .head().getDouble(2)
+    assert(whole == composed, s"$whole vs $composed")
+  }
+
   test("reserved output names are rejected") {
     val df = Seq(("k", "v", 1.0)).toDF("k", "hll_est", "x")
     intercept[IllegalArgumentException] {
