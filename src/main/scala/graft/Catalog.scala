@@ -2304,6 +2304,32 @@ object Catalog {
     "op_lang_id" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // language-ID confusion matrix vs the labeled ground truth — the
+    // EVALUATOR for the lang_id heuristic (which cells leak, per-truth
+    // recall); the fraction window runs over <= langs x preds cells
+    "op_lid_confusion" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("true_lang")
+      t(s, dir, "documents")
+        .select(col("lang").as("true_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("frac", col("n_docs").cast(DoubleType) /
+          sum("n_docs").over(win).cast(DoubleType))
+    }),
+
+    // count-min sketch overcount calibration on the corpus's own top-50
+    // tokens — the frequency-sketch sizing read (portable md5-salted hash
+    // rows, unlike countMinSketch's JVM-private seeds); counter table
+    // bounded at depth x width, candidates at a TakeOrdered top-K. Width
+    // 64 is deliberately UNDERSIZED for the fixture vocabulary so the
+    // measured overcounts are non-trivial (production sizing is e/eps)
+    "op_cms_error" -> ((s, dir) =>
+      graft.ops.Cms.errorTopK(
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok")),
+        col("tok"), width = 64)),
+
     "op_subword_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))),
 

@@ -2944,6 +2944,64 @@ object OracleSql {
              ELSE 'es' END AS lang_pred
       FROM scores""",
 
+    // Language-ID confusion cells + per-truth fraction (the evaluator for
+    // the lang_id heuristic): prediction CASE mirrors op_lang_id.
+    "op_lid_confusion" -> s"""
+      WITH padded AS (
+        SELECT lang, text, ' ' || lower(text) || ' ' AS pad
+        FROM documents),
+      scores AS (
+        SELECT lang, text,
+          $langScoreSql
+        FROM padded),
+      pred AS (
+        SELECT lang AS true_lang,
+          CASE WHEN length(regexp_replace(text,
+                 '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM scores),
+      cells AS (
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2)
+      SELECT true_lang, pred_lang, n_docs,
+        CAST(n_docs AS DOUBLE)
+          / CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+          AS frac
+      FROM cells""",
+
+    // Portable CMS overcount on the top-50 tokens: 4 md5-salted hash rows
+    // x 64 counters (deliberately undersized for the fixture vocabulary
+    // so collisions are measured), estimate = min over rows, vs exact.
+    "op_cms_error" -> s"""
+      WITH tok AS MATERIALIZED (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      counts AS MATERIALIZED (
+        SELECT tok AS v, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY tok),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      counters AS (
+        SELECT j, ${md5Long("v || ':cms' || CAST(j AS VARCHAR)")} % 64
+            AS b,
+          CAST(sum(n) AS BIGINT) AS c
+        FROM counts CROSS JOIN js GROUP BY 1, 2),
+      top AS (
+        SELECT v, n FROM (
+          SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS r
+          FROM counts) q WHERE r <= 50),
+      topb AS (
+        SELECT v, n, j,
+          ${md5Long("v || ':cms' || CAST(j AS VARCHAR)")} % 64 AS b
+        FROM top CROSS JOIN js)
+      SELECT t.v AS token, t.n AS n_exact,
+        CAST(min(c.c) AS BIGINT) AS cms_est,
+        CAST(min(c.c) - t.n AS BIGINT) AS overcount
+      FROM topb t JOIN counters c USING (j, b)
+      GROUP BY t.v, t.n""",
+
     "op_subword_count" -> """
       SELECT doc_id,
         len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
