@@ -130,6 +130,17 @@ object Bench {
     "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
     "rolling_actives" -> "ract", "degree_hist" -> "dgh",
     "union" -> "uni", "pit_join" -> "pit")
+  // No aliases were added after round 14: at query #236 the catalog
+  // crossed the point where even the integer-seconds NAMED-KEY rung of
+  // [[metricLine]] exceeds the 1960-char budget on a healthy (sub-10 s
+  // per query) sweep, and no legal birth-alias batch can buy it back
+  // (the closed rename ledger pins every historical key; Σ keylen would
+  // need ~1.9 chars/key). From round 15 on, a healthy full-catalog sweep
+  // emits the keyless self-describing "qv" values array (ascending
+  // unaliased query-name order — the encoding the round-13 ladder
+  // extension added for exactly this point), and per-query KEYED trend
+  // data lives in the committed BENCH_FULL_LOCAL.json sidecar, which has
+  // always been the full-fidelity ledger. BenchAliasSpec pins the rung.
 
   /** Machine-readable metric-line key RENAMES (old key → current key),
     * cumulative since the round-6 "stable" §9.2 table: apply to the

@@ -849,6 +849,19 @@ object Catalog {
           dbl(sum(col("l_quantity").cast(M2))).as("sum_qty"))
     }),
 
+    // Bloom-filter FPR calibration — op_bloom_join's sizing read, with an
+    // engine-portable surrogate (salted md5-60 bit positions) for Spark's
+    // JVM-seeded filter: members = the already-ingested customer shard
+    // (c_custkey % 3 != 0), probes = the disjoint new-batch shard; m is
+    // deliberately undersized at the bench scale so saturation is MEASURED
+    "op_bloom_fpr" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      graft.ops.Bloom.fprCalibration(
+        cust.filter(col("c_custkey") % 3 =!= 0), col("c_custkey"),
+        cust.filter(col("c_custkey") % 3 === 0), col("c_custkey"),
+        mBits = 16384, kHashes = 3)
+    }),
+
     // fixed-point integer PageRank (2 iterations) over the co-purchase
     // graph: rank mass lives in scaled longs, every update is floor
     // division + order-independent integer sums — deterministic and
@@ -1609,6 +1622,14 @@ object Catalog {
     "op_cooccur" -> ((s, dir) =>
       TextOps.cooccurPairs(t(s, dir, "documents"), "text",
         window = 2, topK = 50)),
+
+    // Church & Hanks PMI collocations: adjacent bigrams RANKED by
+    // pointwise mutual information (micro-nat integer via the portable
+    // series ln — hash-exact cross-engine) under a min-support floor;
+    // op_cooccur ranks by frequency, this surfaces association strength
+    "op_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)),
 
     // top-3 TF-IDF terms per document (rational add-one idf — every float
     // op IEEE-exact cross-engine); per-doc selection via the bounded-heap

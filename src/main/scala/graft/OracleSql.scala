@@ -1000,6 +1000,45 @@ object OracleSql {
         AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000)
       GROUP BY l_returnflag""",
 
+    // Portable Bloom FPR calibration: salted md5-60 bit positions mod m,
+    // probes anti-joined against members, hit iff every DISTINCT needed
+    // bit is set; two int/int divisions mirror the Spark tree.
+    "op_bloom_fpr" -> s"""
+      WITH mem AS MATERIALIZED (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        WHERE c_custkey % 3 <> 0),
+      js AS (SELECT unnest(generate_series(0, 2)) AS j),
+      bits AS MATERIALIZED (
+        SELECT DISTINCT
+          ${md5Long("k || ':bf' || CAST(j AS VARCHAR)")} % 16384 AS b
+        FROM mem CROSS JOIN js),
+      pr AS MATERIALIZED (
+        SELECT p FROM (
+          SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS p FROM customer
+          WHERE c_custkey % 3 = 0) c
+        WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.k = c.p)),
+      pb AS MATERIALIZED (
+        SELECT DISTINCT p,
+          ${md5Long("p || ':bf' || CAST(j AS VARCHAR)")} % 16384 AS b
+        FROM pr CROSS JOIN js),
+      nd AS (SELECT p, count(*) AS needed FROM pb GROUP BY p),
+      hv AS (SELECT p, count(*) AS covered FROM pb JOIN bits USING (b)
+             GROUP BY p),
+      fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+             FROM nd JOIN hv USING (p) WHERE needed = covered),
+      agg AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+        (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+        (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes)
+      SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+        n_members, bits_set,
+        CAST(bits_set AS DOUBLE) / CAST(16384 AS DOUBLE) AS fill_frac,
+        n_probes, n_false_pos,
+        CASE WHEN n_probes = 0 THEN NULL
+             ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+        END AS fpr
+      FROM agg CROSS JOIN fp""",
+
     "op_key_union" -> """
       WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
                   FROM customer GROUP BY c_nationkey),
@@ -2164,6 +2203,42 @@ object OracleSql {
       FROM pc JOIN uc ux ON pc.x = ux.tok JOIN uc uy ON pc.y = uy.tok
       CROSS JOIN tot t
       ORDER BY pc.n_pair DESC, pc.x, pc.y LIMIT 50""",
+
+    // Church & Hanks PMI collocations: adjacent bigrams under a ≥5 support
+    // floor, ranked by the micro-nat integer PMI — four portable-ln chains
+    // composed in the textually-pinned order ((ln c_xy + ln N) − ln c_x)
+    // − ln c_y, floored once; hash-exact cross-engine.
+    "op_pmi" -> s"""
+      WITH tokr AS MATERIALIZED (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents),
+      bgp AS (
+        SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> {'w1': toks[i], 'w2': toks[i + 1]})
+          ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS p
+        FROM tokr),
+      big AS MATERIALIZED (
+        SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_xy
+        FROM bgp GROUP BY 1, 2 HAVING count(*) >= 5),
+      uni AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS tok FROM tokr) GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM uni),
+      ${lnChain("pmn", "tot", Seq.empty, "lnn")},
+      xysrc AS (SELECT w1, w2, n_xy, n_xy AS m FROM big),
+      ${lnChain("pmx", "xysrc", Seq("w1", "w2", "n_xy"), "lnxy")},
+      usrc AS (SELECT tok, c, c AS m FROM uni),
+      ${lnChain("pmu", "usrc", Seq("tok", "c"), "lnu")}
+      SELECT b.w1, b.w2, b.n_xy, ux.c AS n_x, uy.c AS n_y,
+        CAST(floor((b.lnxy + n.lnn - ux.lnu - uy.lnu)
+          * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pmi_micro
+      FROM pmx7 b
+      JOIN pmu7 ux ON ux.tok = b.w1
+      JOIN pmu7 uy ON uy.tok = b.w2
+      CROSS JOIN pmn7 n
+      ORDER BY pmi_micro DESC, b.w1, b.w2 LIMIT 50""",
 
     // Rational add-one idf TF-IDF; the TopKPerKey boundary tie-break
     // (max struct(score, term)) is row_number ORDER BY score DESC,

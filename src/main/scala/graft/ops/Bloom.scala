@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Engine-portable Bloom-filter false-positive calibration — the sizing
+  * read for [[BloomJoin]], beside [[Cms]]'s frequency and [[Hll]]'s
+  * cardinality calibrations: a Bloom filter is `m` bits with `k` salted
+  * hash positions per key, membership = all k bits set, and the only
+  * failure mode is a FALSE POSITIVE (a non-member whose k positions were
+  * all set by members). The published sizing formula assumes ideal hashes;
+  * this operator MEASURES the fill fraction and the actual false-positive
+  * rate on a disjoint probe set, which is how you pick `fpp` for a
+  * [[BloomJoin.semiJoin]] pre-filter before running it over 100 TB.
+  *
+  * Spark's `DataFrameStatFunctions.bloomFilter` (what [[BloomJoin]]
+  * builds) hashes with JVM-internal Murmur seeds — uncheckable outside
+  * the JVM. This surrogate is deterministic and engine-exact: position j
+  * is the repo's md5-prefix 60-bit integer of `key:bf<j>` mod m, the
+  * bit set / probe-hit counts are exact longs, and the two ratios are
+  * single int/int IEEE divisions — the DuckDB oracle reproduces every
+  * cell. */
+object Bloom {
+
+  /** One-row calibration table: m_bits, k_hashes, n_members, bits_set,
+    * fill_frac, n_probes, n_false_pos, fpr. Probe keys that are actual
+    * members are ANTI-JOINED away first, so every counted positive is a
+    * real false positive; fpr is NULL when no probes remain.
+    *
+    * Scale: the member distinct and the anti-join are key-keyed hash
+    * aggregates/joins (the work a real filter build pays anyway); the bit
+    * table is bounded at ≤ m rows and broadcast to the probe side, so
+    * probing is a narrow O(k)-per-key pass — no corpus-sized shuffle ever
+    * carries more than distinct keys. */
+  def fprCalibration(members: DataFrame, memberKey: Column,
+      probes: DataFrame, probeKey: Column, mBits: Int = 16384,
+      kHashes: Int = 3,
+      hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
+    require(mBits >= 2 && mBits <= (1 << 26), "fprCalibration: mBits in [2, 2^26]")
+    require(kHashes >= 1 && kHashes <= 16, "fprCalibration: kHashes in [1, 16]")
+    def bit(v: Column, j: Int): Column =
+      pmod(hashOf(concat(v, lit(s":bf$j"))), lit(mBits.toLong))
+    val mem = members.select(memberKey.cast("string").as("_k")).distinct()
+    val bits = (0 until kHashes).map(j =>
+        mem.select(bit(col("_k"), j).as("_b")))
+      .reduce(_ unionByName _).distinct()
+    val pr = probes.select(probeKey.cast("string").as("_p")).distinct()
+      .join(mem, col("_p") === col("_k"), "left_anti")
+    // distinct (probe, bit): two of a key's k salts can land on the same
+    // bit — membership is over the distinct positions it needs covered
+    val pb = (0 until kHashes).map(j =>
+        pr.select(col("_p"), bit(col("_p"), j).as("_b")))
+      .reduce(_ unionByName _).distinct()
+    val need = pb.groupBy("_p").agg(count(lit(1)).as("_need"))
+    val have = pb.join(broadcast(bits), Seq("_b"), "left_semi")
+      .groupBy("_p").agg(count(lit(1)).as("_have"))
+    val fp = need.join(have, Seq("_p"))
+      .filter(col("_need") === col("_have"))
+      .agg(count(lit(1)).as("n_false_pos"))
+    mem.agg(count(lit(1)).as("n_members"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .crossJoin(pr.agg(count(lit(1)).as("n_probes")))
+      .crossJoin(fp)
+      .select(lit(mBits.toLong).as("m_bits"),
+        lit(kHashes.toLong).as("k_hashes"),
+        col("n_members"), col("bits_set"),
+        (col("bits_set").cast(DoubleType) / lit(mBits.toDouble))
+          .as("fill_frac"),
+        col("n_probes"), col("n_false_pos"),
+        when(col("n_probes") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_false_pos").cast(DoubleType) /
+            col("n_probes").cast(DoubleType)).as("fpr"))
+  }
+}

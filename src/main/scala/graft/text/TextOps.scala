@@ -1138,6 +1138,53 @@ object TextOps {
       .orderBy(desc("n_pair"), asc("x"), asc("y")).limit(topK)
   }
 
+  /** Pointwise-mutual-information collocation ranking (Church & Hanks
+    * 1990) over ADJACENT word bigrams — the published collocation
+    * extractor [[cooccurPairs]]'s windowed lift stops short of: pairs are
+    * RANKED by PMI = ln(N·c_xy / (c_x·c_y)) under a minimum-support floor
+    * (`minCount` — without it PMI degenerates to a rare-pair detector),
+    * surfacing "strongly associated" phrases rather than merely frequent
+    * ones. The log rides [[graft.ops.Sampling.portableLn]] on the exact
+    * integer counts — pmi_micro = ⌊(ln c_xy + ln N − ln c_x − ln c_y)·10⁶⌋,
+    * a floor of a left-to-right sum of bit-identical doubles, so the
+    * ranking integer is hash-exact cross-engine (the [[lmLogProb]]
+    * micro-nat idiom).
+    *
+    * Scale: two token-keyed hash aggregates (bigram counts, unigram
+    * counts) with map-side partials, the 1-row total broadcast, two
+    * key-equi joins on the SUPPORT-FILTERED bigram table (≥ minCount rows
+    * only — the floor is also the scale guard), and a bounded TakeOrdered
+    * top-k. No self-joins, no windows. */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1L, "pmiCollocations: minCount must be positive")
+    require(topK >= 1, "pmiCollocations: topK must be positive")
+    val t0 = tokens(col(textCol))
+    val pairsArr = zip_with(slice(t0, lit(1), size(t0) - 1),
+      slice(t0, lit(2), size(t0) - 1), (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bgp = docs.select(explode(when(size(t0) >= 2, pairsArr)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("_c"))
+    val tot = uni.agg(sum("_c").as("_n"))
+    val ln = (c: Column) => graft.ops.Sampling.portableLn(c)
+    big
+      .join(uni.select(col("tok").as("w1"), col("_c").as("n_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("_c").as("n_y")), "w2")
+      .crossJoin(broadcast(tot))
+      // textually pinned order: ((ln c_xy + ln N) − ln c_x) − ln c_y
+      .withColumn("pmi_micro", floor(
+        (ln(col("n_xy")) + ln(col("_n")) - ln(col("n_x")) - ln(col("n_y")))
+          * lit(1000000.0)).cast(LongType))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Top-`k` TF-IDF terms per document — the keyword-extraction /
     * retrieval-feature primitive. Rational idf `(N+1)/(df+1)` (the add-one
     * variant, no log) keeps every float op IEEE-exact cross-engine while

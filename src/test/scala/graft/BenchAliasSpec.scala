@@ -105,40 +105,35 @@ class BenchAliasSpec extends AnyFunSuite {
     }
   }
 
-  test("ladder: current catalog keeps FULL fidelity at realistic values; worst case omits few") {
-    // realistic: every query at 0.99 s (2-digit centiseconds — the actual
-    // sweep averages ~0.6 s/query) must keep every key on the line. The
-    // uniform-9.99 s ceiling (3-digit cs across the board — no healthy
-    // sweep has ever averaged that) crossed the full-fidelity cliff at
-    // query #188 and may spill into drop-cheapest BY DESIGN — but only by
-    // a handful, and the sidecar keeps everything (the round-11 ladder
-    // decision: growth degrades stdout gracefully, never an alias batch).
-    val realistic = declared.toSeq.sorted.map(_ -> 0.99)
-    val rLine = Bench.metricLine(realistic, 186.0, "min_of_2", 12.3, 111.1,
-      Nil, "/root/testdata/sf0.1")
-    assert(!rLine.contains("q_omitted"),
-      s"realistic-value line no longer fits un-omitted: ${rLine.length} chars")
-    val nKeys = "\":\\d+".r.findAllIn(
-      rLine.substring(rLine.indexOf("\"queries\""))).size
-    assert(nKeys >= declared.size, s"only $nKeys of ${declared.size} keys on the line")
-    // past the centisecond cliff the ladder COARSENS (ds/s maps, then
-    // the values-only array), never drops: at ANY uniform value every
-    // query must survive on some coarse rung (the round-13 extension —
-    // the values array makes key length irrelevant, so catalog growth
-    // can no longer force q_omitted on a healthy sweep)
+  test("ladder: current catalog keeps EVERY query's value at realistic values (no drops)") {
+    // Until round 14 (218 queries) a realistic 0.99 s/query sweep kept
+    // NAMED keys on the line; at query #236 (round 15) even the
+    // integer-seconds named-key rung exceeds the 1960-char budget and no
+    // legal birth-alias batch can buy it back (Σ keylen would need ~1.9
+    // chars/key against a CLOSED rename ledger). From here the healthy
+    // full-catalog line is the self-describing keyless "qv" values array
+    // — the round-13 extension built for exactly this point — and keyed
+    // per-query trend data lives in the committed sidecar (which has
+    // always been the full-fidelity ledger). What this pins: NO query's
+    // value is ever dropped at any realistic or uniform value, named or
+    // not.
     def nValues(line: String): Int =
       if (line.contains("\"qv\":"))
         line.substring(line.indexOf("\"qv\":[") + 6)
           .takeWhile(_ != ']').split(",").length
       else "\":\\d+".r.findAllIn(
         line.substring(line.indexOf("\"queries\""))).size
-    for (v <- Seq(9.99, 99.99)) {
+    for (v <- Seq(0.99, 9.99, 99.99)) {
       val cLine = Bench.metricLine(declared.toSeq.sorted.map(_ -> v),
         999.0, "min_of_2", 12.3, 111.1, Nil, "/root/testdata/sf0.1")
+      assert(cLine.length <= 1960, s"uniform-$v line: ${cLine.length} chars")
       assert(!cLine.contains("q_omitted"),
         s"uniform-$v line drops queries despite coarse rungs")
       assert(nValues(cLine) >= declared.size,
         s"uniform-$v line lost values: ${nValues(cLine)} of ${declared.size}")
+      // the keyless rung must stay self-describing
+      if (cLine.contains("\"qv\":"))
+        assert(cLine.contains("\"qorder\":\"asc query name, failed included\""))
     }
   }
 

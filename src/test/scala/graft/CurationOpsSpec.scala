@@ -196,6 +196,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(8L) == ((20L, "intro pad go x23 x24 tail8")), s"${out2(8L)}")
   }
 
+  test("pmiCollocations: micro-nat PMI matches a driver-side recompute; support floor and ranking hold") {
+    import spark.implicits._
+    // "strong glue" appears 3x and its words appear ONLY together (max
+    // PMI); "the cat" appears 4x but from very frequent words (low PMI);
+    // "rare pair" appears once — killed by the support floor
+    val docs = Seq(
+      (1L, "strong glue strong glue strong glue the cat the cat"),
+      (2L, "the cat the dog the cat rare pair"),
+      (3L, "the dog sat")).toDF("doc_id", "text")
+    val toks = Seq("strong", "glue", "strong", "glue", "strong", "glue",
+      "the", "cat", "the", "cat", "the", "cat", "the", "dog", "the",
+      "cat", "rare", "pair", "the", "dog", "sat")
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    def pmiMicro(w1: String, w2: String, cxy: Long): Long =
+      math.floor((math.log(cxy.toDouble) + math.log(n.toDouble) -
+        math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble)) * 1e6).toLong
+    val out = graft.text.TextOps.pmiCollocations(docs, "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // support floor: only pairs with >= 3 occurrences survive
+    assert(!out.contains(("rare", "pair")))
+    assert(out.contains(("strong", "glue")) && out.contains(("the", "cat")))
+    val sg = out(("strong", "glue"))
+    assert(sg._1 == 3L && sg._2 == uni("strong") && sg._3 == uni("glue"))
+    assert(sg._4 == pmiMicro("strong", "glue", 3L), s"$sg")
+    val tc = out(("the", "cat"))
+    assert(tc._4 == pmiMicro("the", "cat", 4L))
+    // association ranking: the exclusive pair outranks the frequent one
+    assert(sg._4 > tc._4)
+    // bigrams are ORDERED and per-occurrence: (cat, the) totals only 2
+    // across the corpus, under the floor — it must NOT ride (the, cat)'s 4
+    assert(!out.contains(("cat", "the")))
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.pmiCollocations(docs, "text", minCount = 0L)
+    }
+  }
+
   test("lmLogProb: micro-nat sums match a driver-side Math.log recompute") {
     import spark.implicits._
     val docs = Seq(
