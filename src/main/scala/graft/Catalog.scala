@@ -1228,6 +1228,31 @@ object Catalog {
           col("hll_est"))
     }),
 
+    // streaming heavy hitters via the CMS cell decomposition — op_stream
+    // _hll's pattern for FREQUENCY: the narrow per-row cell map runs
+    // inside the stream, the cell COUNT is the stream's one stateful
+    // aggregation (state bounded at depth x width cells forever — the
+    // unbounded-horizon frequency table a watermark can't express), and
+    // the top-K estimate + exact-count calibration finish batch-side.
+    // stream == batch because counter sum-merge is order-insensitive
+    // (CmsSpec pins the decomposition equality; the oracle runs the
+    // batch sketch)
+    "op_stream_cms" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counters = graft.streaming.Replay.replayComplete(
+        s, stagedEvents(s, dir), ev.schema,
+        st => graft.ops.Cms.cellRows(
+            st.select(col("user_id").cast("string").as("_u")), col("_u"),
+            depth = 4, width = 64)
+          .groupBy("_j", "_b").agg(count(lit(1)).as("_c")))
+      val counts = ev.select(col("user_id").cast("string").as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_n"))
+      graft.ops.Cms.estimateTopK(counters, counts, depth = 4, width = 64,
+          topK = 50)
+        .select(col("token").as("user_id"), col("n_exact"), col("cms_est"),
+          col("overcount"))
+    }),
+
     // streaming gap-sessionization, replayed and batch-checked: events
     // stream through the REAL flatMapGroupsWithState path (custom session
     // state + event-time timeout). On a bounded AvailableNow replay the
@@ -2897,6 +2922,22 @@ object Catalog {
         .select(col("method"), col("n_hit"), col("n_total"),
           (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
             .as("recall_at_5"))
+    }),
+
+    // IVF nprobe -> recall/cost ladder: for each probed-cell budget, the
+    // recall@5 against the exact baseline AND the scan volume (vectors in
+    // probed cells) it buys — the sizing read before fixing nprobe on a
+    // billion-vector index. nprobe = c = 16 probes every cell: recall 1.0
+    // by construction (the baked-in sanity rung, like op_mrl_recall's
+    // full-dim row). The four rungs' identical assignment subtrees dedupe
+    // via exchange reuse (the op_ann_recall lesson: a cache boundary here
+    // would block that and measurably slow the query); a production
+    // recurring sweep would read the persisted incremental cell store
+    "op_ivf_sweep" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Ivf.probeSweep(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5,
+        rungs = Seq(1, 2, 4, 16))
     }),
 
     // PQ codes for every embedding: 8 subvectors x 16 codewords, argmax

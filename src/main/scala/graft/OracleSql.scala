@@ -4811,6 +4811,54 @@ object OracleSql {
 
     "op_ivf_ann" -> annIvfSql,
 
+    // IVF nprobe -> recall/cost ladder: per rung, top-5 over the rn <= np
+    // probed cells (the searchTopK mirror), hits against the brute
+    // baseline, and the scan volume = Σ probed-cell sizes (self included).
+    "op_ivf_sweep" -> {
+      val rungs = Seq(1, 2, 4, 16)
+      val rungCtes = rungs.map { np =>
+        s"""sc$np AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id,
+          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+        FROM prall p
+        JOIN asg a ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id
+        JOIN embeddings e1 ON e1.vec_id = p.q_id
+        JOIN embeddings e2 ON e2.vec_id = a.vec_id
+        WHERE p.rn <= $np),
+      tp$np AS (
+        SELECT q_id, neighbor_id FROM (
+          SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+          FROM sc$np) r WHERE rank <= 5)"""
+      }.mkString(",\n      ")
+      val rungRows = rungs.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+        (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_relevant,
+        (SELECT CAST(count(*) AS BIGINT) FROM tp$np t
+           JOIN brute b ON b.q_id = t.q_id
+             AND b.neighbor_id = t.neighbor_id) AS n_hits,
+        (SELECT CAST(sum(cs) AS BIGINT) FROM prall p JOIN csize s
+           ON s.ivf_cell = p.ivf_cell WHERE p.rn <= $np) AS n_scanned"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $ivfCtesSql,
+      asg AS MATERIALIZED (SELECT vec_id, ivf_cell FROM assigned),
+      brute AS MATERIALIZED (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      prall AS MATERIALIZED (
+        SELECT vec_id AS q_id, j AS ivf_cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, j DESC) AS rn
+        FROM sims WHERE vec_id % 25 = 0),
+      csize AS MATERIALIZED (
+        SELECT ivf_cell, CAST(count(*) AS BIGINT) AS cs
+        FROM asg GROUP BY ivf_cell),
+      $rungCtes
+      SELECT nprobe, n_relevant, n_hits,
+        CAST(n_hits AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall,
+        n_scanned
+      FROM ($rungRows)"""
+    },
+
     // One k-means Lloyd iteration from the fixed IVF centroids: nearest-
     // centroid assignment (the shared `assigned` CTE), then per-(cell, dim)
     // quantized sums + cell sizes — the update step's sufficient statistics.
@@ -6113,6 +6161,32 @@ object OracleSql {
                   * CAST('0.6931471805599453' AS DOUBLE) - e.lnv)
              ELSE e.raw END AS hll_est
       FROM est e JOIN ex x USING (lang)""",
+
+    // Streaming CMS heavy hitters: the replayed stream's cell counts
+    // equal the batch counters (sum-merge is order-insensitive), so the
+    // oracle IS the batch sketch over events' user ids.
+    "op_stream_cms" -> s"""
+      WITH cnt AS MATERIALIZED (
+        SELECT CAST(user_id AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      counters AS (
+        SELECT j, ${md5Long("v || ':cms' || CAST(j AS VARCHAR)")} % 64 AS b,
+          CAST(sum(n) AS BIGINT) AS c
+        FROM cnt CROSS JOIN js GROUP BY 1, 2),
+      top AS (
+        SELECT v, n FROM (
+          SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS r
+          FROM cnt) q WHERE r <= 50),
+      topb AS (
+        SELECT v, n, j,
+          ${md5Long("v || ':cms' || CAST(j AS VARCHAR)")} % 64 AS b
+        FROM top CROSS JOIN js)
+      SELECT t.v AS user_id, t.n AS n_exact,
+        CAST(min(c.c) AS BIGINT) AS cms_est,
+        CAST(min(c.c) - t.n AS BIGINT) AS overcount
+      FROM topb t JOIN counters c USING (j, b)
+      GROUP BY t.v, t.n""",
 
     // Streaming HLL distinct users per event type: the replayed stream's
     // register maxes equal the batch pipeline's (max-merge is

@@ -202,4 +202,43 @@ object Ivf {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .select("q_id", "rank", "neighbor_id", "cos")
   }
+
+  /** nprobe → recall/cost ladder: one row per rung with recall@k of
+    * [[searchTopK]] against the exact brute-force baseline AND the scan
+    * volume the rung buys (Σ probed-cell sizes, the query's own vector
+    * included) — the sizing read before fixing nprobe on a billion-vector
+    * index. A rung with nprobe = C probes every cell and recalls 1.0 by
+    * construction (the baked-in sanity row). Output: nprobe, n_relevant,
+    * n_hits, recall, n_scanned.
+    *
+    * Scale: the rungs' identical assignment subtrees dedupe via exchange
+    * reuse inside the one plan (a cache boundary here measurably blocks
+    * that whole-plan optimization — the op_ann_recall lesson); a recurring
+    * production sweep would read the persisted incremental cell store
+    * instead of re-assigning. */
+  def probeSweep(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, rungs: Seq[Int]): DataFrame = {
+    require(rungs.nonEmpty && rungs.forall(np => np >= 1 && np <= model.c),
+      "probeSweep: every rung must be in [1, c]")
+    val brute = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("q_id", "neighbor_id")
+    val sizes = assign(corpus, model)
+      .groupBy("ivf_cell").agg(count(lit(1)).as("_cs"))
+    val nrel = brute.agg(count(lit(1)).as("n_relevant"))
+    rungs.map { np =>
+      val hits = searchTopK(corpus, queries, model, k, nprobe = np)
+        .select("q_id", "neighbor_id")
+        .join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = probeCells(queries, model, np)
+        .join(sizes, "ivf_cell")
+        .agg(sum("_cs").as("n_scanned"))
+      hits.crossJoin(nrel).crossJoin(scanned)
+        .select(lit(np.toLong).as("nprobe"), col("n_relevant"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_relevant").cast("double"))
+            .as("recall"),
+          col("n_scanned"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -63,4 +63,37 @@ class CmsSpec extends SparkSpec {
       Cms.errorTopK(df, col("tok"), topK = 0)
     }
   }
+
+  test("decomposition: cellRows+count == the batch counters, and the composed estimate == errorTopK") {
+    // the stream == batch argument for op_stream_cms: summing the narrow
+    // per-row cell map reproduces errorTopK's counter table exactly
+    // (sum-merge is order-insensitive), so the finisher over it must give
+    // the identical calibration rows
+    val occurrences =
+      Seq.fill(9)("u1") ++ Seq.fill(6)("u2") ++ Seq.fill(2)("u3") ++
+        Seq("u4", "u5")
+    val df = occurrences.toDF("u")
+    val depth = 3; val width = 4
+    val counters = Cms.cellRows(df, col("u"), depth, width)
+      .groupBy("_j", "_b").agg(count(lit(1)).as("_c"))
+    val counts = df.groupBy(col("u").as("_v")).agg(count(lit(1)).as("_n"))
+    val composed = Cms.estimateTopK(counters, counts, depth, width,
+      topK = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val direct = Cms.errorTopK(df, col("u"), depth, width, topK = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(composed == direct, s"$composed vs $direct")
+    // shuffled arrival order changes nothing (order-insensitivity)
+    val shuffled = new scala.util.Random(7).shuffle(occurrences).toDF("u")
+    val counters2 = Cms.cellRows(shuffled, col("u"), depth, width)
+      .groupBy("_j", "_b").agg(count(lit(1)).as("_c"))
+    val composed2 = Cms.estimateTopK(counters2, counts, depth, width,
+      topK = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(composed2 == direct)
+  }
 }

@@ -125,4 +125,32 @@ class IvfSpec extends SparkSpec {
       m.collect { case ((_, 0), (_, n)) => n }.sum
     assert(corpusN(two) == emb.count() && corpusN(one) == emb.count())
   }
+
+  test("probeSweep: recall and scan volume are nondecreasing in nprobe; full probe recalls 1.0") {
+    val model = Ivf.train(emb, c = 8, iters = 5)
+    val queries = emb.filter($"vec_id" < 20)
+    val rows = Ivf.probeSweep(emb, queries, model, k = 5,
+        rungs = Seq(1, 3, 8))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_relevant"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall"),
+        r.getAs[Long]("n_scanned")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 8L))
+    // one shared baseline across rungs
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 > 0)
+    // recall and scan volume can only grow with more probed cells
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._4 >= a._4 && b._5 >= a._5 })
+    // probing every cell scans the whole corpus per query and is exact
+    val full = rows.last
+    assert(full._4 == 1.0, s"full-probe recall: ${full._4}")
+    assert(full._5 == 20L * emb.count(), s"full-probe scan: ${full._5}")
+    // ratio pinned: recall = hits / relevant, one IEEE division
+    rows.foreach { r =>
+      assert(r._4 == r._3.toDouble / r._2.toDouble)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.probeSweep(emb, queries, model, k = 5, rungs = Seq(0))
+    }
+  }
 }
