@@ -2933,9 +2933,13 @@ object Catalog {
     // via exchange reuse (the op_ann_recall lesson: a cache boundary here
     // would block that and measurably slow the query); a production
     // recurring sweep would read the persisted incremental cell store
+    // the sweep's query set samples 4x thinner than op_ann_recall's
+    // (%100): ground truth is O(corpus x queries) and the nprobe = c
+    // sanity rung re-pays it through the cell join, so a sizing read
+    // keeps the query sample small (x10 probe: 21 s at %25 -> ~6 s)
     "op_ivf_sweep" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
-      graft.text.Ivf.probeSweep(emb, emb.filter(col("vec_id") % 25 === 0),
+      graft.text.Ivf.probeSweep(emb, emb.filter(col("vec_id") % 100 === 0),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5,
         rungs = Seq(1, 2, 4, 16))
     }),

@@ -380,10 +380,10 @@ object OracleSql {
   /** Exact brute-force ANN baseline (mirrors [[graft.text.Similarity
     * .bruteForceTopK]] over the %25 query set) — shared by op_ann_topk and
     * the op_ann_recall intersection. */
-  private val annBruteSql: String = """
+  private def annBruteSqlFor(mod: Int): String = s"""
       WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id % 25 = 0),
+        WHERE vec_id % $mod = 0),
       scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
           list_sum(list_transform(list_zip(e.embedding, q.q_emb),
@@ -401,6 +401,10 @@ object OracleSql {
             AS rank
         FROM scored) r
       WHERE rank <= 5"""
+
+  /** The %25 query-set baseline shared by op_ann_topk / op_ann_recall /
+    * the recall composers; op_ivf_sweep uses the 4x-thinner %100 set. */
+  private val annBruteSql: String = annBruteSqlFor(25)
 
   /** SQ8 scalar-quantized search (mirrors [[graft.text.Sq]]: per-dim
     * min/max model, byte codes via the correctly-rounded
@@ -4843,12 +4847,13 @@ object OracleSql {
       s"""
       WITH $ivfCtesSql,
       asg AS MATERIALIZED (SELECT vec_id, ivf_cell FROM assigned),
-      brute AS MATERIALIZED (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      brute AS MATERIALIZED (
+        SELECT q_id, neighbor_id FROM (${annBruteSqlFor(100)})),
       prall AS MATERIALIZED (
         SELECT vec_id AS q_id, j AS ivf_cell,
           row_number() OVER (PARTITION BY vec_id
             ORDER BY sim DESC, j DESC) AS rn
-        FROM sims WHERE vec_id % 25 = 0),
+        FROM sims WHERE vec_id % 100 = 0),
       csize AS MATERIALIZED (
         SELECT ivf_cell, CAST(count(*) AS BIGINT) AS cs
         FROM asg GROUP BY ivf_cell),

@@ -170,6 +170,26 @@ object Ivf {
       .select(col("q_id"), col("q_emb"), col("probe.cell").as("ivf_cell"))
   }
 
+  /** [[probeCells]] with the probe RANK carried (prn = 1 is the best
+    * cell) — lets ONE scored candidate frame serve every rung of
+    * [[probeSweep]]: rung np's candidate set is exactly prn ≤ np. */
+  def probeCellsRanked(queries: DataFrame, model: Model,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.c)
+    queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe_cells",
+        slice(reverse(array_sort(zip_with(
+          simArray(col("q_emb"), model),
+          typedLit((0 until model.c).toList),
+          (s, i) => struct(s.as("sim"), i.as("cell"))))), 1, nprobe))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(col("probe_cells")).as(Seq("_pos", "probe")))
+      .select(col("q_id"), col("q_emb"),
+        (col("_pos") + 1).cast("int").as("prn"),
+        col("probe.cell").as("ivf_cell"))
+  }
+
   /** ANN top-k with `nprobe` probed cells per query: queries explode into
     * their nprobe best cells, candidates come from the cell equi-join,
     * scoring is exact cosine within candidates. */
@@ -211,34 +231,92 @@ object Ivf {
     * construction (the baked-in sanity row). Output: nprobe, n_relevant,
     * n_hits, recall, n_scanned.
     *
-    * Scale: the rungs' identical assignment subtrees dedupe via exchange
-    * reuse inside the one plan (a cache boundary here measurably blocks
-    * that whole-plan optimization — the op_ann_recall lesson); a recurring
-    * production sweep would read the persisted incremental cell store
-    * instead of re-assigning. */
+    * Scale: the corpus is assigned and SCORED ONCE at the maximum rung
+    * with the probe rank carried ([[probeCellsRanked]]), each candidate
+    * BANDED by its smallest containing rung, and the one corpus-scale
+    * aggregation is a bounded-heap top-k per (query, band). From there the
+    * plan stays a single LINEAR chain over bounded rows — each band-top
+    * row explodes into the rungs it serves (rung candidate sets are
+    * nested, and a set's top-k is the top-k of its bands' top-ks), one
+    * more bounded top-k per (rung, query), then hits per rung via pair-
+    * membership against the truth tag. Linearity is the point: a per-rung
+    * union of filtered shares re-evaluates the scan per rung — filters
+    * push BELOW a band aggregation (band is a grouping key), so exchange
+    * reuse can never dedupe the branches. Measured at the ×10 probe: four
+    * independent searchTopK subtrees 21 s, filter-below-topk sharing
+    * 300 s (five full re-evaluations), this chain 6 s. When the max rung
+    * probes every cell its top-k IS the exact baseline (truth tag rides
+    * the same chain — the ground-truth scan is never paid twice);
+    * otherwise the brute baseline unions in as the truth. Per-rung output
+    * equals searchTopK's exactly (same candidate set, same (cos, id)
+    * tie-break).
+    *
+    * Degenerate caveat: a rung whose probed cells contain no candidate at
+    * all for ANY query would drop its row (inner join on the hit chain) —
+    * unreachable on a populated index, where the best cell always holds
+    * at least the query's own neighbors. */
   def probeSweep(corpus: DataFrame, queries: DataFrame, model: Model,
       k: Int, rungs: Seq[Int]): DataFrame = {
     require(rungs.nonEmpty && rungs.forall(np => np >= 1 && np <= model.c),
       "probeSweep: every rung must be in [1, c]")
-    val brute = Similarity.bruteForceTopK(corpus, queries, k)
-      .select("q_id", "neighbor_id")
-    val sizes = assign(corpus, model)
-      .groupBy("ivf_cell").agg(count(lit(1)).as("_cs"))
-    val nrel = brute.agg(count(lit(1)).as("n_relevant"))
-    rungs.map { np =>
-      val hits = searchTopK(corpus, queries, model, k, nprobe = np)
-        .select("q_id", "neighbor_id")
-        .join(brute, Seq("q_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = probeCells(queries, model, np)
-        .join(sizes, "ivf_cell")
-        .agg(sum("_cs").as("n_scanned"))
-      hits.crossJoin(nrel).crossJoin(scanned)
-        .select(lit(np.toLong).as("nprobe"), col("n_relevant"),
-          col("n_hits"),
-          (col("n_hits").cast("double") / col("n_relevant").cast("double"))
-            .as("recall"),
-          col("n_scanned"))
-    }.reduce(_ unionByName _)
+    require(rungs.distinct.size == rungs.size, "probeSweep: rungs must be distinct")
+    val sortedRungs = rungs.sorted
+    val maxR = sortedRungs.last
+    val asg = assign(corpus, model)
+      .select(col("ivf_cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+    // band = the smallest rung containing this candidate's probe rank
+    val bandCol = sortedRungs.reverse.foldLeft(lit(-1)) { (acc, r) =>
+      when(col("prn") <= r, lit(r)).otherwise(acc)
+    }
+    val bandTop = graft.ops.TopK.perKey(
+      probeCellsRanked(queries, model, maxR)
+        .join(asg, "ivf_cell")
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .select(col("q_id"), bandCol.as("_band"), col("neighbor_id"),
+          CosineSim(col("q_emb"), col("n_emb")).as("cos")),
+      Seq("q_id", "_band"), struct(col("cos"), -col("neighbor_id")), k)
+    // every rung this band-top row serves; -1 tags the exact baseline
+    // (maxR == c: all cells probed, so the maxR top-k IS ground truth)
+    val servedRungs = {
+      val base = filter(typedLit(sortedRungs.toList), r => r >= col("_band"))
+      if (maxR == model.c) concat(base, typedLit(List(-1))) else base
+    }
+    val rungTop = graft.ops.TopK.perKey(
+      bandTop.withColumn("nprobe", explode(servedRungs)),
+      Seq("nprobe", "q_id"), struct(col("cos"), -col("neighbor_id")), k)
+      .select("nprobe", "q_id", "neighbor_id")
+    val withTruth =
+      if (maxR == model.c) rungTop
+      else rungTop.unionByName(
+        Similarity.bruteForceTopK(corpus, queries, k)
+          .select(lit(-1).as("nprobe"), col("q_id"), col("neighbor_id")))
+    // hit = this rung's pair is also a truth pair; relevant = truth count
+    val hitCounts = withTruth.groupBy("q_id", "neighbor_id")
+      .agg(collect_list(col("nprobe")).as("_rs"))
+      .select(explode(col("_rs")).as("nprobe"),
+        array_contains(col("_rs"), -1).cast("long").as("_hit"))
+      .groupBy("nprobe").agg(sum("_hit").as("n_hits"))
+    val allRows = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rungHits = hitCounts
+      .withColumn("n_relevant",
+        max(when(col("nprobe") === -1, col("n_hits"))).over(allRows))
+      .filter(col("nprobe") =!= -1)
+    // scan volume: a probed cell's size counts toward every rung >= the
+    // probe's rank (narrow rank/size chain, bounded by queries x c rows)
+    val sizes = asg.groupBy("ivf_cell").agg(count(lit(1)).as("_cs"))
+    val scanned = probeCellsRanked(queries, model, maxR)
+      .select("prn", "ivf_cell")
+      .join(sizes, "ivf_cell")
+      .withColumn("nprobe",
+        explode(filter(typedLit(sortedRungs.toList), r => r >= col("prn"))))
+      .groupBy("nprobe").agg(sum("_cs").as("n_scanned"))
+    rungHits.join(scanned, "nprobe")
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_relevant"),
+        col("n_hits"),
+        (col("n_hits").cast("double") / col("n_relevant").cast("double"))
+          .as("recall"),
+        col("n_scanned"))
   }
 }
