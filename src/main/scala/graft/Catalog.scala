@@ -871,6 +871,14 @@ object Catalog {
       graft.ops.Graph.pageRank(copurchaseEdges(s, dir),
         iterations = 2, topK = 20)),
 
+    // deterministic label-propagation communities over the shared
+    // co-purchase graph (3 synchronized rounds, most-frequent-neighbor
+    // label, min-label ties): the modularity-free community detector;
+    // per-round work is one O(E) join + count + argmax, never quadratic
+    "op_label_prop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(copurchaseEdges(s, dir),
+        rounds = 3, topK = 100)),
+
     "op_semi_join" -> ((s, dir) => t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_mktsegment")
@@ -2459,6 +2467,19 @@ object Catalog {
         TextOps.gopherRules(docs))
     }),
 
+    // score-decile lift table — op_score_auc's reliability-diagram
+    // sibling: same score/label pair, docs split into 10 equal-count bins
+    // (tie groups whole, the ccnet rule) with per-bin positive fraction;
+    // the per-threshold read the single AUC number can't give
+    "op_score_deciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = s.range(64).select(col("id").cast(IntegerType).as("bucket"),
+        ((col("id") * 53) % 41 - 20).cast(LongType).as("weight"))
+      TextOps.scoreDeciles(
+        TextOps.linearScore(docs, weights = Some(w)),
+        TextOps.gopherRules(docs))
+    }),
+
     // one batch epoch of hashed-perceptron TRAINING over deterministic ±1
     // labels (even doc_id -> +1) — the train-side of the linearScore
     // pair: misclassified docs' tokens aggregate into a bucket-bounded
@@ -2983,9 +3004,12 @@ object Catalog {
     // retrieval vs the full 64-dim baseline, d' in {8,16,32,64} — how
     // short a nested-embedding prefix the store can keep (the 64 rung
     // must read 1.0); truncated vectors sliced in-row, never re-stored
+    // %100 query sample (the op_ivf_sweep rationale: a multi-rung sweep
+    // pays ground truth PLUS a scan per rung — x10 probe 27 s at %25,
+    // ~7 s thinned — and a sizing read needs a sample, not every vector)
     "op_mrl_recall" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
-      Similarity.mrlRecall(emb, emb.filter(col("vec_id") % 25 === 0),
+      Similarity.mrlRecall(emb, emb.filter(col("vec_id") % 100 === 0),
         k = 5, dims = Seq(8, 16, 32, 64))
     }),
 

@@ -402,6 +402,52 @@ object OracleSql {
         FROM scored) r
       WHERE rank <= 5"""
 
+  /** Shared score/label CTE prefix (linear hashed score + gopher keep,
+    * clamped-bucket join) — yields CTE `j(b, keep)`; used by op_score_auc
+    * and op_score_deciles. */
+  private lazy val scoreLabelCtes: String = s"""tok AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+          coalesce(list_sum(list_transform(toks,
+            t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
+                   * 53 % 41 - 20)), 0) AS score
+        FROM tok),
+      padded AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),
+      gsig AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+          $stopwordSumSql AS n_stopword
+        FROM padded),
+      grep_ AS (
+        SELECT doc_id, max(c) AS top_tok_n FROM (
+          SELECT doc_id, t, count(*) AS c FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0) u
+          GROUP BY doc_id, t) g
+        GROUP BY doc_id),
+      keepf AS (
+        SELECT s.doc_id,
+          NOT (s.n_tokens < 25 OR s.n_tokens > 10000
+            OR s.n_word_chars < s.n_tokens * 3
+            OR s.n_word_chars > s.n_tokens * 10
+            OR s.n_digit * 5 > s.n_word_chars
+            OR s.n_stopword * 20 < s.n_tokens
+            OR coalesce(r.top_tok_n, 0) * 8 > s.n_tokens) AS keep
+        FROM gsig s LEFT JOIN grep_ r USING (doc_id)),
+      j AS (
+        SELECT greatest(-500, least(sc.score, 499)) AS b, k.keep
+        FROM sc JOIN keepf k USING (doc_id))"""
+
+
   /** The %25 query-set baseline shared by op_ann_topk / op_ann_recall /
     * the recall composers; op_ivf_sweep uses the 4x-thinner %100 set. */
   private val annBruteSql: String = annBruteSqlFor(25)
@@ -887,6 +933,36 @@ object OracleSql {
         FROM sym JOIN i1 ON sym.s = i1.v JOIN deg ON sym.s = deg.s
         GROUP BY sym.d)
       SELECT v, r AS rank_fp FROM i2 ORDER BY r DESC, v LIMIT 20""",
+
+    // Deterministic label propagation, 3 unrolled rounds: most-frequent
+    // neighbor label with min-label ties (row_number ORDER BY c DESC,
+    // lbl == Spark's max(struct(c, -lbl))); community sizes at the end.
+    "op_label_prop" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS v
+                  FROM lineitem),
+      e0 AS (SELECT DISTINCT a.v AS x, b.v AS y
+             FROM li a JOIN li b ON a.g = b.g AND a.v < b.v),
+      sym AS MATERIALIZED (SELECT x AS s, y AS d FROM e0
+              UNION ALL SELECT y AS s, x AS d FROM e0),
+      l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM sym),
+      c1 AS (SELECT sym.d, l.lbl, count(*) AS c
+             FROM sym JOIN l0 l ON sym.s = l.v GROUP BY 1, 2),
+      l1 AS MATERIALIZED (SELECT d AS v, lbl FROM (
+        SELECT d, lbl, row_number() OVER (PARTITION BY d
+          ORDER BY c DESC, lbl) AS rn FROM c1) q WHERE rn = 1),
+      c2 AS (SELECT sym.d, l.lbl, count(*) AS c
+             FROM sym JOIN l1 l ON sym.s = l.v GROUP BY 1, 2),
+      l2 AS MATERIALIZED (SELECT d AS v, lbl FROM (
+        SELECT d, lbl, row_number() OVER (PARTITION BY d
+          ORDER BY c DESC, lbl) AS rn FROM c2) q WHERE rn = 1),
+      c3 AS (SELECT sym.d, l.lbl, count(*) AS c
+             FROM sym JOIN l2 l ON sym.s = l.v GROUP BY 1, 2),
+      l3 AS (SELECT d AS v, lbl FROM (
+        SELECT d, lbl, row_number() OVER (PARTITION BY d
+          ORDER BY c DESC, lbl) AS rn FROM c3) q WHERE rn = 1)
+      SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+      FROM l3 GROUP BY lbl
+      ORDER BY n_members DESC, community LIMIT 100""",
 
     // Correlation/OLS from exact integer sufficient statistics: HUGEINT
     // sums mirror Spark's DECIMAL(38,0) sums exactly; the finishing
@@ -3356,47 +3432,7 @@ object OracleSql {
     // double-product denominator. Score and keep CTEs reuse the
     // op_linear_score / op_gopher_rules constructions verbatim.
     "op_score_auc" -> s"""
-      WITH tok AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-        FROM documents),
-      sc AS (
-        SELECT doc_id,
-          coalesce(list_sum(list_transform(toks,
-            t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64)
-                   * 53 % 41 - 20)), 0) AS score
-        FROM tok),
-      padded AS (
-        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents),
-      gsig AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-          length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars,
-          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-          $stopwordSumSql AS n_stopword
-        FROM padded),
-      grep_ AS (
-        SELECT doc_id, max(c) AS top_tok_n FROM (
-          SELECT doc_id, t, count(*) AS c FROM (
-            SELECT doc_id,
-              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-            FROM documents WHERE length(trim(text)) > 0) u
-          GROUP BY doc_id, t) g
-        GROUP BY doc_id),
-      keepf AS (
-        SELECT s.doc_id,
-          NOT (s.n_tokens < 25 OR s.n_tokens > 10000
-            OR s.n_word_chars < s.n_tokens * 3
-            OR s.n_word_chars > s.n_tokens * 10
-            OR s.n_digit * 5 > s.n_word_chars
-            OR s.n_stopword * 20 < s.n_tokens
-            OR coalesce(r.top_tok_n, 0) * 8 > s.n_tokens) AS keep
-        FROM gsig s LEFT JOIN grep_ r USING (doc_id)),
-      j AS (
-        SELECT greatest(-500, least(sc.score, 499)) AS b, k.keep
-        FROM sc JOIN keepf k USING (doc_id)),
+      WITH $scoreLabelCtes,
       pb AS (
         SELECT b, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS p,
           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n
@@ -3413,6 +3449,28 @@ object OracleSql {
             / (CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE) * CAST(2 AS DOUBLE))
         ELSE NULL END AS auc
       FROM cum""",
+
+    // Score-decile lift table: same score/label prefix, docs-before
+    // cumulative over the descending score histogram, bin = integer
+    // (before*10)//N with tie groups whole, per-bin positive fraction.
+    "op_score_deciles" -> s"""
+      WITH $scoreLabelCtes,
+      pb AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n,
+          sum(CASE WHEN keep THEN 1 ELSE 0 END) AS p
+        FROM j GROUP BY 1),
+      cum AS (
+        SELECT *, coalesce(sum(n) OVER (ORDER BY b DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_,
+          sum(n) OVER () AS tot
+        FROM pb),
+      dec AS (
+        SELECT *, least(9, (before_ * 10) // tot) AS d FROM cum)
+      SELECT CAST(d + 1 AS BIGINT) AS bin,
+        CAST(min(b) AS BIGINT) AS lo_score, CAST(max(b) AS BIGINT) AS hi_score,
+        CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(p) AS BIGINT) AS n_pos,
+        CAST(sum(p) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS frac_pos
+      FROM dec GROUP BY d""",
 
     // DSIR importance weights: 2048-bucket hashed-token model (target =
     // lang 'en'), per-doc exact integer sums of the bucket counts, weight
@@ -5167,11 +5225,12 @@ object OracleSql {
               ${cosSql(s"e.embedding[1:$d]", s"q.q_emb[1:$d]")} AS cos
             FROM embeddings e CROSS JOIN (
               SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-              WHERE vec_id % 25 = 0) q
+              WHERE vec_id % 100 = 0) q
             WHERE e.vec_id <> q.q_id) s0) r
         WHERE rank <= 5"""
       s"""
-      WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      WITH brute AS (
+        SELECT q_id, neighbor_id FROM (${annBruteSqlFor(100)})),
       perdim AS (${Seq(8, 16, 32, 64).map(rung).mkString(" UNION ALL ")}),
       hits AS (
         SELECT dims, CAST(count(*) AS BIGINT) AS n_hit

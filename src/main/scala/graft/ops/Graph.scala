@@ -217,4 +217,42 @@ object Graph {
     ranks.orderBy(desc("r"), asc("v")).limit(topK)
       .select(col("v"), col("r").as("rank_fp"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * DETERMINISTIC — community detection without a modularity solver:
+    * every vertex starts as its own label; each round every vertex adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label (the published algorithm breaks ties randomly, which
+    * no oracle could check; the deterministic rule keeps the same
+    * fixed-point family). `rounds` is a small pinned constant — the
+    * algorithm's published behavior is near-convergence in ~5 sweeps.
+    * Output: the `topK` largest communities as (community, n_members),
+    * size desc, label tie-break.
+    *
+    * Scale: each round is one edge-keyed equi-join (current labels onto
+    * the symmetric edge list), one (vertex, label)-keyed count with
+    * map-side partials, and one per-vertex argmax via `max(struct)` — the
+    * shuffle carries O(E) rows per round, never anything quadratic, and
+    * hub mitigation belongs upstream in the edge builder (the
+    * [[cooccurrenceEdges]] group-size note). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      topK: Int = 100): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "labelPropagation: rounds in [1, 8]")
+    require(topK >= 1, "labelPropagation: topK must be positive")
+    val sym = edges.select(col("x").as("s"), col("y").as("d"))
+      .unionByName(edges.select(col("y").as("s"), col("x").as("d")))
+    var labels = sym.select(col("s").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, col("s") === col("v"))
+        .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("_c"))
+        .groupBy("d")
+        .agg(max(struct(col("_c").as("c"), (-col("lbl")).as("nl"))).as("_m"))
+        .select(col("d").as("v"), (-col("_m.nl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(topK)
+  }
 }

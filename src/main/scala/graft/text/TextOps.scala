@@ -1653,6 +1653,54 @@ object TextOps {
               * lit(2.0))).as("auc"))
   }
 
+  /** Score-decile lift table — the reliability-diagram read beside
+    * [[scoreAuc]]'s single-number ranking view: docs ordered by CLAMPED
+    * integer score descending are split into `q` equal-count bins with
+    * TIE GROUPS staying whole in the earlier bin (the [[ccnetBuckets]]
+    * per-score-value rule — a bin boundary can't split one score value),
+    * and each bin reports its positive-label fraction. A healthy ranker's
+    * fractions fall monotonically; a flat table says the score carries no
+    * signal at that granularity. Bin assignment is pure integer math
+    * (⌊docs-before · q / N⌋ on exact counts), the fraction one int/int
+    * IEEE division — engine-exact.
+    *
+    * Scale: the [[scoreAuc]] shape exactly — one id equi-join, one
+    * buckets-bounded keyed aggregate, cumulative windows over
+    * ≤ (max−min+1) histogram rows, a ≤ q-row finish. Nothing corpus-sized
+    * is sorted or windowed. */
+  def scoreDeciles(scored: DataFrame, labels: DataFrame,
+      scoreCol: String = "score", labelCol: String = "keep",
+      idCol: String = "doc_id", q: Int = 10,
+      minScore: Long = -500, maxScore: Long = 499): DataFrame = {
+    require(q >= 2 && q <= 1000, "scoreDeciles: q in [2, 1000]")
+    require(minScore < maxScore, "minScore must be below maxScore")
+    val joined = scored.select(col(idCol),
+        greatest(lit(minScore), least(col(scoreCol).cast(LongType),
+          lit(maxScore))).as("_b"))
+      .join(labels.select(col(idCol), col(labelCol).as("_pos")), idCol)
+    val perBucket = joined.groupBy("_b").agg(count(lit(1)).as("_n"),
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_p"))
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perBucket
+      .withColumn("_before", coalesce(sum("_n").over(wBefore), lit(0L)))
+      .withColumn("_tot", sum("_n").over(wAll))
+      .withColumn("_d", least(lit((q - 1).toLong),
+        expr(s"(_before * $q) div _tot")))
+      .groupBy("_d")
+      .agg(min("_b").as("lo_score"), max("_b").as("hi_score"),
+        sum("_n").as("n_docs"), sum("_p").as("n_pos"))
+      .select((col("_d") + 1L).as("bin"), col("lo_score"), col("hi_score"),
+        col("n_docs"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("frac_pos"))
+      .orderBy("bin")
+  }
+
   def linearScore(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = 64,
       weights: Option[DataFrame] = None): DataFrame = {

@@ -196,6 +196,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(8L) == ((20L, "intro pad go x23 x24 tail8")), s"${out2(8L)}")
   }
 
+  test("scoreDeciles: tie groups stay whole, bins and fractions match the hand split") {
+    import spark.implicits._
+    // scores desc: 5,5,5 | 4 | 3,2,2 | 1 | 0,0 — q=5 bins of nominal 2:
+    // the score-5 tie group (3 docs) lands whole in bin 1 (before=0);
+    // score 4 (before=3 -> 15//10=1) bin 2; score 3 (before=4 -> 2) and
+    // both 2s (before=5 -> 2) share bin 3; score 1 (before=7 -> 3) bin 4;
+    // the 0s (before=8 -> 4) bin 5
+    val scored = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 4L), (5L, 3L),
+      (6L, 2L), (7L, 2L), (8L, 1L), (9L, 0L), (10L, 0L))
+      .toDF("doc_id", "score")
+    val labels = scored.select(col("doc_id"),
+      (col("score") >= 3L).as("keep"))
+    val out = graft.text.TextOps.scoreDeciles(scored, labels, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 5L, 3L, 3L, 1.0),
+      (2L, 4L, 4L, 1L, 1L, 1.0),
+      (3L, 2L, 3L, 3L, 1L, 1.0 / 3.0),
+      (4L, 1L, 1L, 1L, 0L, 0.0),
+      (5L, 0L, 0L, 2L, 0L, 0.0)), out.mkString(", "))
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.scoreDeciles(scored, labels, q = 1)
+    }
+  }
+
   test("pmiCollocations: micro-nat PMI matches a driver-side recompute; support floor and ranking hold") {
     import spark.implicits._
     // "strong glue" appears 3x and its words appear ONLY together (max

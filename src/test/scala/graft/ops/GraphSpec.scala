@@ -153,4 +153,32 @@ class GraphSpec extends SparkSpec {
       assert(math.abs((sy / n) - (slope * (sx / n) + b)) < 1e-6, s"$flag b")
     }
   }
+
+  test("labelPropagation: 3 synchronous min-tie rounds match the hand simulation") {
+    import spark.implicits._
+    // two triangles bridged at 3-10; synchronous LPA with min-label ties,
+    // hand-simulated:
+    //   r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    //   r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    //   r3: 1->1 2->1 3->1 10->3  11->3 12->3
+    // final communities: label 1 = {1,2,3}, label 3 = {10,11,12}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("x", "y")
+    val out = Graph.labelPropagation(edges, rounds = 3, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(1L -> 3L, 3L -> 3L), out.toString)
+    // topK caps deterministically (size desc, label asc)
+    val top1 = Graph.labelPropagation(edges, rounds = 3, topK = 1)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(top1 == Seq(1L))
+    // one round of a singleton edge: both endpoints adopt the other's
+    // label (their only neighbor) — 2 communities of 1
+    val pair = Seq((7L, 9L)).toDF("x", "y")
+    val one = Graph.labelPropagation(pair, rounds = 1, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(one == Seq(7L -> 1L, 9L -> 1L), one.toString)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, rounds = 0)
+    }
+  }
 }
