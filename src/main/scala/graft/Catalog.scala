@@ -1261,6 +1261,30 @@ object Catalog {
           col("overcount"))
     }),
 
+    // streaming Bloom membership filter of the users seen so far — the
+    // third stream-sketch decomposition (HLL distinct, CMS frequency, now
+    // SET MEMBERSHIP): the narrow per-key bit map runs inside the stream,
+    // the per-bucket count is the single stateful aggregation (state
+    // bounded at <= m cells forever), and the batch finisher probes a
+    // disjoint candidate pool and measures the real FPR; stream == batch
+    // because bit-set union is order-insensitive (BloomCalSpec pins the
+    // decomposition). m deliberately undersized at the bench scale so
+    // saturation is MEASURED
+    "op_stream_bloom" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bits = graft.streaming.Replay.replayComplete(
+        s, stagedEvents(s, dir), ev.schema,
+        st => graft.ops.Bloom.bitRows(
+            st.select(col("user_id").cast("string").as("_u")), col("_u"),
+            mBits = 1024, kHashes = 3)
+          .groupBy("_b").agg(count(lit(1)).as("_n")))
+        .select("_b")
+      graft.ops.Bloom.fprFromBits(bits,
+        ev.select(col("user_id")), col("user_id"),
+        ev.select(col("event_id")), col("event_id"),
+        mBits = 1024, kHashes = 3)
+    }),
+
     // streaming gap-sessionization, replayed and batch-checked: events
     // stream through the REAL flatMapGroupsWithState path (custom session
     // state + event-time timeout). On a bounded AvailableNow replay the
@@ -1872,6 +1896,19 @@ object Catalog {
             .otherwise(length(bin(TextOps.tokenCount(col("text"))
               .cast(LongType)))).as("len_bucket")),
         col("source"), l = 3)),
+
+    // t-closeness audit — the privacy triad's third rung (size,
+    // diversity, now SKEW): per class, total-variation distance of the
+    // sensitive distribution from the table's, exact-integer numerator /
+    // denominator with a rational threshold compare (t = 3/10); a class
+    // can be k-anonymous AND l-diverse yet leak by skew alone
+    "op_t_closeness" -> ((s, dir) =>
+      graft.ops.Audit.tCloseness(t(s, dir, "documents"),
+        Seq(col("lang"),
+          when(TextOps.tokenCount(col("text")) === 0, lit(0))
+            .otherwise(length(bin(TextOps.tokenCount(col("text"))
+              .cast(LongType)))).as("len_bucket")),
+        col("source"), tNum = 3L, tDen = 10L)),
 
     // k-anonymity GENERALIZATION — op_k_anonymity's actuator: the first
     // rung of a coarsening ladder (exact log2-length bucket → width-2

@@ -2767,6 +2767,49 @@ object OracleSql {
         CAST(max(ld) AS BIGINT) AS max_diversity
       FROM c""",
 
+    // t-closeness: per class, total-variation distance as an exact
+    // integer pair — present values fold |c_cv·n − c_v·n_c|, absent
+    // values contribute n_c·n − Σ_present c_v·n_c in closed form;
+    // threshold compare exact rational (t = 3/10), max distance one
+    // IEEE division per class.
+    "op_t_closeness" -> """
+      WITH q AS (
+        SELECT lang, source,
+          CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) = 0 THEN 0
+            ELSE length(bin(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                END) AS BIGINT))) END AS len_bucket
+        FROM documents),
+      cv AS MATERIALIZED (
+        SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS ccv
+        FROM q GROUP BY 1, 2, 3),
+      marg AS (SELECT source, CAST(count(*) AS BIGINT) AS cval
+               FROM q GROUP BY source),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      ncs AS (SELECT lang, len_bucket, CAST(sum(ccv) AS BIGINT) AS nc
+              FROM cv GROUP BY 1, 2),
+      per AS (
+        SELECT c.lang, c.len_bucket, s.nc, t.n,
+          CAST(sum(abs(c.ccv * t.n - m.cval * s.nc)) AS BIGINT)
+            + (s.nc * t.n - CAST(sum(m.cval * s.nc) AS BIGINT)) AS tv_num,
+          s.nc * t.n * 2 AS tv_den
+        FROM cv c
+        JOIN marg m USING (source)
+        JOIN ncs s ON s.lang = c.lang AND s.len_bucket = c.len_bucket
+        CROSS JOIN tot t
+        GROUP BY c.lang, c.len_bucket, s.nc, t.n)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(nc) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN tv_num * 10 > 3 * tv_den THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_classes_above_t,
+        CAST(sum(CASE WHEN tv_num * 10 > 3 * tv_den THEN nc ELSE 0 END)
+          AS BIGINT) AS n_rows_above_t,
+        max(CAST(tv_num AS DOUBLE) / CAST(tv_den AS DOUBLE))
+          AS max_t_distance
+      FROM per""",
+
     // Generalization ladder: the first rung whose every class reaches k=5;
     // values compared as VARCHAR (the release encoding), rung 1's width-2
     // bucket = len_bucket // 2 * 2 (floor — non-negative, matches Spark's
@@ -6225,6 +6268,44 @@ object OracleSql {
                   * CAST('0.6931471805599453' AS DOUBLE) - e.lnv)
              ELSE e.raw END AS hll_est
       FROM est e JOIN ex x USING (lang)""",
+
+    // Streaming Bloom filter: the replayed stream's bit set equals the
+    // batch build (bit-set union is order-insensitive), so the oracle IS
+    // the batch calibration — members = event user ids, probes = event
+    // ids anti-joined against the members.
+    "op_stream_bloom" -> s"""
+      WITH mem AS MATERIALIZED (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+      js AS (SELECT unnest(generate_series(0, 2)) AS j),
+      bits AS MATERIALIZED (
+        SELECT DISTINCT
+          ${md5Long("k || ':bf' || CAST(j AS VARCHAR)")} % 1024 AS b
+        FROM mem CROSS JOIN js),
+      pr AS MATERIALIZED (
+        SELECT p FROM (
+          SELECT DISTINCT CAST(event_id AS VARCHAR) AS p FROM events) c
+        WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.k = c.p)),
+      pb AS MATERIALIZED (
+        SELECT DISTINCT p,
+          ${md5Long("p || ':bf' || CAST(j AS VARCHAR)")} % 1024 AS b
+        FROM pr CROSS JOIN js),
+      nd AS (SELECT p, count(*) AS needed FROM pb GROUP BY p),
+      hv AS (SELECT p, count(*) AS covered FROM pb JOIN bits USING (b)
+             GROUP BY p),
+      fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+             FROM nd JOIN hv USING (p) WHERE needed = covered),
+      agg AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+        (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+        (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes)
+      SELECT CAST(1024 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+        n_members, bits_set,
+        CAST(bits_set AS DOUBLE) / CAST(1024 AS DOUBLE) AS fill_frac,
+        n_probes, n_false_pos,
+        CASE WHEN n_probes = 0 THEN NULL
+             ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+        END AS fpr
+      FROM agg CROSS JOIN fp""",
 
     // Streaming CMS heavy hitters: the replayed stream's cell counts
     // equal the batch counters (sum-merge is order-insensitive), so the

@@ -154,6 +154,73 @@ object Audit {
       min("_l").as("min_diversity"), max("_l").as("max_diversity"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy-audit triad after [[kAnonymity]] (class size)
+    * and [[lDiversity]] (distinct sensitive values): a class can be
+    * large AND diverse yet still leak by SKEW — its sensitive
+    * distribution differing from the table's (the skewness attack the
+    * paper opens with). For a categorical sensitive attribute the
+    * published distance is EMD under uniform ground distance, which
+    * reduces to total variation ½·Σ_v |p_class(v) − p_table(v)|.
+    *
+    * Computed EXACTLY in integers: with class size n_c, table size n,
+    * value counts c_cv (class) and c_v (table), the distance is
+    * `tv_num / tv_den` where tv_num = Σ_v |c_cv·n − c_v·n_c| and
+    * tv_den = 2·n_c·n; values ABSENT from a class contribute c_v·n_c,
+    * folded in closed form (Σ_absent c_v·n_c = n_c·n − Σ_present c_v·n_c)
+    * so only class-present (class, value) rows are ever joined. The
+    * threshold compare is exact rational arithmetic (tv_num·tDen >
+    * tNum·tv_den), the reported max distance ONE IEEE division per class
+    * — engine-exact throughout. Overflow bound: products stay ≤ n², so
+    * exactness holds to n ≈ 3·10⁹ rows.
+    *
+    * Output (1 row): n_classes, n_rows, n_classes_above_t,
+    * n_rows_above_t, max_t_distance.
+    *
+    * Scale: two keyed aggregates (class-value counts, value marginals),
+    * one equi-join on the sensitive value, a class-keyed rollup, a 1-row
+    * finish — the [[kAnonymity]] posture; nothing scales with value
+    * combinations that don't occur. */
+  def tCloseness(df: DataFrame, quasiIds: Seq[org.apache.spark.sql.Column],
+      sensitive: org.apache.spark.sql.Column, tNum: Long,
+      tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen,
+      "tCloseness: t must be a rational in [0, 1] with positive denominator")
+    val projected = df.select(quasiIds :+ sensitive.as("_sens"): _*)
+    require(projected.columns.distinct.length == projected.columns.length,
+      s"tCloseness: quasi-identifier output names collide " +
+        s"(${projected.columns.dropRight(1).mkString(", ")}) — alias " +
+        "duplicate quasi-id expressions (and none may be named _sens)")
+    val qcols = projected.columns.dropRight(1)
+    val cv = projected.groupBy(projected.columns.map(col): _*)
+      .agg(count(lit(1)).as("_ccv"))
+    val marginals = projected.groupBy("_sens").agg(count(lit(1)).as("_cv"))
+    val totals = projected.agg(count(lit(1)).as("_n"))
+    // the absolute-difference fold needs n_c on each (class, value) row
+    // BEFORE aggregating — class sizes first, then the per-value fold
+    val ncs = cv.groupBy(qcols.map(col): _*).agg(sum("_ccv").as("_nc"))
+    val perClass = cv.join(marginals, "_sens")
+      .join(ncs, qcols.toSeq)
+      .crossJoin(broadcast(totals))
+      .groupBy((qcols.map(col) :+ col("_nc") :+ col("_n")): _*)
+      .agg(sum(abs(col("_ccv") * col("_n") - col("_cv") * col("_nc")))
+        .as("_present"),
+        sum(col("_cv") * col("_nc")).as("_presentMass"))
+      .select(col("_nc"), col("_n"),
+        (col("_present") + (col("_nc") * col("_n") - col("_presentMass")))
+          .as("tv_num"),
+        (col("_nc") * col("_n") * 2).as("tv_den"))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      sum("_nc").as("n_rows"),
+      sum(when(col("tv_num") * lit(tDen) > lit(tNum) * col("tv_den"), 1L)
+        .otherwise(0L)).as("n_classes_above_t"),
+      sum(when(col("tv_num") * lit(tDen) > lit(tNum) * col("tv_den"),
+        col("_nc")).otherwise(0L)).as("n_rows_above_t"),
+      max(col("tv_num").cast("double") / col("tv_den").cast("double"))
+        .as("max_t_distance"))
+  }
+
   /** k-anonymity GENERALIZATION — the actuator for [[kAnonymity]]'s
     * report: given a LADDER of progressively coarser quasi-identifier
     * encodings (rung 0 = the original tuple; each later rung generalizes

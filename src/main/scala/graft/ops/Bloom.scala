@@ -36,22 +36,52 @@ object Bloom {
   def fprCalibration(members: DataFrame, memberKey: Column,
       probes: DataFrame, probeKey: Column, mBits: Int = 16384,
       kHashes: Int = 3,
+      hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame =
+    fprFromBits(
+      bitRows(members, memberKey, mBits, kHashes, hashOf).distinct(),
+      members, memberKey, probes, probeKey, mBits, kHashes, hashOf)
+
+  /** The STREAMABLE half of the filter build: one bucket row per key per
+    * salt — a narrow in-row map with NO aggregation, so
+    * `bitRows(...).groupBy(_b).count()` can be a Structured Streaming
+    * query's single stateful aggregation (state bounded at ≤ m cells
+    * FOREVER), and because a bit SET is union-merged (order-insensitive)
+    * the streamed bit set equals the batch build exactly — the
+    * stream == batch argument BloomCalSpec pins as a decomposition
+    * equality. */
+  def bitRows(keys: DataFrame, key: Column, mBits: Int = 16384,
+      kHashes: Int = 3,
       hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
-    require(mBits >= 2 && mBits <= (1 << 26), "fprCalibration: mBits in [2, 2^26]")
-    require(kHashes >= 1 && kHashes <= 16, "fprCalibration: kHashes in [1, 16]")
-    def bit(v: Column, j: Int): Column =
-      pmod(hashOf(concat(v, lit(s":bf$j"))), lit(mBits.toLong))
+    require(mBits >= 2 && mBits <= (1 << 26), "bitRows: mBits in [2, 2^26]")
+    require(kHashes >= 1 && kHashes <= 16, "bitRows: kHashes in [1, 16]")
+    keys.select(key.cast("string").as("_k"))
+      .withColumn("_j", explode(typedLit((0 until kHashes).toList)))
+      .select(bitCol(col("_k"), col("_j"), mBits, hashOf).as("_b"))
+  }
+
+  private def bitCol(v: Column, j: Column, mBits: Int,
+      hashOf: Column => Column): Column =
+    pmod(hashOf(concat(v, lit(":bf"), j.cast("string"))), lit(mBits.toLong))
+
+  /** Calibration FINISHER over an externally-built set-bit table `(_b)`
+    * (distinct rows) — e.g. one a streaming aggregation maintained; the
+    * member frame is still needed for the probe anti-join and the
+    * n_members report. [[fprCalibration]] is this over a batch build. */
+  def fprFromBits(bits: DataFrame, members: DataFrame, memberKey: Column,
+      probes: DataFrame, probeKey: Column, mBits: Int = 16384,
+      kHashes: Int = 3,
+      hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
+    require(mBits >= 2 && mBits <= (1 << 26), "fprFromBits: mBits in [2, 2^26]")
+    require(kHashes >= 1 && kHashes <= 16, "fprFromBits: kHashes in [1, 16]")
     val mem = members.select(memberKey.cast("string").as("_k")).distinct()
-    val bits = (0 until kHashes).map(j =>
-        mem.select(bit(col("_k"), j).as("_b")))
-      .reduce(_ unionByName _).distinct()
     val pr = probes.select(probeKey.cast("string").as("_p")).distinct()
       .join(mem, col("_p") === col("_k"), "left_anti")
     // distinct (probe, bit): two of a key's k salts can land on the same
     // bit — membership is over the distinct positions it needs covered
-    val pb = (0 until kHashes).map(j =>
-        pr.select(col("_p"), bit(col("_p"), j).as("_b")))
-      .reduce(_ unionByName _).distinct()
+    val pb = pr
+      .withColumn("_j", explode(typedLit((0 until kHashes).toList)))
+      .select(col("_p"), bitCol(col("_p"), col("_j"), mBits, hashOf).as("_b"))
+      .distinct()
     val need = pb.groupBy("_p").agg(count(lit(1)).as("_need"))
     val have = pb.join(broadcast(bits), Seq("_b"), "left_semi")
       .groupBy("_p").agg(count(lit(1)).as("_have"))

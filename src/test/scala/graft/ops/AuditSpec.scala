@@ -326,4 +326,35 @@ class AuditSpec extends SparkSpec {
       Seq(Seq(col("lang")), Seq(lit("*").as("lang"))), col("src"), l = 2)
       .count() == 0L)
   }
+
+  test("tCloseness: exact-integer total variation matches the hand computation; rational threshold is strict") {
+    import spark.implicits._
+    // class A (4 rows): x,x,x,y -> p_A = {x:.75, y:.25}; class B (2 rows):
+    // y,y -> p_B = {y:1}. Table: x=3, y=3 -> p = {x:.5, y:.5}.
+    // TV(A) = .25, TV(B) = .5 (hand); integer form: A 12/48, B 12/24.
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "y")).toDF("cls", "sens")
+    val r = Audit.tCloseness(df, Seq(col("cls")), col("sens"),
+      tNum = 3L, tDen = 10L).collect().head
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_classes_above_t") == 1L) // only B (.5 > .3)
+    assert(r.getAs[Long]("n_rows_above_t") == 2L)
+    assert(r.getAs[Double]("max_t_distance") == 0.5)
+    // boundary is STRICT rational compare: at t = 1/4 class A's exact
+    // 12/48 == 1/4 does NOT flag — no double round-off in the decision
+    val r2 = Audit.tCloseness(df, Seq(col("cls")), col("sens"),
+      tNum = 1L, tDen = 4L).collect().head
+    assert(r2.getAs[Long]("n_classes_above_t") == 1L)
+    // a class matching the table's distribution has distance exactly 0
+    val uni = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("cls", "sens")
+    val r3 = Audit.tCloseness(uni, Seq(col("cls")), col("sens"), 0L, 1L)
+      .collect().head
+    assert(r3.getAs[Double]("max_t_distance") == 0.0)
+    assert(r3.getAs[Long]("n_classes_above_t") == 0L)
+    intercept[IllegalArgumentException] {
+      Audit.tCloseness(df, Seq(col("cls")), col("sens"), 2L, 1L)
+    }
+  }
 }

@@ -50,6 +50,30 @@ class BloomCalSpec extends SparkSpec {
     assert(row.getAs[Double]("fpr") == 1.0)
   }
 
+  test("decomposition: bitRows+distinct feeds fprFromBits to the identical calibration row") {
+    import spark.implicits._
+    // the stream == batch argument for op_stream_bloom: the bit SET from
+    // the narrow per-key map equals the batch build (union-merge is
+    // order-insensitive), so the finisher must produce the same row
+    val members = (1 to 40).map(_.toString).toDF("k")
+    val probes = (101 to 160).map(_.toString).toDF("k")
+    val direct = Bloom.fprCalibration(members, col("k"), probes, col("k"),
+      mBits = 64, kHashes = 3).collect().head
+    val bits = Bloom.bitRows(members, col("k"), mBits = 64, kHashes = 3)
+      .groupBy("_b").agg(count(lit(1)).as("_n")).select("_b")
+    val composed = Bloom.fprFromBits(bits, members, col("k"), probes,
+      col("k"), mBits = 64, kHashes = 3).collect().head
+    assert(composed == direct, s"$composed vs $direct")
+    // shuffled arrival order changes nothing
+    val shuffled = new scala.util.Random(11)
+      .shuffle((1 to 40).map(_.toString)).toDF("k")
+    val bits2 = Bloom.bitRows(shuffled, col("k"), mBits = 64, kHashes = 3)
+      .groupBy("_b").agg(count(lit(1)).as("_n")).select("_b")
+    val composed2 = Bloom.fprFromBits(bits2, members, col("k"), probes,
+      col("k"), mBits = 64, kHashes = 3).collect().head
+    assert(composed2 == direct)
+  }
+
   test("empty probe set yields NULL fpr, and guards hold") {
     val members = Seq("1", "2").toDF("k")
     val row = Bloom.fprCalibration(members, col("k"), members, col("k"),
