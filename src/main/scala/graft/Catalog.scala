@@ -2430,6 +2430,18 @@ object Catalog {
     "op_tok_fertility" -> ((s, dir) =>
       TextOps.tokFertility(t(s, dir, "documents"))),
 
+    // exact two-sample Kolmogorov–Smirnov over token counts: history
+    // shard (doc_id % 5 != 0) vs the arriving batch (% 5 == 0) — the
+    // distribution-shape drift test beside the composition reads; the
+    // gap argmax is pure integer math, the α=.05 decision a comparison
+    // of two bit-identical doubles (correctly-rounded ÷, √, ×)
+    "op_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Ks.twoSample(
+        d.filter(col("doc_id") % 5 =!= 0), TextOps.tokenCount(col("text")),
+        d.filter(col("doc_id") % 5 === 0), TextOps.tokenCount(col("text")))
+    }),
+
     // text-side ingest drift: history vs the standing ingest batch keyed
     // by a COMPUTED segment (ingest arrives unlabeled) — predicted
     // language × log2 length bucket, the profile-sensitive composition

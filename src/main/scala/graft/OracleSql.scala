@@ -3225,6 +3225,49 @@ object OracleSql {
     // Text-side drift: the op_lang_id scoring applied to BOTH history
     // (documents) and the ingest batch, per-predicted-language shares
     // (floored IEEE ppm) + mean token counts.
+    // Exact two-sample KS over token counts: integer gap argmax over the
+    // merged value histogram; stat/crit/reject from correctly-rounded
+    // IEEE ops in the textually-pinned order.
+    "op_ks_drift" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END AS v
+        FROM documents),
+      am AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM toks
+             WHERE doc_id % 5 <> 0 GROUP BY v),
+      bm AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM toks
+             WHERE doc_id % 5 = 0 GROUP BY v),
+      m AS (SELECT coalesce(am.v, bm.v) AS v, coalesce(na, 0) AS na,
+              coalesce(nb, 0) AS nb
+            FROM am FULL OUTER JOIN bm ON am.v = bm.v),
+      c AS (SELECT v,
+              sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS ca,
+              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cb,
+              sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+            FROM m),
+      g AS (SELECT abs(ca * tb - cb * ta) AS num, v, ta, tb FROM c),
+      top AS (SELECT num, v, ta, tb FROM (
+        SELECT *, row_number() OVER (ORDER BY num DESC, v) AS rn FROM g) q
+        WHERE rn = 1)
+      SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        CAST(num AS BIGINT) AS ks_num, CAST(ta * tb AS BIGINT) AS ks_den,
+        CASE WHEN ta * tb > 0
+          THEN CAST(num AS DOUBLE) / CAST(ta * tb AS DOUBLE) END AS ks_stat,
+        CAST(v AS BIGINT) AS at_value,
+        CASE WHEN ta * tb > 0 THEN CAST('1.358' AS DOUBLE)
+          * sqrt(CAST(ta + tb AS DOUBLE) / CAST(ta * tb AS DOUBLE))
+        END AS crit_05,
+        CASE WHEN ta * tb > 0 THEN
+          (CAST(num AS DOUBLE) / CAST(ta * tb AS DOUBLE))
+            > (CAST('1.358' AS DOUBLE)
+               * sqrt(CAST(ta + tb AS DOUBLE) / CAST(ta * tb AS DOUBLE)))
+        END AS reject_05
+      FROM top""",
+
     "op_corpus_drift" -> s"""
       WITH batch AS (
         SELECT doc_id + 1000000000 AS doc_id,

@@ -359,8 +359,11 @@ object Audit {
     val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp-"))))
     // Laplace(1/eps) in micro-units: every step from the two bit-identical
     // exponentials is one correctly-rounded IEEE op, then an exact floor
-    val noiseMicro = floor((e1 - e2) / lit(epsilon) * lit(1000000.0))
-      .cast(LongType)
+    // NoCodegen: keep the two 17-term ln chains OUT of the aggregation's
+    // generated method (see graft.functions.NoCodegen — without the
+    // boundary the whole agg stage falls back to interpreted eval)
+    val noiseMicro = graft.functions.NoCodegen(
+      floor((e1 - e2) / lit(epsilon) * lit(1000000.0)).cast(LongType))
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .withColumn("noisy_count",
@@ -399,8 +402,11 @@ object Audit {
     // same groups never reuses a draw
     val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps+"))))
     val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps-"))))
-    val noiseMicro = floor((e1 - e2) * lit(clip.toDouble) / lit(epsilon)
-      * lit(1000000.0)).cast(LongType)
+    // NoCodegen: the dpCounts boundary treatment (ln chains out of the
+    // aggregation's generated method)
+    val noiseMicro = graft.functions.NoCodegen(
+      floor((e1 - e2) * lit(clip.toDouble) / lit(epsilon)
+        * lit(1000000.0)).cast(LongType))
     val clipped = greatest(lit(0L), least(value.cast(LongType), lit(clip)))
     df.groupBy(keyCols.map(col): _*)
       .agg(sum(clipped).as("_s"))

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Exact two-sample Kolmogorov–Smirnov test over an integer-valued
+  * column — the DISTRIBUTIONAL drift test beside the composition reads
+  * (op_corpus_drift's segment shares, op_embed_drift's centroid shift):
+  * D = max_v |F_a(v) − F_b(v)| detects any shape change (location,
+  * spread, tails) in one number with a distribution-free critical value.
+  *
+  * Exactness: the statistic's argmax runs on INTEGERS — at each distinct
+  * value, |cum_a·n_b − cum_b·n_a| over the common denominator n_a·n_b —
+  * so the maximizing value and the numerator are engine-exact; the
+  * reported statistic is one int/int IEEE division, and the α = 0.05
+  * large-sample critical value c·√((n_a+n_b)/(n_a·n_b)) with c = 1.358
+  * (Smirnov's asymptotic constant) uses only correctly-rounded IEEE ops
+  * (÷, √, ×, textually pinned order), so even the reject BOOLEAN —
+  * a comparison of two bit-identical doubles — is oracle-checkable.
+  * Overflow bound: cum·n products stay ≤ n_a·n_b, exact to ~3·10⁹ rows
+  * per side.
+  *
+  * Output (1 row): n_a, n_b, ks_num, ks_den, ks_stat, at_value (the
+  * smallest value attaining the max gap), crit_05, reject_05 (NULL
+  * stat/crit/reject when either side is empty).
+  *
+  * Scale: two value-keyed count aggregates with map-side partials, one
+  * full-outer merge on the value, cumulative windows over the DISTINCT-
+  * VALUE histogram (bounded by the value range — token counts, byte
+  * sizes, latencies — never corpus rows), a 1-row finish. */
+object Ks {
+
+  def twoSample(a: DataFrame, aVal: Column,
+      b: DataFrame, bVal: Column): DataFrame = {
+    val av = a.select(aVal.cast(LongType).as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_na"))
+    val bv = b.select(bVal.cast(LongType).as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_nb"))
+    val merged = av.join(bv, Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val wCum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val done = merged
+      .withColumn("_ca", sum("_na").over(wCum))
+      .withColumn("_cb", sum("_nb").over(wCum))
+      .withColumn("_ta", sum("_na").over(wAll))
+      .withColumn("_tb", sum("_nb").over(wAll))
+      .withColumn("_num", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+      .agg(max(struct(col("_num").as("num"), (-col("_v")).as("nv"))).as("_m"),
+        max("_ta").as("n_a"), max("_tb").as("n_b"))
+    val den = col("n_a") * col("n_b")
+    val stat = col("ks_num").cast(DoubleType) / col("ks_den").cast(DoubleType)
+    val crit = lit(1.358) * sqrt(
+      (col("n_a") + col("n_b")).cast(DoubleType) / den.cast(DoubleType))
+    done
+      .select(col("n_a"), col("n_b"), col("_m.num").as("ks_num"),
+        den.as("ks_den"), (-col("_m.nv")).as("at_value"))
+      .select(col("n_a"), col("n_b"), col("ks_num"), col("ks_den"),
+        when(col("ks_den") > 0, stat).as("ks_stat"), col("at_value"),
+        when(col("ks_den") > 0, crit).as("crit_05"),
+        when(col("ks_den") > 0, stat > crit).as("reject_05"))
+  }
+}

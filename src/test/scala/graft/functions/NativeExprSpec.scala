@@ -163,4 +163,25 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be a literal integer"), e.getMessage)
   }
+
+  test("NoCodegen is a value-identical passthrough that splits the codegen stage") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 42L).toDF("v")
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val plain = df.withColumn("x", col("v") * 3 + col("n"))
+    val wrapped = df.withColumn("x",
+      NoCodegen(col("v") * 3 + col("n")))
+    assert(wrapped.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    // NULL passthrough
+    val withNull = Seq(Some(1L), None).toDF("v")
+      .select(NoCodegen(col("v") + 1).as("x")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+    // the wrapper's reason to exist: the projection containing it stays
+    // OUT of whole-stage codegen (the aggregation below keeps its own
+    // span), visible as the projection sitting outside any codegen id
+    val formatted = wrapped.queryExecution.executedPlan.toString
+    assert(formatted.contains("NoCodegen") || formatted.contains("nocodegen"),
+      formatted.take(400))
+  }
 }
