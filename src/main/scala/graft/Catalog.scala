@@ -1969,6 +1969,22 @@ object Catalog {
         Seq("lang", "source"), col("n_chars"), clip = 2000L,
         epsilon = 1.0)),
 
+    // differentially-private MEAN release by sequential composition: the
+    // sum mechanism (clip 2000) and the count mechanism each at eps/2 so
+    // the ratio composes to eps = 1.0; distinct salt namespaces, NULL on
+    // a non-positive noisy denominator (suppress, don't divide by noise)
+    "op_dp_avg" -> ((s, dir) =>
+      graft.ops.Audit.dpAvg(t(s, dir, "documents"),
+        Seq("lang", "source"), col("n_chars"), clip = 2000L,
+        epsilon = 1.0)),
+
+    // Gini coefficient of token mass across sources — the inequality
+    // read on the mixture the sampling schedules steer; exact integer
+    // numerator/denominator, rank window over the bounded source table
+    "op_gini_sources" -> ((s, dir) =>
+      graft.ops.Profile.gini(t(s, dir, "documents"), col("source"),
+        TextOps.tokenCount(col("text")))),
+
     // snapshot diff ledger: old = documents, new = a derived snapshot
     // (every 13th doc dropped, every 7th survivor edited, every 11th
     // cloned in as a new id) — added/removed/changed/unchanged counts

@@ -2929,6 +2929,68 @@ object OracleSql {
             AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_sum
       FROM s18 a JOIN s28 b USING (lang, source)""",
 
+    // DP mean by sequential composition: the dp_sum and dp_counts chains
+    // each at eps = 0.5, joined per group; suppress on a non-positive
+    // noisy denominator.
+    "op_dp_avg" -> s"""
+      WITH grp AS MATERIALIZED (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(greatest(CAST(0 AS BIGINT),
+            least(CAST(n_chars AS BIGINT), CAST(2000 AS BIGINT))))
+            AS BIGINT) AS s,
+          concat_ws(chr(1), lang, source) AS ks
+        FROM documents GROUP BY lang, source),
+      s1src AS (SELECT lang, source, s,
+        ${md5Long("ks || ':dps+'")} AS h FROM grp),
+      ${negLnChain("as1", "s1src", Seq("lang", "source", "s"), "ex1")},
+      s2src AS (SELECT lang, source,
+        ${md5Long("ks || ':dps-'")} AS h FROM grp),
+      ${negLnChain("as2", "s2src", Seq("lang", "source"), "ex2")},
+      c1src AS (SELECT lang, source, n,
+        ${md5Long("ks || ':dp+'")} AS h FROM grp),
+      ${negLnChain("ac1", "c1src", Seq("lang", "source", "n"), "ex3")},
+      c2src AS (SELECT lang, source,
+        ${md5Long("ks || ':dp-'")} AS h FROM grp),
+      ${negLnChain("ac2", "c2src", Seq("lang", "source"), "ex4")},
+      fin AS (
+        SELECT a.lang, a.source,
+          CAST(a.s * 1000000 + CAST(floor((a.ex1 - b.ex2)
+                * CAST(2000 AS DOUBLE) / CAST('0.5' AS DOUBLE)
+                * CAST(1000000 AS DOUBLE)) AS BIGINT)
+              AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_sum,
+          CAST(c.n * 1000000 + CAST(floor((c.ex3 - d.ex4)
+                / CAST('0.5' AS DOUBLE)
+                * CAST(1000000 AS DOUBLE)) AS BIGINT)
+              AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_count
+        FROM as18 a
+        JOIN as28 b USING (lang, source)
+        JOIN ac18 c USING (lang, source)
+        JOIN ac28 d USING (lang, source))
+      SELECT lang, source, noisy_sum, noisy_count,
+        CASE WHEN noisy_count > CAST(0 AS DOUBLE)
+          THEN noisy_sum / noisy_count END AS noisy_avg
+      FROM fin""",
+
+    // Gini of token mass across sources: exact integer OLS-free form —
+    // ascending rank window over the bounded source table, one division.
+    "op_gini_sources" -> """
+      WITH g AS (
+        SELECT source AS k,
+          CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END) AS BIGINT) AS x
+        FROM documents GROUP BY source),
+      r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+            FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot,
+              CAST(sum(i * x) AS BIGINT) AS ix
+            FROM r)
+      SELECT n AS n_groups, tot AS total_mass,
+        2 * ix - (n + 1) * tot AS gini_num, n * tot AS gini_den,
+        CASE WHEN tot > 0 THEN CAST(2 * ix - (n + 1) * tot AS DOUBLE)
+          / CAST(n * tot AS DOUBLE) END AS gini
+      FROM a""",
+
     // Snapshot diff: old = documents, new = the derived snapshot (13th
     // dropped, 7th survivor edited, 11th cloned under a new id).
     "op_snapshot_diff" -> """

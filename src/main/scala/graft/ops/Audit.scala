@@ -416,6 +416,37 @@ object Audit {
       .drop("_s") // the true sum must never leave
   }
 
+  /** Differentially-private MEAN release via SEQUENTIAL COMPOSITION (the
+    * Dwork–Roth composition theorem): mean = noisy clipped sum ÷ noisy
+    * count, each mechanism running at ε/2 so the pair composes to the
+    * caller's ε — the standard way to release a ratio, since a direct
+    * mean has data-dependent sensitivity. The two mechanisms draw from
+    * DISTINCT salt namespaces ([[dpSum]] `:dps±`, [[dpCounts]] `:dp±`),
+    * so the composed release never reuses a draw. A non-positive noisy
+    * count makes the ratio meaningless — the published guidance is to
+    * SUPPRESS, so noisy_avg is NULL there rather than a division by a
+    * noise artifact. True sum/count never leave ([[dpSum]]/[[dpCounts]]
+    * already guarantee it); the noisy components are released alongside
+    * the ratio (they are post-processing of the same two draws — no
+    * extra budget).
+    *
+    * Scale: the two group-keyed aggregates plus one group-keyed join;
+    * noise O(1) per group. */
+  def dpAvg(df: DataFrame, keyCols: Seq[String],
+      value: org.apache.spark.sql.Column, clip: Long,
+      epsilon: Double = 1.0,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.text.Dedup.portableHash): DataFrame = {
+    require(epsilon > 0, "dpAvg: epsilon must be positive")
+    require(!keyCols.exists(Set("noisy_avg")),
+      "dpAvg: noisy_avg is a reserved output name")
+    dpSum(df, keyCols, value, clip, epsilon / 2, hashOf)
+      .join(dpCounts(df, keyCols, epsilon / 2, hashOf), keyCols)
+      .withColumn("noisy_avg",
+        when(col("noisy_count") > 0.0,
+          col("noisy_sum") / col("noisy_count")))
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

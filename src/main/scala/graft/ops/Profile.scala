@@ -57,4 +57,37 @@ object Profile {
     }
     parts.reduce(_.unionByName(_))
   }
+
+  /** Gini coefficient of a mass column across groups — the INEQUALITY
+    * read on a mixture ("how concentrated is the token budget across
+    * sources?"): 0 = perfectly even, →1 = one group holds everything;
+    * the number a mixing schedule ([[Sampling.byTemperature]],
+    * tokenBudgetMix) is trying to move. Sample Gini over ascending-sorted
+    * group masses x₁≤…≤x_n: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — an
+    * EXACT integer numerator/denominator (rank ties broken by group key,
+    * but G is invariant to within-tie order: tied x share the value, so
+    * Σ i·xᵢ over a tie block is order-free) plus one IEEE division.
+    *
+    * Output (1 row): n_groups, total_mass, gini_num, gini_den, gini
+    * (NULL when total mass is 0).
+    *
+    * Scale: one group-keyed sum with map-side partials, then a rank
+    * window over the GROUP table (|groups| rows — sources, languages,
+    * shards — bounded), one 1-row finish. */
+  def gini(df: DataFrame, group: Column, mass: Column): DataFrame = {
+    val g = df.groupBy(group.as("_k"))
+      .agg(sum(mass.cast(LongType)).as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_x"), col("_k"))
+    g.withColumn("_i", row_number().over(w).cast(LongType))
+      .agg(count(lit(1)).as("n_groups"), sum("_x").as("total_mass"),
+        sum(col("_i") * col("_x")).as("_ix"))
+      .select(col("n_groups"), col("total_mass"),
+        (lit(2L) * col("_ix") - (col("n_groups") + 1L) * col("total_mass"))
+          .as("gini_num"),
+        (col("n_groups") * col("total_mass")).as("gini_den"))
+      .withColumn("gini",
+        when(col("total_mass") > 0,
+          col("gini_num").cast(DoubleType) / col("gini_den").cast(DoubleType)))
+  }
 }

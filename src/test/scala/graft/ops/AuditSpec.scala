@@ -327,6 +327,37 @@ class AuditSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("dpAvg: sequential composition of the eps/2 mechanisms; suppression rule holds") {
+    import spark.implicits._
+    val df = Seq(("en", "web", 100L), ("en", "web", 300L),
+      ("de", "web", 2500L), ("de", "web", 50L)).toDF("lang", "source", "n_chars")
+    val avg = Audit.dpAvg(df, Seq("lang", "source"), col("n_chars"),
+      clip = 2000L, epsilon = 1.0).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("noisy_sum"), r.getAs[Double]("noisy_count"),
+          if (r.isNullAt(r.fieldIndex("noisy_avg"))) None
+          else Some(r.getAs[Double]("noisy_avg"))))).toMap
+    // composition: the released components ARE dpSum/dpCounts at eps/2
+    val s2 = Audit.dpSum(df, Seq("lang", "source"), col("n_chars"),
+      clip = 2000L, epsilon = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("noisy_sum")).toMap
+    val c2 = Audit.dpCounts(df, Seq("lang", "source"), epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("noisy_count")).toMap
+    assert(avg.keySet == s2.keySet)
+    for ((k, (ns, nc, na)) <- avg) {
+      assert(ns == s2(k) && nc == c2(k), s"$k components differ")
+      // suppression: NULL exactly when the noisy denominator is <= 0
+      assert(na.isDefined == (nc > 0.0), s"$k suppression")
+      na.foreach(v => assert(v == ns / nc))
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpAvg(df, Seq("lang"), col("n_chars"), clip = 2000L,
+        epsilon = 0.0)
+    }
+  }
+
   test("tCloseness: exact-integer total variation matches the hand computation; rational threshold is strict") {
     import spark.implicits._
     // class A (4 rows): x,x,x,y -> p_A = {x:.75, y:.25}; class B (2 rows):
