@@ -2576,6 +2576,12 @@ object Catalog {
     "op_vocab_coverage" -> ((s, dir) =>
       TextOps.vocabCoverage(t(s, dir, "documents"), topN = 50)),
 
+    // Chao1 species-richness + Good–Turing unseen mass per language: how
+    // much vocabulary the corpus has NOT seen — singleton/doubleton
+    // counts carry the signal; exact integers + two pinned divisions
+    "op_vocab_richness" -> ((s, dir) =>
+      TextOps.vocabRichness(t(s, dir, "documents"))),
+
     "op_token_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(dedupCorpus(s, dir))),
 

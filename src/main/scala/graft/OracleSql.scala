@@ -3707,6 +3707,28 @@ object OracleSql {
 
     // Tokenizer-vocab coverage curve: top-50 tokens by (count desc, token)
     // with cumulative share of all occurrences (exact-integer division).
+    // Chao1 + Good–Turing per language: bias-corrected richness
+    // V + F1(F1-1)/(2(F2+1)) and unseen mass F1/N, exact-int inputs.
+    "op_vocab_richness" -> """
+      WITH tok AS (
+        SELECT lang,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2),
+      a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS v_observed,
+              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+              CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM c GROUP BY lang)
+      SELECT lang, n_tokens, v_observed, f1, f2,
+        CAST(v_observed AS DOUBLE)
+          + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+          AS chao1_est,
+        CASE WHEN n_tokens > 0
+          THEN CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS p_unseen
+      FROM a""",
+
     "op_vocab_coverage" -> """
       WITH tok AS (
         SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

@@ -1300,6 +1300,38 @@ object TextOps {
         col("fail_stopword") || col("fail_repeat")))
   }
 
+  /** Vocabulary-RICHNESS estimate per language — how much vocabulary the
+    * corpus has NOT seen yet, the coverage read [[vocabCoverage]]'s
+    * top-N table can't give: Chao1's bias-corrected species-richness
+    * estimate V̂ = V + F₁(F₁−1)/(2(F₂+1)) (Chao 1984 — singletons F₁ and
+    * doubletons F₂ carry the unseen-mass signal; the +1 form is defined
+    * at F₂ = 0) and the Good–Turing unseen-probability mass P₀ = F₁/N
+    * (Good 1953). Exact integer N/V/F₁/F₂ plus two pinned IEEE
+    * divisions — engine-exact.
+    *
+    * Scale: one (lang, token)-keyed count with map-side partials, one
+    * lang-keyed rollup. Nothing corpus-sized moves after the first
+    * aggregate. */
+  def vocabRichness(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val counts = docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("_c"))
+    counts.groupBy("lang").agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("v_observed"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("v_observed"), col("f1"),
+        col("f2"),
+        (col("v_observed").cast(DoubleType) +
+          (col("f1") * (col("f1") - 1L)).cast(DoubleType) /
+            (lit(2L) * (col("f2") + 1L)).cast(DoubleType)).as("chao1_est"),
+        when(col("n_tokens") > 0,
+          col("f1").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("p_unseen"))
+  }
+
   /** Tokenizer-vocabulary coverage curve: the `topN` corpus tokens by
     * frequency with rank, count, and the cumulative share of ALL token
     * occurrences they cover — the measurement behind "how big must the

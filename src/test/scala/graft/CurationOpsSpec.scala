@@ -196,6 +196,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(8L) == ((20L, "intro pad go x23 x24 tail8")), s"${out2(8L)}")
   }
 
+  test("vocabRichness: Chao1 and Good-Turing match hand values; empty docs drop") {
+    import spark.implicits._
+    // en: tokens a a b c -> N=4 V=3 F1=2 F2=1 -> chao1 = 3 + 2*1/(2*2)
+    // = 3.5, p_unseen = 2/4 = .5; de: x x -> F1=0 -> chao1 = V = 1
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "c"),
+      (3L, "de", "x x"), (4L, "fr", "   ")).toDF("doc_id", "lang", "text")
+    val out = graft.text.TextOps.vocabRichness(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("en") == ((4L, 3L, 2L, 1L, 3.5, 0.5)), out("en").toString)
+    assert(out("de") == ((2L, 1L, 0L, 1L, 1.0, 0.0)))
+    assert(!out.contains("fr")) // whitespace-only docs contribute nothing
+  }
+
   test("scoreDeciles: tie groups stay whole, bins and fractions match the hand split") {
     import spark.implicits._
     // scores desc: 5,5,5 | 4 | 3,2,2 | 1 | 0,0 — q=5 bins of nominal 2:
