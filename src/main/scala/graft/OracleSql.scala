@@ -848,6 +848,149 @@ object OracleSql {
       WHERE CAST(l.l_quantity AS DECIMAL(18,2)) > 10
       GROUP BY o.o_orderpriority""",
 
+    // ---- SQL front-end family (round 16): each text below runs
+    // VERBATIM on both engines (Catalog.sqlQuery feeds this very string
+    // to spark.sql) — keep every one inside the common ANSI subset:
+    // explicit CASTs, floor() for truncation (DuckDB CAST double->BIGINT
+    // rounds, Spark truncates), no engine-specific functions beyond the
+    // shared md5/ntile/row_number/sqrt surface.
+    "op_sql_exact_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM documents
+        WHERE doc_id % 10 = 0),
+      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM corpus)
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_dups,
+        min(doc_id) AS survivor_id, max(doc_id) AS last_dup_id
+      FROM fp GROUP BY fp HAVING count(*) > 1""",
+
+    "op_sql_dedup_candidates" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text || ' near duplicate copy suffix'
+        FROM documents WHERE doc_id % 10 = 0),
+      bk AS (
+        SELECT doc_id, md5(substring(lower(trim(text)), 1, 80)) AS bucket
+        FROM corpus WHERE length(trim(text)) >= 80)
+      SELECT x.bucket AS bucket, x.doc_id AS a, y.doc_id AS b
+      FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id""",
+
+    "op_sql_quality_floor" -> """
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN length(trim(text)) >= 200
+          AND (trim(text) LIKE '%.' OR trim(text) LIKE '%!'
+               OR trim(text) LIKE '%?')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(sum(CASE WHEN length(trim(text)) >= 200
+          AND (trim(text) LIKE '%.' OR trim(text) LIKE '%!'
+               OR trim(text) LIKE '%?')
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS pass_rate
+      FROM documents GROUP BY lang, source""",
+
+    "op_sql_len_profile" -> """
+      SELECT lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(length(text)) AS BIGINT) AS min_len,
+        CAST(max(length(text)) AS BIGINT) AS max_len
+      FROM documents GROUP BY 1, 2""",
+
+    "op_sql_ks_drift" -> """
+      WITH vals AS (
+        SELECT doc_id, CAST(floor(length(text) / 10) AS BIGINT) AS v
+        FROM documents),
+      am AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM vals
+             WHERE doc_id % 5 <> 0 GROUP BY v),
+      bm AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM vals
+             WHERE doc_id % 5 = 0 GROUP BY v),
+      m AS (SELECT coalesce(am.v, bm.v) AS v,
+              coalesce(na, CAST(0 AS BIGINT)) AS na,
+              coalesce(nb, CAST(0 AS BIGINT)) AS nb
+            FROM am FULL OUTER JOIN bm ON am.v = bm.v),
+      c AS (SELECT v,
+              sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS ca,
+              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cb,
+              sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+            FROM m),
+      g AS (SELECT abs(ca * tb - cb * ta) AS num, v, ta, tb FROM c),
+      top AS (SELECT num, v, ta, tb FROM (
+        SELECT num, v, ta, tb,
+          row_number() OVER (ORDER BY num DESC, v) AS rn FROM g) q
+        WHERE rn = 1)
+      SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        CAST(num AS BIGINT) AS ks_num, CAST(ta * tb AS BIGINT) AS ks_den,
+        CASE WHEN ta * tb > 0
+          THEN CAST(num AS DOUBLE) / CAST(ta * tb AS DOUBLE) END AS ks_stat,
+        CAST(v AS BIGINT) AS at_value,
+        CASE WHEN ta * tb > 0 THEN CAST('1.358' AS DOUBLE)
+          * sqrt(CAST(ta + tb AS DOUBLE) / CAST(ta * tb AS DOUBLE))
+        END AS crit_05,
+        CASE WHEN ta * tb > 0 THEN
+          (CAST(num AS DOUBLE) / CAST(ta * tb AS DOUBLE))
+            > (CAST('1.358' AS DOUBLE)
+               * sqrt(CAST(ta + tb AS DOUBLE) / CAST(ta * tb AS DOUBLE)))
+        END AS reject_05
+      FROM top""",
+
+    "op_sql_source_share" -> """
+      WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+      SELECT s.source, s.n_docs, s.n_chars,
+        CAST(floor(CAST(s.n_docs * 1000000 AS DOUBLE)
+          / CAST(t.total AS DOUBLE)) AS BIGINT) AS share_ppm,
+        CAST(row_number() OVER (ORDER BY s.n_docs DESC, s.source)
+          AS BIGINT) AS rnk
+      FROM s CROSS JOIN t""",
+
+    "op_sql_score_deciles" -> """
+      WITH sc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score
+        FROM documents),
+      d AS (SELECT score,
+          ntile(10) OVER (ORDER BY score, doc_id) AS decile FROM sc)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(score) AS min_score, max(score) AS max_score,
+        CAST(sum(score) AS BIGINT) AS sum_score
+      FROM d GROUP BY decile""",
+
+    "op_sql_ccnet_terciles" -> """
+      WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS len,
+          ntile(3) OVER (PARTITION BY lang
+            ORDER BY length(text) DESC, doc_id) AS bucket
+        FROM documents)
+      SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(len) AS min_len, max(len) AS max_len
+      FROM d GROUP BY lang, bucket""",
+
+    "op_sql_winner" -> """
+      WITH r AS (SELECT doc_id, lang, source,
+          CAST(length(text) AS BIGINT) AS len,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY length(text) DESC, doc_id) AS rn
+        FROM documents)
+      SELECT lang, doc_id AS winner_id, source, len
+      FROM r WHERE rn = 1""",
+
+    "op_sql_cross_source_dup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000000, text, 'mirror-site' FROM documents
+        WHERE doc_id % 7 = 0),
+      fp AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp
+             FROM corpus)
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        min(doc_id) AS first_id
+      FROM fp GROUP BY fp HAVING count(DISTINCT source) > 1""",
+
     "op_filter_project" -> """
       SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2796,7 +2939,7 @@ object OracleSql {
             + (s.nc * t.n - CAST(sum(m.cval * s.nc) AS BIGINT)) AS tv_num,
           s.nc * t.n * 2 AS tv_den
         FROM cv c
-        JOIN marg m USING (source)
+        JOIN marg m ON c.source IS NOT DISTINCT FROM m.source
         JOIN ncs s ON s.lang = c.lang AND s.len_bucket = c.len_bucket
         CROSS JOIN tot t
         GROUP BY c.lang, c.len_bucket, s.nc, t.n)
@@ -2893,10 +3036,10 @@ object OracleSql {
           concat_ws(chr(1), lang, source) AS ks
         FROM documents GROUP BY lang, source),
       e1src AS (SELECT lang, source, n,
-        ${md5Long("ks || ':dp+'")} AS h FROM grp),
+        ${md5Long("ks || ':dp+1000000'")} AS h FROM grp),
       ${negLnChain("e1", "e1src", Seq("lang", "source", "n"), "ex1")},
       e2src AS (SELECT lang, source,
-        ${md5Long("ks || ':dp-'")} AS h FROM grp),
+        ${md5Long("ks || ':dp-1000000'")} AS h FROM grp),
       ${negLnChain("e2", "e2src", Seq("lang", "source"), "ex2")}
       SELECT a.lang, a.source,
         CAST(a.n * 1000000 + CAST(floor((a.ex1 - b.ex2)
@@ -2917,10 +3060,10 @@ object OracleSql {
           concat_ws(chr(1), lang, source) AS ks
         FROM documents GROUP BY lang, source),
       s1src AS (SELECT lang, source, s,
-        ${md5Long("ks || ':dps+'")} AS h FROM grp),
+        ${md5Long("ks || ':dps+1000000'")} AS h FROM grp),
       ${negLnChain("s1", "s1src", Seq("lang", "source", "s"), "ex1")},
       s2src AS (SELECT lang, source,
-        ${md5Long("ks || ':dps-'")} AS h FROM grp),
+        ${md5Long("ks || ':dps-1000000'")} AS h FROM grp),
       ${negLnChain("s2", "s2src", Seq("lang", "source"), "ex2")}
       SELECT a.lang, a.source,
         CAST(a.s * 1000000 + CAST(floor((a.ex1 - b.ex2)
@@ -2941,16 +3084,16 @@ object OracleSql {
           concat_ws(chr(1), lang, source) AS ks
         FROM documents GROUP BY lang, source),
       s1src AS (SELECT lang, source, s,
-        ${md5Long("ks || ':dps+'")} AS h FROM grp),
+        ${md5Long("ks || ':dps+500000'")} AS h FROM grp),
       ${negLnChain("as1", "s1src", Seq("lang", "source", "s"), "ex1")},
       s2src AS (SELECT lang, source,
-        ${md5Long("ks || ':dps-'")} AS h FROM grp),
+        ${md5Long("ks || ':dps-500000'")} AS h FROM grp),
       ${negLnChain("as2", "s2src", Seq("lang", "source"), "ex2")},
       c1src AS (SELECT lang, source, n,
-        ${md5Long("ks || ':dp+'")} AS h FROM grp),
+        ${md5Long("ks || ':dp+500000'")} AS h FROM grp),
       ${negLnChain("ac1", "c1src", Seq("lang", "source", "n"), "ex3")},
       c2src AS (SELECT lang, source,
-        ${md5Long("ks || ':dp-'")} AS h FROM grp),
+        ${md5Long("ks || ':dp-500000'")} AS h FROM grp),
       ${negLnChain("ac2", "c2src", Seq("lang", "source"), "ex4")},
       fin AS (
         SELECT a.lang, a.source,
@@ -3293,9 +3436,10 @@ object OracleSql {
     "op_ks_drift" -> """
       WITH toks AS (
         SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
-          END AS v
+          greatest(CAST(0 AS BIGINT), least(
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+            END AS BIGINT), CAST(1048575 AS BIGINT))) AS v
         FROM documents),
       am AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM toks
              WHERE doc_id % 5 <> 0 GROUP BY v),

@@ -177,10 +177,17 @@ object Audit {
     * Output (1 row): n_classes, n_rows, n_classes_above_t,
     * n_rows_above_t, max_t_distance.
     *
+    * NULL sensitive values are a CATEGORY, not dropped: the class-value
+    * counts and marginals group NULLs together (standard SQL GROUP BY),
+    * and the join between them is null-safe — so a class whose sensitive
+    * column is all-NULL still audits (its distance to the marginal is
+    * measured like any other value's).
+    *
     * Scale: two keyed aggregates (class-value counts, value marginals),
-    * one equi-join on the sensitive value, a class-keyed rollup, a 1-row
-    * finish — the [[kAnonymity]] posture; nothing scales with value
-    * combinations that don't occur. */
+    * one null-safe equi-join on the sensitive value (still hash
+    * partitioned), a class-keyed rollup, a 1-row finish — the
+    * [[kAnonymity]] posture; nothing scales with value combinations that
+    * don't occur. */
   def tCloseness(df: DataFrame, quasiIds: Seq[org.apache.spark.sql.Column],
       sensitive: org.apache.spark.sql.Column, tNum: Long,
       tDen: Long): DataFrame = {
@@ -199,7 +206,13 @@ object Audit {
     // the absolute-difference fold needs n_c on each (class, value) row
     // BEFORE aggregating — class sizes first, then the per-value fold
     val ncs = cv.groupBy(qcols.map(col): _*).agg(sum("_ccv").as("_nc"))
-    val perClass = cv.join(marginals, "_sens")
+    // null-safe on the sensitive value: NULL is itself an observable
+    // sensitive category (groupBy already groups NULLs together in both
+    // engines; a plain equi-join would silently drop those classes'
+    // mass). <=> keeps the join a hash-partitionable equi-join.
+    val margSafe = marginals.withColumnRenamed("_sens", "_msens")
+    val perClass = cv.join(margSafe, col("_sens") <=> col("_msens"))
+      .drop("_msens")
       .join(ncs, qcols.toSeq)
       .crossJoin(broadcast(totals))
       .groupBy((qcols.map(col) :+ col("_nc") :+ col("_n")): _*)
@@ -355,8 +368,13 @@ object Audit {
     // engines identically, but documents' keys are non-null anyway
     val keyStr = concat_ws("\u0001",
       keyCols.map(c => col(c).cast("string")): _*)
-    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp+"))))
-    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp-"))))
+    // the salt namespace folds ε in (micro-encoded): releases at different
+    // ε must draw INDEPENDENT noise, else two releases of the same table
+    // solve exactly for the true count (2·noisy@ε − noisy@ε/2 = truth when
+    // the (e1−e2) draw is shared)
+    val epsTag = math.round(epsilon * 1e6).toString
+    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp+" + epsTag))))
+    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp-" + epsTag))))
     // Laplace(1/eps) in micro-units: every step from the two bit-identical
     // exponentials is one correctly-rounded IEEE op, then an exact floor
     // NoCodegen: keep the two 17-term ln chains OUT of the aggregation's
@@ -398,10 +416,12 @@ object Audit {
       "dpSum: noisy_sum is a reserved output name")
     val keyStr = concat_ws("\u0001",
       keyCols.map(c => col(c).cast("string")): _*)
-    // distinct salts from dpCounts' so composing both releases over the
-    // same groups never reuses a draw
-    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps+"))))
-    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps-"))))
+    // distinct salts from dpCounts' AND ε folded into the namespace, so
+    // composing releases over the same groups — across mechanisms or
+    // across epsilons — never reuses a draw
+    val epsTag = math.round(epsilon * 1e6).toString
+    val e1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps+" + epsTag))))
+    val e2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps-" + epsTag))))
     // NoCodegen: the dpCounts boundary treatment (ln chains out of the
     // aggregation's generated method)
     val noiseMicro = graft.functions.NoCodegen(
@@ -421,8 +441,12 @@ object Audit {
     * count, each mechanism running at ε/2 so the pair composes to the
     * caller's ε — the standard way to release a ratio, since a direct
     * mean has data-dependent sensitivity. The two mechanisms draw from
-    * DISTINCT salt namespaces ([[dpSum]] `:dps±`, [[dpCounts]] `:dp±`),
-    * so the composed release never reuses a draw. A non-positive noisy
+    * DISTINCT salt namespaces ([[dpSum]] `:dps±`, [[dpCounts]] `:dp±`,
+    * each with ε micro-encoded into the salt), so the composed release
+    * never reuses a draw — not across mechanisms, and not against a
+    * standalone [[dpSum]]/[[dpCounts]] release at a different ε over the
+    * same table (a shared draw at two epsilons would let an observer
+    * solve the pair of releases exactly for the true value). A non-positive noisy
     * count makes the ratio meaningless — the published guidance is to
     * SUPPRESS, so noisy_avg is NULL there rather than a division by a
     * noise artifact. True sum/count never leave ([[dpSum]]/[[dpCounts]]

@@ -229,26 +229,38 @@ object Graph {
     * Output: the `topK` largest communities as (community, n_members),
     * size desc, label tie-break.
     *
+    * Vertex ids are GENERIC (any orderable type — numeric or string):
+    * the min-label tie-break orders `struct(−count, label)` ascending, so
+    * only the COUNT (always a long) is ever negated, never the label.
+    *
     * Scale: each round is one edge-keyed equi-join (current labels onto
     * the symmetric edge list), one (vertex, label)-keyed count with
-    * map-side partials, and one per-vertex argmax via `max(struct)` — the
+    * map-side partials, and one per-vertex argmax via `min(struct)` — the
     * shuffle carries O(E) rows per round, never anything quadratic, and
     * hub mitigation belongs upstream in the edge builder (the
-    * [[cooccurrenceEdges]] group-size note). */
+    * [[cooccurrenceEdges]] group-size note). The symmetrized edge list
+    * appears in every unrolled round of the final lazy plan, so it is
+    * persisted under `scope` exactly like [[pageRank]]'s adjacency (two
+    * ids per directed edge) — without it the edge build re-runs per
+    * round. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
-      topK: Int = 100): DataFrame = {
+      topK: Int = 100, scope: CacheScope = CacheScope.Session): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "labelPropagation: rounds in [1, 8]")
     require(topK >= 1, "labelPropagation: topK must be positive")
-    val sym = edges.select(col("x").as("s"), col("y").as("d"))
-      .unionByName(edges.select(col("y").as("s"), col("x").as("d")))
+    val sym = scope.persist(
+      edges.select(col("x").as("s"), col("y").as("d"))
+        .unionByName(edges.select(col("y").as("s"), col("x").as("d"))))
     var labels = sym.select(col("s").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       labels = sym.join(labels, col("s") === col("v"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("_c"))
         .groupBy("d")
-        .agg(max(struct(col("_c").as("c"), (-col("lbl")).as("nl"))).as("_m"))
-        .select(col("d").as("v"), (-col("_m.nl")).as("lbl"))
+        // most-frequent label, ties -> SMALLEST label: ascending struct
+        // order on (−count, label) — the count is negated, not the label,
+        // so string-keyed vertex ids order correctly too
+        .agg(min(struct((-col("_c")).as("nc"), col("lbl"))).as("_m"))
+        .select(col("d").as("v"), col("_m.lbl").as("lbl"))
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))

@@ -24,19 +24,38 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Output (1 row): n_a, n_b, ks_num, ks_den, ks_stat, at_value (the
   * smallest value attaining the max gap), crit_05, reject_05 (NULL
-  * stat/crit/reject when either side is empty).
+  * stat/crit/reject when either side is empty). Two EMPTY inputs yield
+  * ZERO rows (not an all-NULL row) — the degenerate shape both engines
+  * agree on.
+  *
+  * Values are CLAMPED into [minValue, maxValue] before counting (the
+  * [[graft.text.TextOps.scoreAuc]] bucket-clamp trade): the cumulative
+  * windows below run single-partition over the DISTINCT-VALUE histogram,
+  * so the clamp is what BOUNDS that histogram by construction —
+  * (max−min+1) rows worst case, independent of corpus size — instead of
+  * trusting the caller's column to be narrow. Out-of-range mass
+  * collapses onto the boundary values, i.e. the statistic computed is
+  * the exact KS of the clamped distributions (tails beyond the range
+  * are compared only in aggregate). The default range covers token
+  * counts / log buckets / byte-KB sizes; widen deliberately, and keep
+  * (maxValue − minValue) small enough that one reducer can window it.
   *
   * Scale: two value-keyed count aggregates with map-side partials, one
-  * full-outer merge on the value, cumulative windows over the DISTINCT-
-  * VALUE histogram (bounded by the value range — token counts, byte
-  * sizes, latencies — never corpus rows), a 1-row finish. */
+  * full-outer merge on the value, cumulative windows over the CLAMPED
+  * distinct-value histogram (≤ max−min+1 rows by construction — never
+  * corpus rows), a 1-row finish. */
 object Ks {
 
   def twoSample(a: DataFrame, aVal: Column,
-      b: DataFrame, bVal: Column): DataFrame = {
-    val av = a.select(aVal.cast(LongType).as("_v"))
+      b: DataFrame, bVal: Column,
+      minValue: Long = 0L, maxValue: Long = (1L << 20) - 1): DataFrame = {
+    require(minValue < maxValue,
+      "Ks.twoSample: minValue must be below maxValue")
+    def clamped(c: Column): Column =
+      greatest(lit(minValue), least(c.cast(LongType), lit(maxValue)))
+    val av = a.select(clamped(aVal).as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_na"))
-    val bv = b.select(bVal.cast(LongType).as("_v"))
+    val bv = b.select(clamped(bVal).as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_nb"))
     val merged = av.join(bv, Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_na"),
@@ -58,6 +77,10 @@ object Ks {
     val crit = lit(1.358) * sqrt(
       (col("n_a") + col("n_b")).cast(DoubleType) / den.cast(DoubleType))
     done
+      // two empty inputs: the global agg yields one all-NULL row in
+      // Spark but zero histogram rows in a plain-SQL mirror — drop it so
+      // both engines return the same (empty) shape
+      .filter(col("n_a").isNotNull)
       .select(col("n_a"), col("n_b"), col("_m.num").as("ks_num"),
         den.as("ks_den"), (-col("_m.nv")).as("at_value"))
       .select(col("n_a"), col("n_b"), col("ks_num"), col("ks_den"),

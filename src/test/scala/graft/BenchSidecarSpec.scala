@@ -72,4 +72,16 @@ class BenchSidecarSpec extends AnyFunSuite {
       "op_c" -> 2.0, "op_a" -> 0.5, "op_b" -> 0.5, "op_d" -> 9.0))
     assert(order == Seq("op_a", "op_b", "op_c", "op_d"))
   }
+
+  test("p2BudgetFor: default guard, numeric override, and `full` = unbounded") {
+    // default: 420 s wall minus elapsed, floored at 120 s
+    assert(Bench.p2BudgetFor(100.0, None) == 320.0)
+    assert(Bench.p2BudgetFor(380.0, None) == 120.0)
+    // numeric override in seconds
+    assert(Bench.p2BudgetFor(100.0, Some("900")) == 900.0)
+    // `full` (or anything non-numeric) = run pass 2 to completion — the
+    // idle-box mode whose sidecar stays round-comparable (agg min_of_2)
+    assert(Bench.p2BudgetFor(100.0, Some("full")).isPosInfinity)
+    assert(Bench.p2BudgetFor(100.0, Some("unbounded")).isPosInfinity)
+  }
 }

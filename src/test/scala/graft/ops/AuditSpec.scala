@@ -219,7 +219,9 @@ class AuditSpec extends SparkSpec {
       -math.log((h + 1).toDouble / math.pow(2.0, 60))
     def expected(lang: String, src: String, n: Long, eps: Double): Double = {
       val ks = lang + "\u0001" + src
-      val lap = (negLn(md5_60(ks + ":dp+")) - negLn(md5_60(ks + ":dp-"))) / eps
+      val tag = math.round(eps * 1e6).toString
+      val lap = (negLn(md5_60(ks + ":dp+" + tag)) -
+        negLn(md5_60(ks + ":dp-" + tag))) / eps
       (n * 1000000L + math.floor(lap * 1e6).toLong).toDouble / 1e6
     }
     val out = Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 1.0)
@@ -235,14 +237,20 @@ class AuditSpec extends SparkSpec {
     }
     // different groups draw different noise (salted content hashes)
     assert((out(("en", "wiki")) - 1.0) != (out(("de", "cc")) - 1.0))
-    // halving epsilon doubles the noise scale (up to the two floors)
+    // a release at a DIFFERENT epsilon draws from a different salt
+    // namespace (eps is micro-encoded into the salt): each matches its
+    // own recompute, and the pair does NOT solve for the true count —
+    // with a shared draw, noise@0.5 = 2·noise@1, so 2·noisy@1 − noisy@0.5
+    // would recover the truth exactly; independent draws break that
     val half = Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 0.5)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
     for ((k, noisy) <- out) {
-      val n1 = noisy - truth(k)
-      val n05 = half(k) - truth(k)
-      assert(math.abs(n05 - 2.0 * n1) <= 2e-6 + 1e-9, s"$k: $n05 vs 2*$n1")
+      assert(math.abs(half(k) - expected(k._1, k._2, truth(k), 0.5)) <=
+        1e-6 + 1e-9, s"$k: ${half(k)} vs ${expected(k._1, k._2, truth(k), 0.5)}")
+      val attack = 2.0 * noisy - half(k)
+      assert(math.abs(attack - truth(k)) > 1e-3,
+        s"$k: composing the two releases recovers the true count ($attack)")
     }
     // deterministic: a second invocation is bit-identical
     assert(Audit.dpCounts(rows, Seq("lang", "src"), epsilon = 1.0)
@@ -271,8 +279,9 @@ class AuditSpec extends SparkSpec {
     def expected(lang: String, src: String, s: Long, clip: Double,
         eps: Double): Double = {
       val ks = lang + "\u0001" + src
-      val lap = (negLn(md5_60(ks + ":dps+")) - negLn(md5_60(ks + ":dps-"))) *
-        clip / eps
+      val tag = math.round(eps * 1e6).toString
+      val lap = (negLn(md5_60(ks + ":dps+" + tag)) -
+        negLn(md5_60(ks + ":dps-" + tag))) * clip / eps
       (s * 1000000L + math.floor(lap * 1e6).toLong).toDouble / 1e6
     }
     val out = Audit.dpSum(rows, Seq("lang", "src"), col("chars"),
@@ -288,17 +297,21 @@ class AuditSpec extends SparkSpec {
         s"$k: $noisy vs ${expected(k._1, k._2, truth(k), 2000.0, 1.0)}")
       assert(noisy != truth(k).toDouble) // the true sum never releases
     }
-    // the noise scale is clip/eps: against dpCounts' same-key 1/eps draw
-    // the dps-salted draw differs (independent salts) — just pin scale by
-    // halving eps -> noise doubles (up to the floors)
+    // a different-eps release draws an INDEPENDENT dps-salted pair (eps
+    // micro-encoded in the salt): it matches its own recompute, and
+    // 2·noisy@1 − noisy@0.5 does NOT recover the true sum (it would,
+    // exactly, with a shared draw)
     val half = Audit.dpSum(rows, Seq("lang", "src"), col("chars"),
       clip = 2000L, epsilon = 0.5)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
     for ((k, noisy) <- out) {
-      val n1 = noisy - truth(k)
-      val n05 = half(k) - truth(k)
-      assert(math.abs(n05 - 2.0 * n1) <= 2e-6 + 1e-9, s"$k: $n05 vs 2*$n1")
+      assert(math.abs(half(k) -
+        expected(k._1, k._2, truth(k), 2000.0, 0.5)) <= 1e-6 + 1e-9,
+        s"$k: ${half(k)} vs ${expected(k._1, k._2, truth(k), 2000.0, 0.5)}")
+      val attack = 2.0 * noisy - half(k)
+      assert(math.abs(attack - truth(k)) > 1e-3,
+        s"$k: composing the two releases recovers the true sum ($attack)")
     }
     intercept[IllegalArgumentException] {
       Audit.dpSum(rows.withColumnRenamed("src", "noisy_sum"),
@@ -387,5 +400,23 @@ class AuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Audit.tCloseness(df, Seq(col("cls")), col("sens"), 2L, 1L)
     }
+  }
+
+  test("tCloseness: NULL sensitive values are a category, not dropped mass") {
+    import spark.implicits._
+    // class A: sens all NULL (2 rows); class B: x,x. Table: NULL=2, x=2
+    // -> p = {NULL:.5, x:.5}. p_A = {NULL:1}: TV(A) = .5; p_B = {x:1}:
+    // TV(B) = .5. Before the null-safe join, class A vanished entirely
+    // (its rows never matched the marginals) — n_classes must be 2 and
+    // n_rows must be 4, with BOTH classes above t = 3/10.
+    val df = Seq(("A", Option.empty[String]), ("A", Option.empty[String]),
+      ("B", Option("x")), ("B", Option("x"))).toDF("cls", "sens")
+    val r = Audit.tCloseness(df, Seq(col("cls")), col("sens"),
+      tNum = 3L, tDen = 10L).collect().head
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_classes_above_t") == 2L)
+    assert(r.getAs[Long]("n_rows_above_t") == 4L)
+    assert(r.getAs[Double]("max_t_distance") == 0.5)
   }
 }

@@ -181,4 +181,40 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(edges, rounds = 0)
     }
   }
+
+  test("labelPropagation: string vertex ids — tie-break is lexicographic min, no numeric cast") {
+    import spark.implicits._
+    // the same bridged-triangles shape keyed by strings; the documented
+    // deterministic tie rule (smallest label) must order STRINGS, which
+    // the old max(struct(c, -lbl)) negation could not
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("p", "q"), ("p", "r"), ("q", "r"), ("c", "p"))
+      .toDF("x", "y")
+    val out = Graph.labelPropagation(edges, rounds = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("a" -> 3L, "c" -> 3L), out.toString)
+    // direct tie pin: one round, vertex with neighbors {m, z} at equal
+    // count must adopt "m" (lexicographic min), not "z"
+    val star = Seq(("m", "v"), ("z", "v")).toDF("x", "y")
+    val lbls = Graph.labelPropagation(star, rounds = 1, topK = 10)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(lbls.contains("m") && !lbls.contains("z"), lbls.toString)
+  }
+
+  test("labelPropagation: the symmetrized edge build is persisted, appearing once across rounds") {
+    import spark.implicits._
+    val scope = new CacheScope
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    val out = Graph.labelPropagation(edges, rounds = 3, topK = 10,
+      scope = scope)
+    // the final plan references the edge list only through
+    // InMemoryTableScan nodes — the union-symmetrize subtree itself was
+    // computed once into the cache, not unrolled per round
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"), plan)
+    scope.unpersistAll()
+  }
 }

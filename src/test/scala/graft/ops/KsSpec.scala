@@ -48,4 +48,31 @@ class KsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("ks_stat")))
     assert(r.isNullAt(r.fieldIndex("reject_05")))
   }
+
+  test("two empty inputs yield zero rows, the oracle's degenerate shape") {
+    val e = Seq.empty[Long].toDF("v")
+    assert(Ks.twoSample(e, col("v"), e, col("v")).count() == 0L)
+  }
+
+  test("wide-domain values clamp to the declared range, bounding the histogram") {
+    // a has mass far past the default clamp ceiling; with an explicit
+    // narrow range [0, 10] all of it collapses onto v=10, so the test
+    // compares the CLAMPED distributions: a = {1, 10, 10}, b = {1}
+    val a = Seq(1L, 5000000L, 9000000L).toDF("v")
+    val b = Seq(1L).toDF("v")
+    val r = Ks.twoSample(a, col("v"), b, col("v"),
+      minValue = 0L, maxValue = 10L).collect().head
+    // per value v=1: |1*1 - 1*3| = 2; v=10: |3*1 - 1*3| = 0 -> max 2 at 1
+    assert(r.getAs[Long]("ks_num") == 2L && r.getAs[Long]("ks_den") == 3L)
+    assert(r.getAs[Long]("at_value") == 1L)
+    // the histogram the window runs over is bounded by the clamp range:
+    // 9e6 distinct raw values cannot produce more than 11 histogram rows
+    val hist = Seq.range(0L, 9000000L, 7L).toDF("v")
+    val wide = Ks.twoSample(hist, col("v"), b, col("v"),
+      minValue = 0L, maxValue = 10L).collect().head
+    assert(wide.getAs[Long]("n_a") == hist.count())
+    intercept[IllegalArgumentException] {
+      Ks.twoSample(a, col("v"), b, col("v"), minValue = 5L, maxValue = 5L)
+    }
+  }
 }
