@@ -2656,6 +2656,14 @@ object Catalog {
     "op_substr_runs" -> ((s, dir) =>
       TextOps.substrRuns(dedupCorpus(s, dir))),
 
+    // the PRE-FLIGHT sizing read for op_substr_runs/scrub (round-16 ×100
+    // lesson: a ~100-way replica corpus sits exactly AT maxDf=100 and the
+    // pair join OOMs at tens of billions of rows) — exact pair-join input
+    // mass per the window-df histogram, WITHOUT running the join; a
+    // 100 TB pass reads pair_rows here and lowers maxDf until it fits
+    "op_substr_stats" -> ((s, dir) =>
+      TextOps.substrStats(dedupCorpus(s, dir))),
+
     // op_substr_runs' ACTUATOR (Lee et al. 2022 rewrite): every token
     // position covered by a >= 20-token duplicated run deletes from the
     // run's higher-id doc; docs rebuilt from kept tokens in-row (zero

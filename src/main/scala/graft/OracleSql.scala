@@ -6232,6 +6232,32 @@ object OracleSql {
       FROM isl GROUP BY a, b, diff, grp
       HAVING count(*) + 4 >= 20""",
 
+    // Pre-flight sizing read for the run miner: per window hash, kept
+    // (df <= 100) occurrence totals T and per-doc squares S give the
+    // pair join's exact input mass (T*T - S) / 2 — integers throughout.
+    "op_substr_stats" -> s"""
+      WITH $corpusCte,
+      ${rollingWindowsCte("corpus", 5)},
+      wpos AS (
+        SELECT doc_id, wh[t.i] AS h
+        FROM whs, unnest(generate_series(1, len(wh))) AS t(i)),
+      pd AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c
+             FROM wpos GROUP BY h, doc_id),
+      pw AS (SELECT h, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS t,
+               CAST(sum(c * c) AS BIGINT) AS s
+             FROM pd GROUP BY h)
+      SELECT CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(sum(CASE WHEN df > 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hub_windows,
+        coalesce(max(CASE WHEN df <= 100 THEN df END), CAST(0 AS BIGINT))
+          AS max_df_kept,
+        coalesce(CAST(sum(CASE WHEN df <= 100 THEN (t * t - s) // 2
+          ELSE 0 END) AS BIGINT), CAST(0 AS BIGINT)) AS pair_rows,
+        coalesce(CAST(sum(CASE WHEN df > 100 THEN (t * t - s) // 2
+          ELSE 0 END) AS BIGINT), CAST(0 AS BIGINT)) AS dropped_pair_rows
+      FROM pw""",
+
     // op_substr_runs' actuator: the same run-mining chain, then every
     // covered b-side token position deletes (DISTINCT across runs) and
     // docs rebuild from kept tokens ordered by position. The oracle takes

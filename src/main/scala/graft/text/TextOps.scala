@@ -458,6 +458,49 @@ object TextOps {
       .select("a", "b", "start_a", "start_b", "run_tokens")
   }
 
+  /** PRE-FLIGHT sizing read for [[substrRuns]]/[[substrScrub]] — the
+    * [[graft.text.Dedup.bandStats]] idea applied to the window-hash
+    * inverted index: the miner's pair join emits, per window hash,
+    * every cross-doc occurrence pair among kept (df ≤ maxDf) docs, so
+    * its input mass is `Σ_h (T_h² − Σ_d c_{h,d}²) / 2` (T = total kept
+    * occurrences, c = per-doc occurrences) — EXACT integers, computable
+    * from two cheap keyed aggregates WITHOUT running the join. The
+    * round-16 ×100 probe is why this read exists: a replica corpus with
+    * ~100-way duplicate windows sits exactly AT the default maxDf = 100,
+    * pair mass explodes to tens of billions of rows, and the miner OOMs
+    * — the operator's blowup guard (maxDf) must be sized BELOW the
+    * corpus's duplication multiplicity, and this 1-row report is how a
+    * 100 TB deployment checks that BEFORE paying for the join (run it,
+    * read pair_rows, lower maxDf until the mass fits the cluster).
+    *
+    * Output (1 row): n_windows (distinct hashes), n_hub_windows
+    * (df > maxDf, dropped by the miner), max_df_kept, pair_rows (the
+    * join's exact input mass at this maxDf), dropped_pair_rows (mass
+    * the hub drop saves). Overflow bound: T² per window ≤ (corpus
+    * tokens)², exact to ~3·10⁹ occurrences of one window.
+    *
+    * Scale: one (hash, doc) count with map-side partials, one
+    * hash-keyed rollup, a 1-row finish — never the pair join itself. */
+  def substrStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 5, maxDf: Int = 100): DataFrame = {
+    val perDoc = rollingWindows(docs, textCol, idCol, w)
+      .groupBy("wh", "doc_id").agg(count(lit(1)).as("_c"))
+    val perWin = perDoc.groupBy("wh").agg(
+      count(lit(1)).as("_df"), sum("_c").as("_t"),
+      sum(col("_c") * col("_c")).as("_s"))
+    perWin.agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("n_hub_windows"),
+      coalesce(max(when(col("_df") <= maxDf, col("_df"))), lit(0L))
+        .as("max_df_kept"),
+      coalesce(sum(when(col("_df") <= maxDf,
+        expr("(_t * _t - _s) div 2")).otherwise(0L)), lit(0L))
+        .as("pair_rows"),
+      coalesce(sum(when(col("_df") > maxDf,
+        expr("(_t * _t - _s) div 2")).otherwise(0L)), lit(0L))
+        .as("dropped_pair_rows"))
+  }
+
   /** Corpus-frequency document scoring — the integer-exact core of a
     * KenLM-style unigram quality filter: each document gets the SUM of its
     * tokens' corpus-wide occurrence counts (plus its token total), so

@@ -158,6 +158,42 @@ class CurationOpsSpec extends SparkSpec {
       maxDf = 10).count() == 0L)
   }
 
+  test("substrStats: pair-join mass matches the closed form and the miner's actual join input") {
+    import spark.implicits._
+    // doc1 repeats its 5-token window once (c=2), doc2 and doc3 hold it
+    // once each: for that hash T=4, S=4+1+1=6 -> (16-6)/2 = 5 pair rows.
+    val rep = "w1 w2 w3 w4 w5"
+    val docs = Seq(
+      (1L, s"$rep $rep"), (2L, s"x1 x2 $rep"), (3L, s"$rep y1 y2"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.substrStats(docs, "text", w = 5, maxDf = 100)
+      .collect().head
+    // windows: doc1 has 6 window positions (10 tokens, w=5), doc2/doc3
+    // 3 each; the repeated-passage hash is one of several distinct hashes
+    assert(r.getAs[Long]("n_hub_windows") == 0L)
+    assert(r.getAs[Long]("dropped_pair_rows") == 0L)
+    assert(r.getAs[Long]("max_df_kept") == 3L)
+    // the shared w1..w5 hash contributes 5; every other hash is
+    // single-doc (T == c per doc, so T²−S = 0 unless a doc repeats it —
+    // doc1's overlap windows w2..w5+w1.. appear once each)
+    assert(r.getAs[Long]("pair_rows") >= 5L)
+    // EXACT cross-check: pair_rows must equal the miner's real join
+    // input mass (the a<b occurrence-pair count before diagonal chaining)
+    val wins = graft.text.TextOps.rollingWindows(docs, "text", "doc_id", 5)
+    val f = wins.select(col("wh"), col("doc_id"), col("pos"))
+    val actual = f.select(col("wh"), col("doc_id").as("a"))
+      .join(f.select(col("wh"), col("doc_id").as("b")), "wh")
+      .filter(col("a") < col("b")).count()
+    assert(r.getAs[Long]("pair_rows") == actual, s"stats vs join: $r $actual")
+    // the hub cap moves mass from pair_rows to dropped_pair_rows
+    val capped = graft.text.TextOps.substrStats(docs, "text", w = 5,
+      maxDf = 2).collect().head
+    assert(capped.getAs[Long]("n_hub_windows") == 1L)
+    assert(capped.getAs[Long]("dropped_pair_rows") == 5L)
+    assert(capped.getAs[Long]("pair_rows") ==
+      r.getAs[Long]("pair_rows") - 5L)
+  }
+
   test("substrScrub: covered spans delete from the higher-id doc; overlaps union; others pass through") {
     import spark.implicits._
     val passage = (1 to 24).map(i => s"tok$i").mkString(" ")
