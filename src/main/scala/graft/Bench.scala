@@ -226,15 +226,24 @@ object Bench {
     * round-over-round headline comparable (the r15 lesson: a budgeted
     * cheapest-first pass 2 on the idle box left the expensive tail on
     * cold pass-1 numbers and the headline read as a 2× regression).
+    * `NaN` parses numerically but would make the budget predicate
+    * always-false — it maps to unbounded like any other non-numeric
+    * string; a negative number clamps to an explicit ZERO budget
+    * (deliberate pass-2 skip).
     * When `p2_covered` < catalog size anyway, `pass1_total` is the
     * cross-round trend metric, not the partial min-of-2 headline. Pure
     * so BenchSidecarSpec pins the override grammar. */
   def p2BudgetFor(elapsed: Double, env: Option[String]): Double =
     env match {
       case Some(s) =>
-        try { s.toDouble } catch {
+        val v = try { s.toDouble } catch {
           case _: NumberFormatException => Double.PositiveInfinity
         }
+        // parseDouble accepts "NaN" — and elapsed < NaN is always false,
+        // which would SILENTLY skip pass 2, the opposite of the
+        // documented non-numeric = unbounded grammar; negatives clamp to
+        // an explicit zero budget (deliberate pass-2 skip)
+        if (v.isNaN) Double.PositiveInfinity else math.max(0.0, v)
       case None => math.max(120.0, 420.0 - elapsed)
     }
 

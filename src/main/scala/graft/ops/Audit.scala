@@ -360,6 +360,13 @@ object Audit {
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.text.Dedup.portableHash): DataFrame = {
     require(epsilon > 0, "dpCounts: epsilon must be positive")
+    // the salt namespace has 1e-6 resolution: two epsilons rounding to
+    // the same micro tag would SHARE a draw, re-enabling the exact
+    // cross-epsilon composition attack — so epsilon must sit ON the grid
+    require(epsilon >= 1e-6 &&
+      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) < 1e-9,
+      "dpCounts: epsilon must be a multiple of 1e-6 (the salt namespace " +
+        "resolution — off-grid epsilons could collide into one namespace)")
     require(keyCols.nonEmpty, "dpCounts: at least one group column")
     require(!keyCols.exists(Set("noisy_count")),
       "dpCounts: noisy_count is a reserved output name")
@@ -410,6 +417,12 @@ object Audit {
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.text.Dedup.portableHash): DataFrame = {
     require(epsilon > 0, "dpSum: epsilon must be positive")
+    // same namespace-grid rule as dpCounts: off-grid epsilons could
+    // collide into one salt namespace and share a draw
+    require(epsilon >= 1e-6 &&
+      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) < 1e-9,
+      "dpSum: epsilon must be a multiple of 1e-6 (the salt namespace " +
+        "resolution — off-grid epsilons could collide into one namespace)")
     require(clip > 0, "dpSum: clip must be positive")
     require(keyCols.nonEmpty, "dpSum: at least one group column")
     require(!keyCols.exists(Set("noisy_sum")),
@@ -462,6 +475,12 @@ object Audit {
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.text.Dedup.portableHash): DataFrame = {
     require(epsilon > 0, "dpAvg: epsilon must be positive")
+    // the ε/2 components must land on the component mechanisms' 1e-6
+    // salt grid, so the composed ε needs 2e-6 resolution
+    require(epsilon >= 2e-6 &&
+      math.abs(epsilon * 5e5 - math.round(epsilon * 5e5)) < 1e-9,
+      "dpAvg: epsilon must be a multiple of 2e-6 (each ε/2 component " +
+        "must sit on the 1e-6 salt-namespace grid)")
     require(!keyCols.exists(Set("noisy_avg")),
       "dpAvg: noisy_avg is a reserved output name")
     dpSum(df, keyCols, value, clip, epsilon / 2, hashOf)

@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * ZERO rows (not an all-NULL row) — the degenerate shape both engines
   * agree on.
   *
+  * NULL observations are EXCLUDED from both samples (n_a/n_b count
+  * non-null values only — a NULL has no position on the line, and
+  * without the explicit filter Spark's null-skipping greatest/least
+  * would silently turn NULLs into clamp-ceiling mass).
+  *
   * Values are CLAMPED into [minValue, maxValue] before counting (the
   * [[graft.text.TextOps.scoreAuc]] bucket-clamp trade): the cumulative
   * windows below run single-partition over the DISTINCT-VALUE histogram,
@@ -53,9 +58,17 @@ object Ks {
       "Ks.twoSample: minValue must be below maxValue")
     def clamped(c: Column): Column =
       greatest(lit(minValue), least(c.cast(LongType), lit(maxValue)))
-    val av = a.select(clamped(aVal).as("_v"))
+    // NULL (or non-castable) observations are EXCLUDED from both samples
+    // — they have no position on the line, and Spark's greatest/least
+    // SKIP nulls, so an unfiltered NULL would silently masquerade as
+    // clamp-ceiling mass; n_a/n_b count non-null observations only
+    val av = a.select(aVal.cast(LongType).as("_raw"))
+      .filter(col("_raw").isNotNull)
+      .select(clamped(col("_raw")).as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_na"))
-    val bv = b.select(clamped(bVal).as("_v"))
+    val bv = b.select(bVal.cast(LongType).as("_raw"))
+      .filter(col("_raw").isNotNull)
+      .select(clamped(col("_raw")).as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_nb"))
     val merged = av.join(bv, Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_na"),

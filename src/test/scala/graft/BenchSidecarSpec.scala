@@ -83,5 +83,11 @@ class BenchSidecarSpec extends AnyFunSuite {
     // idle-box mode whose sidecar stays round-comparable (agg min_of_2)
     assert(Bench.p2BudgetFor(100.0, Some("full")).isPosInfinity)
     assert(Bench.p2BudgetFor(100.0, Some("unbounded")).isPosInfinity)
+    // "NaN" parses numerically but would make `elapsed < budget` always
+    // FALSE — it must map to unbounded like any other non-numeric string
+    assert(Bench.p2BudgetFor(100.0, Some("NaN")).isPosInfinity)
+    // negatives clamp to an explicit zero budget (deliberate pass-2 skip)
+    assert(Bench.p2BudgetFor(100.0, Some("-1")) == 0.0)
+    assert(Bench.p2BudgetFor(100.0, Some("0")) == 0.0)
   }
 }

@@ -371,6 +371,33 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("dp releases reject off-grid epsilons whose salt tags would collide") {
+    val rows = Seq((1L, "en", 10L)).toDF("id", "lang", "chars")
+    // 1e-7 and 2e-7 both micro-round to tag 0 — a shared namespace would
+    // share the draw and re-enable the exact composition attack
+    intercept[IllegalArgumentException] {
+      Audit.dpCounts(rows, Seq("lang"), epsilon = 1e-7)
+    }
+    // off-grid by less than the tag resolution (0.2500004 -> tag 250000,
+    // colliding with 0.25's namespace at a different effective scale)
+    intercept[IllegalArgumentException] {
+      Audit.dpCounts(rows, Seq("lang"), epsilon = 0.2500004)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpSum(rows, Seq("lang"), col("chars"), clip = 10L,
+        epsilon = 1e-7)
+    }
+    // dpAvg needs 2e-6 resolution so each eps/2 component stays on-grid
+    intercept[IllegalArgumentException] {
+      Audit.dpAvg(rows, Seq("lang"), col("chars"), clip = 10L,
+        epsilon = 1e-6)
+    }
+    // on-grid epsilons pass the guard
+    assert(Audit.dpCounts(rows, Seq("lang"), epsilon = 0.25).count() == 1L)
+    assert(Audit.dpAvg(rows, Seq("lang"), col("chars"), clip = 10L,
+      epsilon = 2e-6).count() == 1L)
+  }
+
   test("tCloseness: exact-integer total variation matches the hand computation; rational threshold is strict") {
     import spark.implicits._
     // class A (4 rows): x,x,x,y -> p_A = {x:.75, y:.25}; class B (2 rows):

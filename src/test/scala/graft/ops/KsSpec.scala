@@ -49,6 +49,21 @@ class KsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("reject_05")))
   }
 
+  test("NULL observations are excluded, not counted as clamp-ceiling mass") {
+    // without the explicit filter, Spark's null-skipping greatest/least
+    // turn each NULL into a value at maxValue, inflating the upper tail
+    val a = Seq(Option(1L), Option(2L), None, None).toDF("v")
+    val b = Seq(Option(1L), Option(2L)).toDF("v")
+    val r = Ks.twoSample(a, col("v"), b, col("v")).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("ks_num") == 0L) // identical after exclusion
+    // an all-NULL side behaves exactly like an empty side (NULL stats)
+    val nulls = Seq(Option.empty[Long], Option.empty[Long]).toDF("v")
+    val r2 = Ks.twoSample(b, col("v"), nulls, col("v")).collect().head
+    assert(r2.getAs[Long]("n_b") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("ks_stat")))
+  }
+
   test("two empty inputs yield zero rows, the oracle's degenerate shape") {
     val e = Seq.empty[Long].toDF("v")
     assert(Ks.twoSample(e, col("v"), e, col("v")).count() == 0L)
