@@ -3132,6 +3132,17 @@ object Catalog {
         graft.text.Pq.fixedModel(), k = 5, nprobe = 4)
     }),
 
+    // IVF-routed SQ8 ANN — op_sq_ann's SCALE PATH (the FAISS IVF-SQ
+    // composition; round-16 ×100 measurement: the full quantized scan is
+    // quadratic — 1922 s at 8k queries × 200k vectors — while cell-routed
+    // search costs ~90 s): raw-vector cell routing, SQ8-reconstructed
+    // candidate scoring, nprobe=C degenerates to op_sq_ann exactly
+    "op_ivfsq_ann" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      graft.text.Sq.searchTopKIvf(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5, nprobe = 4)
+    }),
+
     // SQ8 scalar-quantized ANN: per-dim [min,max] trained in-plan, codes
     // are bytes, search is an exact-integer dot product — the x4
     // compression tier beside PQ's x32, near-lossless for real embeddings

@@ -5526,6 +5526,49 @@ object OracleSql {
 
     "op_sq_ann" -> sqAnnSql,
 
+    // IVF-routed SQ8 ANN: the ivf assignment/probe CTEs route on RAW
+    // vectors (fixed-formula centroids), candidates score on their SQ8
+    // reconstructions against the reconstructed query — the sqAnnSql
+    // model/encode/decode chain verbatim, restricted to probed cells.
+    "op_ivfsq_ann" -> s"""
+      WITH $ivfCtesSql,
+      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      stats AS (
+        SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+          max(CAST(embedding[d] AS DOUBLE)) AS mx
+        FROM embeddings CROSS JOIN dims GROUP BY d),
+      model AS (SELECT list(mn ORDER BY d) AS mins,
+          list(mx ORDER BY d) AS maxs FROM stats),
+      sqv AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                   / (maxs[i] - mins[i]) * CAST(255 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN model),
+      sqr AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            mins[i] + CAST(q[i] AS DOUBLE)
+              * ((maxs[i] - mins[i]) / CAST(255 AS DOUBLE))) AS xr
+        FROM sqv CROSS JOIN model),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      sqscored AS (
+        SELECT c.q_id, c.neighbor_id, ${cosSql("n.xr", "qq.xr")} AS cos
+        FROM cand c
+        JOIN sqr n ON n.vec_id = c.neighbor_id
+        JOIN sqr qq ON qq.vec_id = c.q_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sqscored) r
+      WHERE rank <= 5""",
+
     // Matryoshka truncation sweep: per rung d', exact cosine top-5 on the
     // FIRST d' dimensions (list slice), recall vs the full-dim baseline.
     "op_mrl_recall" -> {

@@ -472,8 +472,10 @@ object Similarity {
     * Scale: per rung, the [[bruteForceTopK]] shape with the corpus side
     * sliced IN-ROW to d′ dims before scoring — the rung's scan moves
     * d′/D-ths of the vector bytes, which is the point; the hit-join and
-    * both counts are bounded by queries × k. The truncated cosine is the
-    * HOF form (oracle-mirrored accumulation); ties by neighbor id. */
+    * both counts are bounded by queries × k. The truncated cosine runs
+    * the native [[graft.functions.CosineSim]] loop (accumulation
+    * bit-identical to the oracle-mirrored HOF form); ties by neighbor
+    * id. */
   def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       dims: Seq[Int], embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
@@ -489,7 +491,7 @@ object Similarity {
       val scored = c.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosineHof(col("_e"), col("_qe")).as("cos"))
+          cosine(col("_e"), col("_qe")).as("cos"))
       graft.ops.TopK.perKey(scored, Seq("q_id"),
         struct(col("cos"), -col("neighbor_id")), k)
         .select(lit(d).as("dims"), col("q_id"), col("neighbor_id"))

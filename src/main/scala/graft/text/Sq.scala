@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Everything is engine-portable by construction: the trained model is
   * per-dim float min/max (exact — no arithmetic), encode and decode are
   * short trees of correctly-rounded IEEE double ops on exactly-cast
-  * floats, and the cosine is the HOF form the oracle's list_sum mirror
+  * floats, and the cosine is the native [[graft.functions.CosineSim]]
+  * loop, whose left-to-right accumulation the oracle's list_sum mirror
   * already cross-validates — so the DuckDB oracle reproduces every row.
   *
   * Scale: training is one narrow posexplode + a 64-row aggregate; the
@@ -90,10 +91,65 @@ object Sq {
       .select(col(idCol).as("vec_id"), col("_xr"))
     val q = decode(encode(queries, model, embCol), model)
       .select(col(idCol).as("q_id"), col("_xr").as("_qr"))
+    // native codegen cosine (double-array rung): the interpreted HOF form
+    // was the measured 1,922 s term in the ×100 brute scan; accumulation
+    // order is identical, so every cos is bit-unchanged (SqSpec pins the
+    // HOF cross-validation)
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        Similarity.cosineHof(col("_xr"), col("_qr")).as("cos"))
+        Similarity.cosine(col("_xr"), col("_qr")).as("cos"))
+    graft.ops.TopK.perKey(scored, Seq("q_id"),
+      struct(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc,
+          col("neighbor_id"))))
+      .select("q_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** IVF-routed SQ8 top-k — [[searchTopK]]'s SCALE PATH (the FAISS IVF-SQ
+    * index): the brute quantized scan is QUADRATIC by construction, and
+    * the round-16 ×100 probe priced it — 1,922 s for 8 k queries × 200 k
+    * vectors where the cell-routed searches cost ~90 s — so past the
+    * single-shard tier the SQ store needs the same cell routing PQ gets
+    * from [[Pq.searchTopKIvf]]. Routing runs on RAW vectors (cell
+    * assignment and query probing — the coarse index is built before
+    * compression, FAISS's convention); candidates score as their SQ8
+    * RECONSTRUCTIONS against the reconstructed query ([[searchTopK]]'s
+    * published semantics, so the op_sq_recall reconstruction lesson —
+    * code-domain dots wreck the ranking — carries over unchanged). With
+    * nprobe = C every cell probes and the result EQUALS [[searchTopK]]'s
+    * exactly (same candidate set, same (cos, id) tie-break) — SqSpec pins
+    * that identity.
+    *
+    * Scale: the reconstructed code table is the stored index (persisted:
+    * id + cell + 64 codes per vector — the ×4 width win); per query only
+    * the nprobe probed cells' candidates score (the [[Ivf.searchTopK]]
+    * join shape, unhinted for the same measured AQE reasons); bounded-
+    * heap top-k, never a corpus sort. */
+  def searchTopKIvf(corpus: DataFrame, queries: DataFrame,
+      ivf: Ivf.Model, k: Int, nprobe: Int,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    val model = trainModel(corpus, embCol)
+    // the cell-tagged reconstruction table IS the stored index — persist
+    // (the Pq.searchTopKIvf contract: unpersisted, its encode expressions
+    // re-plan into the join output path)
+    val cand = scope.persist(
+      decode(encode(Ivf.assign(corpus, ivf), model, embCol), model)
+        .select(col("ivf_cell"), col(idCol).as("neighbor_id"),
+          col("_xr").as("_nxr")))
+    val qRec = decode(encode(queries, model, embCol), model)
+      .select(col(idCol).as("q_id"), col("_xr").as("_qxr"))
+    // probe cells from the raw query embedding; the reconstructed query
+    // vector joins back on the (small, broadcast) query side
+    val probes = Ivf.probeCells(queries, ivf, nprobe)
+      .select("q_id", "ivf_cell")
+      .join(broadcast(qRec), "q_id")
+    val scored = probes.join(cand, "ivf_cell")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        Similarity.cosine(col("_nxr"), col("_qxr")).as("cos"))
     graft.ops.TopK.perKey(scored, Seq("q_id"),
       struct(col("cos"), -col("neighbor_id")), k)
       .withColumn("rank", row_number().over(

@@ -65,4 +65,68 @@ class SqSpec extends SparkSpec {
     assert(out.map(_._3).sliding(2).forall(p => p(0) > p(1)))
     assert(math.abs(out(0)._3 - 0.9 / math.sqrt(0.82)) < 0.02)
   }
+
+  test("native double-array cosine is bit-identical to the interpreted HOF form") {
+    // the SQ family scores RECONSTRUCTIONS (array<double>); the native
+    // CosineSim loop must reproduce the oracle-mirrored HOF accumulation
+    // bit-for-bit on that element type (the float rung has its own pin
+    // in CosineSimSpec territory — this is the round-16 double rung)
+    val df = vecs(
+      (1L, Seq(0.31f, -0.72f, 0.11f, 0.95f)),
+      (2L, Seq(0.87f, 0.05f, -0.44f, 0.21f)),
+      (3L, Seq(-0.13f, 0.66f, 0.38f, -0.57f)))
+    val model = Sq.trainModel(df)
+    val rec = Sq.decode(Sq.encode(df, model), model)
+      .select(col("vec_id"), col("_xr"))
+    val pairs = rec.crossJoin(
+      rec.select(col("vec_id").as("v2"), col("_xr").as("_xr2")))
+      .filter(col("vec_id") < col("v2"))
+      .select(col("vec_id"), col("v2"),
+        Similarity.cosine(col("_xr"), col("_xr2")).as("native"),
+        Similarity.cosineHof(col("_xr"), col("_xr2")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"(${r.getLong(0)}, ${r.getLong(1)}): native ${r.getDouble(2)} " +
+          s"vs hof ${r.getDouble(3)}")
+    }
+  }
+
+  test("searchTopKIvf: probing every cell reproduces the brute SQ8 ranking exactly") {
+    val df = vecs(
+      (0L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.2f)),
+      (2L, Seq(0.5f, 0.5f, 0.3f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.4f)),
+      (4L, Seq(-0.5f, 0.5f, 0.2f, 0.1f)),
+      (5L, Seq(-0.9f, 0.2f, 0.0f, 0.3f)),
+      (6L, Seq(0.3f, -0.7f, 0.5f, 0.0f)),
+      (7L, Seq(0.0f, 0.4f, -0.6f, 0.2f)))
+    val ivf = Ivf.fixedModel(c = 2, dim = 4)
+    val q = df.filter(col("vec_id") % 3 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // nprobe = C: every cell probes, the candidate set is the brute
+    // set, the (cos, id) tie-break is shared -> EXACT identity
+    assert(rows(Sq.searchTopKIvf(df, q, ivf, k = 3, nprobe = 2)) ==
+      rows(Sq.searchTopK(df, q, k = 3)))
+    // nprobe = 1: candidates restrict to each query's best cell — at
+    // most k rows per query, ranks dense from 1, and every returned
+    // pair also exists in the full-probe scoring universe with the
+    // SAME cosine (routing changes candidates, never the metric)
+    val routed = Sq.searchTopKIvf(df, q, ivf, k = 3, nprobe = 1)
+    val byQ = routed.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    val fullPairs = rows(Sq.searchTopKIvf(df, q, ivf, k = 7, nprobe = 2))
+      .map(t => (t._1, t._3) -> t._4).toMap
+    rows(routed).foreach { case (qid, _, n, cos) =>
+      assert(fullPairs.get((qid, n)).forall(_ == cos),
+        s"($qid, $n): routed cos $cos differs from the brute metric")
+    }
+  }
 }
