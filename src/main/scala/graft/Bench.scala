@@ -208,14 +208,34 @@ object Bench {
   private def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** Ascending pass-1-cost schedule for the budgeted second pass: cheapest
-    * queries first (name tiebreak), so whatever pass-2 budget remains after
-    * a slow first pass covers the MAXIMUM number of queries with warm
-    * min-of-2 data — the cheap ones are near-free warm, and the expensive
-    * tail is exactly what the budget would have cut anyway. Pure so
-    * BenchSidecarSpec pins the order. */
+  /** DESCENDING pass-1-cost schedule for the budgeted second pass: slowest
+    * queries first (name tiebreak). The r16 lesson inverted the r15 one:
+    * cheapest-first maximized COVERAGE COUNT, but on a contended box the
+    * headline's distortion lives entirely in the pass-1 OUTLIERS (a 0.9 s
+    * query reading 35 s of scheduler noise), and cheapest-first spent the
+    * whole budget re-measuring queries that were already fine while the
+    * outliers kept their bogus numbers and the official total regressed
+    * +57% on zero code change. Slowest-first re-measures exactly the
+    * queries whose pass-1 reading dominates (and most distorts) the
+    * min-of-2 sum — each warm hit there removes the most headline error
+    * per budget-second; the cheap tail a partial budget leaves uncovered
+    * contributes near-zero either way. Pure so BenchSidecarSpec pins the
+    * order. */
   def pass2Order(p1: Map[String, Double]): Seq[String] =
-    p1.toSeq.sortBy { case (n, v) => (v, n) }.map(_._1)
+    p1.toSeq.sortBy { case (n, v) => (-v, n) }.map(_._1)
+
+  /** Contention detector: warm-up seconds beyond which the box is flagged
+    * `contended` in the sidecar and metric line. The warm-up (session init
+    * + parquet footers + the one-time shared-lineage persist) is the same
+    * fixed work every run, so its wall time is a pure load probe:
+    * calibrated on the sf0.1 history — builder-box readings span 8-24 s
+    * (the 24.2 s run's per-query minima sat INSIDE the idle ambient band,
+    * so it must not flag), the contended driver box read 31.9 s (r16) —
+    * the threshold splits the two regimes. At smaller SFs warm-up
+    * is far cheaper and the flag simply never fires; false negatives on a
+    * lightly-contended box are fine (the flag is an adjudication AID for
+    * headline readers, not a gate). */
+  val contendedWarmSec: Double = 28.0
 
   /** Pass-2 time budget in seconds. The default (no override) is the
     * contended-box guard: whatever the old 420 s all-or-nothing wall
@@ -262,8 +282,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cov = if (p2Covered >= 0) s""""p2_covered":$p2Covered,""" else ""
+    // contended rides in the full-fidelity ledger ALWAYS (true or false):
+    // a future reader diffing headlines across rounds adjudicates
+    // contention from the committed file without judge forensics
+    val cont = warmSec > contendedWarmSec
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""agg":"$agg","warm_sec":${f3(warmSec)},"pass1_total":${f3(p1Total)},""" +
+      s""""agg":"$agg","warm_sec":${f3(warmSec)},"contended":$cont,""" +
+      s""""pass1_total":${f3(p1Total)},""" +
       s"""$cov"failed":$failedJson,"sf":"$sfDir",""" +
       s""""queries":${fullJson(results)},"pass1":${fullJson(p1)}}"""
   }
@@ -286,6 +311,11 @@ object Bench {
     // the field rides next to agg at every slim level (a silent partial
     // would corrupt the min-of-2 trend exactly like a silent unit change)
     val covField = if (p2Covered >= 0) s""","p2_covered":$p2Covered""" else ""
+    // contention flag: emitted ONLY when true (idle runs pay zero line
+    // chars) and at EVERY slim level — a distorted headline without the
+    // flag is exactly the r16 adjudication failure this field closes
+    val contField =
+      if (warmSec > contendedWarmSec) s""","contended":true""" else ""
     // Per-query values as INTEGER CENTISECONDS keyed by [[metricKey]]
     // ("op_" stripped, long names aliased per [[alias]] — SURVEY §9.2 maps
     // them back). The coarsened slim-4 level divides to DECISECONDS
@@ -321,7 +351,7 @@ object Bench {
         if (unit == "cs") "" else s""","qunit":"$unit""""
       } else
         s""","qunit":"$unit","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField$contField$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // Values-array sibling of line() at slim 3: "qv" replaces "queries",
     // with the order spelled out so the encoding is self-describing. EVERY
@@ -333,7 +363,7 @@ object Bench {
       val fl = if (failed.isEmpty) "" else s""","failed":$failedJson"""
       val sf = new java.io.File(sfDir).getName
       val div = if (unit == "ds") 10 else 100
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField$contField""" +
         s""","qunit":"$unit","qorder":"asc query name, failed included","qv":${qArr(div)}""" +
         s"""$fl,"sf":"$sf"}"""
     }

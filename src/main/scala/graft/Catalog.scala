@@ -751,6 +751,9 @@ object Catalog {
     "op_sql_ccnet_terciles" -> sqlQuery("op_sql_ccnet_terciles"),
     "op_sql_winner" -> sqlQuery("op_sql_winner"),
     "op_sql_cross_source_dup" -> sqlQuery("op_sql_cross_source_dup"),
+    // round 17: the dedup-SURVIVOR read (min-id winner per fingerprint,
+    // uniques ride through) — the missing deliverable rung of the family
+    "op_sql_survivors" -> sqlQuery("op_sql_survivors"),
 
     "op_filter_project" -> ((s, dir) => t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
@@ -2164,6 +2167,12 @@ object Catalog {
     "op_lm_logprob" -> ((s, dir) =>
       TextOps.lmLogProb(t(s, dir, "documents"), "text")),
 
+    // bigram-LM rung of the KenLM ladder (round 17): mean add-1-smoothed
+    // BIGRAM log-prob — separates fluent text from word salad the unigram
+    // LM scores identically (common words, rare pairs)
+    "op_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(t(s, dir, "documents"), "text")),
+
     // CCNet head/middle/tail terciles per language by the lm_logprob
     // score quantized to milli-nats — the published filter-by-perplexity
     // recipe; the cumulative window runs over the value-range-bounded
@@ -2972,6 +2981,21 @@ object Catalog {
     "op_ann_topk" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), 5)
+    }),
+
+    // hybrid-retrieval fusion (round 17): reciprocal-rank fusion of the
+    // full-dim exact ranking with the 16-dim MRL truncated ranking —
+    // integer micro-unit RRF (k=60), top-5 fused per query. The two input
+    // lists are the matryoshka cascade's cheap and exact tiers; fusion
+    // cost is a reduction over their top-10s, never corpus-sized
+    "op_rrf_fusion" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      def sliced(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val q = emb.filter(col("vec_id") % 25 === 0)
+      val full = Similarity.bruteForceTopK(emb, q, 10)
+      val trunc = Similarity.bruteForceTopK(sliced(emb), sliced(q), 10)
+      Similarity.rrfFuse(Seq(full, trunc), k = 5)
     }),
 
     // hard-negative mining for contrastive training: per query, the top-5

@@ -978,6 +978,26 @@ object OracleSql {
       SELECT lang, doc_id AS winner_id, source, len
       FROM r WHERE rn = 1""",
 
+    // The deliverable a SQL user actually wants from the dedup layer
+    // (round 17): the SURVIVOR SET after exact dedup — min-id winner per
+    // content fingerprint over a replica-planted corpus, one row per
+    // distinct fingerprint, unique docs riding through with n_dups = 1.
+    // Non-recursive (the CC-cluster native op stays the multi-hop path);
+    // the join-on-winner form is the anti-join-back expressed in the
+    // common subset both engines parse.
+    "op_sql_survivors" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM documents
+        WHERE doc_id % 10 = 0),
+      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM corpus),
+      w AS (SELECT fp, min(doc_id) AS survivor_id,
+              CAST(count(*) AS BIGINT) AS n_dups
+            FROM fp GROUP BY fp)
+      SELECT f.doc_id, f.fp, w.n_dups
+      FROM fp f JOIN w ON f.fp = w.fp AND f.doc_id = w.survivor_id""",
+
     "op_sql_cross_source_dup" -> """
       WITH corpus AS (
         SELECT doc_id, text, source FROM documents
@@ -2940,7 +2960,8 @@ object OracleSql {
           s.nc * t.n * 2 AS tv_den
         FROM cv c
         JOIN marg m ON c.source IS NOT DISTINCT FROM m.source
-        JOIN ncs s ON s.lang = c.lang AND s.len_bucket = c.len_bucket
+        JOIN ncs s ON s.lang IS NOT DISTINCT FROM c.lang
+          AND s.len_bucket IS NOT DISTINCT FROM c.len_bucket
         CROSS JOIN tot t
         GROUP BY c.lang, c.len_bucket, s.nc, t.n)
       SELECT CAST(count(*) AS BIGINT) AS n_classes,
@@ -3440,7 +3461,8 @@ object OracleSql {
             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
             END AS BIGINT), CAST(1048575 AS BIGINT))) AS v
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL),
       am AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM toks
              WHERE doc_id % 5 <> 0 GROUP BY v),
       bm AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM toks
@@ -5598,6 +5620,43 @@ object OracleSql {
       FROM hits h CROSS JOIN tot t"""
     },
 
+    // Reciprocal-rank fusion (mirrors Similarity.rrfFuse over the
+    // op_rrf_fusion composition): full-dim exact top-10 and 16-dim MRL
+    // truncated top-10, fused by integer micro-unit RRF (k=60, `//`
+    // truncating like Spark's div on positives), top-5 per query.
+    "op_rrf_fusion" -> {
+      def rankedRung(dims: Option[Int]) = {
+        val e = dims.map(d => s"e.embedding[1:$d]").getOrElse("e.embedding")
+        val qe = dims.map(d => s"q.q_emb[1:$d]").getOrElse("q.q_emb")
+        s"""
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql(e, qe)} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) r
+        WHERE rank <= 10"""
+      }
+      s"""
+      WITH u AS (${rankedRung(None)} UNION ALL ${rankedRung(Some(16))}),
+      g AS (
+        SELECT q_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_lists,
+          CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+        FROM u GROUP BY 1, 2)
+      SELECT q_id, CAST(fused_rank AS INT) AS fused_rank, neighbor_id,
+        n_lists, rrf_micro
+      FROM (
+        SELECT g.*, row_number() OVER (PARTITION BY q_id
+          ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
+        FROM g) f
+      WHERE fused_rank <= 5"""
+    },
+
     // Recall@5 of the SQ8 integer-domain search vs exact float cosine.
     "op_sq_recall" -> s"""
       WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
@@ -6431,6 +6490,37 @@ object OracleSql {
             AS lp
         FROM tok t JOIN lc7 l USING (tok) CROSS JOIN ld7 d)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+        CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) * 1000000 AS DOUBLE) AS avg_logprob
+      FROM scored GROUP BY doc_id""",
+
+    // Bigram-LM rung (mirrors TextOps.bigramLogProb): the lm_logprob
+    // chain over word PAIRS — same portable-series ln, micro-nat floor,
+    // exact integer per-doc sum; docs with < 2 tokens drop (no bigrams).
+    "op_bigram_logprob" -> s"""
+      WITH tokarr AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents),
+      bg AS MATERIALIZED (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM tokarr WHERE len(toks) >= 2),
+      counts AS MATERIALIZED (
+        SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) + CAST(count(*) AS BIGINT) AS m
+              FROM counts),
+      ${lnChain("bld", "tot", Seq.empty, "lnden")},
+      csrc AS (SELECT bg, c + 1 AS m FROM counts),
+      ${lnChain("blc", "csrc", Seq("bg"), "lnc")},
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor((l.lnc - d.lnden) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+            AS lp
+        FROM bg t JOIN blc7 l USING (bg) CROSS JOIN bld7 d)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
         CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE)
           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_logprob

@@ -211,9 +211,18 @@ object Audit {
     // engines; a plain equi-join would silently drop those classes'
     // mass). <=> keeps the join a hash-partitionable equi-join.
     val margSafe = marginals.withColumnRenamed("_sens", "_msens")
+    // ...and null-safe on the quasi-id key too: groupBy made a class out
+    // of NULL-keyed rows, so the class-size join must not drop it — a
+    // plain equi-join here would silently vanish that class's mass from
+    // n_classes/n_rows, the same dropped-mass failure mode the sensitive
+    // join above guards against. Each <=> remains hash-partitionable.
+    val ncsSafe = qcols.foldLeft(ncs)(
+      (d, q) => d.withColumnRenamed(q, "_ncq_" + q))
+    val ncsCond = qcols.map(q => col(q) <=> col("_ncq_" + q)).reduce(_ && _)
     val perClass = cv.join(margSafe, col("_sens") <=> col("_msens"))
       .drop("_msens")
-      .join(ncs, qcols.toSeq)
+      .join(ncsSafe, ncsCond)
+      .drop(qcols.map("_ncq_" + _): _*)
       .crossJoin(broadcast(totals))
       .groupBy((qcols.map(col) :+ col("_nc") :+ col("_n")): _*)
       .agg(sum(abs(col("_ccv") * col("_n") - col("_cv") * col("_nc")))
@@ -363,8 +372,12 @@ object Audit {
     // the salt namespace has 1e-6 resolution: two epsilons rounding to
     // the same micro tag would SHARE a draw, re-enabling the exact
     // cross-epsilon composition attack — so epsilon must sit ON the grid
+    // RELATIVE tolerance: epsilon*1e6 carries its own double rounding,
+    // which for large on-grid epsilons (>~1e3) can exceed an absolute
+    // 1e-9 and spuriously reject a grid-aligned value
     require(epsilon >= 1e-6 &&
-      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) < 1e-9,
+      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
+        1e-9 * math.max(1.0, epsilon * 1e6),
       "dpCounts: epsilon must be a multiple of 1e-6 (the salt namespace " +
         "resolution — off-grid epsilons could collide into one namespace)")
     require(keyCols.nonEmpty, "dpCounts: at least one group column")
@@ -419,8 +432,10 @@ object Audit {
     require(epsilon > 0, "dpSum: epsilon must be positive")
     // same namespace-grid rule as dpCounts: off-grid epsilons could
     // collide into one salt namespace and share a draw
+    // relative tolerance, same reasoning as dpCounts' guard
     require(epsilon >= 1e-6 &&
-      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) < 1e-9,
+      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
+        1e-9 * math.max(1.0, epsilon * 1e6),
       "dpSum: epsilon must be a multiple of 1e-6 (the salt namespace " +
         "resolution — off-grid epsilons could collide into one namespace)")
     require(clip > 0, "dpSum: clip must be positive")
@@ -477,8 +492,10 @@ object Audit {
     require(epsilon > 0, "dpAvg: epsilon must be positive")
     // the ε/2 components must land on the component mechanisms' 1e-6
     // salt grid, so the composed ε needs 2e-6 resolution
+    // relative tolerance, same reasoning as dpCounts' guard
     require(epsilon >= 2e-6 &&
-      math.abs(epsilon * 5e5 - math.round(epsilon * 5e5)) < 1e-9,
+      math.abs(epsilon * 5e5 - math.round(epsilon * 5e5)) <
+        1e-9 * math.max(1.0, epsilon * 5e5),
       "dpAvg: epsilon must be a multiple of 2e-6 (each ε/2 component " +
         "must sit on the 1e-6 salt-namespace grid)")
     require(!keyCols.exists(Set("noisy_avg")),

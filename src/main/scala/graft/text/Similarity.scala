@@ -503,4 +503,49 @@ object Similarity {
         (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
           .as(s"recall_at_$k"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * 1/(kRrf + rank) per (query, candidate), candidates absent from a list
+    * contribute nothing, and the fused order is the contribution sum. The
+    * published constant kRrf = 60. Scores are INTEGER MICRO-UNITS —
+    * `1000000 div (kRrf + rank)` per list, summed — so the fusion is
+    * engine-exact (rank is an integer, integer division truncates
+    * identically everywhere; the double form would hinge on float-sum
+    * order). Output per query: the top `k` fused candidates as
+    * (q_id, fused_rank, neighbor_id, n_lists, rrf_micro), ties by
+    * neighbor id.
+    *
+    * Each input frame must carry (q_id, neighbor_id, rank) — the
+    * [[bruteForceTopK]]/[[Sq.searchTopK]]/BM25-style ranked shape; extra
+    * columns are ignored.
+    *
+    * Scale: one union of the (already small) per-list top-k frames — rows
+    * = Σ lists × queries × k, never corpus-sized — one (q_id, neighbor)
+    * keyed aggregate with map-side partials, and the bounded-heap
+    * [[graft.ops.TopK.perKey]] finish. The expensive part of hybrid
+    * retrieval is PRODUCING the input rankings (each audited on its own
+    * op); fusion itself is a reduction over their outputs. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(k >= 1, "rrfFuse: k must be positive")
+    require(kRrf >= 1L, "rrfFuse: kRrf must be positive")
+    val tagged = rankings
+      .map(_.select(col("q_id"), col("neighbor_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val scored = tagged.groupBy("q_id", "neighbor_id")
+      .agg(count(lit(1)).as("n_lists"),
+        // integer `div`, never `/`: float division would make the micro
+        // score depend on double rounding; div truncates identically in
+        // both engines (ranks are positive, so truncation == floor)
+        sum(expr(s"CAST(1000000 AS BIGINT) div " +
+          s"(CAST($kRrf AS BIGINT) + CAST(rank AS BIGINT))"))
+          .as("rrf_micro"))
+    graft.ops.TopK.perKey(scored, Seq("q_id"),
+      struct(col("rrf_micro"), -col("neighbor_id")), k)
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_micro").desc,
+          col("neighbor_id"))))
+      .select("q_id", "fused_rank", "neighbor_id", "n_lists", "rrf_micro")
+  }
 }

@@ -431,12 +431,38 @@ object TextOps {
   def substrRuns(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 5, minRun: Int = 20,
       maxDf: Int = 100,
-      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session,
+      pairBudget: Long = 2000000000L): DataFrame = {
     require(minRun >= w, "minRun must be at least the window width")
+    require(pairBudget > 0, "substrRuns: pairBudget must be positive")
     // persisted: the exploded window table feeds the df-count aggregate
     // once and the pair self-join twice (the shingleIntersections contract)
     val wins = scope.persist(
       rollingWindows(docs, textCol, idCol, w).select("doc_id", "pos", "wh"))
+    // ENFORCED pair-mass contract (the round-16 ×100 OOM closure was
+    // advisory — "run substrStats first"; this makes it code): the pair
+    // join's EXACT input mass Σ_h (T_h² − Σ_d c_{h,d}²)/2 over kept
+    // (df ≤ maxDf) hashes comes from two cheap keyed aggregates on the
+    // already-persisted window table — the [[substrStats]] read inlined —
+    // and the miner REFUSES a join bigger than `pairBudget` rows instead
+    // of discovering the blowup as an OOM mid-shuffle. The failure the
+    // budget catches: maxDf at or above the corpus's duplication
+    // multiplicity (a ~100-way-replicated corpus at the default
+    // maxDf=100 measured 1.089 B pair rows). Lower maxDf below the
+    // multiplicity, or raise the budget deliberately for a cluster that
+    // can pay it. One extra 1-row aggregate per call, never the join.
+    val pairMass = wins.groupBy("wh", "doc_id").agg(count(lit(1)).as("_c"))
+      .groupBy("wh").agg(count(lit(1)).as("_df"), sum("_c").as("_t"),
+        sum(col("_c") * col("_c")).as("_s"))
+      .agg(coalesce(sum(when(col("_df") <= maxDf,
+        expr("(_t * _t - _s) div 2")).otherwise(0L)), lit(0L)))
+      .first().getLong(0)
+    require(pairMass <= pairBudget,
+      s"substrRuns: the pair join's input mass at maxDf=$maxDf is " +
+        s"$pairMass rows, over the $pairBudget-row budget — maxDf likely " +
+        "sits at/above the corpus's duplication multiplicity; lower maxDf " +
+        "(read substrStats for the mass-vs-maxDf ledger) or pass a larger " +
+        "pairBudget deliberately")
     val keep = wins.select("doc_id", "wh").distinct()
       .groupBy("wh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select("wh")
@@ -578,6 +604,40 @@ object TextOps {
         (col("n_tokens") * lit(1000000L)).cast(DoubleType))
   }
 
+  /** Bigram-LM log-probability scoring — the next rung of the KenLM-style
+    * quality ladder above [[lmLogProb]]: per document, the mean
+    * add-1-smoothed BIGRAM log-probability under the corpus's own bigram
+    * model, `avg_logprob = (1/n) Σ_b ln((c_b + 1)/(N_bg + V_bg))`. Word
+    * salad has common WORDS but rare word PAIRS, so the bigram LM
+    * separates fluent text from shuffled text that the unigram rung
+    * scores identically — the practical reason production quality filters
+    * (CCNet, Gopher's downstream KenLM) are n-gram, not unigram, models.
+    * Documents with fewer than two tokens have no bigrams and drop, like
+    * [[bigramScore]].
+    *
+    * Engine-exact by the [[lmLogProb]] construction: portable-series ln,
+    * per-bigram MICRO-NAT floor quantization, exact integer per-doc sum,
+    * one final division. Scale: the [[bigramScore]] join shape — one
+    * bigram-keyed count with map-side partials, one exploded-bigram join
+    * keyed on bigram, a broadcast 1-row total; shuffles carry distinct
+    * bigrams / bigram occurrences, never per-doc buffers. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("_c"))
+    val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
+    val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
+      graft.ops.Sampling.portableLn(col("_n_total") + col("_v")))
+      * lit(1000000.0)).cast(LongType)
+    bg.join(counts, "bg")
+      .crossJoin(broadcast(tot))
+      .withColumn("_lp", lp)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("_lp").as("sum_lp_micro"))
+      .withColumn("avg_logprob", col("sum_lp_micro").cast(DoubleType) /
+        (col("n_bigrams") * lit(1000000L)).cast(DoubleType))
+  }
+
   /** Exact-substring dedup ACTUATOR — [[substrRuns]] finds the ≥ minRun-token
     * repeats; this REMOVES them, the Lee et al. 2022 rewrite step: every
     * token position covered by a duplicated run is deleted from the run's
@@ -603,8 +663,10 @@ object TextOps {
   def substrScrub(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 5, minRun: Int = 20,
       maxDf: Int = 100,
-      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
-    val runs = substrRuns(docs, textCol, idCol, w, minRun, maxDf, scope)
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session,
+      pairBudget: Long = 2000000000L): DataFrame = {
+    val runs = substrRuns(docs, textCol, idCol, w, minRun, maxDf, scope,
+      pairBudget)
     // a run's token span on the b side is [start_b, start_b+run_tokens-1];
     // identical intervals from different a-partners collapse pre-aggregate
     val ivs = runs.select(col("b").as("_did"),

@@ -67,10 +67,43 @@ class BenchSidecarSpec extends AnyFunSuite {
     assert(coarse.length <= 1960)
   }
 
-  test("pass2Order visits queries cheapest-pass-1-first, name tiebreak") {
+  test("pass2Order visits queries SLOWEST-pass-1-first, name tiebreak") {
+    // the r16 inversion: a contended partial budget must re-measure the
+    // pass-1 OUTLIERS (where all the headline distortion lives), not the
+    // already-fast cheap tail — each warm hit on a slow reading removes
+    // the most min-of-2 error per budget-second
     val order = Bench.pass2Order(Map(
       "op_c" -> 2.0, "op_a" -> 0.5, "op_b" -> 0.5, "op_d" -> 9.0))
-    assert(order == Seq("op_a", "op_b", "op_c", "op_d"))
+    assert(order == Seq("op_d", "op_c", "op_a", "op_b"))
+  }
+
+  test("contention flag: warm_sec over threshold marks BOTH artifacts") {
+    // idle run: sidecar says contended:false, metric line stays clean
+    assert(side.contains("\"contended\":false"), side.take(250))
+    val idleLine = Bench.metricLine(
+      Seq("op_tax_calc" -> 1.234), 1.234, "min_of_2", 3.5, 14.0, Nil,
+      "/root/testdata/sf0.1")
+    assert(!idleLine.contains("contended"), idleLine.take(250))
+    // contended run (warm_sec above the pinned 28 s threshold — the r16
+    // driver box read 31.9 s where builder boxes read 8-24 s): both artifacts
+    // flag it, so headline readers adjudicate without judge forensics
+    val busy = Bench.sidecarJson(
+      total = 12.345, agg = "min_of_2_partial", warmSec = 31.9,
+      p1Total = 14.0, failed = Nil, sfDir = "/root/testdata/sf0.1",
+      results = Map("op_tax_calc" -> 1.234),
+      p1 = Map("op_tax_calc" -> 1.5), p2Covered = 1)
+    assert(busy.contains("\"contended\":true"), busy.take(250))
+    val busyLine = Bench.metricLine(
+      Seq("op_tax_calc" -> 1.234), 1.234, "min_of_2_partial", 31.9, 14.0,
+      Nil, "/root/testdata/sf0.1", p2Covered = 1)
+    assert(busyLine.contains("\"contended\":true"), busyLine.take(250))
+    // the flag survives the coarse values-only rung (it rides next to agg
+    // at every slim level, like p2_covered)
+    val many = (0 until 2000).map(i => f"op_very_long_query_name_$i%04d" -> 0.05)
+    val coarse = Bench.metricLine(many, 100.0, "min_of_2_partial",
+      31.9, 14.0, Nil, "/root/testdata/sf0.1", p2Covered = 1500)
+    assert(coarse.contains("\"contended\":true"), coarse.take(250))
+    assert(coarse.length <= 1960)
   }
 
   test("p2BudgetFor: default guard, numeric override, and `full` = unbounded") {

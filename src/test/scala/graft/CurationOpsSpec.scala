@@ -158,6 +158,40 @@ class CurationOpsSpec extends SparkSpec {
       maxDf = 10).count() == 0L)
   }
 
+  test("substrRuns: the pair-mass budget refuses a blowup BEFORE the join; raising it is deliberate") {
+    import spark.implicits._
+    // the round-16 ×100 OOM made enforceable: 30 copies of one passage
+    // at maxDf=100 (above the 30-way multiplicity) is exactly the
+    // maxDf-at-duplication shape — the pre-flight mass read must REFUSE
+    // under a small budget, naming the measured mass, without ever
+    // paying for the pair join
+    val passage = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val boiler = (1 to 30).map(i =>
+      (100L + i, s"page $i says " + passage)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextOps.substrRuns(boiler, "text", w = 5, minRun = 20,
+        pairBudget = 100L).count()
+    }
+    assert(e.getMessage.contains("pair join"), e.getMessage)
+    assert(e.getMessage.contains("maxDf"), e.getMessage)
+    // 20 windows/passage shared by 30 docs -> 20 * C(30,2) = 8700 pairs
+    // (plus the "says <passage-prefix>" bridging windows)
+    assert("\\d{3,}".r.findFirstIn(e.getMessage).isDefined,
+      s"measured mass missing from: ${e.getMessage}")
+    // override path: a budget that covers the mass mines as before...
+    assert(graft.text.TextOps.substrRuns(boiler, "text", w = 5,
+      minRun = 20, pairBudget = 100000L).count() == 435L) // C(30,2) pairs
+    // ...and the hub cap composes with the budget: capping maxDf below
+    // the multiplicity drops the mass so even the tiny budget passes
+    assert(graft.text.TextOps.substrRuns(boiler, "text", w = 5,
+      minRun = 20, maxDf = 10, pairBudget = 100L).count() == 0L)
+    // substrScrub threads the budget through to the miner
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.substrScrub(boiler, "text", w = 5, minRun = 20,
+        pairBudget = 100L).count()
+    }
+  }
+
   test("substrStats: pair-join mass matches the closed form and the miner's actual join input") {
     import spark.implicits._
     // doc1 repeats its 5-token window once (c=2), doc2 and doc3 hold it
@@ -340,6 +374,68 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
     // ranking sanity: the rare-token doc scores strictly lower
     assert(out(4L)._3 < out(1L)._3)
+  }
+
+  test("bigramLogProb: micro-nat sums match a driver-side recompute; word salad drops below fluent text") {
+    import spark.implicits._
+    // doc2 is doc1's tokens SHUFFLED: identical unigram stats (lmLogProb
+    // scores them equal) but rare bigrams — the bigram LM must separate
+    // them, which is the whole reason this rung exists
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"),
+      (3L, "the cat sat on the mat"),
+      (4L, "solo"), // < 2 tokens -> no bigrams -> drops
+      (5L, "   ")).toDF("doc_id", "text")
+    val corpusBg = Seq(
+      Seq("the cat", "cat sat", "sat on", "on the", "the mat"),
+      Seq("mat the", "the on", "on sat", "sat cat", "cat the"),
+      Seq("the cat", "cat sat", "sat on", "on the", "the mat"))
+    val c = corpusBg.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = corpusBg.flatten.size.toLong
+    val v = c.size.toLong
+    def lpMicro(b: String): Long =
+      math.floor((math.log((c(b) + 1).toDouble) -
+        math.log((n + v).toDouble)) * 1e6).toLong
+    val out = graft.text.TextOps.bigramLogProb(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val d1 = corpusBg.head.map(lpMicro).sum
+    assert(out(1L) == ((5L, d1, d1.toDouble / 5e6)), s"${out(1L)} vs $d1")
+    val d2 = corpusBg(1).map(lpMicro).sum
+    assert(out(2L) == ((5L, d2, d2.toDouble / 5e6)))
+    assert(!out.contains(4L) && !out.contains(5L))
+    // the separation claim: shuffled doc scores strictly lower, while the
+    // unigram LM cannot tell them apart
+    assert(out(2L)._3 < out(1L)._3)
+    val uni = graft.text.TextOps.lmLogProb(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(1L) == uni(2L))
+  }
+
+  test("rrfFuse: integer micro scores, list-membership counting, deterministic ties") {
+    import spark.implicits._
+    // two rankings over one query: candidate 10 is rank 1 in both
+    // (2 * ⌊1e6/61⌋); 20 is rank 2 in A only; 30 is rank 2 in B and
+    // rank 3 in A; 40 is rank 3 in B only. Fused: 10 first, then 30
+    // (two mid ranks beat one rank-2), then 20/40 tie on ⌊1e6/62⌋ +
+    // nothing vs ⌊1e6/63⌋... hand-check below.
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("q_id", "neighbor_id", "rank")
+    val b = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 40L, 3))
+      .toDF("q_id", "neighbor_id", "rank")
+    def m(r: Int): Long = 1000000L / (60L + r)
+    val out = graft.text.Similarity.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getAs[Int]("fused_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_lists"),
+        r.getAs[Long]("rrf_micro"))).sortBy(_._1)
+    val expected = Seq(
+      (10L, 2L, m(1) + m(1)), (30L, 2L, m(3) + m(2)),
+      (20L, 1L, m(2)), (40L, 1L, m(3)))
+      .sortBy { case (id, _, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, nl, s), i) => (i + 1, id, nl, s) }
+    assert(out.toSeq == expected, s"${out.toSeq} vs $expected")
   }
 
   test("ccnetBuckets: terciles match a driver-side recompute; ties stay together; langs independent") {

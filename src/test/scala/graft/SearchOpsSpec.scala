@@ -106,5 +106,20 @@ class SearchOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.mrlRecall(prefix, prefix, 2, Seq.empty)
     }
+    // zero-norm truncated slice: vec 3's 2-dim prefix is all-zero, so its
+    // truncated cosine is NULL (native CosineSim — the pre-round-16 HOF
+    // form returned NaN, which desc-sorts FIRST and would hand the
+    // degenerate neighbor a top-k slot). NULL sorts last: the d=2 top-2
+    // stays {1, 2} and recall holds at 1.0; under the NaN ordering it
+    // would read 0.5.
+    val zeroPrefix = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f)),
+      (1L, Seq(0.9f, 0.1f, 0.5f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val outZ = Similarity.mrlRecall(zeroPrefix,
+      zeroPrefix.filter(col("vec_id") === 0), k = 2, dims = Seq(2))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(outZ(2) == 1.0, outZ.toString)
   }
 }

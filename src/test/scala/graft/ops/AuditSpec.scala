@@ -396,6 +396,16 @@ class AuditSpec extends SparkSpec {
     assert(Audit.dpCounts(rows, Seq("lang"), epsilon = 0.25).count() == 1L)
     assert(Audit.dpAvg(rows, Seq("lang"), col("chars"), clip = 10L,
       epsilon = 2e-6).count() == 1L)
+    // LARGE on-grid epsilons pass too (relative tolerance): this value is
+    // exactly 8582747781260/1e6 as a double, but its *1e6 image rounds
+    // ~9.8e-4 away from the integer — an absolute 1e-9 tolerance
+    // spuriously rejected a legitimately grid-aligned epsilon
+    assert(Audit.dpCounts(rows, Seq("lang"), epsilon = 8582747.78126)
+      .count() == 1L)
+    assert(Audit.dpSum(rows, Seq("lang"), col("chars"), clip = 10L,
+      epsilon = 8582747.78126).count() == 1L)
+    assert(Audit.dpAvg(rows, Seq("lang"), col("chars"), clip = 10L,
+      epsilon = 8582747.78126).count() == 1L)
   }
 
   test("tCloseness: exact-integer total variation matches the hand computation; rational threshold is strict") {
@@ -440,6 +450,26 @@ class AuditSpec extends SparkSpec {
       ("B", Option("x")), ("B", Option("x"))).toDF("cls", "sens")
     val r = Audit.tCloseness(df, Seq(col("cls")), col("sens"),
       tNum = 3L, tDen = 10L).collect().head
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_classes_above_t") == 2L)
+    assert(r.getAs[Long]("n_rows_above_t") == 4L)
+    assert(r.getAs[Double]("max_t_distance") == 0.5)
+  }
+
+  test("tCloseness: a NULL QUASI-ID keys a class, not dropped mass") {
+    import spark.implicits._
+    // groupBy makes a class out of NULL-keyed rows, so the class-size
+    // (ncs) join must be null-safe too — with a plain equi-join the NULL
+    // class silently vanished from n_classes/n_rows (the same failure the
+    // sensitive-value join fix closed). Class NULL: x,x (p={x:1});
+    // class B: y,y (p={y:1}); table p={x:.5,y:.5} -> TV = .5 for both.
+    val df = Seq((Option.empty[String], "x"), (Option.empty[String], "x"),
+      (Option("B"), "y"), (Option("B"), "y"))
+      .toDF("cls", "sens")
+    val r = Audit.tCloseness(df, Seq(col("cls")), col("sens"),
+      tNum = 3L, tDen = 10L).collect().head
+    // with the equi-join bug the NULL class vanished: n_classes read 1
     assert(r.getAs[Long]("n_classes") == 2L)
     assert(r.getAs[Long]("n_rows") == 4L)
     assert(r.getAs[Long]("n_classes_above_t") == 2L)

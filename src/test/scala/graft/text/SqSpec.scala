@@ -129,4 +129,26 @@ class SqSpec extends SparkSpec {
         s"($qid, $n): routed cos $cos differs from the brute metric")
     }
   }
+
+  test("zero-norm reconstruction: NULL cosine ranks LAST, never first") {
+    // the round-16 swap from the HOF cosine to the native CosineSim
+    // changed degenerate-candidate semantics: the HOF form yielded NaN
+    // (which Spark desc-sorts ABOVE all reals — the degenerate neighbor
+    // ranked FIRST), while CosineSim yields NULL (desc-sorts last). This
+    // fixture pins the NULL rung: vec 1 is all-zero, the per-dim mins are
+    // 0, so its SQ8 reconstruction is exactly zero-norm and its cosine is
+    // NULL — it must fill the LAST rank, after every real cosine.
+    val corpus = vecs(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.6f)))
+    val q = vecs((10L, Seq(1.0f, 0.0f)))
+    val byRank = Sq.searchTopK(corpus, q, k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 1L),
+      byRank.mkString("; "))
+    assert(byRank.last.isNullAt(byRank.last.fieldIndex("cos")),
+      "zero-norm candidate must carry a NULL cosine")
+    assert(byRank.head.getAs[Double]("cos") == 1.0)
+  }
 }
