@@ -3167,6 +3167,26 @@ object Catalog {
         graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5, nprobe = 4)
     }),
 
+    // recall@5 of the IVF-routed SQ8 tier vs the exact float baseline
+    // (round 17): op_ann_recall prices routing alone and op_sq_recall
+    // quantization alone — this is what the COMPOSED index costs at
+    // nprobe=4, the number a deployment reads before fixing its probe
+    // budget on the compressed store
+    "op_ivfsq_recall" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .select("q_id", "neighbor_id")
+      graft.text.Sq.searchTopKIvf(emb, qs,
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5, nprobe = 4)
+        .join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(brute.agg(count(lit(1)).as("n_total")))
+        .select(col("n_hit"), col("n_total"),
+          (col("n_hit").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("recall_at_5"))
+    }),
+
     // SQ8 scalar-quantized ANN: per-dim [min,max] trained in-plan, codes
     // are bytes, search is an exact-integer dot product — the x4
     // compression tier beside PQ's x32, near-lossless for real embeddings

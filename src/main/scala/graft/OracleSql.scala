@@ -539,6 +539,48 @@ object OracleSql {
             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j DESC) AS rn
           FROM sims WHERE vec_id % 25 = 0) t WHERE rn <= 4)"""
 
+  /** IVF-routed SQ8 search (mirrors [[graft.text.Sq.searchTopKIvf]] at
+    * c = 16, nprobe = 4 over the %25 query set) — shared by op_ivfsq_ann
+    * and the op_ivfsq_recall composition. */
+  private lazy val ivfSqAnnSql: String = s"""
+      WITH $ivfCtesSql,
+      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      stats AS (
+        SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+          max(CAST(embedding[d] AS DOUBLE)) AS mx
+        FROM embeddings CROSS JOIN dims GROUP BY d),
+      model AS (SELECT list(mn ORDER BY d) AS mins,
+          list(mx ORDER BY d) AS maxs FROM stats),
+      sqv AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                   / (maxs[i] - mins[i]) * CAST(255 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN model),
+      sqr AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            mins[i] + CAST(q[i] AS DOUBLE)
+              * ((maxs[i] - mins[i]) / CAST(255 AS DOUBLE))) AS xr
+        FROM sqv CROSS JOIN model),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      sqscored AS (
+        SELECT c.q_id, c.neighbor_id, ${cosSql("n.xr", "qq.xr")} AS cos
+        FROM cand c
+        JOIN sqr n ON n.vec_id = c.neighbor_id
+        JOIN sqr qq ON qq.vec_id = c.q_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sqscored) r
+      WHERE rank <= 5"""
+
   /** IVF ANN over the fixed-formula centroids (mirrors [[graft.text.Ivf
     * .searchTopK]]) — shared by op_ivf_ann and op_ann_recall. */
   private val annIvfSql: String = s"""
@@ -5551,45 +5593,24 @@ object OracleSql {
     // IVF-routed SQ8 ANN: the ivf assignment/probe CTEs route on RAW
     // vectors (fixed-formula centroids), candidates score on their SQ8
     // reconstructions against the reconstructed query — the sqAnnSql
-    // model/encode/decode chain verbatim, restricted to probed cells.
-    "op_ivfsq_ann" -> s"""
-      WITH $ivfCtesSql,
-      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
-      stats AS (
-        SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
-          max(CAST(embedding[d] AS DOUBLE)) AS mx
-        FROM embeddings CROSS JOIN dims GROUP BY d),
-      model AS (SELECT list(mn ORDER BY d) AS mins,
-          list(mx ORDER BY d) AS maxs FROM stats),
-      sqv AS MATERIALIZED (
-        SELECT vec_id,
-          list_transform(generate_series(1, 64), i ->
-            CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
-                 ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
-                   / (maxs[i] - mins[i]) * CAST(255 AS DOUBLE)
-                   + CAST('0.5' AS DOUBLE)) AS BIGINT) END) AS q
-        FROM embeddings CROSS JOIN model),
-      sqr AS MATERIALIZED (
-        SELECT vec_id,
-          list_transform(generate_series(1, 64), i ->
-            mins[i] + CAST(q[i] AS DOUBLE)
-              * ((maxs[i] - mins[i]) / CAST(255 AS DOUBLE))) AS xr
-        FROM sqv CROSS JOIN model),
-      cand AS (
-        SELECT p.q_id, a.vec_id AS neighbor_id
-        FROM probes p JOIN assigned a
-          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
-      sqscored AS (
-        SELECT c.q_id, c.neighbor_id, ${cosSql("n.xr", "qq.xr")} AS cos
-        FROM cand c
-        JOIN sqr n ON n.vec_id = c.neighbor_id
-        JOIN sqr qq ON qq.vec_id = c.q_id)
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT q_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY q_id
-            ORDER BY cos DESC, neighbor_id) AS rank
-        FROM sqscored) r
-      WHERE rank <= 5""",
+    // model/encode/decode chain verbatim, restricted to probed cells
+    // (shared text: [[ivfSqAnnSql]], composed by op_ivfsq_recall).
+    "op_ivfsq_ann" -> ivfSqAnnSql,
+
+    // Recall@5 of the IVF-routed SQ8 tier vs the exact float baseline —
+    // the nprobe-vs-quality read for the COMPOSED index (op_ann_recall
+    // covers routing alone, op_sq_recall quantization alone; this is
+    // what the two cost together at nprobe = 4).
+    "op_ivfsq_recall" -> s"""
+      WITH brute AS (SELECT q_id, neighbor_id FROM ($annBruteSql)),
+      ivfsq AS (SELECT q_id, neighbor_id FROM ($ivfSqAnnSql)),
+      hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit
+        FROM ivfsq JOIN brute USING (q_id, neighbor_id)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM brute)
+      SELECT h.n_hit, t.n_total,
+        CAST(h.n_hit AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS recall_at_5
+      FROM hits h CROSS JOIN tot t""",
 
     // Matryoshka truncation sweep: per rung d', exact cosine top-5 on the
     // FIRST d' dimensions (list slice), recall vs the full-dim baseline.

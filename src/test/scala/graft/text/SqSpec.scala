@@ -130,6 +130,33 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("full-probe IVF-SQ recall equals brute SQ recall (routing changes candidates, never the metric)") {
+    val df = vecs(
+      (0L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.2f)),
+      (2L, Seq(0.5f, 0.5f, 0.3f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.4f)),
+      (4L, Seq(-0.5f, 0.5f, 0.2f, 0.1f)),
+      (5L, Seq(-0.9f, 0.2f, 0.0f, 0.3f)))
+    val q = df.filter(col("vec_id") % 3 === 0)
+    val ivf = Ivf.fixedModel(c = 2, dim = 4)
+    def recallOf(search: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(df, q, 3)
+        .select("q_id", "neighbor_id")
+      val hit = search.select("q_id", "neighbor_id")
+        .join(brute, Seq("q_id", "neighbor_id")).count()
+      hit.toDouble / brute.count()
+    }
+    val full = recallOf(Sq.searchTopKIvf(df, q, ivf, k = 3, nprobe = 2))
+    val sq = recallOf(Sq.searchTopK(df, q, k = 3))
+    assert(full == sq, s"$full vs $sq")
+    assert(full >= 0.0 && full <= 1.0)
+    // restricting probes can only shrink the candidate set, never the
+    // metric: routed recall is bounded by the full-probe recall
+    val routed = recallOf(Sq.searchTopKIvf(df, q, ivf, k = 3, nprobe = 1))
+    assert(routed <= full, s"$routed > $full")
+  }
+
   test("zero-norm reconstruction: NULL cosine ranks LAST, never first") {
     // the round-16 swap from the HOF cosine to the native CosineSim
     // changed degenerate-candidate semantics: the HOF form yielded NaN
