@@ -2025,6 +2025,17 @@ object Catalog {
       graft.ops.Audit.dpCounts(t(s, dir, "documents"),
         Seq("lang", "source"), epsilon = 1.0)),
 
+    // differentially-private MEDIAN release (round 17): per-lang char-mass
+    // median as POST-PROCESSING of a DP histogram over the declared
+    // [0, 2000] public range — 64 noisy bins (empty bins release too:
+    // absence leaks), quantile = lower edge of the first bin whose noisy
+    // cumulative reaches 1/2 of the noisy total, exact micro-unit integer
+    // compare; suppresses on a non-positive noisy total
+    "op_dp_quantile" -> ((s, dir) =>
+      graft.ops.Audit.dpQuantile(t(s, dir, "documents"), Seq("lang"),
+        col("n_chars"), lo = 0L, hi = 2000L, buckets = 64,
+        phiNum = 1L, phiDen = 2L, epsilon = 1.0)),
+
     // differentially-private SUM release over the same contingency table:
     // per-row char mass clipped to 2000 (the sensitivity bound), then
     // sum + Laplace(clip/eps) from the salted portable-ln exponentials —

@@ -3110,6 +3110,53 @@ object OracleSql {
             AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_count
       FROM e18 a JOIN e28 b USING (lang, source)""",
 
+    // Differentially-private per-lang char-mass MEDIAN (mirrors
+    // Audit.dpQuantile): post-processing of a DP histogram over the
+    // declared [0, 2000] range — 64 bins (width 32), EVERY bin noisy
+    // (empties included), quantile = lower edge of the first bin whose
+    // noisy cumulative (exact micro-unit integers) reaches 1/2 of the
+    // noisy total; non-positive total suppresses to NULL.
+    "op_dp_quantile" -> s"""
+      WITH langs AS (SELECT DISTINCT lang FROM documents),
+      bins AS (SELECT unnest(generate_series(0, 63)) AS bin),
+      cnt AS (
+        SELECT lang,
+          greatest(CAST(0 AS BIGINT), least(CAST(n_chars AS BIGINT),
+            CAST(2000 AS BIGINT))) // 32 AS bin,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      g AS MATERIALIZED (
+        SELECT l.lang, b.bin, coalesce(c.n, CAST(0 AS BIGINT)) AS n,
+          concat_ws(chr(1), l.lang) AS ks
+        FROM langs l CROSS JOIN bins b
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.bin = b.bin),
+      q1src AS (SELECT lang, bin, n,
+        ${md5Long("ks || ':dpq+1000000:' || CAST(bin AS VARCHAR)")} AS h
+        FROM g),
+      ${negLnChain("q1", "q1src", Seq("lang", "bin", "n"), "ex1")},
+      q2src AS (SELECT lang, bin,
+        ${md5Long("ks || ':dpq-1000000:' || CAST(bin AS VARCHAR)")} AS h
+        FROM g),
+      ${negLnChain("q2", "q2src", Seq("lang", "bin"), "ex2")},
+      nm AS (
+        SELECT a.lang, a.bin,
+          a.n * 1000000 + CAST(floor((a.ex1 - b.ex2) / CAST('1.0' AS DOUBLE)
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS m
+        FROM q18 a JOIN q28 b USING (lang, bin)),
+      cq AS (
+        SELECT lang, bin,
+          sum(m) OVER (PARTITION BY lang ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(m) OVER (PARTITION BY lang) AS tot
+        FROM nm),
+      hit AS (SELECT lang, min(bin) AS q_bin FROM cq
+              WHERE tot > 0 AND cum * 2 >= tot * 1 GROUP BY lang),
+      tots AS (SELECT lang, max(tot) AS totm FROM cq GROUP BY lang)
+      SELECT t.lang, CAST(h.q_bin AS BIGINT) AS q_bin,
+        CAST(h.q_bin * 32 AS BIGINT) AS q_value,
+        CAST(t.totm AS DOUBLE) / CAST(1000000 AS DOUBLE) AS noisy_total
+      FROM tots t LEFT JOIN hit h ON t.lang = h.lang""",
+
     // Differentially-private (lang, source) SUM release: per-row n_chars
     // clipped to [0, 2000], Laplace(clip/eps) noise as the difference of
     // two salted-hash exponentials (negLnChain mirrors negLnU op-for-op),

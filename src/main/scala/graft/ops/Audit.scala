@@ -507,6 +507,101 @@ object Audit {
           col("noisy_sum") / col("noisy_count")))
   }
 
+  /** Differentially-private QUANTILE release — POST-PROCESSING of a DP
+    * histogram, the Dwork–Roth post-processing invariance: the histogram
+    * release (noisy count per bin) carries the whole ε, and any function
+    * of it — here the φ-quantile of the noisy CDF — costs NO extra
+    * budget. Values clamp into the DECLARED public range [lo, hi] (the
+    * dpSum clipping precondition — sensitivity must never depend on
+    * data) and bucket into `buckets` equal-width integer bins over that
+    * fixed public domain; EVERY bin releases, empty ones included (a
+    * missing bin would leak emptiness), each with an independent
+    * Laplace(1/ε) draw from the `:dpq±` salt namespace — ε AND the bin
+    * index micro-encoded, so no two bins (and no other mechanism or
+    * epsilon) ever share a draw. The released quantile is the LOWER
+    * EDGE of the first bin whose noisy cumulative mass reaches
+    * φ = phiNum/phiDen of the noisy total — an exact integer compare in
+    * micro-units (`cum·phiDen ≥ tot·phiNum`), no float accumulation, so
+    * the release is bit-identical cross-engine. A non-positive noisy
+    * total suppresses (NULL q_bin/q_value — the dpAvg rule); otherwise
+    * the last bin always satisfies the compare (cum at the last bin IS
+    * the total), so the argmin is total. Key groups are data-dependent
+    * like [[dpCounts]]'s — the release protects counts within declared
+    * groups, documented there. True bin counts never leave.
+    *
+    * Scale: one group-keyed bin count (map-side partials), a per-key
+    * bin-grid explode BOUNDED at `buckets` rows per key, cumulative
+    * windows over ≤ `buckets` rows per partition, one keyed argmin.
+    * Noise is O(1) narrow arithmetic per (key, bin). */
+  def dpQuantile(df: DataFrame, keyCols: Seq[String],
+      value: org.apache.spark.sql.Column, lo: Long, hi: Long,
+      buckets: Int = 64, phiNum: Long = 1L, phiDen: Long = 2L,
+      epsilon: Double = 1.0,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.text.Dedup.portableHash): DataFrame = {
+    require(epsilon > 0, "dpQuantile: epsilon must be positive")
+    require(epsilon >= 1e-6 &&
+      math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
+        1e-9 * math.max(1.0, epsilon * 1e6),
+      "dpQuantile: epsilon must be a multiple of 1e-6 (the salt " +
+        "namespace resolution)")
+    require(lo < hi, "dpQuantile: lo must be below hi")
+    require(buckets >= 1 && buckets <= 4096,
+      "dpQuantile: buckets must be in [1, 4096] (the bounded-grid rule)")
+    require(phiNum >= 1L && phiNum <= phiDen,
+      "dpQuantile: phi must be a rational in (0, 1]")
+    require(keyCols.nonEmpty, "dpQuantile: at least one group column")
+    require(!keyCols.exists(Set("q_bin", "q_value", "noisy_total")),
+      "dpQuantile: q_bin/q_value/noisy_total are reserved output names")
+    val w = (hi - lo + 1L + buckets - 1L) / buckets
+    val epsTag = math.round(epsilon * 1e6).toString
+    val clamped = greatest(lit(lo), least(value.cast(LongType), lit(hi)))
+    // integer `div`, not `/`: the bin id must be exact integer floor
+    // division in both engines at ANY range width
+    val cnt = df.withColumn("_dpq_v", clamped)
+      .withColumn("_bin", expr(s"(_dpq_v - ${lo}L) div ${w}L"))
+      .groupBy((keyCols.map(col) :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_n"))
+    // the FULL public bin grid per key group: empty bins must release
+    // noise too, else absence itself leaks. Groups (and the U+0001 key
+    // string) follow the dpCounts convention — keys are expected
+    // non-null (a NULL key never equi-joins its counts back).
+    val grid = df.select(keyCols.map(col): _*).distinct()
+      .withColumn("_bin",
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    val full = grid.join(cnt, keyCols :+ "_bin", "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*)
+    val binTag = concat(keyStr, lit(":dpq+" + epsTag + ":"),
+      col("_bin").cast("string"))
+    val binTag2 = concat(keyStr, lit(":dpq-" + epsTag + ":"),
+      col("_bin").cast("string"))
+    val e1 = Sampling.negLnU(hashOf(binTag))
+    val e2 = Sampling.negLnU(hashOf(binTag2))
+    val noiseMicro = graft.functions.NoCodegen(
+      floor((e1 - e2) / lit(epsilon) * lit(1000000.0)).cast(LongType))
+    val nm = full.withColumn("_nm",
+      col("_n") * lit(1000000L) + noiseMicro).drop("_n")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = nm
+      .withColumn("_cum", sum("_nm").over(byKey.orderBy("_bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("_tot", sum("_nm").over(byKey))
+    val hit = cum
+      .filter(col("_tot") > 0L &&
+        col("_cum") * lit(phiDen) >= col("_tot") * lit(phiNum))
+      .groupBy(keyCols.map(col): _*).agg(min("_bin").as("q_bin"))
+    cum.groupBy(keyCols.map(col): _*).agg(max("_tot").as("_totm"))
+      .join(hit, keyCols, "left")
+      .select((keyCols.map(col) :+ col("q_bin") :+
+        (lit(lo) + col("q_bin") * lit(w)).as("q_value") :+
+        (col("_totm").cast("double") / lit(1000000.0)).as("noisy_total")): _*)
+  }
+
   /** Train/eval SPLIT-LEAKAGE audit: exact-duplicate content (by the
     * whitespace-normalized [[graft.text.TextOps.fingerprint]]) that the
     * deterministic [[Sampling.assignSplit]] scattered across DIFFERENT

@@ -408,6 +408,83 @@ class AuditSpec extends SparkSpec {
       epsilon = 8582747.78126).count() == 1L)
   }
 
+  test("dpQuantile: noisy-CDF median matches a driver-side recompute; empty bins release too") {
+    val rows = Seq(
+      (1L, "en", 100L), (2L, "en", 900L), (3L, "en", 1500L),
+      (4L, "de", 50L), (5L, "de", 60L)).toDF("id", "lang", "chars")
+    val out = Audit.dpQuantile(rows, Seq("lang"), col("chars"),
+      lo = 0L, hi = 2000L, buckets = 64, phiNum = 1L, phiDen = 2L,
+      epsilon = 1.0).collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3)))).toMap
+    // independent recompute of the whole mechanism: per-bin md5-60 salted
+    // exponential pair (Math.log stands in for negLnU, ~1e-12 agreement),
+    // micro-floored Laplace on EVERY bin of the public grid (including
+    // the ~60 empty ones — their noise moves the CDF), exact integer
+    // cumulative crossing at 1/2 the noisy total
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def negLn(h: Long): Double =
+      -math.log((h + 1).toDouble / math.pow(2.0, 60))
+    def expected(lang: String, counts: Map[Long, Long]): (Long, Long, Double) = {
+      val nm = (0L until 64L).map { b =>
+        val lap = negLn(md5_60(lang + ":dpq+1000000:" + b)) -
+          negLn(md5_60(lang + ":dpq-1000000:" + b))
+        b -> (counts.getOrElse(b, 0L) * 1000000L +
+          math.floor(lap * 1e6).toLong)
+      }
+      val tot = nm.map(_._2).sum
+      var cum = 0L
+      var qb = -1L
+      for ((b, m) <- nm if qb < 0) {
+        cum += m
+        if (tot > 0 && cum * 2 >= tot) qb = b
+      }
+      // qb = -1 models the SUPPRESSED (NULL) release of a non-positive
+      // noisy total — possible at tiny n (64 Laplace(1) draws swing
+      // ~±11 counts), exactly why the operator suppresses
+      (qb, if (qb < 0) -1L else qb * 32L, tot.toDouble / 1e6)
+    }
+    // 100->bin3, 900->bin28, 1500->bin46; 50,60->bin1 (width 32)
+    val en = expected("en", Map(3L -> 1L, 28L -> 1L, 46L -> 1L))
+    val de = expected("de", Map(1L -> 2L))
+    assert(out("en")._1 == en._1 && out("en")._2 == en._2, s"${out("en")} vs $en")
+    assert(out("de")._1 == de._1 && out("de")._2 == de._2, s"${out("de")} vs $de")
+    assert(math.abs(out("en")._3 - en._3) <= 1e-4, s"${out("en")._3} vs ${en._3}")
+    assert(math.abs(out("de")._3 - de._3) <= 1e-4)
+    // when released, the crossing bin sits on the grid
+    assert(out("en")._1 == -1L || (out("en")._1 >= 0L && out("en")._1 <= 63L))
+    // deterministic: a second invocation is bit-identical
+    val again = Audit.dpQuantile(rows, Seq("lang"), col("chars"),
+      lo = 0L, hi = 2000L, buckets = 64, phiNum = 1L, phiDen = 2L,
+      epsilon = 1.0).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+    // guards: off-grid epsilon, reserved names, degenerate range/phi
+    intercept[IllegalArgumentException] {
+      Audit.dpQuantile(rows, Seq("lang"), col("chars"), 0L, 2000L,
+        epsilon = 1e-7)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpQuantile(rows.withColumnRenamed("chars", "q_value"),
+        Seq("lang", "q_value"), col("id"), 0L, 2000L)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpQuantile(rows, Seq("lang"), col("chars"), 5L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.dpQuantile(rows, Seq("lang"), col("chars"), 0L, 2000L,
+        phiNum = 3L, phiDen = 2L)
+    }
+  }
+
   test("tCloseness: exact-integer total variation matches the hand computation; rational threshold is strict") {
     import spark.implicits._
     // class A (4 rows): x,x,x,y -> p_A = {x:.75, y:.25}; class B (2 rows):
