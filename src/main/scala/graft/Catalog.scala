@@ -2981,6 +2981,22 @@ object Catalog {
       Similarity.knnClassify(embCorpus(s, dir),
         graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 5)),
 
+    // retrieval eval (round 17): mean reciprocal rank @10 with label as
+    // the relevance proxy — integer micro-unit reciprocal ranks (misses
+    // count 0 but stay in the denominator), one summary row
+    "op_mrr" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.mrrAtK(emb, emb.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
+    // contrastive-training data (round 17): (anchor, best same-label
+    // positive, hardest different-label negative) triplets with the
+    // pos-neg cosine margin; queries with no same-label partner drop
+    "op_triplet_mine" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.tripletMine(emb, emb.filter(col("vec_id") % 25 === 0))
+    }),
+
     // embedding-distribution drift between the historical corpus and the
     // standing ingest batch: per-cell occupancy shares (ppm) + mean
     // centroid cosine per side — the publish-gate monitoring read; two

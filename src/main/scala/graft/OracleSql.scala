@@ -5564,6 +5564,63 @@ object OracleSql {
 
     "op_ann_topk" -> annBruteSql,
 
+    // Mean reciprocal rank @10 (mirrors Similarity.mrrAtK): exact cosine
+    // top-10, first same-label neighbor's rank -> floor(1e6/rank) integer
+    // micro-units, misses 0 but in the denominator; one int/int division.
+    "op_mrr" -> s"""
+      WITH r AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) rr
+        WHERE rank <= 10),
+      fh AS (
+        SELECT r.q_id, min(r.rank) AS fr
+        FROM r JOIN embeddings n ON n.vec_id = r.neighbor_id
+             JOIN embeddings qq ON qq.vec_id = r.q_id
+        WHERE n.label = qq.label
+        GROUP BY r.q_id),
+      base AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        CAST(sum(coalesce(1000000 // fr, 0)) AS BIGINT) AS sum_rr_micro,
+        CAST(CAST(sum(coalesce(1000000 // fr, 0)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) * 1000000 AS DOUBLE) AS mrr
+      FROM base LEFT JOIN fh USING (q_id)""",
+
+    // Triplet mining (mirrors Similarity.tripletMine): per query the
+    // best SAME-label positive and the hardest DIFFERENT-label negative
+    // by exact cosine (id tie-breaks), margin = pos_cos - neg_cos.
+    "op_triplet_mine" -> s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id % 25 = 0),
+      sc AS MATERIALIZED (
+        SELECT q.q_id, q.q_label, e.label, e.vec_id AS neighbor_id,
+          ${cosSql("e.embedding", "q.q_emb")} AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      pos AS (SELECT q_id, neighbor_id AS pos_id, cos AS pos_cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sc WHERE label = q_label) p WHERE rn = 1),
+      neg AS (SELECT q_id, neighbor_id AS neg_id, cos AS neg_cos FROM (
+        SELECT q_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sc WHERE label <> q_label) n WHERE rn = 1)
+      SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+        p.pos_cos - n.neg_cos AS margin
+      FROM pos p JOIN neg n USING (q_id)""",
+
     // Hard-negative mining (mirrors Similarity.hardNegatives): exact
     // cosine top-5 per query among DIFFERENT-label vectors only.
     "op_hard_negatives" -> """

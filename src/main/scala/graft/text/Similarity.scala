@@ -93,6 +93,77 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Mean reciprocal rank @ k — the standard retrieval-eval read over a
+    * labeled corpus (label == relevance proxy, the op_knn_classify
+    * convention): per query, the exact cosine top-k is scanned for the
+    * FIRST same-label neighbor, contributing ⌊10⁶ / first_rank⌋ INTEGER
+    * MICRO-UNITS (misses contribute 0, queries still count — the
+    * published MRR definition), so the corpus-wide sum is an exact
+    * integer and `mrr` is ONE int/int division — engine-exact where a
+    * float mean would hinge on sum order. One summary row:
+    * (n_queries, n_hit, sum_rr_micro, mrr).
+    *
+    * Scale: the [[bruteForceTopK]] exact-baseline shape (queries
+    * broadcast, bounded-heap per-query top-k) plus a label join bounded
+    * by queries × k rows and a 1-row finish; at index scale the same
+    * label-scan composes with the routed tiers' outputs unchanged. */
+  def mrrAtK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "mrrAtK: k must be positive")
+    val ranked = bruteForceTopK(corpus, queries, k)
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("_nl"))
+    val qlab = queries.select(col("vec_id").as("q_id"),
+      col("label").as("_ql"))
+    val firstHit = ranked.join(labels, "neighbor_id").join(qlab, "q_id")
+      .filter(col("_nl") === col("_ql"))
+      .groupBy("q_id").agg(min("rank").as("_fr"))
+    qlab.join(firstHit, Seq("q_id"), "left")
+      .select(coalesce(expr("CAST(1000000 AS BIGINT) div CAST(_fr AS BIGINT)"),
+        lit(0L)).as("_rr"), col("_fr"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_fr").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum("_rr").as("sum_rr_micro"))
+      .withColumn("mrr", col("sum_rr_micro").cast(DoubleType) /
+        (col("n_queries") * lit(1000000L)).cast(DoubleType))
+  }
+
+  /** Triplet mining for contrastive training — (anchor, positive,
+    * hardest negative) rows, the data a metric-learning fine-tune
+    * consumes: per query, positive = the most-similar SAME-label corpus
+    * vector (excluding self), negative = the most-similar
+    * DIFFERENT-label vector (the [[hardNegatives]] near-miss), both by
+    * exact cosine with id tie-breaks; `margin = pos_cos − neg_cos` (a
+    * difference of two bit-stable doubles — negative margin rows are the
+    * triplets the model learns most from). Queries with no same-label
+    * partner in the corpus drop (no positive exists — an inner join, not
+    * a NULL row).
+    *
+    * Scale: ONE broadcast-query scored scan feeds both sides (the
+    * label predicate splits it in-plan); two bounded-heap top-1s and a
+    * queries-sized join — never a corpus sort. */
+  def tripletMine(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    def top1(side: DataFrame, idName: String, cosName: String): DataFrame =
+      graft.ops.TopK.perKey(side, Seq("q_id"),
+        struct(col("cos"), -col("neighbor_id")), 1)
+        .select(col("q_id"), col("neighbor_id").as(idName),
+          col("cos").as(cosName))
+    val pos = top1(scored.filter(col("label") === col("q_label")),
+      "pos_id", "pos_cos")
+    val neg = top1(scored.filter(col("label") =!= col("q_label")),
+      "neg_id", "neg_cos")
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
     * parity of a splitmix-style integer mix — data-independent, seedable,
     * and exactly reproducible in ANSI SQL (the DuckDB oracle mirrors it). */

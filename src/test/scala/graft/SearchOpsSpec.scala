@@ -122,4 +122,51 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(outZ(2) == 1.0, outZ.toString)
   }
+
+  private def labeledEmb = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.95f, 0.05f), 2),
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+  }
+
+  test("mrrAtK: first same-label rank in micro-units; misses stay in the denominator") {
+    import graft.text.Similarity
+    val emb = labeledEmb
+    // query 0 (label 1): rank-1 neighbor is the hard negative (vec 1,
+    // label 2), the first SAME-label hit is vec 2 at rank 2 -> 500000
+    // micro; query 3 (label 3) has no same-label partner -> 0 micro but
+    // still a query (the published MRR denominator rule)
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val r = Similarity.mrrAtK(emb, q, 10).collect().head
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Long]("sum_rr_micro") == 500000L)
+    assert(r.getAs[Double]("mrr") == 0.25)
+    // k below the hit rank turns it into a miss
+    val r1 = Similarity.mrrAtK(emb, q, 1).collect().head
+    assert(r1.getAs[Long]("n_hit") == 0L)
+    assert(r1.getAs[Long]("sum_rr_micro") == 0L)
+  }
+
+  test("tripletMine: best positive, hardest negative, margin; no-positive queries drop") {
+    import graft.text.Similarity
+    val emb = labeledEmb
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val out = Similarity.tripletMine(emb, q).collect()
+    // query 3 (no same-label partner) drops; query 0 pairs its only
+    // same-label vector with the nearest different-label one
+    assert(out.length == 1, out.mkString("; "))
+    val t = out.head
+    assert(t.getAs[Long]("q_id") == 0L)
+    assert(t.getAs[Long]("pos_id") == 2L)
+    assert(t.getAs[Long]("neg_id") == 1L)
+    // the hard negative sits CLOSER than the positive here -> negative
+    // margin, exactly the triplet a contrastive fine-tune learns from
+    assert(t.getAs[Double]("margin") < 0.0)
+    assert(t.getAs[Double]("margin") ==
+      t.getAs[Double]("pos_cos") - t.getAs[Double]("neg_cos"))
+  }
 }
