@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   * noise-robust estimator for that steady state. warm_sec covers session
   * init + the one-time persist of the shared lineages (runner caching
   * policy, SURVEY §9) and is reported separately, not counted in `value`.
+  *
+  * Execution convention (round 17, `"exec":"plan"` in the sidecar): each
+  * query runs via `queryExecution.toRdd.count()` — its OWN physical plan
+  * — because `Dataset.count()` re-optimizes and can prune expensive
+  * subtrees whose row count is statically derivable (op_mrr's brute scan
+  * vanished under a unique-key left-join elimination; 36 queries showed
+  * count-pruned leaves in the CountAudit sweep). Pre-r17 trend entries
+  * for that set under-measured; the sidecar field marks the boundary.
   */
 object Bench {
   /** Short metric-line aliases for the longest query keys, applied AFTER
@@ -287,7 +295,7 @@ object Bench {
     // contention from the committed file without judge forensics
     val cont = warmSec > contendedWarmSec
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""agg":"$agg","warm_sec":${f3(warmSec)},"contended":$cont,""" +
+      s""""exec":"plan","agg":"$agg","warm_sec":${f3(warmSec)},"contended":$cont,""" +
       s""""pass1_total":${f3(p1Total)},""" +
       s"""$cov"failed":$failedJson,"sf":"$sfDir",""" +
       s""""queries":${fullJson(results)},"pass1":${fullJson(p1)}}"""
@@ -419,11 +427,23 @@ object Bench {
     } catch { case _: Throwable => }
     val warmSec = (System.nanoTime() - w0) / 1e9
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Execute each query's OWN physical plan (toRdd), NOT Dataset.count():
+    // round-17 finding — Catalyst re-optimizes the count() plan and can
+    // prune expensive subtrees whose row count is statically derivable
+    // (unique-key left-join elimination made op_mrr's brute scan vanish:
+    // 0.4 s measured for a 60+ s plan at ×100; a CountAudit sweep found
+    // 36 queries with count-pruned leaves). toRdd runs the declared plan
+    // as planned — what the bench claims to measure. Convention change
+    // marked "exec":"plan" in the sidecar; pre-r17 per-query trends for
+    // the pruned set under-measured.
+    def runPlan(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name; -1L }
+        try { runPlan(fn(spark, sfDir)) }
+        catch { case _: Throwable => failed += name }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
@@ -452,7 +472,7 @@ object Bench {
       .flatMap { name =>
         val t0 = System.nanoTime()
         try {
-          qmap(name)(spark, sfDir).count()
+          runPlan(qmap(name)(spark, sfDir))
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => failed += name; None }
       }.toMap

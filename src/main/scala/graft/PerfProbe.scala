@@ -22,10 +22,17 @@ object PerfProbe {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       println(f"PROBE warm-frame$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    // Default = the round-17 Bench convention: execute the query's OWN
+    // physical plan via toRdd (Dataset.count() re-optimizes and can prune
+    // expensive subtrees whose row count is statically derivable — the
+    // op_mrr finding). SPARK_GRAFT_PROBE_EXEC=count restores the legacy
+    // count() timing for comparisons against pre-r17 probe rows.
+    val viaRdd = !sys.env.get("SPARK_GRAFT_PROBE_EXEC").contains("count")
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val n = if (viaRdd) df.queryExecution.toRdd.count() else df.count()
         println(f"PROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       }
     }

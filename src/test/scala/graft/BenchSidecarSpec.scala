@@ -27,6 +27,9 @@ class BenchSidecarSpec extends AnyFunSuite {
     assert(side.contains("\"pass1\":{\"op_ann_topk\":0.750"))
     assert(side.contains("\"failed\":[\"op_bad\"]"))
     assert(side.contains("\"warm_sec\":3.500"))
+    // round-17 execution-convention marker: timings run each query's own
+    // physical plan (toRdd), not the re-optimized (prunable) count() plan
+    assert(side.contains("\"exec\":\"plan\""))
   }
 
   test("sidecar is valid JSON-shaped (balanced braces, sorted keys)") {
