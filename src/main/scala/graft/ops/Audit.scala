@@ -591,12 +591,16 @@ object Audit {
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
           .currentRow)))
       .withColumn("_tot", sum("_nm").over(byKey))
-    val hit = cum
-      .filter(col("_tot") > 0L &&
-        col("_cum") * lit(phiDen) >= col("_tot") * lit(phiNum))
-      .groupBy(keyCols.map(col): _*).agg(min("_bin").as("q_bin"))
-    cum.groupBy(keyCols.map(col): _*).agg(max("_tot").as("_totm"))
-      .join(hit, keyCols, "left")
+    // ONE aggregate pass over the windowed frame: min(when(...)) ignores
+    // non-qualifying rows, so the crossing bin AND the total come out
+    // together — the hit/totals-join formulation computed the whole
+    // noisy-CDF subtree twice (plan-audited, round 17). NULL q_bin (no
+    // qualifying bin == non-positive total) IS the suppression.
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(max("_tot").as("_totm"),
+        min(when(col("_tot") > 0L &&
+          col("_cum") * lit(phiDen) >= col("_tot") * lit(phiNum),
+          col("_bin"))).as("q_bin"))
       .select((keyCols.map(col) :+ col("q_bin") :+
         (lit(lo) + col("q_bin") * lit(w)).as("q_value") :+
         (col("_totm").cast("double") / lit(1000000.0)).as("noisy_total")): _*)
