@@ -754,6 +754,9 @@ object Catalog {
     // round 17: the dedup-SURVIVOR read (min-id winner per fingerprint,
     // uniques ride through) — the missing deliverable rung of the family
     "op_sql_survivors" -> sqlQuery("op_sql_survivors"),
+    // round 17: rank-based per-lang lower median — no shared percentile
+    // builtin, but row_number + floor((n+1)/2) is common-subset
+    "op_sql_median" -> sqlQuery("op_sql_median"),
 
     "op_filter_project" -> ((s, dir) => t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
@@ -2987,6 +2990,14 @@ object Catalog {
     "op_mrr" -> ((s, dir) => {
       val emb = embCorpus(s, dir)
       Similarity.mrrAtK(emb, emb.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
+    // retrieval eval (round 17): binary-relevance NDCG@10 — the
+    // position-discounted sibling of op_mrr; per-query dcg/idcg as exact
+    // micro-integer sums of floor(1e6*ln2/ln(1+rank)), ndcg one division
+    "op_ndcg" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.ndcgAtK(emb, emb.filter(col("vec_id") % 25 === 0), 10)
     }),
 
     // contrastive-training data (round 17): (anchor, best same-label

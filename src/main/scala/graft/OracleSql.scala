@@ -1040,6 +1040,21 @@ object OracleSql {
       SELECT f.doc_id, f.fp, w.n_dups
       FROM fp f JOIN w ON f.fp = w.fp AND f.doc_id = w.survivor_id""",
 
+    // Per-language length median (round 17): the rank-based lower median
+    // in the common subset — no percentile/median builtin is shared, but
+    // row_number + a floor((n+1)/2) pick is. INT/INT `/` returns DOUBLE
+    // in BOTH dialects, so the floor sees the same value; ties broken by
+    // doc_id so the picked ROW (not just the value) is deterministic.
+    "op_sql_median" -> """
+      WITH d AS (
+        SELECT lang, CAST(length(text) AS BIGINT) AS len,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY length(text), doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, CAST(n AS BIGINT) AS n_docs, len AS median_len
+      FROM d WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)""",
+
     "op_sql_cross_source_dup" -> """
       WITH corpus AS (
         SELECT doc_id, text, source FROM documents
@@ -5595,6 +5610,58 @@ object OracleSql {
         CAST(CAST(sum(coalesce(1000000 // fr, 0)) AS BIGINT) AS DOUBLE)
           / CAST(count(*) * 1000000 AS DOUBLE) AS mrr
       FROM base LEFT JOIN fh USING (q_id)""",
+
+    // Binary-relevance NDCG@10 (mirrors Similarity.ndcgAtK): per-rank
+    // gain = floor(1e6*ln2/ln(1+rank)) with ln the portable chain (ln 2
+    // is the chain's own p=1 constant, written literally); dcg over the
+    // relevant ranks of the exact top-10, idcg over ranks 1..min(R,10)
+    // with R = same-label population minus self; ndcg one division,
+    // NULL when no relevant neighbor exists.
+    "op_ndcg" -> s"""
+      WITH ranks AS (SELECT unnest(generate_series(1, 10)) AS r),
+      rsrc AS (SELECT r, r + 1 AS m FROM ranks),
+      ${lnChain("ngl", "rsrc", Seq("r"), "lnr")},
+      g AS (SELECT r, CAST(floor(CAST(1000000 AS DOUBLE)
+          * CAST('0.6931471805599453' AS DOUBLE) / lnr) AS BIGINT) AS gm
+        FROM ngl7),
+      ranked AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) rr
+        WHERE rank <= 10),
+      ql AS (SELECT vec_id AS q_id, label AS qlb FROM embeddings
+             WHERE vec_id % 25 = 0),
+      dcg AS (
+        SELECT rk.q_id, CAST(count(*) AS BIGINT) AS n_rel_at_k,
+          CAST(sum(g.gm) AS BIGINT) AS dcg_micro
+        FROM ranked rk JOIN embeddings n ON n.vec_id = rk.neighbor_id
+          JOIN ql ON ql.q_id = rk.q_id
+          JOIN g ON g.r = rk.rank
+        WHERE n.label = ql.qlb GROUP BY rk.q_id),
+      hist AS (SELECT label, CAST(count(*) AS BIGINT) AS cl
+               FROM embeddings GROUP BY label),
+      ideal AS (
+        SELECT q.q_id, CAST(sum(g.gm) AS BIGINT) AS idcg_micro
+        FROM ql q JOIN hist h ON h.label = q.qlb
+          JOIN g ON g.r <= least(h.cl - 1, 10)
+        GROUP BY q.q_id)
+      SELECT q.q_id,
+        coalesce(d.n_rel_at_k, CAST(0 AS BIGINT)) AS n_rel_at_k,
+        coalesce(d.dcg_micro, CAST(0 AS BIGINT)) AS dcg_micro,
+        coalesce(i.idcg_micro, CAST(0 AS BIGINT)) AS idcg_micro,
+        CASE WHEN coalesce(i.idcg_micro, CAST(0 AS BIGINT)) > 0
+          THEN CAST(coalesce(d.dcg_micro, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(i.idcg_micro AS DOUBLE) END AS ndcg
+      FROM ql q LEFT JOIN ideal i ON i.q_id = q.q_id
+        LEFT JOIN dcg d ON d.q_id = q.q_id""",
 
     // Triplet mining (mirrors Similarity.tripletMine): per query the
     // best SAME-label positive and the hardest DIFFERENT-label negative

@@ -127,6 +127,57 @@ object Similarity {
         (col("n_queries") * lit(1000000L)).cast(DoubleType))
   }
 
+  /** NDCG@k with binary relevance (same label — the [[mrrAtK]]
+    * convention), the position-discounted sibling MRR stops short of:
+    * per query, DCG = Σ over relevant ranks of 1/log₂(1+rank) and
+    * IDCG = the same sum over ranks 1..min(R, k) with R = the query's
+    * same-label corpus population minus itself (queries are corpus
+    * members, the catalog convention), so `ndcg = dcg/idcg ∈ [0, 1]`
+    * measures how close the ranking is to front-loading every relevant
+    * neighbor it COULD have. Each gain is quantized to INTEGER
+    * micro-units — `⌊10⁶·ln2 / ln(1+rank)⌋` with both logs the portable
+    * series on exact integers (ln 2 IS the series' own p=1 constant) —
+    * so dcg/idcg sums are exact integers and `ndcg` one division:
+    * engine-exact. Queries with R = 0 release NULL ndcg (no relevant
+    * neighbor exists — undefined, not zero).
+    *
+    * Scale: the [[bruteForceTopK]] exact-baseline scan + a queries×k
+    * label join, a broadcast label histogram, and a per-query ideal
+    * explode bounded at k rows — nothing corpus-sized past the scan. */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK: k must be positive")
+    val ln2 = lit(0.6931471805599453)
+    def gainMicro(r: org.apache.spark.sql.Column) =
+      floor(lit(1000000.0) * ln2 /
+        graft.ops.Sampling.portableLn(r.cast(LongType) + lit(1L)))
+        .cast(LongType)
+    val ranked = bruteForceTopK(corpus, queries, k)
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("_nl"))
+    val qlab = queries.select(col("vec_id").as("q_id"),
+      col("label").as("_ql"))
+    val dcg = ranked.join(labels, "neighbor_id").join(qlab, "q_id")
+      .filter(col("_nl") === col("_ql"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_rel_at_k"),
+        sum(gainMicro(col("rank"))).as("dcg_micro"))
+    val hist = corpus.groupBy(col("label").as("_ql"))
+      .agg(count(lit(1)).as("_cl"))
+    val ideal = qlab.join(broadcast(hist), "_ql")
+      .withColumn("_r", least(col("_cl") - lit(1L), lit(k.toLong)))
+      .filter(col("_r") >= 1L)
+      .withColumn("_i", explode(sequence(lit(1L), col("_r"))))
+      .groupBy("q_id").agg(sum(gainMicro(col("_i"))).as("idcg_micro"))
+    qlab.join(ideal, Seq("q_id"), "left").join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
+          coalesce(col("dcg_micro"), lit(0L)).cast(DoubleType) /
+            col("idcg_micro").cast(DoubleType)).as("ndcg"))
+  }
+
   /** Triplet mining for contrastive training — (anchor, positive,
     * hardest negative) rows, the data a metric-learning fine-tune
     * consumes: per query, positive = the most-similar SAME-label corpus

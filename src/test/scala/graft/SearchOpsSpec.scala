@@ -151,6 +151,28 @@ class SearchOpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("sum_rr_micro") == 0L)
   }
 
+  test("ndcgAtK: discounted gains in exact micro-units; R=0 queries release NULL ndcg") {
+    import graft.text.Similarity
+    val emb = labeledEmb
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val out = Similarity.ndcgAtK(emb, q, 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // query 0 (label 1): rank 1 is the hard negative, the one relevant
+    // neighbor (vec 2) sits at rank 2 -> dcg = floor(1e6*ln2/ln3) =
+    // 630929; R = 1 so idcg = gain(1) = 1e6 exactly (ln2/ln2)
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_rel_at_k") == 1L)
+    assert(r0.getAs[Long]("dcg_micro") == 630929L)
+    assert(r0.getAs[Long]("idcg_micro") == 1000000L)
+    assert(r0.getAs[Double]("ndcg") == 630929.0 / 1000000.0)
+    // query 3 (label 3, no same-label partner): R = 0 -> ndcg is NULL
+    // (undefined), never 0.0 (which would mean "ranked them all last")
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_rel_at_k") == 0L)
+    assert(r3.getAs[Long]("idcg_micro") == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("ndcg")))
+  }
+
   test("tripletMine: best positive, hardest negative, margin; no-positive queries drop") {
     import graft.text.Similarity
     val emb = labeledEmb

@@ -19,8 +19,8 @@ class SqlSurfaceSpec extends SparkSpec {
     Catalog.queries.keys.filter(_.startsWith("op_sql_")).toSeq.sorted
 
   test("family size and oracle wiring: every op_sql_* key has a verbatim oracle text") {
-    // surface + 10 (round 16) + survivors (round 17)
-    assert(sqlKeys.size == 12, sqlKeys.mkString(", "))
+    // surface + 10 (round 16) + survivors + median (round 17)
+    assert(sqlKeys.size == 13, sqlKeys.mkString(", "))
     sqlKeys.foreach { k =>
       assert(OracleSql.all.contains(k), s"$k has no oracle text")
     }
