@@ -450,10 +450,11 @@ object Bench {
     // Second pass under a TIME BUDGET instead of the round-13 all-or-
     // nothing 420 s guard (which produced a pass1_only artifact on the
     // driver's contended box — no per-query two-pass data at all): pass 2
-    // visits queries cheapest-pass-1-first and stops STARTING new ones
-    // once its budget is spent, so even a slow first pass still yields
-    // warm min-of-2 data for the bulk of the catalog (the cheap queries
-    // are near-free warm; the expensive tail is what any budget cuts).
+    // visits queries slowest-pass-1-first (see [[pass2Order]] — the
+    // expensive tail is exactly where a cold-JIT pass-1 reading is least
+    // trustworthy, so warm those first) and stops STARTING new ones
+    // once its budget is spent; what any budget cuts is the cheap tail,
+    // whose pass-1 readings were near-asymptotic anyway.
     // Budget = what the old guard left (420 s minus warm+pass1), floored
     // at 120 s so a contended box ALWAYS attempts the warm subset. An
     // idle box exports SPARK_GRAFT_P2_BUDGET=full for a complete

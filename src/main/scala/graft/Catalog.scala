@@ -3000,6 +3000,17 @@ object Catalog {
       Similarity.ndcgAtK(emb, emb.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // routed retrieval eval (round 18): MRR@10 from the IVF-routed tier
+    // beside the exact baseline in ONE plan, with exact-integer
+    // agreement metrics (n_rr_agree, mrr_gap_micro) gating the cheap
+    // tier — the scalable form of op_mrr (whose brute scan is the 52 s
+    // ×100 cost; the routed side pays only probed cells)
+    "op_mrr_ivf" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.mrrRouted(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 10, nprobe = 4)
+    }),
+
     // contrastive-training data (round 17): (anchor, best same-label
     // positive, hardest different-label negative) triplets with the
     // pos-neg cosine margin; queries with no same-label partner drop

@@ -1045,13 +1045,19 @@ object OracleSql {
     // row_number + a floor((n+1)/2) pick is. INT/INT `/` returns DOUBLE
     // in BOTH dialects, so the floor sees the same value; ties broken by
     // doc_id so the picked ROW (not just the value) is deterministic.
+    // `WHERE text IS NOT NULL` (round 18): length(NULL) sorts NULLs
+    // FIRST in Spark ASC but LAST in DuckDB, so a NULL text row would
+    // shift every rn and pick different median rows per engine —
+    // exclude them so the shared-subset query is NULL-ordering-free
+    // (same discipline as op_ks_drift's oracle).
     "op_sql_median" -> """
       WITH d AS (
         SELECT lang, CAST(length(text) AS BIGINT) AS len,
           row_number() OVER (PARTITION BY lang
             ORDER BY length(text), doc_id) AS rn,
           count(*) OVER (PARTITION BY lang) AS n
-        FROM documents)
+        FROM documents
+        WHERE text IS NOT NULL)
       SELECT lang, CAST(n AS BIGINT) AS n_docs, len AS median_len
       FROM d WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)""",
 
@@ -5610,6 +5616,68 @@ object OracleSql {
         CAST(CAST(sum(coalesce(1000000 // fr, 0)) AS BIGINT) AS DOUBLE)
           / CAST(count(*) * 1000000 AS DOUBLE) AS mrr
       FROM base LEFT JOIN fh USING (q_id)""",
+
+    // Routed MRR@10 beside the exact baseline (mirrors
+    // Similarity.mrrRouted at c=16, nprobe=4): both first-hit ranks ->
+    // integer micro reciprocal ranks; agreement count and gap are exact
+    // integers, the two mrr values one division each.
+    "op_mrr_ivf" -> s"""
+      WITH $ivfCtesSql,
+      bru AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) rr
+        WHERE rank <= 10),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      rts AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT c.q_id, c.neighbor_id,
+            row_number() OVER (PARTITION BY c.q_id
+              ORDER BY ${cosSql("e2.embedding", "e1.embedding")} DESC,
+                c.neighbor_id) AS rank
+          FROM cand c
+          JOIN embeddings e1 ON e1.vec_id = c.q_id
+          JOIN embeddings e2 ON e2.vec_id = c.neighbor_id) r
+        WHERE rank <= 10),
+      fhe AS (
+        SELECT r.q_id, min(r.rank) AS fe
+        FROM bru r JOIN embeddings n ON n.vec_id = r.neighbor_id
+             JOIN embeddings qq ON qq.vec_id = r.q_id
+        WHERE n.label = qq.label GROUP BY r.q_id),
+      fhi AS (
+        SELECT r.q_id, min(r.rank) AS fi
+        FROM rts r JOIN embeddings n ON n.vec_id = r.neighbor_id
+             JOIN embeddings qq ON qq.vec_id = r.q_id
+        WHERE n.label = qq.label GROUP BY r.q_id),
+      base AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(CASE WHEN fe IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit_exact,
+        CAST(sum(CASE WHEN fi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit_ivf,
+        CAST(sum(coalesce(1000000 // fe, 0)) AS BIGINT) AS sum_rr_micro_exact,
+        CAST(sum(coalesce(1000000 // fi, 0)) AS BIGINT) AS sum_rr_micro_ivf,
+        CAST(sum(CASE WHEN coalesce(1000000 // fe, 0)
+              = coalesce(1000000 // fi, 0) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rr_agree,
+        CAST(sum(coalesce(1000000 // fe, 0))
+          - sum(coalesce(1000000 // fi, 0)) AS BIGINT) AS mrr_gap_micro,
+        CAST(CAST(sum(coalesce(1000000 // fe, 0)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) * 1000000 AS DOUBLE) AS mrr_exact,
+        CAST(CAST(sum(coalesce(1000000 // fi, 0)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) * 1000000 AS DOUBLE) AS mrr_ivf
+      FROM base LEFT JOIN fhe USING (q_id) LEFT JOIN fhi USING (q_id)""",
 
     // Binary-relevance NDCG@10 (mirrors Similarity.ndcgAtK): per-rank
     // gain = floor(1e6*ln2/ln(1+rank)) with ln the portable chain (ln 2

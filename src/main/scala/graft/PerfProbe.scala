@@ -28,7 +28,11 @@ object PerfProbe {
     // op_mrr finding). SPARK_GRAFT_PROBE_EXEC=count restores the legacy
     // count() timing for comparisons against pre-r17 probe rows.
     val viaRdd = !sys.env.get("SPARK_GRAFT_PROBE_EXEC").contains("count")
+    val dumpPlan = sys.env.contains("SPARK_GRAFT_PROBE_PLAN")
     args.foreach { name =>
+      if (dumpPlan)
+        println(s"PLAN $name\n" +
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)

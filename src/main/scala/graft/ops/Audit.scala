@@ -371,13 +371,16 @@ object Audit {
     require(epsilon > 0, "dpCounts: epsilon must be positive")
     // the salt namespace has 1e-6 resolution: two epsilons rounding to
     // the same micro tag would SHARE a draw, re-enabling the exact
-    // cross-epsilon composition attack — so epsilon must sit ON the grid
-    // RELATIVE tolerance: epsilon*1e6 carries its own double rounding,
-    // which for large on-grid epsilons (>~1e3) can exceed an absolute
-    // 1e-9 and spuriously reject a grid-aligned value
+    // cross-epsilon composition attack — so epsilon must sit ON the grid.
+    // Tolerance = representation error, not relative error: epsilon*1e6
+    // carries at most a few ulps of double rounding, so 4*ulp admits any
+    // genuinely grid-aligned value (incl. large ones where an absolute
+    // 1e-9 would spuriously reject) WITHOUT going vacuous — a plain
+    // relative 1e-9 grows past one whole micro-unit at eps >= ~1e3,
+    // at which point every off-grid epsilon would pass (round-17 advice)
     require(epsilon >= 1e-6 &&
       math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
-        1e-9 * math.max(1.0, epsilon * 1e6),
+        math.max(1e-9, 4 * Math.ulp(epsilon * 1e6)),
       "dpCounts: epsilon must be a multiple of 1e-6 (the salt namespace " +
         "resolution — off-grid epsilons could collide into one namespace)")
     require(keyCols.nonEmpty, "dpCounts: at least one group column")
@@ -435,7 +438,7 @@ object Audit {
     // relative tolerance, same reasoning as dpCounts' guard
     require(epsilon >= 1e-6 &&
       math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
-        1e-9 * math.max(1.0, epsilon * 1e6),
+        math.max(1e-9, 4 * Math.ulp(epsilon * 1e6)),
       "dpSum: epsilon must be a multiple of 1e-6 (the salt namespace " +
         "resolution — off-grid epsilons could collide into one namespace)")
     require(clip > 0, "dpSum: clip must be positive")
@@ -542,7 +545,7 @@ object Audit {
     require(epsilon > 0, "dpQuantile: epsilon must be positive")
     require(epsilon >= 1e-6 &&
       math.abs(epsilon * 1e6 - math.round(epsilon * 1e6)) <
-        1e-9 * math.max(1.0, epsilon * 1e6),
+        math.max(1e-9, 4 * Math.ulp(epsilon * 1e6)),
       "dpQuantile: epsilon must be a multiple of 1e-6 (the salt " +
         "namespace resolution)")
     require(lo < hi, "dpQuantile: lo must be below hi")

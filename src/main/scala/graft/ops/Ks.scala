@@ -34,28 +34,40 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * would silently turn NULLs into clamp-ceiling mass).
   *
   * Values are CLAMPED into [minValue, maxValue] before counting (the
-  * [[graft.text.TextOps.scoreAuc]] bucket-clamp trade): the cumulative
-  * windows below run single-partition over the DISTINCT-VALUE histogram,
-  * so the clamp is what BOUNDS that histogram by construction —
-  * (max−min+1) rows worst case, independent of corpus size — instead of
-  * trusting the caller's column to be narrow. Out-of-range mass
-  * collapses onto the boundary values, i.e. the statistic computed is
-  * the exact KS of the clamped distributions (tails beyond the range
-  * are compared only in aggregate). The default range covers token
-  * counts / log buckets / byte-KB sizes; widen deliberately, and keep
-  * (maxValue − minValue) small enough that one reducer can window it.
+  * [[graft.text.TextOps.scoreAuc]] bucket-clamp trade): the clamp
+  * BOUNDS the distinct-value histogram by construction — (max−min+1)
+  * rows worst case, independent of corpus size — instead of trusting
+  * the caller's column to be narrow. Out-of-range mass collapses onto
+  * the boundary values, i.e. the statistic computed is the exact KS of
+  * the clamped distributions (tails beyond the range are compared only
+  * in aggregate). The default range covers token counts / log buckets /
+  * byte-KB sizes; widen deliberately.
   *
   * Scale: two value-keyed count aggregates with map-side partials, one
-  * full-outer merge on the value, cumulative windows over the CLAMPED
-  * distinct-value histogram (≤ max−min+1 rows by construction — never
-  * corpus rows), a 1-row finish. */
+  * full-outer merge on the value, then a TWO-PHASE cumulative sum over
+  * the clamped histogram (round 18 — the previous global
+  * `Window.orderBy(_v)` put the whole ≤2^20-row histogram in ONE
+  * WindowExec partition, the exact `No Partition Defined` hazard this
+  * codebase avoids everywhere else): rows bucket by exact integer
+  * value-range arithmetic (`(_v − min) div width` — deterministic, no
+  * RangePartitioner sampling), each bucket cumulates in parallel under
+  * `Window.partitionBy(_pid)`, and the cross-bucket offsets + grand
+  * totals come from ONE broadcast cross-join over the ≤`cumBuckets`-row
+  * per-bucket totals (k² ≤ 1024 cells — driver-free prefix sums). The
+  * bucket totals re-derive the histogram subtree; its aggregate
+  * exchanges are identical so ReuseExchange runs the corpus scans once.
+  * A 1-row finish. */
 object Ks {
 
   def twoSample(a: DataFrame, aVal: Column,
       b: DataFrame, bVal: Column,
-      minValue: Long = 0L, maxValue: Long = (1L << 20) - 1): DataFrame = {
+      minValue: Long = 0L, maxValue: Long = (1L << 20) - 1,
+      cumBuckets: Int = 32): DataFrame = {
     require(minValue < maxValue,
       "Ks.twoSample: minValue must be below maxValue")
+    require(cumBuckets >= 1 && cumBuckets <= 4096,
+      "Ks.twoSample: cumBuckets must be in [1, 4096] (the k² offset " +
+        "cross-join must stay broadcast-tiny)")
     def clamped(c: Column): Column =
       greatest(lit(minValue), least(c.cast(LongType), lit(maxValue)))
     // NULL (or non-castable) observations are EXCLUDED from both samples
@@ -70,18 +82,40 @@ object Ks {
       .filter(col("_raw").isNotNull)
       .select(clamped(col("_raw")).as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_nb"))
+    // bucket id from exact integer arithmetic on the CLAMPED value —
+    // deterministic (no RangePartitioner sample), range-ordered by
+    // construction: bucket p holds strictly smaller values than p+1,
+    // so per-bucket cumsums + an offset of all earlier buckets' mass
+    // compose to the exact global cumulative
+    val width = (maxValue - minValue) / cumBuckets + 1
     val merged = av.join(bv, Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_na"),
         coalesce(col("_nb"), lit(0L)).as("_nb"))
-    val wCum = Window.orderBy("_v")
+      .withColumn("_pid", expr(s"(_v - (${minValue}L)) div ${width}L"))
+    // phase 1: each bucket cumulates independently — a PARTITIONED
+    // window, parallel across cumBuckets tasks, never a global order
+    val wLoc = Window.partitionBy("_pid").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val done = merged
-      .withColumn("_ca", sum("_na").over(wCum))
-      .withColumn("_cb", sum("_nb").over(wCum))
-      .withColumn("_ta", sum("_na").over(wAll))
-      .withColumn("_tb", sum("_nb").over(wAll))
+    val local = merged
+      .withColumn("_la", sum("_na").over(wLoc))
+      .withColumn("_lb", sum("_nb").over(wLoc))
+    // phase 2: per-bucket totals (≤ cumBuckets rows), then every
+    // bucket's exclusive-prefix offset AND the grand totals from one
+    // broadcast cross-join over the k² grid — prefix sums without a
+    // window and without a driver collect (stays fully lazy)
+    val ptot = merged.groupBy("_pid")
+      .agg(sum("_na").as("_pa"), sum("_nb").as("_pb"))
+    val off = ptot.select(col("_pid").as("_opid"))
+      .crossJoin(broadcast(ptot.select(col("_pid").as("_q"),
+        col("_pa").as("_qa"), col("_pb").as("_qb"))))
+      .groupBy("_opid").agg(
+        sum(when(col("_q") < col("_opid"), col("_qa")).otherwise(0L)).as("_oa"),
+        sum(when(col("_q") < col("_opid"), col("_qb")).otherwise(0L)).as("_ob"),
+        sum("_qa").as("_ta"), sum("_qb").as("_tb"))
+    val done = local
+      .join(broadcast(off), col("_pid") === col("_opid"))
+      .withColumn("_ca", col("_la") + col("_oa"))
+      .withColumn("_cb", col("_lb") + col("_ob"))
       .withColumn("_num", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
       .agg(max(struct(col("_num").as("num"), (-col("_v")).as("nv"))).as("_m"),
         max("_ta").as("n_a"), max("_tb").as("n_b"))

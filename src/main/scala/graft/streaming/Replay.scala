@@ -53,11 +53,16 @@ object Replay {
     // session's 32 shuffle partitions the HDFS-backed store's per-commit
     // fsyncs dominate a replay (measured ~8 s at sf0.1 vs ~0.3 s for the
     // equivalent batch join). A replay is one bounded run, so fewer,
-    // larger state partitions strictly win; production continuous streams
-    // keep the session default. Restored after the query finishes.
+    // larger state partitions win; production continuous streams keep the
+    // session default. Restored after the query finishes. 4 is measured,
+    // not guessed (round-18 sweep, sf0.1 warm): 8 -> 4 partitions cut the
+    // join replay 5.3 -> 2.9 s and the no-data flush batch ~45% (fewer
+    // store commits); 4 -> 2 REGRESSED the stateful-heavy replays
+    // (neardup b0 3.0 -> 3.9 s — the real flatMapGroupsWithState work
+    // loses parallelism faster than commit overhead shrinks).
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val left = spark.readStream.schema(schema).parquet(srcDir)
       val right = spark.readStream.schema(schema).parquet(srcDir)
@@ -65,6 +70,7 @@ object Replay {
         .format("memory").queryName(name).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      debugProgress(name, q)
     } finally spark.conf.set(key, prev)
     val sink = spark.table(name)
     val rows = sink.collect()
@@ -72,6 +78,18 @@ object Replay {
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), sink.schema)
   }
+
+  /** Dev-only batch audit (SPARK_GRAFT_REPLAY_DEBUG): one line per replay
+    * with the micro-batch count and per-batch wall/rows — the first read
+    * when a replay's fixed cost needs explaining. */
+  private def debugProgress(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_REPLAY_DEBUG")) {
+      val ps = q.recentProgress
+      println(s"REPLAY $name batches=${ps.length} " + ps.map(p =>
+        s"b${p.batchId}:${p.durationMs.get("triggerExecution")}ms:" +
+          s"${p.numInputRows}r").mkString(" "))
+    }
 
   private def replay(spark: SparkSession, srcDir: String, schema: StructType,
       transform: DataFrame => DataFrame, mode: String): DataFrame = {
@@ -82,13 +100,14 @@ object Replay {
     // per-partition state commits dominate replays at 32 partitions
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val stream = spark.readStream.schema(schema).parquet(srcDir)
       val q = transform(stream).writeStream
         .format("memory").queryName(name).outputMode(mode)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      debugProgress(name, q)
     } finally spark.conf.set(key, prev)
     val sink = spark.table(name)
     // materialize off the sink, then drop its view: the copy is what the

@@ -127,6 +127,62 @@ object Similarity {
         (col("n_queries") * lit(1000000L)).cast(DoubleType))
   }
 
+  /** Routed (index-backed) MRR@k beside the exact baseline — the
+    * retrieval-eval read that SCALES: [[mrrAtK]]'s brute scan is
+    * O(corpus × queries) (52 s at the ×100 probe), while the IVF-routed
+    * ranking pays only the probed cells; this op computes BOTH in one
+    * plan and releases the exact-integer agreement metrics that gate the
+    * cheap tier against the truth, the op_ann_recall discipline applied
+    * to the eval itself. Per query, the first same-label rank is read
+    * from the exact top-k AND from [[graft.text.Ivf.searchTopK]]'s
+    * routed top-k; reciprocal ranks are ⌊10⁶/rank⌋ integer micro-units
+    * (misses 0, still in the denominator). One summary row: n_queries,
+    * n_hit_exact, n_hit_ivf, sum_rr_micro_exact, sum_rr_micro_ivf,
+    * n_rr_agree (queries whose micro reciprocal ranks MATCH across
+    * tiers, both-miss included — the trendable agreement gate),
+    * mrr_gap_micro (exact − routed; can go negative when a pruned
+    * better-cosine neighbor PROMOTES the first same-label hit), and the
+    * two one-division mrr values. All integers exact cross-engine.
+    *
+    * Scale: the exact side stays the recall gate one pays deliberately
+    * at eval scale (sampled queries); the routed side is the plan a
+    * billion-vector eval actually ships. Both finishes are queries × k
+    * joins + a 1-row aggregate. */
+  def mrrRouted(corpus: DataFrame, queries: DataFrame,
+      model: graft.text.Ivf.Model, k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "mrrRouted: k must be positive")
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("_nl"))
+    val qlab = queries.select(col("vec_id").as("q_id"),
+      col("label").as("_ql"))
+    def firstHit(ranked: DataFrame, out: String): DataFrame =
+      ranked.join(labels, "neighbor_id").join(qlab, "q_id")
+        .filter(col("_nl") === col("_ql"))
+        .groupBy("q_id").agg(min("rank").as(out))
+    val exact = firstHit(bruteForceTopK(corpus, queries, k), "_fe")
+    val routed = firstHit(
+      graft.text.Ivf.searchTopK(corpus, queries, model, k, nprobe), "_fi")
+    def rrMicro(fr: String): org.apache.spark.sql.Column =
+      coalesce(expr(s"CAST(1000000 AS BIGINT) div CAST($fr AS BIGINT)"),
+        lit(0L))
+    qlab.join(exact, Seq("q_id"), "left").join(routed, Seq("q_id"), "left")
+      .select(col("_fe"), col("_fi"),
+        rrMicro("_fe").as("_re"), rrMicro("_fi").as("_ri"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_fe").isNotNull, 1L).otherwise(0L)).as("n_hit_exact"),
+        sum(when(col("_fi").isNotNull, 1L).otherwise(0L)).as("n_hit_ivf"),
+        sum("_re").as("sum_rr_micro_exact"),
+        sum("_ri").as("sum_rr_micro_ivf"),
+        sum(when(col("_re") === col("_ri"), 1L).otherwise(0L))
+          .as("n_rr_agree"))
+      .withColumn("mrr_gap_micro",
+        col("sum_rr_micro_exact") - col("sum_rr_micro_ivf"))
+      .withColumn("mrr_exact", col("sum_rr_micro_exact").cast(DoubleType) /
+        (col("n_queries") * lit(1000000L)).cast(DoubleType))
+      .withColumn("mrr_ivf", col("sum_rr_micro_ivf").cast(DoubleType) /
+        (col("n_queries") * lit(1000000L)).cast(DoubleType))
+  }
+
   /** NDCG@k with binary relevance (same label — the [[mrrAtK]]
     * convention), the position-discounted sibling MRR stops short of:
     * per query, DCG = Σ over relevant ranks of 1/log₂(1+rank) and

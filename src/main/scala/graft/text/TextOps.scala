@@ -427,7 +427,14 @@ object TextOps {
     * BEFORE the pair join, the standard inverted-index cap that keeps
     * the join O(collisions); the islands window partitions by
     * (a, b, diff) — one candidate pair's diagonal, bounded by doc
-    * length, never corpus-sized. */
+    * length, never corpus-sized.
+    *
+    * EAGER at construction: the pair-mass budget check below runs a
+    * Spark job (persist + two aggregates + `.first()`) when this
+    * function is CALLED, before any action on the returned frame — and
+    * can throw there. Plan-only callers (Explain sweeps, plan audits)
+    * that must stay lazy pass `pairBudget = Long.MaxValue`, which skips
+    * the enforcement job entirely (and with it the protection). */
   def substrRuns(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 5, minRun: Int = 20,
       maxDf: Int = 100,
@@ -451,18 +458,23 @@ object TextOps {
     // maxDf=100 measured 1.089 B pair rows). Lower maxDf below the
     // multiplicity, or raise the budget deliberately for a cluster that
     // can pay it. One extra 1-row aggregate per call, never the join.
-    val pairMass = wins.groupBy("wh", "doc_id").agg(count(lit(1)).as("_c"))
-      .groupBy("wh").agg(count(lit(1)).as("_df"), sum("_c").as("_t"),
-        sum(col("_c") * col("_c")).as("_s"))
-      .agg(coalesce(sum(when(col("_df") <= maxDf,
-        expr("(_t * _t - _s) div 2")).otherwise(0L)), lit(0L)))
-      .first().getLong(0)
-    require(pairMass <= pairBudget,
-      s"substrRuns: the pair join's input mass at maxDf=$maxDf is " +
-        s"$pairMass rows, over the $pairBudget-row budget — maxDf likely " +
-        "sits at/above the corpus's duplication multiplicity; lower maxDf " +
-        "(read substrStats for the mass-vs-maxDf ledger) or pass a larger " +
-        "pairBudget deliberately")
+    // pairBudget = Long.MaxValue is the documented lazy escape hatch
+    // (scaladoc): an unbounded budget can never fail, so skip the eager
+    // job and keep construction plan-only for Explain/audit callers.
+    if (pairBudget != Long.MaxValue) {
+      val pairMass = wins.groupBy("wh", "doc_id").agg(count(lit(1)).as("_c"))
+        .groupBy("wh").agg(count(lit(1)).as("_df"), sum("_c").as("_t"),
+          sum(col("_c") * col("_c")).as("_s"))
+        .agg(coalesce(sum(when(col("_df") <= maxDf,
+          expr("(_t * _t - _s) div 2")).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      require(pairMass <= pairBudget,
+        s"substrRuns: the pair join's input mass at maxDf=$maxDf is " +
+          s"$pairMass rows, over the $pairBudget-row budget — maxDf likely " +
+          "sits at/above the corpus's duplication multiplicity; lower maxDf " +
+          "(read substrStats for the mass-vs-maxDf ledger) or pass a larger " +
+          "pairBudget deliberately")
+    }
     val keep = wins.select("doc_id", "wh").distinct()
       .groupBy("wh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select("wh")

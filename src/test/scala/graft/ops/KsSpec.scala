@@ -69,6 +69,45 @@ class KsSpec extends SparkSpec {
     assert(Ks.twoSample(e, col("v"), e, col("v")).count() == 0L)
   }
 
+  test("cumulative result is invariant to the bucket count (two-phase pin)") {
+    // the two-phase cumsum (per-bucket windows + broadcast offsets) must
+    // be exact regardless of where the bucket boundaries fall — sweep
+    // cumBuckets from degenerate (1 = the old single-partition shape) to
+    // more buckets than distinct values, over a sample whose mass
+    // straddles every boundary choice
+    val a = Seq(1L, 1L, 2L, 3L, 40L, 41L, 999L, 1000L, 100000L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 500L, 70000L, 100001L).toDF("v")
+    val expect = Ks.twoSample(a, col("v"), b, col("v"), cumBuckets = 1)
+      .collect().head
+    for (k <- Seq(2, 3, 7, 32, 4096)) {
+      val r = Ks.twoSample(a, col("v"), b, col("v"), cumBuckets = k)
+        .collect().head
+      assert(r.getAs[Long]("ks_num") == expect.getAs[Long]("ks_num") &&
+        r.getAs[Long]("ks_den") == expect.getAs[Long]("ks_den") &&
+        r.getAs[Long]("at_value") == expect.getAs[Long]("at_value") &&
+        r.getAs[Double]("ks_stat") == expect.getAs[Double]("ks_stat"),
+        s"cumBuckets=$k diverged from the single-bucket baseline")
+    }
+    intercept[IllegalArgumentException] {
+      Ks.twoSample(a, col("v"), b, col("v"), cumBuckets = 0)
+    }
+  }
+
+  test("no single-partition WindowExec in the physical plan") {
+    // the round-18 contract: every window in the KS plan is partitioned
+    // (the old global Window.orderBy(_v) put the whole histogram — up to
+    // 2^20 rows — through ONE task and sprayed `No Partition Defined`
+    // warnings across every bench log)
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val wins = Ks.twoSample(a, col("v"), a, col("v"))
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(wins.nonEmpty, "expected the per-bucket cumulative WindowExec")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "every WindowExec must declare a partition spec")
+  }
+
   test("wide-domain values clamp to the declared range, bounding the histogram") {
     // a has mass far past the default clamp ceiling; with an explicit
     // narrow range [0, 10] all of it collapses onto v=10, so the test
