@@ -3011,6 +3011,15 @@ object Catalog {
         graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 10, nprobe = 4)
     }),
 
+    // routed NDCG@10 beside the exact baseline (round 18): same routed
+    // discipline as op_mrr_ivf for the position-discounted eval; shared
+    // idcg (label histogram only), per-query integer dcg_agree gate
+    "op_ndcg_ivf" -> ((s, dir) => {
+      val emb = embCorpus(s, dir)
+      Similarity.ndcgRouted(emb, emb.filter(col("vec_id") % 25 === 0),
+        graft.text.Ivf.fixedModel(c = 16, dim = 64), k = 10, nprobe = 4)
+    }),
+
     // contrastive-training data (round 17): (anchor, best same-label
     // positive, hardest different-label negative) triplets with the
     // pos-neg cosine margin; queries with no same-label partner drop

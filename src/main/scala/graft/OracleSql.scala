@@ -5731,6 +5731,86 @@ object OracleSql {
       FROM ql q LEFT JOIN ideal i ON i.q_id = q.q_id
         LEFT JOIN dcg d ON d.q_id = q.q_id""",
 
+    // Routed NDCG@10 beside the exact baseline (mirrors
+    // Similarity.ndcgRouted at c=16, nprobe=4): two dcg reads over the
+    // same integer gain table and the same idcg; dcg_agree is exact
+    // integer equality.
+    "op_ndcg_ivf" -> s"""
+      WITH $ivfCtesSql,
+      ranks AS (SELECT unnest(generate_series(1, 10)) AS r),
+      rsrc AS (SELECT r, r + 1 AS m FROM ranks),
+      ${lnChain("ngl", "rsrc", Seq("r"), "lnr")},
+      g AS (SELECT r, CAST(floor(CAST(1000000 AS DOUBLE)
+          * CAST('0.6931471805599453' AS DOUBLE) / lnr) AS BIGINT) AS gm
+        FROM ngl7),
+      bru AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT q_id, neighbor_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+              ${cosSql("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e CROSS JOIN (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id % 25 = 0) q
+            WHERE e.vec_id <> q.q_id) s0) rr
+        WHERE rank <= 10),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a
+          ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.q_id),
+      rts AS (
+        SELECT q_id, neighbor_id, rank FROM (
+          SELECT c.q_id, c.neighbor_id,
+            row_number() OVER (PARTITION BY c.q_id
+              ORDER BY ${cosSql("e2.embedding", "e1.embedding")} DESC,
+                c.neighbor_id) AS rank
+          FROM cand c
+          JOIN embeddings e1 ON e1.vec_id = c.q_id
+          JOIN embeddings e2 ON e2.vec_id = c.neighbor_id) r
+        WHERE rank <= 10),
+      ql AS (SELECT vec_id AS q_id, label AS qlb FROM embeddings
+             WHERE vec_id % 25 = 0),
+      dce AS (
+        SELECT rk.q_id, CAST(count(*) AS BIGINT) AS n_rel_at_k_exact,
+          CAST(sum(g.gm) AS BIGINT) AS dcg_micro_exact
+        FROM bru rk JOIN embeddings n ON n.vec_id = rk.neighbor_id
+          JOIN ql ON ql.q_id = rk.q_id
+          JOIN g ON g.r = rk.rank
+        WHERE n.label = ql.qlb GROUP BY rk.q_id),
+      dci AS (
+        SELECT rk.q_id, CAST(count(*) AS BIGINT) AS n_rel_at_k_ivf,
+          CAST(sum(g.gm) AS BIGINT) AS dcg_micro_ivf
+        FROM rts rk JOIN embeddings n ON n.vec_id = rk.neighbor_id
+          JOIN ql ON ql.q_id = rk.q_id
+          JOIN g ON g.r = rk.rank
+        WHERE n.label = ql.qlb GROUP BY rk.q_id),
+      hist AS (SELECT label, CAST(count(*) AS BIGINT) AS cl
+               FROM embeddings GROUP BY label),
+      ideal AS (
+        SELECT q.q_id, CAST(sum(g.gm) AS BIGINT) AS idcg_micro
+        FROM ql q JOIN hist h ON h.label = q.qlb
+          JOIN g ON g.r <= least(h.cl - 1, 10)
+        GROUP BY q.q_id)
+      SELECT q.q_id,
+        coalesce(de.n_rel_at_k_exact, CAST(0 AS BIGINT)) AS n_rel_at_k_exact,
+        coalesce(di.n_rel_at_k_ivf, CAST(0 AS BIGINT)) AS n_rel_at_k_ivf,
+        coalesce(de.dcg_micro_exact, CAST(0 AS BIGINT)) AS dcg_micro_exact,
+        coalesce(di.dcg_micro_ivf, CAST(0 AS BIGINT)) AS dcg_micro_ivf,
+        coalesce(i.idcg_micro, CAST(0 AS BIGINT)) AS idcg_micro,
+        CASE WHEN coalesce(i.idcg_micro, CAST(0 AS BIGINT)) > 0
+          THEN CAST(coalesce(de.dcg_micro_exact, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(i.idcg_micro AS DOUBLE) END AS ndcg_exact,
+        CASE WHEN coalesce(i.idcg_micro, CAST(0 AS BIGINT)) > 0
+          THEN CAST(coalesce(di.dcg_micro_ivf, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(i.idcg_micro AS DOUBLE) END AS ndcg_ivf,
+        coalesce(de.dcg_micro_exact, CAST(0 AS BIGINT))
+          = coalesce(di.dcg_micro_ivf, CAST(0 AS BIGINT)) AS dcg_agree
+      FROM ql q LEFT JOIN ideal i ON i.q_id = q.q_id
+        LEFT JOIN dce de ON de.q_id = q.q_id
+        LEFT JOIN dci di ON di.q_id = q.q_id""",
+
     // Triplet mining (mirrors Similarity.tripletMine): per query the
     // best SAME-label positive and the hardest DIFFERENT-label negative
     // by exact cosine (id tie-breaks), margin = pos_cos - neg_cos.

@@ -193,6 +193,37 @@ object Ivf {
   /** ANN top-k with `nprobe` probed cells per query: queries explode into
     * their nprobe best cells, candidates come from the cell equi-join,
     * scoring is exact cosine within candidates. */
+  /** Salted cell-candidate equi-join — the skew fix for every IVF scoring
+    * path (round 18): a cell join has only C distinct keys (16 here), so
+    * at scale the scored stream lands on ≤ C tasks no matter how many
+    * partitions the shuffle declares — measured at the ×100 probe, the
+    * UNSALTED routed scan (87–114 s) was SLOWER than the brute-force scan
+    * it prunes 4× of (69 s), entirely scheduling skew. AQE's skew-join
+    * can't help: it splits on INPUT partition bytes (a few MB per cell)
+    * and never sees the join-OUTPUT explosion. The fix is the standard
+    * salt: candidates take `xxhash64(neighbor_id) % salt` as a subkey,
+    * probes explode all `salt` subkeys, the join runs on (cell, subkey) —
+    * C×salt keys spread over every core, result set IDENTICAL (each
+    * candidate owns exactly one subkey; xxh64 is Spark-internal and never
+    * reaches a result column). Probe-side replication is ×salt of a
+    * queries×nprobe frame — trivial beside the scored stream it
+    * parallelizes. After: op_ivf_ann 87–114 s → 33–46 s warm at ×100
+    * (clean heap). The residual gap to the ~4× pair-count ratio vs brute
+    * is the SMJ pair-stream shape vs the brute path's fully-fused
+    * broadcast loop; the deployment answer remains the cell-bucketed
+    * store (Pq.writeCellStore), where routing is directory pruning and
+    * no cell join exists at all. */
+  private[text] def saltedCellJoin(probes: DataFrame, cand: DataFrame,
+      salt: Int = 8): DataFrame = {
+    require(salt >= 1, "saltedCellJoin: salt must be positive")
+    probes
+      .withColumn("_cs", explode(array((0 until salt).map(lit): _*)))
+      .join(cand.withColumn("_cs",
+        pmod(xxhash64(col("neighbor_id")), lit(salt.toLong)).cast("int")),
+        Seq("ivf_cell", "_cs"))
+      .drop("_cs")
+  }
+
   def searchTopK(corpus: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int): DataFrame = {
     val assigned = assign(corpus, model)
@@ -209,8 +240,9 @@ object Ivf {
     // while the unhinted plan materializes the assignment once into the
     // broadcast table. At true 100 TB corpus scale the cell-id join is
     // low-cardinality (C keys) — there, pre-partition the corpus by cell
-    // (bucketing) rather than hinting this join.
-    val scored = probes.join(assigned, "ivf_cell")
+    // (bucketing) rather than hinting this join; HERE the low
+    // cardinality itself is the hazard, closed by [[saltedCellJoin]].
+    val scored = saltedCellJoin(probes, assigned)
       .filter(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         CosineSim(col("q_emb"), col("n_emb")).as("cos"))

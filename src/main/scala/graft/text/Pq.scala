@@ -123,7 +123,11 @@ object Pq {
     val score = (0 until pq.m)
       .map(b => element_at(col(s"__lut_$b"), col(codeCol(b)) + 1))
       .reduce(_ + _)
-    val scored = probed.join(codes, "ivf_cell")
+    // (cell, salt) join — the Ivf.saltedCellJoin skew fix; C keys alone
+    // cap the scored stream's parallelism at C tasks (LUT arrays ride
+    // the ×salt probe replication: ~1 KB × queries × nprobe × salt,
+    // trivial beside the scored stream it parallelizes)
+    val scored = Ivf.saltedCellJoin(probed, codes)
       .filter(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"), score.as("score"))
     graft.ops.TopK.perKey(scored, Seq("q_id"),

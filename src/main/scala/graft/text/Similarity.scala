@@ -200,13 +200,17 @@ object Similarity {
     * Scale: the [[bruteForceTopK]] exact-baseline scan + a queries×k
     * label join, a broadcast label histogram, and a per-query ideal
     * explode bounded at k rows — nothing corpus-sized past the scan. */
+  /** Integer micro-unit position gain ⌊10⁶·ln2 / ln(1+rank)⌋ — both logs
+    * the portable series (ln 2 IS its own p=1 constant), so every gain
+    * is the same exact integer in both engines. Shared by [[ndcgAtK]]
+    * and [[ndcgRouted]]. */
+  private def gainMicro(r: org.apache.spark.sql.Column) =
+    floor(lit(1000000.0) * lit(0.6931471805599453) /
+      graft.ops.Sampling.portableLn(r.cast(LongType) + lit(1L)))
+      .cast(LongType)
+
   def ndcgAtK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "ndcgAtK: k must be positive")
-    val ln2 = lit(0.6931471805599453)
-    def gainMicro(r: org.apache.spark.sql.Column) =
-      floor(lit(1000000.0) * ln2 /
-        graft.ops.Sampling.portableLn(r.cast(LongType) + lit(1L)))
-        .cast(LongType)
     val ranked = bruteForceTopK(corpus, queries, k)
     val labels = corpus.select(col("vec_id").as("neighbor_id"),
       col("label").as("_nl"))
@@ -232,6 +236,63 @@ object Similarity {
         when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
           coalesce(col("dcg_micro"), lit(0L)).cast(DoubleType) /
             col("idcg_micro").cast(DoubleType)).as("ndcg"))
+  }
+
+  /** Routed NDCG@k beside the exact baseline — [[mrrRouted]]'s
+    * discipline applied to the position-discounted eval: per query, DCG
+    * is read from BOTH the exact top-k and the IVF-routed top-k against
+    * the SAME idcg (ideal ranking depends only on the label histogram,
+    * not the retrieval path), so `ndcg_ivf` is directly comparable to
+    * `ndcg_exact` and `dcg_agree` (exact integer equality of the two
+    * micro DCGs, both-zero included) is the per-query agreement gate.
+    * Output per query: n_rel_at_k_exact, n_rel_at_k_ivf,
+    * dcg_micro_exact, dcg_micro_ivf, idcg_micro, ndcg_exact, ndcg_ivf
+    * (both NULL when no relevant neighbor exists), dcg_agree.
+    *
+    * Scale: one brute gate scan (sampled queries — the deliberate
+    * eval-time truth cost) + the routed tier's probed-cell scan; both
+    * finishes are queries × k joins. */
+  def ndcgRouted(corpus: DataFrame, queries: DataFrame,
+      model: graft.text.Ivf.Model, k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "ndcgRouted: k must be positive")
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("_nl"))
+    val qlab = queries.select(col("vec_id").as("q_id"),
+      col("label").as("_ql"))
+    def dcgOf(ranked: DataFrame, nOut: String, dOut: String): DataFrame =
+      ranked.join(labels, "neighbor_id").join(qlab, "q_id")
+        .filter(col("_nl") === col("_ql"))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as(nOut), sum(gainMicro(col("rank"))).as(dOut))
+    val dce = dcgOf(bruteForceTopK(corpus, queries, k),
+      "n_rel_at_k_exact", "dcg_micro_exact")
+    val dci = dcgOf(
+      graft.text.Ivf.searchTopK(corpus, queries, model, k, nprobe),
+      "n_rel_at_k_ivf", "dcg_micro_ivf")
+    val hist = corpus.groupBy(col("label").as("_ql"))
+      .agg(count(lit(1)).as("_cl"))
+    val ideal = qlab.join(broadcast(hist), "_ql")
+      .withColumn("_r", least(col("_cl") - lit(1L), lit(k.toLong)))
+      .filter(col("_r") >= 1L)
+      .withColumn("_i", explode(sequence(lit(1L), col("_r"))))
+      .groupBy("q_id").agg(sum(gainMicro(col("_i"))).as("idcg_micro"))
+    qlab.join(ideal, Seq("q_id"), "left")
+      .join(dce, Seq("q_id"), "left").join(dci, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel_at_k_exact"), lit(0L)).as("n_rel_at_k_exact"),
+        coalesce(col("n_rel_at_k_ivf"), lit(0L)).as("n_rel_at_k_ivf"),
+        coalesce(col("dcg_micro_exact"), lit(0L)).as("dcg_micro_exact"),
+        coalesce(col("dcg_micro_ivf"), lit(0L)).as("dcg_micro_ivf"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
+      .select(col("q_id"), col("n_rel_at_k_exact"), col("n_rel_at_k_ivf"),
+        col("dcg_micro_exact"), col("dcg_micro_ivf"), col("idcg_micro"),
+        when(col("idcg_micro") > 0L,
+          col("dcg_micro_exact").cast(DoubleType) /
+            col("idcg_micro").cast(DoubleType)).as("ndcg_exact"),
+        when(col("idcg_micro") > 0L,
+          col("dcg_micro_ivf").cast(DoubleType) /
+            col("idcg_micro").cast(DoubleType)).as("ndcg_ivf"),
+        (col("dcg_micro_exact") === col("dcg_micro_ivf")).as("dcg_agree"))
   }
 
   /** Triplet mining for contrastive training — (anchor, positive,

@@ -146,7 +146,9 @@ object Sq {
     val probes = Ivf.probeCells(queries, ivf, nprobe)
       .select("q_id", "ivf_cell")
       .join(broadcast(qRec), "q_id")
-    val scored = probes.join(cand, "ivf_cell")
+    // (cell, salt) join — the Ivf.saltedCellJoin skew fix; C keys alone
+    // cap the scored stream's parallelism at C tasks
+    val scored = Ivf.saltedCellJoin(probes, cand)
       .filter(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         Similarity.cosine(col("_nxr"), col("_qxr")).as("cos"))

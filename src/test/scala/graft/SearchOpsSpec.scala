@@ -173,6 +173,74 @@ class SearchOpsSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("ndcg")))
   }
 
+  // cross-cell fixture for the routed evals: v0 (query, label 1) sits in
+  // cell 0 with only the hard negative v1; its same-label hit v2 lives in
+  // cell 1, so nprobe=1 MISSES it while nprobe=c recovers exactness
+  private def crossCellEmb = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.95f, 0.05f), 2),
+      (2L, Seq(0.05f, 0.95f), 1),
+      (3L, Seq(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+  }
+  private val twoCells = graft.text.Ivf.Model(
+    Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+
+  test("mrrRouted: nprobe=c reproduces the exact baseline; nprobe=1 degrades and the gap shows") {
+    import graft.text.Similarity
+    val emb = crossCellEmb
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    // probe every cell: the routed candidate set IS the corpus, so the
+    // routed tier must agree with the exact baseline query by query
+    val full = Similarity.mrrRouted(emb, q, twoCells, k = 10, nprobe = 2)
+      .collect().head
+    assert(full.getAs[Long]("n_queries") == 2L)
+    assert(full.getAs[Long]("n_rr_agree") == 2L)
+    assert(full.getAs[Long]("mrr_gap_micro") == 0L)
+    assert(full.getAs[Double]("mrr_ivf") == full.getAs[Double]("mrr_exact"))
+    // nprobe=1: query 0 probes only its own cell, where the sole
+    // candidate is the hard negative — the routed tier misses the
+    // cross-cell same-label hit the exact scan finds at rank 2
+    val one = Similarity.mrrRouted(emb, q, twoCells, k = 10, nprobe = 1)
+      .collect().head
+    assert(one.getAs[Long]("n_hit_exact") == 1L)
+    assert(one.getAs[Long]("n_hit_ivf") == 0L)
+    assert(one.getAs[Long]("sum_rr_micro_exact") == 500000L)
+    assert(one.getAs[Long]("mrr_gap_micro") == 500000L)
+    // query 3 (both tiers miss — no partner exists) still agrees
+    assert(one.getAs[Long]("n_rr_agree") == 1L)
+  }
+
+  test("ndcgRouted: shared idcg, dcg_agree flips only for the cell-pruned query") {
+    import graft.text.Similarity
+    val emb = crossCellEmb
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 3)
+    val full = Similarity.ndcgRouted(emb, q, twoCells, k = 10, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(full.values.forall(_.getAs[Boolean]("dcg_agree")))
+    assert(full(0L).getAs[Double]("ndcg_ivf") ==
+      full(0L).getAs[Double]("ndcg_exact"))
+    val one = Similarity.ndcgRouted(emb, q, twoCells, k = 10, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = one(0L)
+    // exact finds the relevant neighbor at rank 2; the routed tier's
+    // probed cell holds only the hard negative -> dcg 0 against the SAME
+    // ideal, so the disagreement is attributable to routing, not to a
+    // different gain scale
+    assert(r0.getAs[Long]("dcg_micro_exact") == 630929L)
+    assert(r0.getAs[Long]("dcg_micro_ivf") == 0L)
+    assert(r0.getAs[Long]("idcg_micro") == 1000000L)
+    assert(!r0.getAs[Boolean]("dcg_agree"))
+    assert(r0.getAs[Double]("ndcg_ivf") == 0.0)
+    // the no-partner query: R = 0 releases NULL ndcg on BOTH tiers and
+    // agrees (0 == 0) — undefined is undefined on every path
+    val r3 = one(3L)
+    assert(r3.isNullAt(r3.fieldIndex("ndcg_exact")) &&
+      r3.isNullAt(r3.fieldIndex("ndcg_ivf")))
+    assert(r3.getAs[Boolean]("dcg_agree"))
+  }
+
   test("tripletMine: best positive, hardest negative, margin; no-positive queries drop") {
     import graft.text.Similarity
     val emb = labeledEmb
