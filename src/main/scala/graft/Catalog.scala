@@ -1388,11 +1388,14 @@ object Catalog {
     // duplicate survives is scheduling-dependent, the distinct-hash SET is
     // not — that set is what the DuckDB oracle pins.
     "op_stream_dedup" -> ((s, dir) => {
+      // survivors emit on ARRIVAL; the no-data flush batch only evicts
+      // state and appends nothing — skip it (r18; oracle pins the set)
       graft.streaming.Replay.replayAppend(s, stagedDocDups(s, dir),
         StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP"),
         st => graft.streaming.Sessions
           .dedupByContent(st, "text", "ts", lateness = "3650 days")
-          .select("text_hash"))
+          .select("text_hash"),
+        noDataFlush = false)
     }),
 
     // streaming MinHash NEAR-dup dedup, replayed and batch-checked: the
@@ -1405,11 +1408,16 @@ object Catalog {
     // (the IncrSemDedup rule) — decidable at arrival, and on the bounded
     // replay exactly the batch band-collision dedup the oracle computes
     "op_stream_neardup" -> ((s, dir) => {
+      // verdicts emit on ARRIVAL (timeouts only evict band state), so the
+      // no-data flush batch appends nothing — skip it (r18; a 16-state-
+      // partition variant was probed and did NOT beat the default 4 —
+      // the batch cost is state/object serialization, not task count)
       val replayed = graft.streaming.Replay.replayAppend(
         s, stagedDocNearDups(s, dir),
         StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP"),
         st => graft.streaming.NearDup.bandVerdicts(st,
-          horizonMs = 315360000000L).toDF()) // 3650 d — covers the replay
+          horizonMs = 315360000000L).toDF(), // 3650 d — covers the replay
+        noDataFlush = false)
       replayed.groupBy("doc_id")
         .agg((max(when(col("band_dup"), 1L).otherwise(0L)) === 0L).as("keep"))
     }),
@@ -1421,7 +1429,11 @@ object Catalog {
     // SQL oracle proves stream/batch equivalence. ms precision end to end.
     "op_stream_join" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema // unit handled by tsAsNanos
+      // inner interval join emits matches eagerly; the no-data flush
+      // batch appends nothing — skip its state-commit cycle (r18)
       graft.streaming.Replay.replayJoin2(s, stagedEvents(s, dir), schema,
+        noDataFlush = false,
+        transform =
         (l0, r0) => {
           val (l, r) = (tsAsNanos(l0), tsAsNanos(r0))
           val p = l.filter(col("event_type") === "purchase")

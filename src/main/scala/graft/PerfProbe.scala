@@ -34,6 +34,11 @@ object PerfProbe {
     // count() timing for comparisons against pre-r17 probe rows.
     val viaRdd = !sys.env.get("SPARK_GRAFT_PROBE_EXEC").contains("count")
     val dumpPlan = sys.env.contains("SPARK_GRAFT_PROBE_PLAN")
+    // SPARK_GRAFT_PROBE_PLANONLY: time ONLY DataFrame construction +
+    // analysis/optimization/physical planning (queryExecution.toRdd built,
+    // nothing executed) — isolates the driver-side Catalyst share of a
+    // query's bench seconds from its execution share.
+    val planOnly = sys.env.contains("SPARK_GRAFT_PROBE_PLANONLY")
     args.foreach { name =>
       if (dumpPlan)
         println(s"PLAN $name\n" +
@@ -41,7 +46,8 @@ object PerfProbe {
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val n = if (viaRdd) df.queryExecution.toRdd.count() else df.count()
+        val n = if (planOnly) { df.queryExecution.toRdd; -1L }
+          else if (viaRdd) df.queryExecution.toRdd.count() else df.count()
         println(f"PROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       }
     }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** DataFrame-native graph analytics over edge lists — the relational
   * formulation (joins + aggregates) that scales with Spark's shuffle
@@ -142,9 +143,13 @@ object Graph {
       .join(deg.select(col("v").as("y"), col("dg").as("dgy")), "y")
       .select(key(col("dgx"), col("x")).as("kx"),
         key(col("dgy"), col("y")).as("ky"))
+    // pre-partitioned on u (the [[pageRank]] adjacency discipline): the
+    // cached partitioning serves the neighbor-array groupBy AND the first
+    // probe join exchange-free; only the w-keyed close join re-exchanges
     val oriented = scope.persist(keyed.select(
       least(col("kx"), col("ky")).as("u"),
-      greatest(col("kx"), col("ky")).as("w")))
+      greatest(col("kx"), col("ky")).as("w"))
+      .repartition(col("u")))
     val nbrs = oriented.groupBy("u")
       .agg(sort_array(collect_list(col("w"))).as("ns"))
     val tri = oriented
@@ -203,13 +208,23 @@ object Graph {
     // persist it so the symmetrize + degree join runs once, not
     // `iterations` times. Three longs per directed edge; this is the
     // frame a production deployment would checkpoint anyway.
-    val adj = scope.persist(sym.join(deg, "s"))
+    // PRE-PARTITIONED on the join key: the cached partitioning satisfies
+    // every iteration's join requirement, so the per-iteration plan
+    // re-exchanges only the (vertex-sized) rank frame, never the edge-
+    // sized adjacency (round-18 plan audit: the unpartitioned cache was
+    // re-exchanged once per iteration).
+    val adj = scope.persist(sym.join(deg, "s").repartition(col("s")))
     val n = deg.count() // one bounded action: the vertex count scalar
     require(n > 0, "pageRank needs a non-empty edge list")
     val base = (Scale * 15L / 100L) / n
     var ranks = deg.select(col("s").as("v"), lit(Scale / n).as("r"))
     for (_ <- 1 to iterations) {
-      ranks = adj.join(ranks, col("s") === col("v"))
+      // build side = the vertex-sized rank frame: a hash join streams the
+      // cached adjacency with NO sort (SMJ sorted the edge-sized side
+      // every iteration); per-partition build is V/shuffle.partitions
+      // rows — the deployment sizes partitions so that fits, same as any
+      // keyed aggregation over the rank frame
+      ranks = adj.join(ranks.hint("shuffle_hash"), col("s") === col("v"))
         .select(col("d"), expr("r div dg").as("c"))
         .groupBy("d").agg(sum("c").as("cs"))
         .select(col("d").as("v"), (lit(base) + expr("(85 * cs) div 100")).as("r"))
@@ -247,20 +262,59 @@ object Graph {
       topK: Int = 100, scope: CacheScope = CacheScope.Session): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "labelPropagation: rounds in [1, 8]")
     require(topK >= 1, "labelPropagation: topK must be positive")
+    // pre-partitioned on the join key, like [[pageRank]]'s adjacency: the
+    // cached partitioning satisfies every round's join requirement, so
+    // only the vertex-sized label frame re-exchanges per round (the
+    // round-18 plan audit found the unpartitioned cache re-exchanged its
+    // edge-sized rows every round)
     val sym = scope.persist(
       edges.select(col("x").as("s"), col("y").as("d"))
-        .unionByName(edges.select(col("y").as("s"), col("x").as("d"))))
+        .unionByName(edges.select(col("y").as("s"), col("x").as("d")))
+        .repartition(col("s")))
     var labels = sym.select(col("s").as("v")).distinct()
       .withColumn("lbl", col("v"))
+    // Labels can only ever be vertex ids (round 0 sets lbl = v; every
+    // later round adopts an existing label), so the per-round argmax
+    // tie-break order on (−count, label) admits a PACKED-LONG fast path
+    // whenever ids are integral and in [0, 2^32) — the same id contract
+    // [[triangleCount]]'s order key pins, here guarded in-plan: pack
+    // (−count)·2^32 + label into ONE long and take min. min(long) hash-
+    // aggregates, where min(struct) forces a SortAggregate pair (struct
+    // buffers are not hash-aggregable) that sorted the edge-sized count
+    // frame twice per round. Non-integral (e.g. string) ids keep the
+    // struct path — identical fixed point, PackSpec pins the equality.
+    val integral = labels.schema("lbl").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     for (_ <- 1 to rounds) {
-      labels = sym.join(labels, col("s") === col("v"))
+      val cnt = sym.join(labels.hint("shuffle_hash"), col("s") === col("v"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("_c"))
-        .groupBy("d")
-        // most-frequent label, ties -> SMALLEST label: ascending struct
-        // order on (−count, label) — the count is negated, not the label,
-        // so string-keyed vertex ids order correctly too
-        .agg(min(struct((-col("_c")).as("nc"), col("lbl"))).as("_m"))
-        .select(col("d").as("v"), col("_m.lbl").as("lbl"))
+      labels =
+        if (integral) {
+          // guard rides the (already aggregated) count rows: ids outside
+          // [0, 2^32) or counts ≥ 2^31 would corrupt the packed order —
+          // fail loudly instead (renumber upstream, the triangleCount rule)
+          val lbl = col("lbl").cast(LongType)
+          val guarded = when(
+            lbl >= 0L && lbl < lit(4294967296L) && col("_c") < lit(2147483648L),
+            (-col("_c")) * lit(4294967296L) + lbl)
+            .otherwise(raise_error(concat(
+              lit("labelPropagation packed path: vertex id/count out of "),
+              lit("range — ids must be in [0, 2^32); renumber upstream"))))
+          cnt.select(col("d"), guarded.as("_p"))
+            .groupBy("d").agg(min("_p").as("_m"))
+            .select(col("d").as("v"),
+              pmod(col("_m"), lit(4294967296L))
+                .cast(labels.schema("lbl").dataType).as("lbl"))
+        } else {
+          cnt.groupBy("d")
+            // most-frequent label, ties -> SMALLEST label: ascending struct
+            // order on (−count, label) — the count is negated, not the
+            // label, so string-keyed vertex ids order correctly too
+            .agg(min(struct((-col("_c")).as("nc"), col("lbl"))).as("_m"))
+            .select(col("d").as("v"), col("_m.lbl").as("lbl"))
+        }
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))

@@ -37,17 +37,32 @@ object Replay {
   /** Append-mode sibling of [[replayComplete]] for stateful row-level
     * streaming ops (dedup, sessionize): the sink accumulates every APPENDED
     * row across the replay's micro-batches. Callers keep the appended set
-    * bounded (deduped/aggregated rows, not the raw input). */
+    * bounded (deduped/aggregated rows, not the raw input).
+    *
+    * `statePartitions` overrides the bounded-replay shuffle-partition
+    * override (default 4, see [[replayJoin2]]'s measurement note) — a
+    * compute-heavy stateful transform (the near-dup signature verify)
+    * gains more from task parallelism than it loses in per-partition
+    * state-commit overhead, so its caller passes more. `noDataFlush =
+    * false` disables the trailing no-data micro-batch for transforms
+    * whose OUTPUT is provably complete after the data batches (verdict/
+    * match rows emitted on arrival; timeouts only evict state) — the
+    * flush batch costs a full state-store commit cycle and contributes
+    * zero rows there. Transforms that EMIT on event-time timeout
+    * (sessionize) must keep it. */
   def replayAppend(spark: SparkSession, srcDir: String, schema: StructType,
-      transform: DataFrame => DataFrame): DataFrame =
-    replay(spark, srcDir, schema, transform, "append")
+      transform: DataFrame => DataFrame, statePartitions: Int = 4,
+      noDataFlush: Boolean = true): DataFrame =
+    replay(spark, srcDir, schema, transform, "append", statePartitions,
+      noDataFlush)
 
   /** Two-stream sibling: reads `srcDir` as TWO independent file-source
     * streams (each with its own offsets/state) and runs a binary streaming
     * transform — the stream-stream join replay path. Append mode: joined
     * rows are emitted as the watermark proves them complete. */
   def replayJoin2(spark: SparkSession, srcDir: String, schema: StructType,
-      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      transform: (DataFrame, DataFrame) => DataFrame,
+      noDataFlush: Boolean = true): DataFrame = {
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
     // Stream-stream join state commits per partition per operator: at the
     // session's 32 shuffle partitions the HDFS-backed store's per-commit
@@ -60,9 +75,16 @@ object Replay {
     // store commits); 4 -> 2 REGRESSED the stateful-heavy replays
     // (neardup b0 3.0 -> 3.9 s — the real flatMapGroupsWithState work
     // loses parallelism faster than commit overhead shrinks).
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    // `noDataFlush = false`: an APPEND inner interval join emits matches
+    // eagerly as data arrives — the trailing no-data batch only evicts
+    // state (measured 1.4-2.2 s of pure state-store commits at sf0.1,
+    // zero output rows), so join callers skip it; the batch-oracle
+    // equality pins that the emitted set is unchanged.
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    spark.conf.set(keys(0), "4")
+    spark.conf.set(keys(1), noDataFlush.toString)
     try {
       val left = spark.readStream.schema(schema).parquet(srcDir)
       val right = spark.readStream.schema(schema).parquet(srcDir)
@@ -71,7 +93,7 @@ object Replay {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       debugProgress(name, q)
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
     val sink = spark.table(name)
     val rows = sink.collect()
     spark.catalog.dropTempView(name)
@@ -92,15 +114,18 @@ object Replay {
     }
 
   private def replay(spark: SparkSession, srcDir: String, schema: StructType,
-      transform: DataFrame => DataFrame, mode: String): DataFrame = {
+      transform: DataFrame => DataFrame, mode: String,
+      statePartitions: Int = 4, noDataFlush: Boolean = true): DataFrame = {
     // unique sink name per replay: Bench re-runs each query and memory
     // sink names are session-global
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
     // same bounded-replay state-partition override as [[replayJoin2]]:
     // per-partition state commits dominate replays at 32 partitions
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    spark.conf.set(keys(0), statePartitions.toString)
+    spark.conf.set(keys(1), noDataFlush.toString)
     try {
       val stream = spark.readStream.schema(schema).parquet(srcDir)
       val q = transform(stream).writeStream
@@ -108,7 +133,7 @@ object Replay {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       debugProgress(name, q)
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
     val sink = spark.table(name)
     // materialize off the sink, then drop its view: the copy is what the
     // caller computes on; the sink's rows are GC-able immediately

@@ -600,8 +600,14 @@ object TextOps {
     * back, one token-keyed join, one doc-keyed aggregate. The "model" is
     * the counts table itself; nothing corpus-sized sorts or windows. */
   def lmLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      idCol: String = "doc_id",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    // the exploded token stream feeds the model build AND the scoring
+    // join — persisted (O(corpus tokens), narrow) so the tokenize +
+    // explode runs once, not twice (r18; the shingleIntersections
+    // persistence contract)
+    val tok = scope.persist(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("tok")))
     val counts = tok.groupBy("tok").agg(count(lit(1)).as("_c"))
     val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
     val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
@@ -634,8 +640,13 @@ object TextOps {
     * keyed on bigram, a broadcast 1-row total; shuffles carry distinct
     * bigrams / bigram occurrences, never per-doc buffers. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val bg = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      idCol: String = "doc_id",
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
+    // same persisted-stream contract as [[lmLogProb]]: the exploded
+    // bigram stream feeds the model build AND the scoring join; the
+    // tokenize + slice/zip_with bigram assembly is the expensive half
+    val bg = scope.persist(
+      docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg")))
     val counts = bg.groupBy("bg").agg(count(lit(1)).as("_c"))
     val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
     val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
@@ -1541,18 +1552,34 @@ object TextOps {
     * only integer math plus ONE exact-int division, the op_corr_stats
     * discipline. Empty docs are dropped (no distribution to measure).
     *
-    * Scale: fully NARROW — the char histogram is a per-row nested-HOF
-    * computation (for each distinct char, count its occurrences) riding
-    * the corpus scan; O(distinct_chars · len) per doc with
-    * distinct_chars bounded by the alphabet, no explode, no shuffle.
-    * The per-char count is materialized ONCE into a counts array (`cn`)
-    * and array_max / sum-of-squares read that — not three O(len) filter
-    * passes per distinct char, which would triple the constant and turn
-    * unicode-heavy docs (distinct chars not alphabet-bounded)
-    * effectively quadratic. Contrast the oracle's unnest-and-group
-    * formulation, which moves every (doc, char) pair through an
-    * aggregate. */
+    * Scale: fully NARROW — the char histogram is ONE primitive codepoint
+    * pass per row (the native [[graft.functions.CharDivStats]]
+    * expression) riding the corpus scan; no explode, no shuffle. The HOF
+    * formulation it replaced ([[charDiversityHof]], kept for
+    * cross-validation) evaluated ~6 interpreted lambda passes — measured
+    * 3.97 s at sf0.1 vs ~0.3 s native (round-18 rewrite; CurationOpsSpec
+    * pins native == HOF row-for-row). Contrast the oracle's
+    * unnest-and-group formulation, which moves every (doc, char) pair
+    * through an aggregate. */
   def charDiversity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), graft.functions.CharDivStats(col(textCol)).as("_st"))
+      .filter(col("_st.n_chars") > 0)
+      .select(col(idCol),
+        col("_st.n_chars").as("n_chars"),
+        col("_st.n_distinct_chars").as("n_distinct_chars"),
+        col("_st.top_char_n").as("top_char_n"),
+        (col("_st.sum_sq").cast(DoubleType) /
+          (col("_st.n_chars") * col("_st.n_chars")).cast(DoubleType))
+          .as("repeat_prob"))
+
+  /** Interpreted-HOF formulation of [[charDiversity]] — kept solely to
+    * cross-validate the native [[graft.functions.CharDivStats]] kernel
+    * (the [[Similarity.cosineHof]] discipline): chars via
+    * split-empty-regex (codepoints; the length filter drops the trailing
+    * empty string), per-distinct-char counts materialized once into `cn`. */
+  def charDiversityHof(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val cs = filter(split(col(textCol), ""), c => length(c) === 1)
     val cnt = (ch: Column, arr: Column) =>

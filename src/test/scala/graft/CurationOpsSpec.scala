@@ -898,6 +898,26 @@ class CurationOpsSpec extends SparkSpec {
       2L -> ((4L, 1L, 4L, 1.0))))
   }
 
+  test("charDiversity: native kernel equals the HOF formulation (incl. unicode, r18 pin)") {
+    import spark.implicits._
+    // multi-byte codepoints (é 2 bytes, 中 3 bytes, 𝄞 4 bytes — a
+    // surrogate PAIR in UTF-16, one codepoint here), repeated ASCII,
+    // empty and NULL text: the native one-pass kernel must reproduce the
+    // split-empty-regex HOF row-for-row
+    val docs = Seq((1L, "aab"), (2L, "héllo héllo"), (3L, "中中文𝄞𝄞𝄞"),
+      (4L, ""), (5L, null.asInstanceOf[String]), (6L, "x"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val native = rows(graft.text.TextOps.charDiversity(docs))
+    val hof = rows(graft.text.TextOps.charDiversityHof(docs))
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native.map(_._1) == Seq(1L, 2L, 3L, 6L)) // empty+null dropped
+    // spot: "中中文𝄞𝄞𝄞" = counts {中:2, 文:1, 𝄞:3} -> n=6, d=3, top=3, ss=14
+    assert(native.find(_._1 == 3L).get == ((3L, 6L, 3L, 3L, 14.0 / 36.0)))
+  }
+
   test("linearScore: md5-60 bucket weights recompute exactly; empty doc scores 0") {
     import spark.implicits._
     def md560(s: String): Long = {

@@ -201,6 +201,34 @@ class GraphSpec extends SparkSpec {
     assert(lbls.contains("m") && !lbls.contains("z"), lbls.toString)
   }
 
+  test("labelPropagation: packed-long fast path equals the struct path (r18 pin)") {
+    import spark.implicits._
+    // richer graph with genuine count ties and asymmetric communities;
+    // zero-padded string ids order lexicographically exactly like the
+    // longs, so the struct path (strings) must find the same communities
+    // as the packed path (longs)
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L), (2L, 9L), (9L, 10L),
+      (10L, 1L), (8L, 11L), (11L, 12L), (12L, 8L))
+    val longEdges = raw.toDF("x", "y")
+    val strEdges = raw.map { case (a, b) => (f"$a%04d", f"$b%04d") }
+      .toDF("x", "y")
+    val packed = Graph.labelPropagation(longEdges, rounds = 4, topK = 20)
+      .collect().map(r => f"${r.getLong(0)}%04d" -> r.getLong(1)).toSeq
+    val structed = Graph.labelPropagation(strEdges, rounds = 4, topK = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(packed == structed, s"packed=$packed struct=$structed")
+  }
+
+  test("labelPropagation: packed path guards ids outside [0, 2^32)") {
+    import spark.implicits._
+    val bad = Seq((1L, 4294967296L)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Graph.labelPropagation(bad, rounds = 1, topK = 10).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("labelPropagation: the symmetrized edge build is persisted, appearing once across rounds") {
     import spark.implicits._
     val scope = new CacheScope
