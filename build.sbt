@@ -34,7 +34,26 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Static conf (read once at first session): the JVM-wide generated-class
+  // cache holds 100 entries by default, sized for a handful of hot queries.
+  // A 270-query catalog emits thousands of codegen units per sweep, so the
+  // LRU guaranteed a 100% miss rate on every re-visit — pass 2 of the bench
+  // re-ran Janino for EVERY query (~0.3-1.5 s each), which is why isolated
+  // warm probes measured 2-3x faster than the same query inside a sweep
+  // (r18 measurement: op_pagerank 0.9 s probe-warm vs 3.4 s in-sweep).
+  // Sized to hold a full catalog sweep; ~50 KB/class keeps it under a few
+  // hundred MB. A many-query deployment (Thrift server, scheduled DAGs)
+  // wants the same.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
+  // 16g default (overridable): the bench session persists the shared
+  // lineages plus each dedup/ANN family's session-scoped intermediates;
+  // at 8g the unified pool sat near its storage ceiling by mid-sweep and
+  // pass-2 revisits of the cache-heavy queries read evicted blocks back
+  // from disk (r18 measurement: op_containment min-of-2 5.1 s under
+  // pressure vs 2.2 s warm in an isolated probe). The box has 128 GiB;
+  // a real deployment sizes the driver/executor heap to its cache
+  // working set the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
 // Suites share one SparkSession and some mutate session conf
 // (e.g. autoBroadcastJoinThreshold) — run them sequentially.

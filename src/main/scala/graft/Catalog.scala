@@ -33,8 +33,42 @@ object Catalog {
     * correctly to nearest, so values stay bit-identical). */
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** Memoized RESOLVED relations for the immutable testdata fixtures —
+    * the engine's catalog layer (round 18). `spark.read.parquet` is lazy
+    * in Spark 4: EVERY query construction re-ran the analyzer's
+    * `ResolveDataSource` (file listing + parquet footer schema inference)
+    * for every fixture it touches — a RuleExecutor metering sweep showed
+    * that single rule at 4.65 s of a 6.18 s 4-query planning profile,
+    * and planning at 75-90% of many tail queries' bench seconds. Here the
+    * relation resolves ONCE per (session, path) — `df.schema` forces the
+    * analysis — and every composed query reuses the resolved
+    * LogicalRelation, exactly what a metastore-backed table (or Spark's
+    * own `filesourcePartitionFileCacheSize`) provides. This caches
+    * METADATA (schema + file list), never data or results: every bench
+    * action still scans the parquet. Keyed weakly by session (a new
+    * session re-resolves); fixture paths are immutable test inputs —
+    * stores the engine WRITES mid-session (incr-dedup indexes, cell
+    * stores) stay un-memoized, their listing must see fresh files. */
+  private val fixtureCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]
+  private[graft] def fixture(spark: SparkSession, path: String): DataFrame = {
+    val per = fixtureCache.synchronized {
+      var m = fixtureCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        fixtureCache.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(path, {
+      val df = spark.read.parquet(path)
+      df.schema // force analysis: one listing + footer read per session
+      df
+    })
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    fixture(spark, s"$dir/$name.parquet")
 
   /** `ts` normalized to epoch-long NANOS whatever the fixture's physical
     * unit: a TIMESTAMP(NANOS) parquet arrives as LongType under

@@ -39,6 +39,12 @@ object PerfProbe {
     // nothing executed) — isolates the driver-side Catalyst share of a
     // query's bench seconds from its execution share.
     val planOnly = sys.env.contains("SPARK_GRAFT_PROBE_PLANONLY")
+    // SPARK_GRAFT_PROBE_RULES: after all probes, dump cumulative Catalyst
+    // rule timings (RuleExecutor metering) — names the optimizer rules a
+    // slow-planning query actually pays for.
+    val dumpRules = sys.env.contains("SPARK_GRAFT_PROBE_RULES")
+    if (dumpRules)
+      org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
     args.foreach { name =>
       if (dumpPlan)
         println(s"PLAN $name\n" +
@@ -46,11 +52,16 @@ object PerfProbe {
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
+        val tCons = (System.nanoTime() - t0) / 1e9
         val n = if (planOnly) { df.queryExecution.toRdd; -1L }
           else if (viaRdd) df.queryExecution.toRdd.count() else df.count()
-        println(f"PROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        val cons = if (planOnly) f" cons=$tCons%.3f" else ""
+        println(f"PROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)$cons")
       }
     }
+    if (dumpRules)
+      println("RULES\n" +
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     spark.stop()
   }
 }

@@ -44,7 +44,7 @@ object Multimodal {
     * payload = utf-8 bytes of the text (stands in for encoded image/audio),
     * kind round-robins image/audio/video, metadata derived from sizes. */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = graft.Catalog.fixture(spark, s"$sfDir/documents.parquet")
     docs.select(
       col("doc_id").as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
@@ -335,7 +335,7 @@ object Multimodal {
   /** Real animated-GIF payloads for every document id. */
   def encodedVideo(spark: SparkSession, sfDir: String): Dataset[EncodedMedia] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").as[Long]
+    graft.Catalog.fixture(spark, s"$sfDir/documents.parquet").select("doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, frames) = videoPattern(id)
         EncodedMedia(id, "video", encodeGif(frames, w, h))
@@ -455,7 +455,7 @@ object Multimodal {
     * encode never touches the driver). */
   def encodedImages(spark: SparkSession, sfDir: String): Dataset[EncodedMedia] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").as[Long]
+    graft.Catalog.fixture(spark, s"$sfDir/documents.parquet").select("doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, px) = imagePattern(id)
         EncodedMedia(id, "image", encodePng(px, w, h))
@@ -465,7 +465,7 @@ object Multimodal {
   /** Real WAV payloads for every document id. */
   def encodedAudio(spark: SparkSession, sfDir: String): Dataset[EncodedMedia] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").as[Long]
+    graft.Catalog.fixture(spark, s"$sfDir/documents.parquet").select("doc_id").as[Long]
       .mapPartitions(_.map { id =>
         EncodedMedia(id, "audio", encodeWav(audioPattern(id)))
       })

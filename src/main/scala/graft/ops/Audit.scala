@@ -503,8 +503,40 @@ object Audit {
         "must sit on the 1e-6 salt-namespace grid)")
     require(!keyCols.exists(Set("noisy_avg")),
       "dpAvg: noisy_avg is a reserved output name")
-    dpSum(df, keyCols, value, clip, epsilon / 2, hashOf)
-      .join(dpCounts(df, keyCols, epsilon / 2, hashOf), keyCols)
+    require(clip > 0, "dpAvg: clip must be positive")
+    require(keyCols.nonEmpty, "dpAvg: at least one group column")
+    require(!keyCols.exists(Set("noisy_sum", "noisy_count")),
+      "dpAvg: noisy_sum/noisy_count are reserved output names")
+    // FUSED composition (r18): the sum and count components aggregate in
+    // ONE group-keyed pass instead of dpSum ⋈ dpCounts (two corpus
+    // aggregations + a join for the same groups). The noise expressions
+    // below are textually the component mechanisms' own (same `:dps±` /
+    // `:dp±` salt namespaces, same ε/2 micro-tag, same IEEE op order), so
+    // every released value is bit-identical to the composed form — the
+    // oracle mirror and AuditSpec's composition pins are unchanged.
+    val eps2 = epsilon / 2
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*)
+    val epsTag = math.round(eps2 * 1e6).toString
+    val s1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps+" + epsTag))))
+    val s2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dps-" + epsTag))))
+    val noiseSumMicro = graft.functions.NoCodegen(
+      floor((s1 - s2) * lit(clip.toDouble) / lit(eps2)
+        * lit(1000000.0)).cast(LongType))
+    val c1 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp+" + epsTag))))
+    val c2 = Sampling.negLnU(hashOf(concat(keyStr, lit(":dp-" + epsTag))))
+    val noiseCntMicro = graft.functions.NoCodegen(
+      floor((c1 - c2) / lit(eps2) * lit(1000000.0)).cast(LongType))
+    val clipped = greatest(lit(0L), least(value.cast(LongType), lit(clip)))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(clipped).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("noisy_sum",
+        (col("_s") * lit(1000000L) + noiseSumMicro).cast("double") /
+          lit(1000000.0))
+      .withColumn("noisy_count",
+        (col("_n") * lit(1000000L) + noiseCntMicro).cast("double") /
+          lit(1000000.0))
+      .drop("_s", "_n") // the true sum/count must never leave
       .withColumn("noisy_avg",
         when(col("noisy_count") > 0.0,
           col("noisy_sum") / col("noisy_count")))

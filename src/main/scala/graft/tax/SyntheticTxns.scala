@@ -19,7 +19,7 @@ object SyntheticTxns {
   /** Transactions derived from `sfDir`/lineitem.parquet. Columns match the
     * reference CSV contract (cli.py:50-62) + programmatic extras. */
   def txns(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = graft.Catalog.fixture(spark, s"$sfDir/lineitem.parquet")
     val states = Dims.stateRates(spark).select(col("state_idx"), col("state_code"))
 
     val cents = (col("l_orderkey") * 97 + col("l_partkey") * 31 +

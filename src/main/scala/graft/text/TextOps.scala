@@ -602,22 +602,28 @@ object TextOps {
   def lmLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
-    // the exploded token stream feeds the model build AND the scoring
-    // join — persisted (O(corpus tokens), narrow) so the tokenize +
-    // explode runs once, not twice (r18; the shingleIntersections
-    // persistence contract)
-    val tok = scope.persist(
-      docs.select(col(idCol), explode(tokens(col(textCol))).as("tok")))
-    val counts = tok.groupBy("tok").agg(count(lit(1)).as("_c"))
+    // (doc, token) OCCURRENCE COUNTS as the shared base for the model
+    // build AND the scoring join, PERSISTED (r18): the raw exploded
+    // stream was rebuilt once per branch, and exchange reuse cannot
+    // dedupe the two branches (column pruning narrows the model branch's
+    // exchange to (tok, _k) — no longer identical to the join branch's).
+    // Persisting the AGGREGATED pair frame instead of the raw stream
+    // keeps the footprint at distinct (doc, token) pairs, and the
+    // scoring join carries pairs, never raw occurrences.
+    val tokd = scope.persist(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("_k")))
+    val counts = tokd.groupBy("tok").agg(sum("_k").as("_c"))
     val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
     val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
       graft.ops.Sampling.portableLn(col("_n_total") + col("_v")))
       * lit(1000000.0)).cast(LongType)
-    tok.join(counts, "tok")
+    tokd.join(counts, "tok")
       .crossJoin(broadcast(tot))
       .withColumn("_lp", lp)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("sum_lp_micro"))
+      .agg(sum("_k").as("n_tokens"),
+        sum(col("_k") * col("_lp")).as("sum_lp_micro"))
       .withColumn("avg_logprob", col("sum_lp_micro").cast(DoubleType) /
         (col("n_tokens") * lit(1000000L)).cast(DoubleType))
   }
@@ -642,21 +648,22 @@ object TextOps {
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
       scope: graft.ops.CacheScope = graft.ops.CacheScope.Session): DataFrame = {
-    // same persisted-stream contract as [[lmLogProb]]: the exploded
-    // bigram stream feeds the model build AND the scoring join; the
-    // tokenize + slice/zip_with bigram assembly is the expensive half
-    val bg = scope.persist(
-      docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg")))
-    val counts = bg.groupBy("bg").agg(count(lit(1)).as("_c"))
+    // same persisted-pair-frame shape as [[lmLogProb]]: per-(doc, bigram)
+    // occurrence counts feed both the model build and the scoring join
+    val bgd = scope.persist(
+      docs.select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+        .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("_k")))
+    val counts = bgd.groupBy("bg").agg(sum("_k").as("_c"))
     val tot = counts.agg(sum("_c").as("_n_total"), count(lit(1)).as("_v"))
     val lp = floor((graft.ops.Sampling.portableLn(col("_c") + lit(1L)) -
       graft.ops.Sampling.portableLn(col("_n_total") + col("_v")))
       * lit(1000000.0)).cast(LongType)
-    bg.join(counts, "bg")
+    bgd.join(counts, "bg")
       .crossJoin(broadcast(tot))
       .withColumn("_lp", lp)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("_lp").as("sum_lp_micro"))
+      .agg(sum("_k").as("n_bigrams"),
+        sum(col("_k") * col("_lp")).as("sum_lp_micro"))
       .withColumn("avg_logprob", col("sum_lp_micro").cast(DoubleType) /
         (col("n_bigrams") * lit(1000000L)).cast(DoubleType))
   }
