@@ -85,20 +85,55 @@ object Replay {
     val prev = keys.map(k => k -> spark.conf.get(k))
     spark.conf.set(keys(0), "4")
     spark.conf.set(keys(1), noDataFlush.toString)
+    val ckpt = ephemeralCheckpoint(name)
     try {
       val left = spark.readStream.schema(schema).parquet(srcDir)
       val right = spark.readStream.schema(schema).parquet(srcDir)
       val q = transform(left, right).writeStream
         .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       debugProgress(name, q)
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      deleteRecursively(ckpt)
+    }
     val sink = spark.table(name)
     val rows = sink.collect()
     spark.catalog.dropTempView(name)
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), sink.schema)
+  }
+
+  /** Ephemeral checkpoint dir for ONE replay — on tmpfs when available.
+    * A replay's checkpoint is throwaway by construction (the default was
+    * a force-deleted temp dir), but the state store and offset/commit
+    * logs fsync EVERY file they write; on this box /tmp is ext4, so a
+    * bounded replay paid real disk syncs for durability nobody reads.
+    * /dev/shm sidesteps the syncs; a PRODUCTION stream keeps its durable
+    * checkpoint — this is the verification harness's own temp dir, and
+    * `SPARK_GRAFT_REPLAY_CKPT_DIR` overrides the base. The dir is
+    * removed right after the query ends. */
+  private def ephemeralCheckpoint(name: String): java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_REPLAY_CKPT_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+    java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => })
+    }
   }
 
   /** Dev-only batch audit (SPARK_GRAFT_REPLAY_DEBUG): one line per replay
@@ -126,14 +161,19 @@ object Replay {
     val prev = keys.map(k => k -> spark.conf.get(k))
     spark.conf.set(keys(0), statePartitions.toString)
     spark.conf.set(keys(1), noDataFlush.toString)
+    val ckpt = ephemeralCheckpoint(name)
     try {
       val stream = spark.readStream.schema(schema).parquet(srcDir)
       val q = transform(stream).writeStream
         .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       debugProgress(name, q)
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      deleteRecursively(ckpt)
+    }
     val sink = spark.table(name)
     // materialize off the sink, then drop its view: the copy is what the
     // caller computes on; the sink's rows are GC-able immediately
