@@ -22,133 +22,94 @@ import org.apache.spark.sql.SparkSession
   * for that set under-measured; the sidecar field marks the boundary.
   */
 object Bench {
-  /** Short metric-line aliases for the longest query keys, applied AFTER
-    * the "op_" strip. The driver keeps only the last 2000 chars of stdout;
-    * at 111 queries the full stripped keys measured 2040 chars (mid-JSON
-    * truncation — the r1/r2 unparsed-bench failure). Most aliases are
-    * stable from round 6; round 8's five new queries forced fifteen keys
-    * shorter (each renames noted in SURVEY §9.2's regenerated table, the
-    * cross-round trend key). BenchAliasSpec pins uniqueness, no stale
-    * sources, and the worst-case line fit. */
+  /** Short metric-line aliases — ROUND 19: the rename ledger reopened and
+    * EVERY declared query re-keyed to a 1-2 char code so the stdout metric
+    * line carries the full KEYED per-query map again. Background: the
+    * closed-ledger doctrine (rounds 11-18) degraded the line to the keyless
+    * "qv" values array once the catalog outgrew named keys (query #236),
+    * and round 18's driver PERF came back with per_query EMPTY / n_common 0
+    * — the driver aligns per-query trends by KEY, so the keyless array,
+    * however self-describing, is invisible to it. The driver contract
+    * ({"queries": {name: sec}}) outranks key stability, so round 19 trades
+    * one ledger batch (every historical key mapped in [[aliasRenames]]) for
+    * a keyed line at any realistic catalog size: 270 queries fit at integer
+    * DECISECONDS with at most the few cheapest (sub-0.05 s) entries dropped,
+    * where the old keys fit at NO granularity (the keyed-cs map measured
+    * 2561 chars against the 1960 budget). Keys were assigned mechanically
+    * (word initials, then first-letter + letter/digit, then any free code)
+    * avoiding every historical key, so a rekeyed trend reader can never
+    * confuse eras. Applied AFTER the "op_" strip. BenchAliasSpec pins
+    * uniqueness, ledger integrity, and the keyed-coverage floor at 270 and
+    * 300 queries. */
   val alias: Map[String, String] = Map(
-    "topk_asc_filtered" -> "tk", "stratified_sample" -> "sf",
-    "neardup_survivors" -> "nd", "curation_pipeline" -> "cp",
-    "states_exempting" -> "sx", "refund_by_reason" -> "rr",
-    "filing_deadlines" -> "fd", "display_truncate" -> "dt",
-    "state_quantiles" -> "sq", "state_breakdown" -> "sbk",
-    "refund_by_state" -> "rst", "label_centroids" -> "lc",
-    "doc_fingerprint" -> "dfp", "video_features" -> "vf",
-    "stream_windows" -> "swn", "refund_summary" -> "rf",
-    "media_features" -> "mft", "json_roundtrip" -> "jrt",
-    "image_features" -> "ift", "hist_quantiles" -> "hqt",
-    "filter_project" -> "fpj", "filed_semijoin" -> "fsm",
-    "embed_quantize" -> "qz", "effective_rate" -> "eff",
-    "dedup_clusters" -> "ddc", "audio_features" -> "aft",
-    "contamination" -> "ctm", "dedup_recall" -> "ddr",
-    "bigram_score" -> "bgs", "unigram_score" -> "ugs",
-    "dedup_exact" -> "ddx", "minhash_pairs" -> "mhp",
-    "token_jaccard" -> "jac", "passage_dups" -> "psg",
-    "csv_roundtrip" -> "cv", "orc_roundtrip" -> "oc",
-    "stream_nexus" -> "snx", "quality_score" -> "ql",
-    "text_quality" -> "tq", "token_count" -> "tc",
-    "subword_count" -> "sw", "hash_sample" -> "hsm",
-    "split_assign" -> "spl", "kmv_distinct" -> "kmv",
-    "embed_neardup" -> "enr", "topk_per_key" -> "tkk",
-    "window_rank" -> "wr", "events_window" -> "evw",
-    "rates_listing" -> "rl", "refund_claims" -> "rfc",
-    "refund_scan" -> "rfsc", "refund_report" -> "rrp",
-    "claims_nested" -> "clm", "nexus_check" -> "nx",
-    "tax_report" -> "txr", "tax_summary" -> "txs",
-    "case_bucket" -> "cbk", "unknown_state" -> "us",
-    "incl_backout" -> "bko", "txn_details" -> "tdt",
-    "text_report" -> "ttr", "sort_duedate" -> "due",
-    "para_dedup" -> "padd", "sql_surface" -> "sql",
-    "stream_dedup" -> "sdd", "top_ngrams" -> "ngr",
-    "stream_sessions" -> "ss", "compact_latest" -> "cpt",
-    "boilerplate" -> "bl", "shard_shuffle" -> "shd",
-    "zscore" -> "zsc", "zorder" -> "zord", "winnow" -> "ww",
-    "gopher_rules" -> "goph", "vocab_coverage" -> "vc",
-    "hard_negatives" -> "hn", "embed_norm" -> "en",
-    "cms_topk" -> "cms", "seq_pack" -> "pack", "tax_calc" -> "txc",
-    "lang_id" -> "lid", "lsh_ann" -> "lsh", "profile" -> "prof",
-    "simhash" -> "simh", "txn_gen" -> "txg", "use_tax" -> "uset",
-    "phash_pairs" -> "php", "salted_join" -> "sltj",
-    "salted_agg" -> "slta", "rolling_fp" -> "rfp",
-    "range_join" -> "rj", "lead_ntile" -> "nt",
-    "sessionize" -> "se", "asof_join" -> "asof",
-    "anti_join" -> "anti", "semi_join" -> "semi",
-    "key_union" -> "kun", "retention" -> "ret",
-    "pii_scrub" -> "pii", "ann_recall" -> "anr",
-    "fuzzy_join" -> "fzy", "period_gen" -> "per",
-    "repetition" -> "rep", "source_mix" -> "sm",
-    "ivfpq_ann" -> "ipq", "quickscan" -> "qs",
-    "stream_join" -> "sjn", "json_extract" -> "jsx",
-    "batch_agg" -> "bat", "pq_encode" -> "pqe",
-    "rate_join" -> "rtj", "topk_desc" -> "tkd",
-    "ann_topk" -> "atk", "distinct" -> "dist",
-    "smj_join" -> "smj", "temp_mix" -> "tm",
-    "ivf_ann" -> "ivf", "resample" -> "rsm",
-    "image_phash" -> "iph", "image_resize" -> "irs",
-    "bpe_pairs" -> "bpe", "oov_rate" -> "oov",
-    "bpe_apply" -> "bpea", "line_dups" -> "lnd",
-    "incr_dedup" -> "incd", "sem_dedup" -> "semd",
-    "incr_sem_dedup" -> "isd", "perceptron_step" -> "pst",
-    "bucketed_join" -> "bkj", "best_survivors" -> "bsv",
-    "embed_outliers" -> "eol", "schema_merge" -> "scm",
-    "skew_stats" -> "skw", "fk_audit" -> "fka",
-    "sample_quantiles" -> "sqt", "dup_ngram_frac" -> "dnf",
-    "ngram_novelty" -> "nnv", "stream_topk" -> "stk",
-    "compact_files" -> "cpf", "winsorize" -> "wz",
-    "bucketed_agg" -> "bka", "cdc_chunks" -> "cdc",
-    "json_corrupt" -> "jc", "cluster_sizes" -> "cls",
-    "minhash_error" -> "mhe",
-    "incr_compact" -> "icc", "incr_sem_compact" -> "isc",
-    "incr_pipeline" -> "ipl", "stream_neardup" -> "snd",
-    "cap_per_key" -> "cpk", "weighted_sample" -> "wsm",
-    "weighted_race" -> "wrc",
-    "dup_attribution" -> "dat", "semdedup_sweep" -> "sds",
-    "dsir_weights" -> "dsw", "dsir_select" -> "dss",
-    "length_hist" -> "lh", "quality_floor" -> "qf",
-    "minhash_sweep" -> "mhs", "cross_source_overlap" -> "cso",
-    "knn_classify" -> "knc", "embed_drift" -> "edr",
-    "tok_fertility" -> "tf", "corpus_drift" -> "cdr",
-    "mix_schedule" -> "mix", "stream_drift" -> "sdr",
-    "snapshot_diff" -> "snp", "split_leakage" -> "slk",
-    "vocab_shift" -> "vsh", "simhash_pairs" -> "shp",
-    "k_anonymity" -> "kan", "band_stats" -> "bnst",
-    "k_generalize" -> "kgn", "l_diversity" -> "ldv",
-    "race_per_key" -> "rpk", "score_auc" -> "auc",
-    "simhash_recall" -> "shr", "lm_logprob" -> "lmp",
-    "l_generalize" -> "lgn", "incr_sem_trained" -> "ist",
-    "substr_runs" -> "sbr", "ccnet_buckets" -> "ccb",
-    "dp_counts" -> "dpc", "substr_scrub" -> "sbs",
-    "c4_rules" -> "c4", "char_diversity" -> "chd",
-    "linear_score" -> "lin", "rand_proj" -> "rpj",
-    "containment" -> "ctn", "knn_graph" -> "knn",
-    "kmv_by_group" -> "kvg", "asof_stale" -> "ast",
-    "ngram_lang_id" -> "nli", "chi2_terms" -> "x2",
-    "kmeans_step" -> "kmn", "kmeans_iter" -> "kmi",
-    "trained_ivf_ann" -> "tiv", "grouping_sets" -> "gst",
-    "bloom_join" -> "blm", "rank_stats" -> "rkst",
-    "triangles" -> "tri", "corr_stats" -> "corr",
-    "pagerank" -> "pgr", "cooccur" -> "cc",
-    "moments" -> "mom", "rolling_avg" -> "ravg",
-    "transitions" -> "tr", "dataset_card" -> "dc",
-    "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
-    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
-    "rolling_actives" -> "ract", "degree_hist" -> "dgh",
-    "union" -> "uni", "pit_join" -> "pit")
-  // No aliases were added after round 14: at query #236 the catalog
-  // crossed the point where even the integer-seconds NAMED-KEY rung of
-  // [[metricLine]] exceeds the 1960-char budget on a healthy (sub-10 s
-  // per query) sweep, and no legal birth-alias batch can buy it back
-  // (the closed rename ledger pins every historical key; Σ keylen would
-  // need ~1.9 chars/key). From round 15 on, a healthy full-catalog sweep
-  // emits the keyless self-describing "qv" values array (ascending
-  // unaliased query-name order — the encoding the round-13 ladder
-  // extension added for exactly this point), and per-query KEYED trend
-  // data lives in the committed BENCH_FULL_LOCAL.json sidecar, which has
-  // always been the full-fidelity ledger. BenchAliasSpec pins the rung.
+    "alerts" -> "al", "ann_recall" -> "ar", "ann_topk" -> "at", "anti_join" -> "aj",
+    "asof_join" -> "as", "asof_stale" -> "ao", "audio_features" -> "af", "band_stats" -> "bs",
+    "batch_agg" -> "ba", "best_survivors" -> "be", "bigram_logprob" -> "bi", "bigram_score" -> "bg",
+    "bloom_fpr" -> "bf", "bloom_join" -> "bj", "bm25" -> "bm", "boilerplate" -> "bo",
+    "bpe_apply" -> "bp", "bpe_pairs" -> "br", "bucketed_agg" -> "bu", "bucketed_join" -> "bc",
+    "c4_rules" -> "cr", "cap_per_key" -> "ca", "case_bucket" -> "cb", "ccnet_buckets" -> "cn",
+    "cdc_chunks" -> "cd", "char_diversity" -> "ch", "chi2_terms" -> "ct", "chunk" -> "cu",
+    "claims_nested" -> "cl", "cluster_sizes" -> "cs", "cms_error" -> "ce", "cms_topk" -> "cm",
+    "compact_files" -> "cf", "compact_latest" -> "co", "containment" -> "ci", "contamination" -> "cg",
+    "cooccur" -> "cj", "corpus_drift" -> "ck", "corr_stats" -> "cq", "cross_source_overlap" -> "cw",
+    "csv_kv" -> "cx", "csv_roundtrip" -> "cy", "cube" -> "cz", "curation_pipeline" -> "c0",
+    "dataset_card" -> "da", "dedup_clusters" -> "de", "dedup_exact" -> "dd", "dedup_recall" -> "dr",
+    "degree_hist" -> "dh", "display_truncate" -> "di", "distinct" -> "ds", "doc_fingerprint" -> "df",
+    "dp_avg" -> "dp", "dp_counts" -> "do", "dp_quantile" -> "dq", "dp_sum" -> "du",
+    "dsir_select" -> "dl", "dsir_weights" -> "dw", "dup_attribution" -> "db", "dup_ngram_frac" -> "dn",
+    "effective_rate" -> "er", "embed_drift" -> "ed", "embed_neardup" -> "em", "embed_norm" -> "eb",
+    "embed_outliers" -> "eo", "embed_quantize" -> "eq", "events_window" -> "ew", "except" -> "ex",
+    "filed_semijoin" -> "fs", "filing_deadlines" -> "fi", "filter_project" -> "fp", "fk_audit" -> "fa",
+    "funnel" -> "fu", "fuzzy_join" -> "fj", "gini_sources" -> "gs", "gopher_rules" -> "gr",
+    "grouping_sets" -> "go", "hard_negatives" -> "ha", "hash_sample" -> "hs", "hist_quantiles" -> "hq",
+    "hll_distinct" -> "hd", "image_features" -> "if", "image_phash" -> "ip", "image_resize" -> "ir",
+    "incl_backout" -> "ib", "incr_compact" -> "ic", "incr_dedup" -> "id", "incr_pipeline" -> "in",
+    "incr_sem_compact" -> "is", "incr_sem_dedup" -> "ie", "incr_sem_trained" -> "im", "ivf_ann" -> "ia",
+    "ivf_sweep" -> "iv", "ivfpq_ann" -> "iq", "ivfsq_ann" -> "ig", "ivfsq_recall" -> "il",
+    "json_corrupt" -> "js", "json_extract" -> "je", "json_roundtrip" -> "jr", "k_anonymity" -> "ka",
+    "k_generalize" -> "kg", "key_union" -> "ku", "kmeans_iter" -> "ki", "kmeans_step" -> "ks",
+    "kmv_by_group" -> "kb", "kmv_distinct" -> "kd", "knn_classify" -> "kc", "knn_graph" -> "kn",
+    "ks_drift" -> "kr", "l_diversity" -> "ld", "l_generalize" -> "lg", "label_centroids" -> "la",
+    "label_prop" -> "lp", "lang_id" -> "li", "lead_ntile" -> "ln", "length_hist" -> "le",
+    "lid_confusion" -> "lo", "line_dups" -> "lu", "linear_score" -> "ls", "lm_logprob" -> "ll",
+    "lsh_ann" -> "lb", "media_features" -> "mf", "minhash_error" -> "me", "minhash_pairs" -> "mp",
+    "minhash_sweep" -> "ms", "mix_schedule" -> "mi", "moments" -> "mo", "mrl_recall" -> "mr",
+    "mrr" -> "ma", "mrr_ivf" -> "mv", "ndcg" -> "nc", "ndcg_ivf" -> "ni",
+    "neardup_survivors" -> "ns", "nexus_check" -> "ne", "ngram_lang_id" -> "nl", "ngram_novelty" -> "nn",
+    "oov_rate" -> "or", "orc_roundtrip" -> "oo", "pagerank" -> "pa", "para_dedup" -> "pd",
+    "passage_dups" -> "ps", "perceptron_step" -> "pe", "period_gen" -> "pg", "phash_pairs" -> "pp",
+    "pii_scrub" -> "pi", "pit_join" -> "pj", "pivot" -> "pv", "pmi" -> "pm",
+    "pq_ann" -> "pq", "pq_encode" -> "pn", "profile" -> "pr", "q1_agg" -> "q1",
+    "quality_floor" -> "qu", "quality_score" -> "qa", "quickscan" -> "qi", "race_per_key" -> "rp",
+    "rand_proj" -> "ra", "range_join" -> "rn", "rank_stats" -> "rs", "rate_join" -> "rt",
+    "rates_listing" -> "re", "refund_by_reason" -> "rb", "refund_by_state" -> "ru", "refund_claims" -> "rc",
+    "refund_report" -> "rd", "refund_scan" -> "rg", "refund_summary" -> "rm", "repetition" -> "ri",
+    "resample" -> "rh", "retention" -> "ro", "rolling_actives" -> "rv", "rolling_avg" -> "rk",
+    "rolling_fp" -> "rq", "rollup" -> "rw", "rrf_fusion" -> "rx", "salted_agg" -> "sa",
+    "salted_join" -> "sj", "sample_quantiles" -> "sp", "scd2" -> "sc", "schema_merge" -> "sh",
+    "score_auc" -> "so", "score_deciles" -> "sd", "sem_dedup" -> "su", "semdedup_sweep" -> "sb",
+    "semi_join" -> "si", "seq_pack" -> "sk", "sessionize" -> "sn", "shard_shuffle" -> "sr",
+    "simhash" -> "sg", "simhash_pairs" -> "sl", "simhash_recall" -> "st", "skew_stats" -> "sv",
+    "smj_join" -> "sy", "snapshot_diff" -> "sz", "sort_duedate" -> "s0", "source_mix" -> "s1",
+    "split_assign" -> "s2", "split_leakage" -> "s3", "sq_ann" -> "s4", "sq_recall" -> "s5",
+    "sql_ccnet_terciles" -> "s6", "sql_cross_source_dup" -> "s7", "sql_dedup_candidates" -> "s8", "sql_exact_dedup" -> "s9",
+    "sql_ks_drift" -> "a", "sql_len_profile" -> "b", "sql_median" -> "c", "sql_quality_floor" -> "d",
+    "sql_score_deciles" -> "e", "sql_source_share" -> "f", "sql_surface" -> "g", "sql_survivors" -> "h",
+    "sql_winner" -> "i", "state_breakdown" -> "j", "state_quantiles" -> "k", "states_exempting" -> "l",
+    "stratified_sample" -> "m", "stream_bloom" -> "n", "stream_cms" -> "o", "stream_dedup" -> "p",
+    "stream_drift" -> "q", "stream_hll" -> "r", "stream_join" -> "s", "stream_neardup" -> "t",
+    "stream_nexus" -> "u", "stream_sessions" -> "v", "stream_topk" -> "w", "stream_windows" -> "x",
+    "substr_runs" -> "y", "substr_scrub" -> "z", "substr_stats" -> "aa", "subword_count" -> "ab",
+    "t_closeness" -> "t_", "tax_calc" -> "ta", "tax_report" -> "tx", "tax_summary" -> "ts",
+    "temp_mix" -> "te", "text_quality" -> "tt", "text_report" -> "tp", "tfidf" -> "ti",
+    "tok_fertility" -> "to", "token_count" -> "tn", "token_entropy" -> "ty", "token_jaccard" -> "tj",
+    "top_ngrams" -> "tg", "topk_asc_filtered" -> "tl", "topk_desc" -> "td", "topk_per_key" -> "tb",
+    "trained_ivf_ann" -> "tv", "transitions" -> "th", "triangles" -> "tu", "triplet_mine" -> "tw",
+    "txn_details" -> "tz", "txn_gen" -> "t0", "unigram_score" -> "un", "union" -> "ui",
+    "unknown_state" -> "uk", "use_tax" -> "ut", "video_features" -> "vi", "vocab_coverage" -> "vo",
+    "vocab_richness" -> "vr", "vocab_shift" -> "vs", "weighted_race" -> "we", "weighted_sample" -> "ws",
+    "window_rank" -> "wi", "winnow" -> "wn", "winsorize" -> "wo", "zipf_slope" -> "zs",
+    "zorder" -> "zo", "zscore" -> "zc")
 
   /** Machine-readable metric-line key RENAMES (old key → current key),
     * cumulative since the round-6 "stable" §9.2 table: apply to the
@@ -161,51 +122,91 @@ object Bench {
     * BenchAliasSpec pins every value to a live metric key and every old
     * key to NOT be one (a rename can't silently alias a live query). */
   val aliasRenames: Map[String, String] = Map(
-    // round 8
-    "batch" -> "bat", "bloom" -> "blm", "claims" -> "clm",
-    "dtrunc" -> "dt", "fuzzy" -> "fzy", "gsets" -> "gst",
-    "kmeans" -> "kmn", "nexus" -> "nx", "resmpl" -> "rsm",
-    "funnel" -> "fnl", "except" -> "exc", "rollup" -> "rlp",
-    "alerts" -> "alr", "pivot" -> "pvt", "chunk" -> "chk",
-    // round 9
-    "repeat" -> "rep", "key_un" -> "kun",
-    // round 10
-    "ann_tk" -> "atk", "aud_ft" -> "aft", "doc_fp" -> "dfp",
-    "med_ft" -> "mft", "img_ft" -> "ift", "h_qtl" -> "hqt",
-    "e_near" -> "enr", "f_proj" -> "fpj", "f_semi" -> "fsm",
-    "rng_j" -> "rj", "rate_j" -> "rtj", "stbrk" -> "sbk",
-    "strat" -> "sf", "s_win" -> "swn", "quant" -> "qz",
-    "pq_enc" -> "pqe", "ivfpq" -> "ipq", "rf_rpt" -> "rrp",
-    "rf_st" -> "rst", "rf_cl" -> "rfc", "t_det" -> "tdt",
-    "s_nx" -> "snx", "c_bkt" -> "cbk", "h_smp" -> "hsm",
-    "dd_rec" -> "ddr", "dd_cl" -> "ddc", "mh_p" -> "mhp",
-    "ph_p" -> "php", "i_ph" -> "iph", "i_rs" -> "irs",
-    "ev_win" -> "evw", "jsrt" -> "jrt",
-    // round 10, second batch (the four new r10 query keys re-consumed
-    // the margin): twelve more shortenings, ~28 worst-case chars freed
-    "st_ex" -> "sx", "split" -> "spl", "shard" -> "shd",
-    "rates" -> "rl", "qscan" -> "qs", "ntile" -> "nt",
-    "sses" -> "ss", "ndup" -> "nd", "winw" -> "ww",
-    "csvr" -> "cv", "orcr" -> "oc", "vcov" -> "vc",
-    // round 10, third batch (ctn/knn/kvg consumed the margin again)
-    "tokc" -> "tc", "subw" -> "sw", "qual" -> "ql",
-    "dcard" -> "dc", "boil" -> "bl", "sess" -> "se",
-    "smix" -> "sm", "tmix" -> "tm", "hneg" -> "hn",
-    "enorm" -> "en", "cooc" -> "cc", "trans" -> "tr",
-    // round 10, fourth batch (ast/nli consumed the margin)
-    "cur" -> "cp", "tka" -> "tk",
-    "rfr" -> "rr", "ddl" -> "fd", "dtr" -> "dt",
-    "stq" -> "sq", "rfs" -> "rf", "cent" -> "lc",
-    "vft" -> "vf", "unks" -> "us", "wrnk" -> "wr")
-  // The ledger above is CLOSED (round-11 decision): live keys are never
-  // renamed again. A NEW query may still take a short alias at birth (no
-  // ledger entry — the key never trended under another name), and when
-  // the catalog outgrows the stdout line the [[metricLine]] ladder
-  // degrades it (slim levels, then drop-cheapest with q_omitted) while
-  // the committed BENCH_FULL_LOCAL.json sidecar keeps full fidelity.
-  // BenchAliasSpec pins the ladder contract and that every ledger source
-  // is a genuine historical key (it appears in a committed BENCH_r*.json
-  // metric line — a phantom source can never enter the ledger again).
+    "aft" -> "af", "alerts" -> "al", "alr" -> "al", "ann_tk" -> "at",
+    "anr" -> "ar", "anti" -> "aj", "asof" -> "as", "ast" -> "ao",
+    "atk" -> "at", "auc" -> "so", "aud_ft" -> "af", "bat" -> "ba",
+    "batch" -> "ba", "bgs" -> "bg", "bka" -> "bu", "bkj" -> "bc",
+    "bko" -> "ib", "bl" -> "bo", "blm" -> "bj", "bloom" -> "bj",
+    "bm25" -> "bm", "bnst" -> "bs", "boil" -> "bo", "bpe" -> "br",
+    "bpea" -> "bp", "bsv" -> "be", "c4" -> "cr", "c_bkt" -> "cb",
+    "cbk" -> "cb", "cc" -> "cj", "cdc" -> "cd", "cdr" -> "ck",
+    "cent" -> "la", "chd" -> "ch", "chk" -> "cu", "chunk" -> "cu",
+    "claims" -> "cl", "clm" -> "cl", "cls" -> "cs", "cms" -> "cm",
+    "cooc" -> "cj", "corr" -> "cq", "cp" -> "c0", "cpf" -> "cf",
+    "cpk" -> "ca", "cpt" -> "co", "cso" -> "cw", "csv_kv" -> "cx",
+    "csvr" -> "cy", "ctm" -> "cg", "ctn" -> "ci", "cube" -> "cz",
+    "cur" -> "c0", "cv" -> "cy", "dat" -> "db", "dc" -> "da",
+    "dcard" -> "da", "dd_cl" -> "de", "dd_rec" -> "dr", "ddc" -> "de",
+    "ddl" -> "fi", "ddr" -> "dr", "ddx" -> "dd", "dfp" -> "df",
+    "dgh" -> "dh", "dist" -> "ds", "dnf" -> "dn", "doc_fp" -> "df",
+    "dss" -> "dl", "dsw" -> "dw", "dt" -> "di", "dtr" -> "di",
+    "dtrunc" -> "di", "due" -> "s0", "e_near" -> "em", "edr" -> "ed",
+    "eff" -> "er", "en" -> "eb", "enorm" -> "eb", "enr" -> "em",
+    "eol" -> "eo", "ev_win" -> "ew", "evw" -> "ew", "exc" -> "ex",
+    "except" -> "ex", "f_proj" -> "fp", "f_semi" -> "fs", "fd" -> "fi",
+    "fka" -> "fa", "fnl" -> "fu", "fpj" -> "fp", "fsm" -> "fs",
+    "funnel" -> "fu", "fuzzy" -> "fj", "fzy" -> "fj", "goph" -> "gr",
+    "gsets" -> "go", "gst" -> "go", "h_qtl" -> "hq", "h_smp" -> "hs",
+    "hn" -> "ha", "hneg" -> "ha", "hqt" -> "hq", "hsm" -> "hs",
+    "i_ph" -> "ip", "i_rs" -> "ir", "icc" -> "ic", "ift" -> "if",
+    "img_ft" -> "if", "incd" -> "id", "iph" -> "ip", "ipl" -> "in",
+    "ipq" -> "iq", "irs" -> "ir", "isc" -> "is", "isd" -> "ie",
+    "ivf" -> "ia", "ivfpq" -> "iq", "jac" -> "tj", "jc" -> "js",
+    "jrt" -> "jr", "jsrt" -> "jr", "jsx" -> "je", "kan" -> "ka",
+    "key_un" -> "ku", "kgn" -> "kg", "kmeans" -> "ks", "kmi" -> "ki",
+    "kmn" -> "ks", "kmv" -> "kd", "knc" -> "kc", "knn" -> "kn",
+    "kun" -> "ku", "kvg" -> "kb", "lc" -> "la", "ldv" -> "ld",
+    "lh" -> "le", "lid" -> "li", "lin" -> "ls", "lnd" -> "lu",
+    "lsh" -> "lb", "med_ft" -> "mf", "mft" -> "mf", "mh_p" -> "mp",
+    "mhe" -> "me", "mhp" -> "mp", "mhs" -> "ms", "mix" -> "mi",
+    "mom" -> "mo", "nd" -> "ns", "ndup" -> "ns", "nexus" -> "ne",
+    "ngr" -> "tg", "nli" -> "nl", "nnv" -> "nn", "nt" -> "ln",
+    "ntile" -> "ln", "nx" -> "ne", "oc" -> "oo", "oov" -> "or",
+    "orcr" -> "oo", "pack" -> "sk", "padd" -> "pd", "per" -> "pg",
+    "pgr" -> "pa", "ph_p" -> "pp", "php" -> "pp", "pii" -> "pi",
+    "pit" -> "pj", "pivot" -> "pv", "pq_ann" -> "pq", "pq_enc" -> "pn",
+    "pqe" -> "pn", "prof" -> "pr", "psg" -> "ps", "pst" -> "pe",
+    "pvt" -> "pv", "q1_agg" -> "q1", "qf" -> "qu", "ql" -> "qa",
+    "qs" -> "qi", "qscan" -> "qi", "qual" -> "qa", "quant" -> "eq",
+    "qz" -> "eq", "ract" -> "rv", "rate_j" -> "rt", "rates" -> "re",
+    "ravg" -> "rk", "rep" -> "ri", "repeat" -> "ri", "resmpl" -> "rh",
+    "ret" -> "ro", "rf" -> "rm", "rf_cl" -> "rc", "rf_rpt" -> "rd",
+    "rf_st" -> "ru", "rfc" -> "rc", "rfp" -> "rq", "rfr" -> "rb",
+    "rfs" -> "rm", "rfsc" -> "rg", "rj" -> "rn", "rkst" -> "rs",
+    "rl" -> "re", "rlp" -> "rw", "rng_j" -> "rn", "rollup" -> "rw",
+    "rpj" -> "ra", "rpk" -> "rp", "rr" -> "rb", "rrp" -> "rd",
+    "rsm" -> "rh", "rst" -> "ru", "rtj" -> "rt", "s_nx" -> "u",
+    "s_win" -> "x", "sbk" -> "j", "scd2" -> "sc", "scm" -> "sh",
+    "sdd" -> "p", "sdr" -> "q", "sds" -> "sb", "se" -> "sn",
+    "semd" -> "su", "semi" -> "si", "sess" -> "sn", "sf" -> "m",
+    "shard" -> "sr", "shd" -> "sr", "shp" -> "sl", "shr" -> "st",
+    "simh" -> "sg", "sjn" -> "s", "skw" -> "sv", "slk" -> "s3",
+    "slta" -> "sa", "sltj" -> "sj", "sm" -> "s1", "smix" -> "s1",
+    "smj" -> "sy", "snd" -> "t", "snp" -> "sz", "snx" -> "u",
+    "spl" -> "s2", "split" -> "s2", "sq" -> "k", "sql" -> "g",
+    "sqt" -> "sp", "ss" -> "v", "sses" -> "v", "st_ex" -> "l",
+    "stbrk" -> "j", "stk" -> "w", "stq" -> "k", "strat" -> "m",
+    "subw" -> "ab", "sw" -> "ab", "swn" -> "x", "sx" -> "l",
+    "t_det" -> "tz", "tc" -> "tn", "tdt" -> "tz", "tf" -> "to",
+    "tfidf" -> "ti", "tiv" -> "tv", "tk" -> "tl", "tka" -> "tl",
+    "tkd" -> "td", "tkk" -> "tb", "tm" -> "te", "tmix" -> "te",
+    "tokc" -> "tn", "tq" -> "tt", "tr" -> "th", "trans" -> "th",
+    "tri" -> "tu", "ttr" -> "tp", "txc" -> "ta", "txg" -> "t0",
+    "txr" -> "tx", "txs" -> "ts", "ugs" -> "un", "uni" -> "ui",
+    "unks" -> "uk", "us" -> "uk", "uset" -> "ut", "vc" -> "vo",
+    "vcov" -> "vo", "vf" -> "vi", "vft" -> "vi", "vsh" -> "vs",
+    "winw" -> "wn", "wr" -> "wi", "wrc" -> "we", "wrnk" -> "wi",
+    "wsm" -> "ws", "ww" -> "wn", "wz" -> "wo", "x2" -> "ct",
+    "zord" -> "zo", "zsc" -> "zc")
+  // Round-19 ledger batch: reopened ONCE for the wholesale 1-2 char
+  // re-keying (see [[alias]]); pre-r19 entries were retargeted through the
+  // new map (transitive chains collapsed — a round-8 source points directly
+  // at its final r19 key), and every CURRENT key that had appeared in a
+  // committed BENCH_r*.json metric line gained an entry. Sources stay
+  // genuine historical keys only: queries born after round 15 (the keyless
+  // era) changed alias WITHOUT a ledger entry, since no committed line ever
+  // carried their old key — exactly the birth-alias rule. BenchAliasSpec
+  // still pins: every source historical, every target live, no source live.
 
   /** Metric-line key for a catalog query name: strip "op_", then alias. */
   def metricKey(name: String): String = {
@@ -305,11 +306,14 @@ object Bench {
     * BenchAliasSpec can pin the contract at any catalog size without
     * running a bench. The driver captures only the last ~2000 chars of
     * stdout and json-parses this line, so the emitted form must ALWAYS
-    * fit that window: try slim levels 0-3 (each dropping informational
-    * side fields, never per-query data), then the maximum number of
-    * SLOWEST queries that fits (q_omitted = how many cheapest were
-    * dropped — their trend data lives on in the sidecar). Failures are
-    * never dropped at any level. */
+    * fit that window: slim levels 0-4 (each dropping informational side
+    * fields, never per-query data), then coarsen the KEYED map
+    * (deciseconds), then drop at most 1/6 of the cheapest keyed entries,
+    * then integer-second keyed maps, then the keyless qv arrays, then
+    * max-slowest-that-fits. KEYED rungs come first (round 19): the
+    * driver's per-query trend alignment works by key, so a keyed map
+    * covering 83%+ of the catalog outranks a keyless array covering all
+    * of it. Failures are never dropped at any level. */
   def metricLine(results: Seq[(String, Double)], total: Double, agg: String,
       warmSec: Double, p1Total: Double, failed: Seq[String],
       sfDir: String, p2Covered: Int = -1): String = {
@@ -325,9 +329,9 @@ object Bench {
     val contField =
       if (warmSec > contendedWarmSec) s""","contended":true""" else ""
     // Per-query values as INTEGER CENTISECONDS keyed by [[metricKey]]
-    // ("op_" stripped, long names aliased per [[alias]] — SURVEY §9.2 maps
-    // them back). The coarsened slim-4 level divides to DECISECONDS
-    // instead (marked `"qunit":"ds"` on the line).
+    // ("op_" stripped, aliased per [[alias]] — SURVEY §9.2 maps them
+    // back). Coarser rungs divide to DECISECONDS / SECONDS instead
+    // (marked `"qunit"` on the line).
     def qJson(m: Seq[(String, Double)], div: Int): String = m
       .map { case (k, v) =>
         "\"" + metricKey(k) + "\":" + math.round(v * 100 / div).toString }
@@ -359,7 +363,13 @@ object Bench {
         if (unit == "cs") "" else s""","qunit":"$unit""""
       } else
         s""","qunit":"$unit","qkeys":"op_-stripped, aliased per SURVEY 9.2""""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","agg":"$agg"$covField$contField$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
+      // slim >= 4: drop the agg self-documentation too — it is derivable
+      // (p2_covered present == min_of_2_partial, absent == min_of_2, and
+      // the sidecar always carries it verbatim); the honesty-critical
+      // fields (p2_covered, contended, non-empty failed, non-default
+      // qunit) ride at EVERY level
+      val ag = if (slim >= 4) "" else s""","agg":"$agg""""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec"$ag$covField$contField$qu,"queries":$qs$om$p1$ws$fl,"sf":"$sf"}"""
     }
     // Values-array sibling of line() at slim 3: "qv" replaces "queries",
     // with the order spelled out so the encoding is self-describing. EVERY
@@ -376,31 +386,46 @@ object Bench {
         s"""$fl,"sf":"$sf"}"""
     }
     // hard guard: never emit a metric line that cannot fit the 2000-char
-    // tail. Degrade in steps, each keeping MORE per-query data than the
-    // next: full -> minus informational fields (3 levels) -> COARSEN the
-    // per-query values, keeping every key (decisecond then integer-second
-    // MAPS — 0.1/1 s granularity on the expensive sweeps that hit these
-    // levels still trends fine, and all-keys-coarse beats some-keys-gone)
-    // -> drop the KEYS but not the values (ds then s VALUES-ARRAY in
-    // ascending query-name order — self-describing via "qorder", and key
-    // length stops bounding the catalog) -> only then the MAXIMUM number
-    // of slowest queries that fits (sorted by key for stable diffs, with
-    // how many were dropped; seconds encoding) — dropping only the
-    // cheapest queries' trend data. 1960 leaves 40 chars of margin to
-    // the true window.
+    // tail. Degrade in steps (round-19 ordering — the driver aligns
+    // per-query trends by KEY, so KEYED rungs outrank keyless ones):
+    // full -> minus informational fields (slim 0-4) -> COARSEN to keyed
+    // DECISECONDS (slim 3 then 4) -> drop at most 1/6 of the CHEAPEST
+    // queries from the keyed-ds map (q_omitted accounts for them; at ds
+    // the dropped entries are the sub-0.05 s tail whose value reads 0
+    // anyway, while the kept 83%+ trend at 0.1 s granularity — strictly
+    // more driver-usable than an all-keys integer-seconds map where the
+    // whole sub-second tail reads 0, and than the keyless qv array the
+    // round-18 driver could not align at all) -> keyed integer-second
+    // maps -> the keyless ds/s VALUES-ARRAYS (self-describing via
+    // "qorder"; key length stops bounding the catalog) -> only then the
+    // MAXIMUM number of slowest queries that fits (seconds encoding).
+    // Failures are never dropped. 1960 leaves 40 chars of margin to the
+    // true window.
     val bySlow = sorted.sortBy(-_._2)
-    ((0 to 3).map(s => line(qJson(sorted, 1), 0, s, "cs")) :+
-        line(qJson(sorted, 10), 0, 3, "ds") :+
-        line(qJson(sorted, 100), 0, 3, "s") :+
-        lineArr("ds") :+ lineArr("s"))
-      .find(_.length <= 1960)
+    val fits = (s: String) => s.length <= 1960
+    val keyedFull =
+      (0 to 3).map(s => line(qJson(sorted, 1), 0, s, "cs")) ++
+        Seq(line(qJson(sorted, 10), 0, 3, "ds"),
+          line(qJson(sorted, 10), 0, 4, "ds"))
+    val dropCheapestDs = Iterator.range(bySlow.length - 1,
+        math.max(0, bySlow.length - sorted.length / 6 - 1), -1)
+      .map { n =>
+        line(qJson(bySlow.take(n).sortBy(_._1), 10), sorted.length - n,
+          slim = 4, unit = "ds")
+      }
+      .find(fits)
+    keyedFull.find(fits)
+      .orElse(dropCheapestDs)
+      .orElse(Seq(line(qJson(sorted, 100), 0, 3, "s"),
+          line(qJson(sorted, 100), 0, 4, "s"),
+          lineArr("ds"), lineArr("s")).find(fits))
       .getOrElse(Iterator.range(bySlow.length - 1, 0, -1)
         .map { n =>
           line(qJson(bySlow.take(n).sortBy(_._1), 100), sorted.length - n,
-            slim = 3, unit = "s")
+            slim = 4, unit = "s")
         }
-        .find(_.length <= 1960)
-        .getOrElse(line("{}", sorted.length, slim = 3, unit = "s")))
+        .find(fits)
+        .getOrElse(line("{}", sorted.length, slim = 4, unit = "s")))
   }
 
   def main(args: Array[String]): Unit = {

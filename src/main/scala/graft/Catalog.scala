@@ -45,20 +45,35 @@ object Catalog {
     * LogicalRelation, exactly what a metastore-backed table (or Spark's
     * own `filesourcePartitionFileCacheSize`) provides. This caches
     * METADATA (schema + file list), never data or results: every bench
-    * action still scans the parquet. Keyed weakly by session (a new
-    * session re-resolves); fixture paths are immutable test inputs —
-    * stores the engine WRITES mid-session (incr-dedup indexes, cell
-    * stores) stay un-memoized, their listing must see fresh files. */
-  private val fixtureCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, DataFrame]]
+    * action still scans the parquet. Fixture paths are immutable test
+    * inputs — stores the engine WRITES mid-session (incr-dedup indexes,
+    * cell stores) stay un-memoized, their listing must see fresh files.
+    *
+    * Lifecycle (round 19, drains the r18 advice item): the previous
+    * WeakHashMap keyed by SparkSession leaked — the cached DataFrames
+    * strongly reference their session, so the weak keys could never be
+    * collected. Now the cache holds ONE session's relations, keyed by
+    * `sessionUUID`: when a different session asks, the old map is dropped
+    * wholesale (its DataFrames — and through them the old session —
+    * become unreachable). Sequential sessions (Bench, Verify, every test
+    * suite) each get a fresh cache; a pathological interleaving of two
+    * live sessions would only thrash re-resolution, never corrupt. */
+  private val fixtureCache = new java.util.concurrent.atomic.AtomicReference[
+    (java.lang.ref.WeakReference[SparkSession],
+      scala.collection.concurrent.TrieMap[String, DataFrame])]
   private[graft] def fixture(spark: SparkSession, path: String): DataFrame = {
-    val per = fixtureCache.synchronized {
-      var m = fixtureCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        fixtureCache.put(spark, m)
+    val per = {
+      val cur = fixtureCache.get()
+      // the WeakReference only IDENTIFIES the owning session (eq-compare)
+      // without retaining it — the strong reference lives in the cached
+      // DataFrames, which this single-slot design drops wholesale on the
+      // first access from a different session
+      if (cur != null && (cur._1.get() eq spark)) cur._2
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        fixtureCache.set((new java.lang.ref.WeakReference(spark), m))
+        m
       }
-      m
     }
     per.getOrElseUpdate(path, {
       val df = spark.read.parquet(path)
@@ -133,10 +148,29 @@ object Catalog {
       .foreach(_ => stagedEventsDirs.remove(dir))
     stagedEventsDirs.getOrElseUpdate(dir, {
       val out = tempOutDir("graft_stream_src")
-      t(s, dir, "events").write.mode("overwrite").parquet(out)
+      // 16 source files (r19): the single-file staging serialized every
+      // replay's narrow map stage (the bloom replay's k-salt md5 explode,
+      // cms cell maps) onto one scan task; a production stream source has
+      // many partitions, so the replay should too
+      t(s, dir, "events").repartition(16).write.mode("overwrite").parquet(out)
       out
     })
   }
+
+  /** Shared EXACT per-(event_type, user_id) occurrence counts over the
+    * events fixture — the batch-side calibration base the three
+    * stream-sketch finishers each re-scanned events for (r18 verdict item
+    * 8): op_stream_hll's exact distinct-users-per-type is the per-type
+    * count of this frame's non-null-user groups, op_stream_cms's exact
+    * per-user frequency is the per-user sum of `_n`, and op_stream_bloom's
+    * member set is the distinct `_uid`s. One persisted BOUNDED frame
+    * (≤ types × users rows — sketch-calibration-sized, not event-sized),
+    * ONE events scan for the whole family. */
+  private def eventUserCounts(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"evuc:$dir")(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id").cast("string").as("_uid"))
+        .agg(count(lit(1)).as("_n")))
 
   /** Staged documents-with-planted-duplicates for the streaming dedup
     * replay: every 7th doc appears twice (different id/ts, identical
@@ -155,6 +189,9 @@ object Catalog {
           (col("doc_id") + 2000000000L).as("doc_id"), col("text")))
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+        // 16 source files, like stagedDocNearDups: single-file staging
+        // serialized the stream's per-row hash map stage onto one core
+        .repartition(16)
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -179,6 +216,13 @@ object Catalog {
           concat(col("text"), lit(" streamed near duplicate tail")).as("text")))
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(86400L))))
+        // 8 source files, not 1: the fixture scan is a single small file,
+        // and staging it as one file serialized the stream's md5-heavy
+        // signature map stage onto one core (r19 measurement) — a real
+        // deployment's stream source has many partitions, so the replay
+        // should too. Verdicts are id-order-deterministic per band either
+        // way (the transform sorts within the batch).
+        .repartition(16)
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -1331,8 +1375,14 @@ object Catalog {
             Seq("event_type"), col("_uid"))
           .groupBy("event_type", "_idx").agg(max("_rank").as("_M")))
       val est = graft.ops.Hll.estimateFromRegisters(regs, Seq("event_type"))
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct(col("user_id").cast("string")).as("n_exact"))
+      // exact distinct users per type off the SHARED per-(type, user)
+      // count frame (one events scan for the whole calibration family —
+      // r19): count the non-null-user groups per type ≡ the old
+      // countDistinct(user_id) (countDistinct skips NULLs; a type whose
+      // users are all NULL still emits its (type, NULL) group, so the
+      // group set per type is unchanged)
+      val exact = eventUserCounts(s, dir).groupBy("event_type")
+        .agg(count(col("_uid")).as("n_exact"))
       est.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_exact"), col("v_zero"),
           col("hll_est"))
@@ -1355,8 +1405,12 @@ object Catalog {
             st.select(col("user_id").cast("string").as("_u")), col("_u"),
             depth = 4, width = 64)
           .groupBy("_j", "_b").agg(count(lit(1)).as("_c")))
-      val counts = ev.select(col("user_id").cast("string").as("_v"))
-        .groupBy("_v").agg(count(lit(1)).as("_n"))
+      // exact per-user frequency off the SHARED per-(type, user) count
+      // frame (one events scan for the calibration family — r19): summing
+      // the per-type partials per user ≡ the old count(*) per user,
+      // NULL-user rows included as the same NULL group
+      val counts = eventUserCounts(s, dir)
+        .groupBy(col("_uid").as("_v")).agg(sum("_n").as("_n"))
       graft.ops.Cms.estimateTopK(counters, counts, depth = 4, width = 64,
           topK = 50)
         .select(col("token").as("user_id"), col("n_exact"), col("cms_est"),
@@ -1381,8 +1435,14 @@ object Catalog {
             mBits = 1024, kHashes = 3)
           .groupBy("_b").agg(count(lit(1)).as("_n")))
         .select("_b")
+      // member side off the SHARED per-(type, user) frame: fprFromBits
+      // distinct-and-casts the member key itself, and the distinct user
+      // set of eventUserCounts equals the distinct user set of the raw
+      // scan (NULL included as a group) — the probe side still reads the
+      // fixture (event_id does not ride the shared frame)
       graft.ops.Bloom.fprFromBits(bits,
-        ev.select(col("user_id")), col("user_id"),
+        eventUserCounts(s, dir).select(col("_uid").as("user_id")),
+        col("user_id"),
         ev.select(col("event_id")), col("event_id"),
         mBits = 1024, kHashes = 3)
     }),
@@ -1941,8 +2001,15 @@ object Catalog {
         col("l_linenumber").cast(StringType),
         col("l_partkey").cast(StringType),
         col("l_suppkey").cast(StringType), qty.cast(StringType)))
-      li.groupBy(col("l_returnflag"))
-        .agg(graft.functions.SampleSketch(h, qty, 256).as("_s"),
+      // the md5 hash is PRE-PROJECTED below the aggregate (round 19):
+      // SampleSketch is a TypedImperativeAggregate whose children evaluate
+      // INTERPRETED once per row inside update() — materializing (_h, _v)
+      // in a select first runs the concat+md5 through whole-stage codegen
+      // and leaves the aggregate two BoundReference reads; the hash
+      // expression itself (and so the released sample) is bit-identical
+      li.select(col("l_returnflag"), h.as("_h"), qty.as("_v"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.SampleSketch(col("_h"), col("_v"), 256).as("_s"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
           size(col("_s")).as("n_sample"),
@@ -1967,8 +2034,11 @@ object Catalog {
         col("l_linenumber").cast(StringType),
         col("l_partkey").cast(StringType),
         col("l_suppkey").cast(StringType), qty.cast(StringType)))
-      val bounds = li.groupBy(col("l_returnflag"))
-        .agg(graft.functions.SampleSketch(h, qty, 256).as("_s"))
+      // same pre-projection as op_sample_quantiles: codegen the md5 below
+      // the interpreted-children aggregate, bit-identical released bounds
+      val bounds = li.select(col("l_returnflag"), h.as("_h"), qty.as("_v"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.SampleSketch(col("_h"), col("_v"), 256).as("_s"))
         .select(col("l_returnflag"),
           graft.functions.SampleSketch.quantile(array_sort(col("_s")), 5)
             .as("lo"),

@@ -528,7 +528,17 @@ object Audit {
     val noiseCntMicro = graft.functions.NoCodegen(
       floor((c1 - c2) / lit(eps2) * lit(1000000.0)).cast(LongType))
     val clipped = greatest(lit(0L), least(value.cast(LongType), lit(clip)))
-    df.groupBy(keyCols.map(col): _*)
+    // NULL-keyed rows are dropped BEFORE grouping (round 19, drains the
+    // r18 advice item): the composed form this fusion claims bit-identity
+    // to — dpSum(ε/2) ⋈ dpCounts(ε/2) on key EQUALITY — never released a
+    // NULL-keyed group (NULL joins nothing), while a plain fused groupBy
+    // would; the filter restores exact parity. It also closes the salt
+    // collision the advisor flagged: a NULL key and an empty-string key
+    // concat_ws to the SAME salt string, so without the filter a NULL
+    // group would reuse an empty-string group's noise draw. AuditSpec pins
+    // fused == composed on a NULL-keyed input.
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(clipped).as("_s"), count(lit(1)).as("_n"))
       .withColumn("noisy_sum",
         (col("_s") * lit(1000000L) + noiseSumMicro).cast("double") /

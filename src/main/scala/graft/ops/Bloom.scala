@@ -73,6 +73,14 @@ object Bloom {
       hashOf: Column => Column = graft.text.Dedup.portableHash): DataFrame = {
     require(mBits >= 2 && mBits <= (1 << 26), "fprFromBits: mBits in [2, 2^26]")
     require(kHashes >= 1 && kHashes <= 16, "fprFromBits: kHashes in [1, 16]")
+    // defensive distinct (r18 advice): the left-join formulation below
+    // counts _have per matched row, so caller-supplied DUPLICATE _b rows
+    // would silently inflate _have (and bits_set) where the old semi-join
+    // was duplicate-proof. Bounded at ≤ m rows, so the aggregate is free;
+    // for already-distinct inputs (the streaming groupBy(_b) finisher,
+    // fprCalibration's own .distinct()) Catalyst's RemoveRedundantAggregates
+    // folds it away entirely.
+    val bitsDistinct = bits.distinct()
     val mem = members.select(memberKey.cast("string").as("_k")).distinct()
     val pr = probes.select(probeKey.cast("string").as("_p")).distinct()
       .join(mem, col("_p") === col("_k"), "left_anti")
@@ -95,13 +103,13 @@ object Bloom {
     // had no `have` row and was dropped by the old inner join, here it
     // fails _need == _have the same way).
     val perProbe = pb
-      .join(broadcast(bits.withColumn("_in", lit(1))), Seq("_b"), "left")
+      .join(broadcast(bitsDistinct.withColumn("_in", lit(1))), Seq("_b"), "left")
       .groupBy("_p").agg(count(lit(1)).as("_need"), count(col("_in")).as("_have"))
     val fp = perProbe.agg(count(lit(1)).as("n_probes"),
       coalesce(sum(when(col("_need") === col("_have"), 1L).otherwise(0L)),
         lit(0L)).as("n_false_pos"))
     mem.agg(count(lit(1)).as("n_members"))
-      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .crossJoin(bitsDistinct.agg(count(lit(1)).as("bits_set")))
       .crossJoin(fp)
       .select(lit(mBits.toLong).as("m_bits"),
         lit(kHashes.toLong).as("k_hashes"),

@@ -130,9 +130,19 @@ object Replay {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: Throwable => })
+      // close the walk stream (it holds directory fds — one leaked fd per
+      // replay adds up over a 270-query sweep), and WARN on a failed
+      // delete instead of swallowing it: the checkpoint lives on /dev/shm,
+      // where silent cleanup failure would exhaust shared memory with no
+      // signal (r18 advice item)
+      val walk = java.nio.file.Files.walk(p)
+      val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      files.foreach { f =>
+        try { java.nio.file.Files.deleteIfExists(f); () }
+        catch { case e: Throwable =>
+          System.err.println(s"WARN Replay: checkpoint cleanup failed for $f: $e")
+        }
+      }
     }
   }
 

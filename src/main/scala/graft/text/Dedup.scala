@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -512,22 +513,28 @@ object Dedup {
     // Per-doc distinct-shingle count rides ALONG the exploded index (size
     // of the shingle array, same narrow map), so there is no per-doc counts
     // aggregation and no (a)/(b) count joins downstream — two fewer
-    // shuffles than the textbook inverted-index formulation. The exploded
-    // index (id, n_sh, shingle) is persisted: it feeds the df-count
-    // aggregate once and the pair self-join twice, so without the cache the
-    // shingle stage (regex split + 3-gram assembly) runs 3×. Rows are
-    // narrow (two longs + a ~25-byte shingle), O(corpus tokens) — the same
-    // persistence contract as minhashPairs' signature table.
+    // shuffles than the textbook inverted-index formulation.
     val withSh = docs.select(col(idCol).as("id"),
       shingles(col(textCol)).as("shs"))
-    val sh = scope.persist(withSh.select(col("id"),
-      size(col("shs")).as("n_sh"), explode(col("shs")).as("s")))
-    // the de-hubbed index feeds BOTH sides of the pair self-join: persist
-    // it too, so the (index ⋈ keep-set) join runs once instead of twice
-    // (same persistence contract as `sh` above; both are O(corpus tokens))
-    val filtered = scope.persist(sh.join(
-      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("s"), "s"))
+    val sh = withSh.select(col("id"),
+      size(col("shs")).as("n_sh"), explode(col("shs")).as("s"))
+    // De-hubbing as ONE pass (round 19): the document frequency comes from
+    // a count window PARTITIONED BY the shingle — the same exchange the
+    // pair self-join needs anyway — instead of the previous groupBy-count +
+    // keep-set join, which (a) shuffled the index TWICE (once partially
+    // aggregated for the df counts, once in full for the join) and (b)
+    // needed TWO O(corpus-token) persists (raw + de-hubbed) to keep the
+    // shingle extraction single-run. Only the de-hubbed index persists now
+    // — HALF the round-18 cache footprint, which is what let pass-2
+    // revisits of the dedup family survive an 8g-class heap without
+    // reading evicted blocks (guide §5) — and the cached frame comes out
+    // hash-partitioned (and sorted) by `s`, so the self-join below adds NO
+    // exchange and NO sort on either side. Rows are narrow (two longs + a
+    // ~25-byte shingle), O(collisions) join bound unchanged.
+    val w = Window.partitionBy("s")
+    val filtered = scope.persist(
+      sh.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= maxDf).drop("_df"))
     val inter = filtered.select(col("s"), col("id").as("a"), col("n_sh").as("na"))
       .join(filtered.select(col("s"), col("id").as("b"), col("n_sh").as("nb")), "s")
       .filter(col("a") < col("b"))

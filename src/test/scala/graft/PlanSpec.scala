@@ -354,6 +354,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the code scan must not sort-merge")
   }
 
+  test("unpartitioned-window inventory: every empty-partition Window is allowlisted with a cited bound") {
+    // guide §2: a Window with no PARTITION BY moves ALL rows to one task.
+    // That is acceptable ONLY when the window's input is provably bounded
+    // by construction — this walks EVERY declared query's optimized plan,
+    // collects Window nodes with an empty partitionSpec, and asserts the
+    // owning query is allowlisted below with the structural bound that
+    // keeps the single partition small. A new unpartitioned window over
+    // unbounded data fails here, not at 100 TB. (r18 verdict item 7.)
+    val allow: Map[String, String] = Map(
+      "op_gini_sources" -> ("Profile.gini: rank window over the per-group " +
+        "SUM table — ≤ |distinct sources| rows (group-cardinality bound)"),
+      "op_score_auc" -> ("TextOps.scoreAuc: cumulative window over CLAMPED " +
+        "integer score buckets — ≤ (maxScore-minScore+1) = 1000 rows by " +
+        "construction, corpus-independent"),
+      "op_score_deciles" -> ("TextOps.scoreDeciles: both windows run over " +
+        "the per-bucket aggregate of the same clamped score domain — " +
+        "≤ 1000 rows by construction"),
+      "op_vocab_coverage" -> ("TextOps.vocabCoverage: cumulative window " +
+        "AFTER the top-N limit — ≤ topN (50) rows"),
+      "op_ivf_sweep" -> ("Ivf.probeSweep: the n_relevant max-window runs " +
+        "over per-rung hit counts — ≤ |rungs|+1 (5) rows"),
+      "op_sql_ks_drift" -> ("SQL cumsum/argmax windows over the per-value " +
+        "GROUP BY v aggregate — ≤ |distinct floor(len/10)| rows, bounded " +
+        "by the value DOMAIN (max doc length / 10), not corpus cardinality"),
+      "op_sql_source_share" -> ("SQL rank window over the per-source " +
+        "GROUP BY aggregate — ≤ |distinct sources| rows"),
+      "op_sql_score_deciles" -> ("DECLARED corpus-sized: the SQL-surface " +
+        "ntile(10) demo ranks every document in one task by definition; " +
+        "the scale-correct bounded formulation is its Scala sibling " +
+        "op_score_deciles (clamped-bucket two-phase) — changing the SQL " +
+        "would change what the op demonstrates"))
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val n =
+        try fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (n > 0 && !allow.contains(name)) offenders += s"$name(x$n)"
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the allowlist: ${offenders.mkString(", ")}")
+    val stale = allow.keySet.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+
   test("op_display_truncate rides the shuffle-free tax lineage") {
     val df = SparkEntry.queries("op_display_truncate")(spark, sf)
     assert(shuffleCount(df) == 0,

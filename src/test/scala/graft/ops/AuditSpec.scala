@@ -371,6 +371,33 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("dpAvg: NULL-keyed rows drop — exact parity with composed dpSum ⋈ dpCounts (r19, drains r18 advice)") {
+    import spark.implicits._
+    // the composed form never released a NULL-keyed group (NULL joins
+    // nothing on key equality); the fused form must not either — and a
+    // NULL key must not reuse an empty-string group's noise draw (both
+    // concat_ws to the same salt string)
+    val df = Seq((Option("en"), 100L), (None, 999L), (None, 7L),
+      (Option(""), 55L), (Option("de"), 300L))
+      .toDF("lang", "n_chars")
+    val fused = Audit.dpAvg(df, Seq("lang"), col("n_chars"),
+      clip = 500L, epsilon = 1.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("noisy_sum"), r.getAs[Double]("noisy_count"))))
+      .toMap
+    assert(!fused.keySet.contains(null), "fused dpAvg released a NULL group")
+    assert(fused.keySet == Set("en", "de", ""))
+    val s2 = Audit.dpSum(df, Seq("lang"), col("n_chars"), clip = 500L,
+      epsilon = 0.5).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("noisy_sum")).toMap
+    val c2 = Audit.dpCounts(df, Seq("lang"), epsilon = 0.5).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("noisy_count")).toMap
+    for (k <- fused.keySet) {
+      assert(fused(k)._1 == s2(k) && fused(k)._2 == c2(k),
+        s"group '$k': fused != composed")
+    }
+  }
+
   test("dp releases reject off-grid epsilons whose salt tags would collide") {
     val rows = Seq((1L, "en", 10L)).toDF("id", "lang", "chars")
     // 1e-7 and 2e-7 both micro-round to tag 0 — a shared namespace would

@@ -57,6 +57,50 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == Map("a" -> 1, "b" -> 7))
   }
 
+  test("primitive struct(double,long) fast path == window semantics incl. NaN, ±0.0 and null fields") {
+    // the round-19 PrimOrdHeap must order exactly like Catalyst: NaN
+    // greatest (and equal to itself), -0.0 == 0.0, struct fields
+    // nulls-first ascending — pinned against the row_number window, whose
+    // SortExec uses the same comparators
+    val rows: Seq[(String, java.lang.Double, java.lang.Long)] = Seq(
+      ("a", 1.5, 10L), ("a", Double.NaN, 11L), ("a", 1.5, 9L),
+      ("a", null, 12L), ("a", 0.0, 13L), ("a", -0.0, 14L),
+      ("a", Double.NaN, 8L), ("b", 2.0, 1L), ("b", 2.0, 2L),
+      ("b", null, 3L), ("b", 7.5, 4L), ("c", -1.0, 5L))
+    val df = rows.toDF("k", "score", "id")
+      .select(col("k"), col("score"), col("id"))
+    for (desc <- Seq(true, false); k <- Seq(1, 2, 3, 5)) {
+      val ord = struct(col("score"), col("id"))
+      val viaTopK = TopK.perKey(df, Seq("k"), ord, k, descending = desc)
+        .collect().map(r => (r.getString(0),
+          Option(r.get(1)).map(_.toString).getOrElse("null"), r.getLong(2)))
+        .toSet
+      val w = Window.partitionBy("k").orderBy(
+        if (desc) ord.desc else ord.asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getString(0),
+          Option(r.get(1)).map(_.toString).getOrElse("null"), r.getLong(2)))
+        .toSet
+      assert(viaTopK == viaWindow, s"desc=$desc k=$k")
+    }
+  }
+
+  test("primitive bare-long fast path == window semantics (hash-order sampling shape)") {
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 2L), ("b", 2L),
+      ("b", 8L), ("c", -3L)).toDF("k", "h")
+    for (desc <- Seq(true, false)) {
+      val got = TopK.perKey(df, Seq("k"), col("h"), 2, descending = desc)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+      val w = Window.partitionBy("k").orderBy(if (desc) col("h").desc else col("h").asc)
+      val exp = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+      assert(got == exp, s"desc=$desc")
+    }
+  }
+
   test("plan shows the heap exec pair with an exchange, and no sort") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val df = TopK.perKey(orders, Seq("o_custkey"), col("o_totalprice"), 2)
