@@ -1725,14 +1725,32 @@ object Catalog {
 
     // percent_rank + cume_dist over the per-flag quantity distribution:
     // both are (exact-integer rank) / (exact-integer count) doubles, so
-    // the values are bit-identical cross-engine; distinct bounds the
-    // output by the distinct (flag, quantity) pairs
+    // the values are bit-identical cross-engine. TWO-PHASED (r19): the
+    // direct window sorted the WHOLE fact inside 3 one-per-flag tasks
+    // (the straggler shape the Ks cumsum fix removed in r18) — instead,
+    // aggregate per (flag, quantity) with map-side partials, then run the
+    // window over the ≤ |distinct quantities| rows per flag. rank−1 =
+    // rows strictly below (ties share their group's first rank), so
+    // pr = before/(n−1) (0 when n = 1, Spark's PercentRank rule) and
+    // cd = (before+c)/n — the same exact-int divisions the window
+    // functions evaluate, bit-identical; the old distinct() finisher is
+    // the aggregation's group set by construction
     "op_rank_stats" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      t(s, dir, "lineitem")
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("_c"))
+      val wv = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val before = coalesce(
+        sum("_c").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+      val tot = sum("_c").over(Window.partitionBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      cnt.withColumn("_b", before).withColumn("_n", tot)
         .select(col("l_returnflag"), dbl(col("l_quantity")).as("quantity"),
-          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
-        .distinct()
+          when(col("_n") > 1L, col("_b").cast(DoubleType) /
+            (col("_n") - 1L).cast(DoubleType)).otherwise(lit(0.0d)).as("pr"),
+          ((col("_b") + col("_c")).cast(DoubleType) /
+            col("_n").cast(DoubleType)).as("cd"))
     }),
 
     "op_rollup" -> ((s, dir) =>

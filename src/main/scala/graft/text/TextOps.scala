@@ -40,11 +40,27 @@ object TextOps {
   /** Language ID via stopword/charset scoring — n-gram-free heuristic that
     * stays SQL-expressible. Scores: CJK chars → zh; else the Latin language
     * whose marker stopwords appear most. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    langIdImpl(text, hof = false)
+
+  /** The original split-count formulation — kept as the cross-validation
+    * reference for the native [[graft.functions.RegexHits]] path
+    * (CurationOpsSpec pins langId == langIdHof row-for-row). */
+  def langIdHof(text: Column): Column =
+    langIdImpl(text, hof = true)
+
+  private def langIdImpl(text: Column, hof: Boolean): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
+    // per-language word-hit totals: the split form compiles each regex and
+    // re-converts the string PER ROW inside StringSplit (22 splits/row);
+    // the native RegexHits expression precompiles the pattern list and
+    // counts in one pass per pattern — value-identical by construction
+    // (find-count == split-size − 1), pinned by RegexHitsSpec
     def hits(words: Seq[String]): Column =
-      words.map(w => size(split(t, s"\\s${w}\\s")) - 1)
-        .reduce(_ + _)
+      if (hof)
+        words.map(w => size(split(t, s"\\s${w}\\s")) - 1).reduce(_ + _)
+      else
+        graft.functions.RegexHits(t, words.map(w => s"\\s${w}\\s"))
     val en = hits(Seq("the", "and", "of", "is", "with"))
     val es = hits(Seq("el", "la", "los", "las", "es", "y"))
     val fr = hits(Seq("le", "les", "des", "est", "et", "une"))
@@ -66,9 +82,12 @@ object TextOps {
     .withColumn("n_digit", length(regexp_replace(col(text), "[^0-9]", "")))
     .withColumn("n_punct", length(regexp_replace(col(text), "[^.!?,;:]", "")))
     .withColumn("n_stopword", {
+      // native precompiled match count — value-identical to the split-sum
+      // form (see RegexHits scaladoc; RegexHitsSpec pins the equality)
       val t = concat(lit(" "), lower(col(text)), lit(" "))
-      Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-        .map(w => size(split(t, s"\\s${w}\\s")) - 1).reduce(_ + _)
+      graft.functions.RegexHits(t,
+        Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+          .map(w => s"\\s${w}\\s"))
     })
 
   /** One-row corpus datasheet (the summary block of a dataset card):
