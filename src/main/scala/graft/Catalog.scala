@@ -157,21 +157,6 @@ object Catalog {
     })
   }
 
-  /** Shared EXACT per-(event_type, user_id) occurrence counts over the
-    * events fixture — the batch-side calibration base the three
-    * stream-sketch finishers each re-scanned events for (r18 verdict item
-    * 8): op_stream_hll's exact distinct-users-per-type is the per-type
-    * count of this frame's non-null-user groups, op_stream_cms's exact
-    * per-user frequency is the per-user sum of `_n`, and op_stream_bloom's
-    * member set is the distinct `_uid`s. One persisted BOUNDED frame
-    * (≤ types × users rows — sketch-calibration-sized, not event-sized),
-    * ONE events scan for the whole family. */
-  private def eventUserCounts(s: SparkSession, dir: String): DataFrame =
-    memoPersist(s, s"evuc:$dir")(
-      t(s, dir, "events")
-        .groupBy(col("event_type"), col("user_id").cast("string").as("_uid"))
-        .agg(count(lit(1)).as("_n")))
-
   /** Staged documents-with-planted-duplicates for the streaming dedup
     * replay: every 7th doc appears twice (different id/ts, identical
     * text), each row stamped with a deterministic event time. Same
@@ -1375,14 +1360,8 @@ object Catalog {
             Seq("event_type"), col("_uid"))
           .groupBy("event_type", "_idx").agg(max("_rank").as("_M")))
       val est = graft.ops.Hll.estimateFromRegisters(regs, Seq("event_type"))
-      // exact distinct users per type off the SHARED per-(type, user)
-      // count frame (one events scan for the whole calibration family —
-      // r19): count the non-null-user groups per type ≡ the old
-      // countDistinct(user_id) (countDistinct skips NULLs; a type whose
-      // users are all NULL still emits its (type, NULL) group, so the
-      // group set per type is unchanged)
-      val exact = eventUserCounts(s, dir).groupBy("event_type")
-        .agg(count(col("_uid")).as("n_exact"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id").cast("string")).as("n_exact"))
       est.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_exact"), col("v_zero"),
           col("hll_est"))
@@ -1405,12 +1384,8 @@ object Catalog {
             st.select(col("user_id").cast("string").as("_u")), col("_u"),
             depth = 4, width = 64)
           .groupBy("_j", "_b").agg(count(lit(1)).as("_c")))
-      // exact per-user frequency off the SHARED per-(type, user) count
-      // frame (one events scan for the calibration family — r19): summing
-      // the per-type partials per user ≡ the old count(*) per user,
-      // NULL-user rows included as the same NULL group
-      val counts = eventUserCounts(s, dir)
-        .groupBy(col("_uid").as("_v")).agg(sum("_n").as("_n"))
+      val counts = ev.select(col("user_id").cast("string").as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_n"))
       graft.ops.Cms.estimateTopK(counters, counts, depth = 4, width = 64,
           topK = 50)
         .select(col("token").as("user_id"), col("n_exact"), col("cms_est"),
@@ -1435,14 +1410,8 @@ object Catalog {
             mBits = 1024, kHashes = 3)
           .groupBy("_b").agg(count(lit(1)).as("_n")))
         .select("_b")
-      // member side off the SHARED per-(type, user) frame: fprFromBits
-      // distinct-and-casts the member key itself, and the distinct user
-      // set of eventUserCounts equals the distinct user set of the raw
-      // scan (NULL included as a group) — the probe side still reads the
-      // fixture (event_id does not ride the shared frame)
       graft.ops.Bloom.fprFromBits(bits,
-        eventUserCounts(s, dir).select(col("_uid").as("user_id")),
-        col("user_id"),
+        ev.select(col("user_id")), col("user_id"),
         ev.select(col("event_id")), col("event_id"),
         mBits = 1024, kHashes = 3)
     }),
